@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Headline analytical queries (TPC-H-shaped) — the engine exposes full
+  * Spark SQL through its `custom::sql` block (reference
+  * getl/blocks/custom/entrypoint.py:235-271), so these demonstrate and
+  * benchmark that surface: scan → pushed filter → partial agg → shuffle →
+  * final agg, broadcast joins for dims, window functions.
+  *
+  * Scale notes: q1/q6 are single-shuffle map-side-combine aggregates; q3/q5
+  * broadcast every dimension side (region/nation/customer at 100 TB TPC-H
+  * proportions stay ≪ broadcast threshold relative to fact tables, and
+  * customer is explicitly hinted); all money sums are rounded to 2 decimals
+  * so the driver's hash compare is float-stable.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1: pricing summary
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q6: forecast revenue change (pure scan+filter+agg)
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    // TPC-H Q3: shipping-priority top orders
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped: revenue by nation for one region
+    "q5_region_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // window function: per-customer order ranking (Spark SQL surface)
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+    }),
+
+    // events: per-type daily aggregate (streaming-shaped batch query)
+    "q_events_daily" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))),
+
+    // group-by-all-aggregates over a join with date dimension derived cols
+    "q_order_year_status" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(avg(l_quantity), 2) AS avg_qty,
+        |round(avg(l_discount), 2) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-01-01'
+        |AND l_shipdate > '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
+        |SELECT o_custkey, o_orderkey,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders) WHERE rk <= 2""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_order_year_status" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS sum_price,
+        |round(min(o_totalprice), 2) AS min_price,
+        |round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1, 2""".stripMargin
+  )
+}
