@@ -1,0 +1,365 @@
+package graft.blocks
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.dsl.Props
+import graft.runtime.{BlockConfig, NoDataToProcess}
+import graft.registry.FileRegistry
+import graft.table.ManagedTable
+import graft.transform.{Predicate, Transforms}
+import graft.transform.Transforms.SelectCol
+
+/** The `module::function` block vocabulary (reference
+  * getl/blocks/&lt;module&gt;/entrypoint.py, dispatched at
+  * getl/manager.py:92-95). Each block is a
+  * `BlockConfig => Any` returning a DataFrame (or Map[String, DataFrame]
+  * for multi-output custom blocks, or Unit→input-DF pass-through for sinks).
+  */
+object BlockRegistry {
+
+  def registry: Map[String, BlockConfig => Any] = Map(
+    "load::batch_csv" -> LoadBlocks.batchCsv,
+    "load::batch_parquet" -> LoadBlocks.batchParquet,
+    "load::batch_json" -> LoadBlocks.batchJson,
+    "load::batch_xml" -> LoadBlocks.batchXml,
+    "load::batch_delta" -> LoadBlocks.batchDelta,
+    "load::stream_json" -> LoadBlocks.streamJson,
+    "load::jdbc" -> LoadBlocks.jdbc,
+    "transform::generic" -> TransformBlock.generic,
+    "custom::sql" -> CustomBlocks.sql,
+    "custom::python_codeblock" -> CustomBlocks.function,
+    "custom::function" -> CustomBlocks.function,
+    "write::batch_json" -> WriteBlocks.batchJson,
+    "write::batch_parquet" -> WriteBlocks.batchParquet,
+    "write::batch_csv" -> WriteBlocks.batchCsv,
+    "write::batch_jdbc" -> WriteBlocks.batchJdbc,
+    "write::batch_delta" -> WriteBlocks.batchDelta,
+    "write::stream_delta" -> WriteBlocks.streamDelta,
+    "write::batch_postgres_upsert" -> WriteBlocks.postgresUpsert,
+    "write::batch_mysql_upsert" -> WriteBlocks.mysqlUpsert
+  )
+}
+
+/** Load blocks (reference getl/blocks/load/entrypoint.py). */
+object LoadBlocks {
+
+  /** CSV batch read: `Path`, pass-through `Options` (entrypoint.py:26-50). */
+  def batchCsv(c: BlockConfig): DataFrame =
+    batchRead(c, "csv", suffix = ".csv")
+
+  /** Parquet batch read with optional file-registry pruning
+    * (entrypoint.py:53-72). */
+  def batchParquet(c: BlockConfig): DataFrame =
+    batchRead(c, "parquet", suffix = ".parquet")
+
+  /** JSON batch read; schema via JsonSchemaPath/JsonSchema/SparkSchema else
+    * inferred; `Suffix` default `.json` (entrypoint.py:75-118). */
+  def batchJson(c: BlockConfig): DataFrame =
+    batchRead(c, "json", suffix = c.props.getOrElse("Suffix", ".json"))
+
+  /** XML batch read via Spark 4's native source; `RowTag`; `BatchSize`
+    * files per reader call, per-batch frames combined with allow-missing
+    * `unionByName` for schema-drift tolerance (entrypoint.py:121-192). */
+  def batchXml(c: BlockConfig): DataFrame = {
+    val paths = resolvePaths(c, c.props.getOrElse("Suffix", ".xml"))
+    val batchSize = c.props.getOrElse("BatchSize", 200)
+    val schema = SchemaUtils.resolve(c.spark, c.props)
+    val batches = paths.grouped(batchSize).map { group =>
+      val r = c.spark.read.format("xml")
+        .option("rowTag", c.props.getString("RowTag"))
+        .options(c.props.stringOptions("Options"))
+      schema.fold(r.option("inferSchema", "true"))(r.schema)
+        .load(group: _*)
+    }
+    batches.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Managed-table read (the reference's Delta read, entrypoint.py:195-236):
+    * plain read, or `FileRegistry` naming a SnapshotDiff → new-rows-only
+    * version diff; absent table → empty DataFrame. */
+  def batchDelta(c: BlockConfig): DataFrame = {
+    val path = c.props.getString("Path")
+    registryFor(c) match {
+      case Some(reg) => reg.loadNewRowsOnly(path)
+      case None      => ManagedTable(c.spark, path).read()
+    }
+  }
+
+  /** Structured-Streaming JSON source; mandatory SchemaPath
+    * (entrypoint.py:239-262). */
+  def streamJson(c: BlockConfig): DataFrame = {
+    val schema = SchemaUtils.jsonToSparkSchema(
+      graft.common.FsUtils.readText(c.spark, c.props.getString("SchemaPath")))
+    c.spark.readStream.schema(schema)
+      .options(c.props.stringOptions("Options"))
+      .json(c.props.getString("Path"))
+  }
+
+  /** JDBC query-pushdown read (entrypoint.py:265-301): the full SQL in
+    * `Query` executes inside the database; Spark sees only the result. */
+  def jdbc(c: BlockConfig): DataFrame =
+    c.spark.read.format("jdbc")
+      .option("driver", c.props.getString("Driver"))
+      .option("url", c.props.getString("ConnUrl"))
+      .option("user", c.props.getString("User"))
+      .option("password", c.props.getString("Password"))
+      .option("query", c.props.getString("Query"))
+      .load()
+
+  private def batchRead(c: BlockConfig, format: String, suffix: String): DataFrame = {
+    val paths = resolvePaths(c, c.props.getOrElse("Suffix", suffix))
+    val reader = c.spark.read.format(format)
+      .options(c.props.stringOptions("Options"))
+    val withSchema = SchemaUtils.resolve(c.spark, c.props) match {
+      case Some(st) => reader.schema(st)
+      case None if format != "parquet" => reader.option("inferSchema", "true")
+      case None => reader
+    }
+    withSchema.load(paths: _*)
+  }
+
+  /** Registry-driven file pruning (entrypoint.py:311-322): when a
+    * `FileRegistry` is configured, the scan is narrowed to unprocessed
+    * files BEFORE Spark ever lists the prefix; zero new files cleanly ends
+    * the job via [[NoDataToProcess]]. */
+  private def resolvePaths(c: BlockConfig, suffix: String): Seq[String] = {
+    val path = c.props.getString("Path")
+    registryFor(c) match {
+      case None => Seq(path)
+      case Some(reg) =>
+        val files = reg.load(path, suffix)
+        if (files.isEmpty) throw new NoDataToProcess
+        files
+    }
+  }
+
+  private def registryFor(c: BlockConfig): Option[FileRegistry] =
+    c.props.getStringOpt("FileRegistry").map { name =>
+      c.fileRegistry.get(name) match {
+        case r: FileRegistry => r
+        case other => throw new IllegalStateException(
+          s"FileRegistry '$name' is not a registry: $other")
+      }
+    }
+}
+
+/** The `transform::generic` function-pipeline interpreter (reference
+  * getl/blocks/transform/entrypoint.py:18-76): a left fold of
+  * DataFrame→DataFrame endomorphisms — the whole chain stays one Catalyst
+  * plan, so pushdown/pruning see through every step. */
+object TransformBlock {
+
+  def generic(c: BlockConfig): DataFrame = {
+    val fns = c.props.getSeq("Functions")
+    fns.foldLeft(c.inputDf) { (df, meta) =>
+      val (name, kwargs) = meta match {
+        case s: String => (s, Props.empty)
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val n = mm.keys.head
+          (n, mm(n) match {
+            case p: Map[_, _] => Props(p.asInstanceOf[Map[String, Any]])
+            case _            => Props.empty
+          })
+        case other => throw new IllegalArgumentException(
+          s"Could not process function $other")
+      }
+      apply(c, df, name, kwargs)
+    }
+  }
+
+  /** Dispatch one transform function by its reference name. */
+  def apply(c: BlockConfig, df: DataFrame, name: String, p: Props): DataFrame = name match {
+    case "select" =>
+      val cols = p.getSeq("cols").map {
+        case m: Map[_, _] =>
+          val mm = Props(m.asInstanceOf[Map[String, Any]])
+          SelectCol(
+            mm.getString("col"),
+            addNewColumn = mm.getBoolean("add_new_column"),
+            alias = mm.getStringOpt("alias"),
+            cast = mm.getStringOpt("cast"),
+            defaultValue = mm.getStringOpt("default_value"))
+        case s: String => SelectCol(s)
+        case other => throw new IllegalArgumentException(s"Bad select col: $other")
+      }
+      Transforms.select(df, cols)
+    case "explode" =>
+      Transforms.explode(df, p.getString("col"), p.getStringOpt("new_col"))
+    case "rename_column" =>
+      Transforms.renameColumn(df, p.getString("col"), p.getString("new_name"))
+    case "substring" =>
+      Transforms.substring(df, p.getString("col"), p.getString("new_col"),
+        p.getInt("pos"), p.getInt("length"))
+    case "split" =>
+      Transforms.split(df, p.getString("col"), p.getString("new_col"),
+        p.getString("split_on"))
+    case "get_item" =>
+      Transforms.getItem(df, p.getString("col"), p.getString("new_col"),
+        p.get[Any]("index"))
+    case "get_json_object" =>
+      Transforms.getJsonObject(df, p.getString("col"), p.getString("new_col"),
+        p.getString("path"))
+    case "cast_column" =>
+      Transforms.castColumn(df, p.getString("col"), p.getString("new_type"))
+    case "join" =>
+      Transforms.join(df, rightDf(c, p),
+        p.getStringSeq("cols"), p.getOrElse("join_type", "left"))
+    case "union" =>
+      Transforms.union(df, rightDf(c, p))
+    case "where" =>
+      Transforms.where(df, Predicate.fromAny(p.get[Any]("predicate")))
+    case "filter_dataframe" =>
+      Transforms.filterDataframe(df, Predicate.fromAny(p.get[Any]("predicate")))
+    case "concat" =>
+      Transforms.concat(df, p.getStringSeq("from_columns"),
+        p.getString("to_column"), p.getOrElse("delimiter", "_"))
+    case "drop_duplicates" =>
+      Transforms.dropDuplicates(df,
+        if (p.exists("columns")) p.getStringSeq("columns") else Nil)
+    case "add_column.date.unixtime_to_utcz" =>
+      Transforms.unixtimeToUtcz(df, p.getString("from_column"), p.getString("to_column"))
+    case "add_column.date.year" =>
+      Transforms.yearCol(df, p.getString("from_column"), p.getString("to_column"))
+    case "add_column.date.month" =>
+      Transforms.monthCol(df, p.getString("from_column"), p.getString("to_column"))
+    case "add_column.date.dayofmonth" =>
+      Transforms.dayofmonthCol(df, p.getString("from_column"), p.getString("to_column"))
+    case "add_column.date.date" =>
+      Transforms.dateCol(df, p.getString("from_column"), p.getString("to_column"))
+    case other =>
+      throw new IllegalArgumentException(s"Unknown transform function: $other")
+  }
+
+  /** The right side of join/union: a raw DataFrame bound through `${param}`
+    * substitution (the reference's load-bearing raw-object rule,
+    * lift_definition.py:28-42), or a section name resolved from history. */
+  private def rightDf(c: BlockConfig, p: Props): DataFrame =
+    p.get[Any]("right_df") match {
+      case df: DataFrame => df
+      case name: String  => c.history.getDf(name)
+      case other => throw new IllegalArgumentException(
+        s"right_df must be a DataFrame or section name, got: $other")
+    }
+}
+
+/** Custom blocks (reference getl/blocks/custom/entrypoint.py). */
+object CustomBlocks {
+
+  /** `custom::sql`: one SQL statement through the full Catalyst surface
+    * (entrypoint.py:235-271). */
+  def sql(c: BlockConfig): DataFrame = {
+    // expose each input section as a temp view named after the section
+    c.input.foreach(n => c.history.getDf(n).createOrReplaceTempView(n))
+    c.spark.sql(c.props.getString("Statement"))
+  }
+
+  /** The reference's `custom::python_codeblock` as a type-safe host
+    * function (entrypoint.py:22-232): `CustomFunction` is a
+    * `Map[String, DataFrame] => Any` (one DataFrame, or a Map of named
+    * DataFrames matched against `Output:`) bound through parameters.
+    * Dynamic code loading / pip install is a JVM non-goal (SURVEY §7.3). */
+  def function(c: BlockConfig): Any = {
+    val props = c.props.mapOrEmpty("CustomProps")
+    c.props.get[Any]("CustomFunction") match {
+      case f: Function1[_, _] =>
+        f.asInstanceOf[Map[String, Any] => Any](
+          c.inputDfs ++ props + ("spark" -> c.spark))
+      case other => throw new IllegalArgumentException(
+        s"CustomFunction must be a Map[String, Any] => Any, got: $other")
+    }
+  }
+}
+
+/** Write blocks (reference getl/blocks/write/entrypoint.py + batch_delta.py).
+  * Sinks return their input DataFrame so downstream blocks can keep
+  * referencing the section. */
+object WriteBlocks {
+
+  def batchJson(c: BlockConfig): DataFrame = fileWrite(c, "json")
+  def batchParquet(c: BlockConfig): DataFrame = fileWrite(c, "parquet")
+  def batchCsv(c: BlockConfig): DataFrame = fileWrite(c, "csv")
+
+  private def fileWrite(c: BlockConfig, format: String): DataFrame = {
+    val df = c.inputDf
+    val w = df.write.mode(c.props.getOrElse("Mode", "overwrite"))
+      .options(c.props.stringOptions("Options"))
+    val pb =
+      if (c.props.exists("PartitionBy.Columns"))
+        w.partitionBy(c.props.getStringSeq("PartitionBy.Columns"): _*)
+      else w
+    pb.format(format).save(c.props.getString("Path"))
+    df
+  }
+
+  /** JDBC batch write (entrypoint.py:21-62); `NumPartitions` bounds the
+    * number of concurrent database connections. */
+  def batchJdbc(c: BlockConfig): DataFrame = {
+    val df = c.inputDf
+    df.write.mode(c.props.getString("Mode"))
+      .format("jdbc")
+      .option("driver", c.props.getString("Driver"))
+      .option("url", c.props.getString("ConnUrl"))
+      .option("dbtable", c.props.getString("Table"))
+      .option("user", c.props.getString("User"))
+      .option("password", c.props.getString("Password"))
+      .option("numPartitions", c.props.getOrElse("NumPartitions", 10).toString)
+      .option("isolationLevel", "READ_COMMITTED")
+      .save()
+    df
+  }
+
+  /** Managed-table write (the reference's Delta write, entrypoint.py:195-293
+    * + batch_delta.py): modes `upsert` (merge on `Upsert.MergeStatement`),
+    * `clean_write` (overwrite), else pass-through append/overwrite;
+    * optional catalog registration, post-write OPTIMIZE [ZORDER] + VACUUM. */
+  def batchDelta(c: BlockConfig): DataFrame = {
+    val df = c.inputDf
+    val table = ManagedTable(c.spark, c.props.getString("Path"))
+    val partitionBy =
+      if (c.props.exists("PartitionBy.Columns"))
+        c.props.getStringSeq("PartitionBy.Columns")
+      else Nil
+    c.props.getOrElse("Mode", "append") match {
+      case "upsert" =>
+        table.merge(df, c.props.getString("Upsert.MergeStatement"),
+          upsert = true, partitionBy = partitionBy)
+      case "clean_write" | "overwrite" => table.write(df, partitionBy)
+      case "append" => table.append(df, partitionBy)
+      case other => throw new IllegalArgumentException(s"Unknown write mode: $other")
+    }
+    if (c.props.exists("HiveTable"))
+      table.registerAs(
+        c.props.getString("HiveTable.DatabaseName"),
+        c.props.getString("HiveTable.TableName"))
+    if (c.props.exists("Optimize"))
+      table.optimize(
+        if (c.props.exists("Optimize.ZorderBy"))
+          c.props.getString("Optimize.ZorderBy").split(",").map(_.trim).toSeq
+        else Nil)
+    if (c.props.exists("Vacuum"))
+      table.vacuum(c.props.getOrElse("Vacuum.RetainHours", 168).toDouble,
+        enforceRetention = !c.props.getBoolean("Vacuum.Force"))
+    df
+  }
+
+  /** Streaming sink (entrypoint.py:296-321): Spark-4 `AvailableNow`
+    * trigger (the successor of trigger-once), checkpoint under
+    * `{Path}/checkpoint`, parquet encoding. */
+  def streamDelta(c: BlockConfig): DataFrame = {
+    val df = c.inputDf
+    val path = c.props.getString("Path")
+    df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("checkpointLocation", s"$path/checkpoint")
+      .outputMode(c.props.getOrElse("OutputMode", "append"))
+      .start(s"$path/data")
+      .awaitTermination()
+    df
+  }
+
+  def postgresUpsert(c: BlockConfig): DataFrame = Upsert.postgres(c)
+  def mysqlUpsert(c: BlockConfig): DataFrame = Upsert.mysql(c)
+}

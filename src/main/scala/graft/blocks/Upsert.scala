@@ -1,0 +1,122 @@
+package graft.blocks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLTransientException}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.runtime.BlockConfig
+
+/** Partition-parallel JDBC upserts (reference getl/common/upsert.py +
+  * write/entrypoint.py:97-192).
+  *
+  * Execution model matches the reference exactly: one database connection
+  * per Spark partition (`foreachPartition` — this is where `NumPartitions`
+  * upstream bounds DB fan-in), rows streamed through a PreparedStatement in
+  * chunks of 1000 with `executeBatch`, transient failures retried with
+  * backoff. The dialect differs only in the conflict clause:
+  *   - Postgres: `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`
+  *     (upsert.py:100-160)
+  *   - MySQL:    `INSERT … ON DUPLICATE KEY UPDATE c = VALUES(c)`
+  *     (upsert.py:163-224)
+  *
+  * At scale this is the correct shape: no driver collect, work distributed
+  * across executors, connection count bounded by partition count.
+  */
+object Upsert {
+
+  private val ChunkSize = 1000
+  private val MaxRetries = 10           // upsert.py:148-160
+  private val RetrySleepMs = 60 * 1000L // upsert.py:227-233
+
+  def postgres(c: BlockConfig): DataFrame = {
+    val df = c.inputDf
+    val columns = df.columns.toSeq
+    val conflictCols = c.props.getStringSeq("ConflictColumns")
+    val updateCols =
+      if (c.props.exists("UpdateColumns")) c.props.getStringSeq("UpdateColumns")
+      else columns.diff(conflictCols) // default: Columns − ConflictColumns
+    val sql = postgresSql(c.props.getString("Table"), columns, conflictCols, updateCols)
+    run(c, df, sql, columns)
+    df
+  }
+
+  def mysql(c: BlockConfig): DataFrame = {
+    val df = c.inputDf
+    val columns = df.columns.toSeq
+    val updateCols =
+      if (c.props.exists("UpdateColumns")) c.props.getStringSeq("UpdateColumns")
+      else columns
+    val sql = mysqlSql(c.props.getString("Table"), columns, updateCols)
+    run(c, df, sql, columns)
+    df
+  }
+
+  /** `INSERT INTO t (a,b) VALUES (?,?) ON CONFLICT (a) DO UPDATE SET
+    * b = EXCLUDED.b` — upsert.py:100-137. */
+  def postgresSql(table: String, columns: Seq[String], conflict: Seq[String],
+                  update: Seq[String]): String = {
+    val base = s"INSERT INTO $table (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${conflict.mkString(", ")})"
+    if (update.isEmpty) s"$base DO NOTHING"
+    else s"$base DO UPDATE SET ${update.map(u => s"$u = EXCLUDED.$u").mkString(", ")}"
+  }
+
+  /** `INSERT INTO t (a,b) VALUES (?,?) ON DUPLICATE KEY UPDATE
+    * b = VALUES(b)` — upsert.py:163-199. */
+  def mysqlSql(table: String, columns: Seq[String], update: Seq[String]): String =
+    s"INSERT INTO $table (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${update.map(u => s"$u = VALUES($u)").mkString(", ")}"
+
+  private def run(c: BlockConfig, df: DataFrame, sql: String, columns: Seq[String]): Unit = {
+    val url = c.props.getString("ConnUrl")
+    val user = c.props.getString("User")
+    val password = c.props.getString("Password")
+    val driver = c.props.getOrElse("Driver", "")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        if (driver.nonEmpty) Class.forName(driver)
+        withRetries { () =>
+          val conn = DriverManager.getConnection(url, user, password)
+          try executePartition(conn, sql, columns, rows)
+          finally conn.close()
+        }
+      }
+    }
+  }
+
+  private def executePartition(conn: Connection, sql: String,
+                               columns: Seq[String], rows: Iterator[Row]): Unit = {
+    conn.setAutoCommit(false)
+    val stmt: PreparedStatement = conn.prepareStatement(sql)
+    try {
+      rows.grouped(ChunkSize).foreach { chunk =>
+        chunk.foreach { row =>
+          columns.zipWithIndex.foreach { case (col, i) =>
+            stmt.setObject(i + 1, row.getAs[Any](col))
+          }
+          stmt.addBatch()
+        }
+        stmt.executeBatch()
+      }
+      conn.commit()
+    } finally stmt.close()
+  }
+
+  /** 10 tries with a 60s sleep on transient/connection errors
+    * (upsert.py:148-160, 212-224, 227-233). */
+  private def withRetries(body: () => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { body(); done = true }
+      catch {
+        case e @ (_: SQLTransientException | _: java.sql.SQLNonTransientConnectionException) =>
+          attempt += 1
+          if (attempt >= MaxRetries) throw e
+          Thread.sleep(RetrySleepMs)
+      }
+    }
+  }
+}

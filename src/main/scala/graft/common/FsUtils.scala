@@ -1,0 +1,81 @@
+package graft.common
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-`FileSystem` path utilities replacing the reference's `S3Path`
+  * (reference getl/common/s3path.py, getl/common/utils.py). Works uniformly
+  * for file://, hdfs:// and s3a:// — at cluster scale the same code lists
+  * an S3 prefix; locally it lists a directory.
+  */
+object FsUtils {
+
+  def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  private def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  def readText(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val in = fs(path, hadoopConf(spark)).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new Path(path)
+    val out = fs(path, hadoopConf(spark)).create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(path, hadoopConf(spark)).exists(new Path(path))
+
+  /** Recursively list file paths under a prefix with a suffix filter —
+    * the engine's analogue of the reference's paginated S3 listing
+    * (s3path.py:80-106). Driver-side metadata op; the data itself is
+    * never touched.
+    */
+  def listFiles(spark: SparkSession, prefix: String, suffix: String = ""): Seq[String] = {
+    val f = fs(prefix, hadoopConf(spark))
+    val p = new Path(prefix)
+    if (!f.exists(p)) return Nil
+    val out = ArrayBuffer[String]()
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val s = st.getPath.toString
+      if (st.isFile && (suffix.isEmpty || s.endsWith(suffix))) out += s
+    }
+    out.toSeq
+  }
+
+  /** Delete paths (files or directories) — reference `delete_files`
+    * (utils.py:55-73). */
+  def deleteFiles(spark: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach { s => fs(s, hadoopConf(spark)).delete(new Path(s), true) }
+
+  /** Copy (source, target) pairs — reference `copy_keys` (utils.py:97-117). */
+  def copyKeys(spark: SparkSession, pairs: Seq[(String, String)]): Unit =
+    pairs.foreach { case (src, dst) =>
+      val conf = hadoopConf(spark)
+      val sp = new Path(src)
+      val dp = new Path(dst)
+      val sf = sp.getFileSystem(conf)
+      if (!sf.exists(sp)) throw new java.io.FileNotFoundException(src)
+      FileUtil.copy(sf, sp, dp.getFileSystem(conf), dp, false, true, conf)
+    }
+
+  /** Copy then delete sources — reference `copy_and_cleanup` (utils.py:76-94). */
+  def copyAndCleanup(spark: SparkSession, pairs: Seq[(String, String)]): Unit = {
+    copyKeys(spark, pairs)
+    deleteFiles(spark, pairs.map(_._1))
+  }
+}

@@ -82,6 +82,10 @@ final case class Props(underlying: Map[String, Any]) {
   def stringOptions(path: String): Map[String, String] =
     if (exists(path)) getMap(path).map { case (k, v) => k -> String.valueOf(v) }
     else Map.empty
+
+  /** Raw sub-map, empty when absent (e.g. `CustomProps:`). */
+  def mapOrEmpty(path: String): Map[String, Any] =
+    if (exists(path)) getMap(path) else Map.empty
 }
 
 object Props {
