@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Design rules for 100 TB:
+  *   - per-document signatures are pure Catalyst expressions (HOF lambdas
+  *     over md5-derived integer hashes — no UDFs, no driver loops);
+  *   - pair generation NEVER does an unblocked cross join: candidates come
+  *     from an equi-join on LSH bucket / simhash band / blocking key, so the
+  *     shuffle is on a compact key and skew is bounded by bucket size;
+  *   - all arithmetic is deterministic and engine-portable, so every
+  *     operator has an exact DuckDB oracle.
+  */
+object Dedup {
+
+  /** Prime modulus > 2^32 for the MinHash permutation family. */
+  val P = 4294967311L
+
+  /** 32-bit md5-derived hash of a string column (portable: DuckDB mirrors
+    * it as `CAST('0x' || substr(md5(s),1,8) AS BIGINT)`). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit md5-derived hash (15 hex chars — fits a positive BIGINT). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: one representative row (minimum id) per distinct key.
+    * Single hash-aggregate — partial (map-side) min before the shuffle, so
+    * the exchanged data is one row per distinct key per task. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  // ------------------------------------------------------------------
+  // Shingles + MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, n))))
+  }
+
+  /** k-component MinHash signature over the shingle set, using the
+    * permutation family h_i(x) = (a_i*h32(x) + b_i) mod P with
+    * a_i = 2i+1, b_i = 101i+17 (odd multipliers, deterministic). */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val hashes = transform(shingleCol, s => h32(s))
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hashes, h => pmod(h * (i * 2 + 1) + (i * 101 + 17), lit(P)))))
+  }
+
+  /** True Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash + LSH near-dup pairs, verified with true Jaccard.
+    *
+    * Pipeline (each stage one Spark plan, candidates bounded by buckets):
+    *   1. per-doc shingle set + k-component signature (map-only);
+    *   2. banding: `bands` buckets of `k/bands` signature components; bucket
+    *     key = (band index, component slice) — explode is k/bands-fold, the
+    *     join key is compact;
+    *   3. self-equi-join on bucket key with `id < id` → candidate pairs
+    *     (shuffle on bucket hash, never a cross join);
+    *   4. verify candidates with exact Jaccard ≥ threshold over the shingle
+    *     sets (re-joined by id, broadcast-friendly when candidates are few).
+    *
+    * Returns (idA, idB, jaccard) with idA < idB, exactly once per pair.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+    val banded = withSig.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, rows).as("key"))))
+        .as("bucket"))
+
+    val candidates = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val sh = withSig.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard (exact ground truth)
+  // ------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard pairs ≥ threshold. Candidate generation blocks on
+    * shared shingles (inverted-index join) rather than a cross join: only
+    * documents sharing ≥1 shingle ever meet. Rare-shingle blocking keeps the
+    * explode bounded; verification is exact. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val inverted = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    val candidates = inverted.alias("l")
+      .join(inverted.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 60-bit SimHash over the token multiset: bit j is set when more token
+    * hashes have bit j set than clear. Sum-of-powers construction keeps the
+    * whole signature one expression. */
+  def simhash(text: Column): Column = {
+    val th = transform(TextOps.tokens(text), t => h60(t))
+    val nTok = size(th)
+    aggregate(
+      sequence(lit(0), lit(59)),
+      lit(0L),
+      (acc, j) => {
+        val ones = size(filter(th, h => shiftright(h, j).bitwiseAND(1) === 1))
+        acc + when(ones * 2 > nTok, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      })
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDistance.
+    *
+    * Scale path: the 60-bit signature splits into 4 bands of 15 bits; any
+    * pair within distance ≤ 3 shares at least one exact band (pigeonhole),
+    * so an equi-join on (band index, band value) finds EXACTLY the brute
+    * force result for maxDistance ≤ 3 — no cross join, shuffle on a compact
+    * 15-bit-band key. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "banded simhash join is exact only for distance <= 3 (4 bands)")
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          shiftright(col("sig"), b * 15).bitwiseAND(0x7fff).as("key")))).as("bucket"))
+    banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDistance)
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label
+    * column): pairs are generated per block via equi-join — the standard
+    * blocked-dedup shape; an unblocked variant at 100 TB would use the LSH
+    * bucketer in [[Similarity]] instead. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("vec"))
+    v.alias("l").join(v.alias("r"),
+        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(Similarity.cosine(col("l.vec"), col("r.vec")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

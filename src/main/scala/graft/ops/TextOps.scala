@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and document
+  * fingerprinting.
+  *
+  * Everything is a pure Catalyst expression (built-in functions +
+  * higher-order array lambdas) — no UDFs, so the operators stay inside the
+  * optimized expression pipeline, scale linearly per row, and never force a
+  * shuffle by themselves. All hashing is md5-derived so results are
+  * deterministic and engine-portable (the DuckDB oracles mirror the exact
+  * arithmetic).
+  */
+object TextOps {
+
+  /** Lowercased word tokens (whitespace/punctuation split, empties dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+
+  /** Whitespace token count — the cheap `wc -w` measure. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: letter runs, single digits, and isolated
+    * punctuation each count as one token — a deterministic proxy for a BPE
+    * tokenizer's piece count (the real vocab merge table is external). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** English-ish stopword list used by quality scoring and language ID. */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality features + composite score (length, punctuation density,
+    * stopword ratio, mean word length) — the classic cheap heuristics used
+    * to filter web corpora. Returns the input plus feature columns. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val sw = typedLit(StopwordsEn)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio",
+        round(regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") /
+          greatest(length(t), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, w => array_contains(sw, w))).cast("double") /
+          greatest(nTok, lit(1)), 4))
+      .withColumn("mean_word_len",
+        round(aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          greatest(nTok, lit(1)), 4))
+      .withColumn("quality_score",
+        round(
+          least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+            col("stopword_ratio") * 0.4 +
+            (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 4))
+  }
+
+  /** Per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "fr" -> Seq("le", "et", "la", "est", "les"),
+    "es" -> Seq("el", "y", "la", "es", "los"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he"))
+
+  /** Heuristic language ID: argmax over per-language marker-hit counts,
+    * deterministic first-profile-wins tie-break, `und` when nothing hits.
+    * One expression per row — embarrassingly parallel at any scale. */
+  def langId(df: DataFrame, textCol: String = "text", outCol: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored: Column = LangProfiles.foldLeft(
+      struct(lit(-1).as("hits"), lit("und").as("lang"))) { case (best, (lang, words)) =>
+      val hits = size(filter(toks, w => array_contains(typedLit(words), w)))
+      when(hits > best.getField("hits"),
+        struct(hits.as("hits"), lit(lang).as("lang"))).otherwise(best)
+    }
+    df.withColumn(outCol,
+      when(scored.getField("hits") > 0, scored.getField("lang")).otherwise(lit("und")))
+  }
+
+  /** Exact content fingerprint: md5 of the raw text. */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Canonical fingerprint: md5 over the sorted distinct token set —
+    * invariant to word order and repetition, the standard cheap
+    * near-dup-robust document key. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+}
