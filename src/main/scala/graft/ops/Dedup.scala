@@ -50,7 +50,7 @@ object Dedup {
     val toks = TextOps.tokens(text)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, n))))
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** k-component MinHash signature over the shingle set, using the
@@ -92,7 +92,7 @@ object Dedup {
     val banded = withSig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, rows).as("key"))))
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("key"))))
         .as("bucket"))
 
     val candidates = banded.alias("l")
@@ -149,8 +149,10 @@ object Dedup {
       sequence(lit(0), lit(59)),
       lit(0L),
       (acc, j) => {
-        val ones = size(filter(th, h => shiftright(h, j).bitwiseAND(1) === 1))
-        acc + when(ones * 2 > nTok, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        val ones = size(filter(th, h =>
+          call_function("shiftright", h, j).bitwiseAND(1) === 1))
+        acc + when(ones * 2 > nTok,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
       })
   }
 
@@ -168,7 +170,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
-          shiftright(col("sig"), b * 15).bitwiseAND(0x7fff).as("key")))).as("bucket"))
+          call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7fff).as("key")))).as("bucket"))
     banded.alias("l")
       .join(banded.alias("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): cosine /
+  * dot-product scoring as pure Catalyst higher-order expressions, a
+  * brute-force top-k baseline, and an LSH-bucketed approximate variant
+  * that is the 100 TB scale path.
+  *
+  * Design rules:
+  *   - all vector math is `zip_with`/`aggregate` lambdas over the array —
+  *     codegen'd per row, no UDF, no driver-side loops;
+  *   - floats are cast to double BEFORE any arithmetic and summed in array
+  *     order so scores are deterministic and match a DuckDB oracle doing
+  *     the same left-to-right summation;
+  *   - brute-force top-k against one query vector is a map-only scan + a
+  *     single k-row reduction (`orderBy.limit` → TakeOrderedAndProject);
+  *     at 100 TB the per-partition top-k is computed map-side before the
+  *     single-stage reduction — nothing but k rows per task crosses the
+  *     shuffle;
+  *   - the approximate variant buckets vectors by random-hyperplane LSH
+  *     signature (deterministic md5-seeded hyperplanes) so the query only
+  *     scores its own bucket — the standard IVF/LSH pruning shape.
+  */
+object Similarity {
+
+  /** Element-wise double view of a float vector column. */
+  private def dbl(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product — left-to-right summation for determinism. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(dbl(a), dbl(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(dbl(a), lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2norm(a) * l2norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(dbl(a), dbl(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k neighbours of the vector with id `queryId`.
+    *
+    * The query vector is a one-row broadcast (crossJoin with a 1-row side
+    * is planned as BroadcastNestedLoopJoin — effectively free); scoring is
+    * map-only; `orderBy.limit(k)` plans as TakeOrderedAndProject, which
+    * reduces each partition to its local top-k before the driver merge —
+    * the exact-search baseline that still works at 10^9 vectors.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash of
+    * (plane index, dimension index) mapped to [-0.5, 0.5). Pure expression,
+    * identical arithmetic is mirrored by the DuckDB oracle. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat_ws(":", lit(plane), dim).cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) - 0.5
+
+  /** Sign of the projection of `vec` on deterministic hyperplane `plane`. */
+  private def planeSign(vec: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(dbl(vec), sequence(lit(0), size(vec) - 1),
+        (x, i) => x * planeComponent(plane, i)),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** Random-hyperplane LSH bucket id (`nPlanes`-bit signature). */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(p => planeSign(vec, p) * (1 << p))
+      .reduce((a, b) => a + b)
+
+  /** LSH-bucketed approximate top-k: score only vectors sharing the query's
+    * hyperplane-signature bucket. At scale the bucketed table is written
+    * partitioned by bucket, so a query touches one partition (IVF shape);
+    * here the bucket equi-join replaces the full scan with a pruned one.
+    * Exactness is approximate by construction (that is the point); recall
+    * rises with fewer planes / multi-probe.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), "bucket")
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs cosine above a threshold within a blocking column — see
+    * [[Dedup.embeddingNearDupPairs]]; exposed here for symmetric use as a
+    * similarity operator. */
+  def blockedPairs(df: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, threshold: Double): DataFrame =
+    Dedup.embeddingNearDupPairs(df, idCol, vecCol, blockCol, threshold)
+
+  /** Per-query-group ranked neighbours (window form): given a candidates
+    * DataFrame of (queryId, candId, score), keep the top-k per query. The
+    * window partitions by query so the sort is per-group, not global. */
+  def topKPerQuery(scored: DataFrame, queryCol: String, scoreCol: String,
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(scoreCol).desc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
