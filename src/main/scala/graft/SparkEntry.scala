@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransformQueries.queries ++
-    AnalyticsQueries.queries
+    AnalyticsQueries.queries ++
+    OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     TransformQueries.oracleSql ++
-    AnalyticsQueries.oracleSql
+    AnalyticsQueries.oracleSql ++
+    OpsQueries.oracleSql
 }

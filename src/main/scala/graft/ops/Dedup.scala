@@ -45,22 +45,50 @@ object Dedup {
   // Shingles + MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Distinct word n-gram shingles of a text column. Documents with fewer
+    * than n tokens yield an empty set.
+    *
+    * Implemented as ONE fold over the token array with a
+    * (sliding-window, shingles) accumulator. The index-based formulation
+    * `transform(sequence(…), i => concat_ws(slice(toks, i, n)))` captures
+    * the tokenization expression inside the lambda, and a lambda-captured
+    * expression is re-evaluated on every iteration — i.e. the whole
+    * document would be re-tokenized once per shingle position. Here the
+    * token array is the fold input, evaluated exactly once. */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(TextOps.tokens(text))
+    else aggregate(
+      TextOps.tokens(text),
+      struct(array().cast("array<string>").as("win"),
+        array().cast("array<string>").as("shs")),
+      (acc, w) => {
+        val win = acc.getField("win")
+        val shs = acc.getField("shs")
+        struct(
+          when(size(win) < n - 1, concat(win, array(w)))
+            .otherwise(concat(slice(win, 2, n - 2), array(w))).as("win"),
+          when(size(win) === n - 1,
+            array_append(shs, concat_ws(" ", concat(win, array(w)))))
+            .otherwise(shs).as("shs"))
+      },
+      acc => array_distinct(acc.getField("shs")))
 
   /** k-component MinHash signature over the shingle set, using the
     * permutation family h_i(x) = (a_i*h32(x) + b_i) mod P with
-    * a_i = 2i+1, b_i = 101i+17 (odd multipliers, deterministic). */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val hashes = transform(shingleCol, s => h32(s))
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(hashes, h => pmod(h * (i * 2 + 1) + (i * 101 + 17), lit(P)))))
-  }
+    * a_i = 2i+1, b_i = 101i+17 (odd multipliers, deterministic).
+    *
+    * Shaped as ONE fold over the hash array (not k independent scans): a
+    * lambda-captured array expression is re-evaluated per outer iteration,
+    * so the naive `transform(0..k, i => array_min(transform(hashes, …)))`
+    * would md5 every shingle k times. Here each shingle is hashed exactly
+    * once and the accumulator is an elementwise running min. Empty shingle
+    * sets yield the sentinel signature [P, P, …]. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    aggregate(
+      transform(shingleCol, s => h32(s)),
+      array_repeat(lit(P), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, pmod(h * (i * 2 + 1) + (i * 101 + 17), lit(P)))))
 
   /** True Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -86,14 +114,30 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     val withSig = df
+      // signatures are compute-bound: spread rows across the cluster even
+      // when the input is one small file / few splits
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      // no-shingle docs can't reach jaccard >= threshold and would all
+      // share the sentinel signature (a quadratic bucket) — drop them here
+      .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
+      // the signature stage feeds FOUR subplans (both join sides of the
+      // banding self-join, both shingle-verify joins); without persist each
+      // re-tokenizes and re-hashes the corpus, and Catalyst still sees the
+      // tiny pre-explode file size and broadcasts the huge banded side.
+      // Persisting computes once and gives the planner real statistics.
+      .persist()
 
+    // scalar bucket key: xxhash64 over (band index, band slice) — a single
+    // long the join can hash-partition on directly, instead of a
+    // struct-with-array key that defeats codegen'd hashing. A hash
+    // collision only adds a false candidate, which exact verification
+    // removes — it can never lose a pair.
     val banded = withSig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("key"))))
-        .as("bucket"))
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))).as("bucket"))
 
     val candidates = banded.alias("l")
       .join(banded.alias("r"),
@@ -101,6 +145,9 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
+    // candidates are few (banding at these parameters passes ~j^2 of the
+    // co-shingled pairs per band) — re-join their shingle sets and verify
+    // with exact Jaccard
     val sh = withSig.select(col("id"), col("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -110,27 +157,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard for every pair of documents sharing >= 1 shingle, from
+    * the inverted index alone: |A∩B| is the pair's shingle-match count c,
+    * |A∪B| = |A| + |B| - c. Shuffles only (id, id, count) triples — the
+    * wide shingle arrays never cross an exchange, which is what makes this
+    * shape survive a 100x corpus scale-up. Input must have distinct
+    * shingles per document (shingles() guarantees that). */
+  private def pairJaccard(withSh: DataFrame): DataFrame = {
+    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+    val inverted = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    inverted.alias("l")
+      .join(inverted.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") /
+          (col("sz_a") + col("sz_b") - col("c")).cast("double"), 4).as("jaccard"))
+  }
+
   // ------------------------------------------------------------------
   // n-gram Jaccard (exact ground truth)
   // ------------------------------------------------------------------
 
   /** Exact n-gram Jaccard pairs ≥ threshold. Candidate generation blocks on
     * shared shingles (inverted-index join) rather than a cross join: only
-    * documents sharing ≥1 shingle ever meet. Rare-shingle blocking keeps the
-    * explode bounded; verification is exact. */
+    * documents sharing ≥1 shingle ever meet, and the Jaccard value comes
+    * straight from the match-count aggregation ([[pairJaccard]]). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val inverted = withSh.select(col("id"), explode(col("sh")).as("shingle"))
-    val candidates = inverted.alias("l")
-      .join(inverted.alias("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+    val withSh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .persist() // feeds the inverted index and the per-doc size map
+    pairJaccard(withSh)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -142,19 +204,23 @@ object Dedup {
   /** 60-bit SimHash over the token multiset: bit j is set when more token
     * hashes have bit j set than clear. Sum-of-powers construction keeps the
     * whole signature one expression. */
-  def simhash(text: Column): Column = {
-    val th = transform(TextOps.tokens(text), t => h60(t))
-    val nTok = size(th)
+  def simhash(text: Column): Column =
+    // One fold over the token-hash array with a (bit-counts, n) struct
+    // accumulator, then a finish lambda thresholds each bit. The naive
+    // per-bit loop would re-evaluate the md5 hash array 60 times; here
+    // each token is hashed exactly once.
     aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, j) => {
-        val ones = size(filter(th, h =>
-          call_function("shiftright", h, j).bitwiseAND(1) === 1))
-        acc + when(ones * 2 > nTok,
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      })
-  }
+      transform(TextOps.tokens(text), t => h60(t)),
+      struct(array_repeat(lit(0L), 60).as("cnts"), lit(0L).as("n")),
+      (acc, h) => struct(
+        zip_with(acc.getField("cnts"), sequence(lit(0), lit(59)),
+          (c, j) => c + call_function("shiftright", h, j).bitwiseAND(1)).as("cnts"),
+        (acc.getField("n") + lit(1L)).as("n")),
+      acc => aggregate(
+        zip_with(acc.getField("cnts"), sequence(lit(0), lit(59)),
+          (c, j) => when(c * 2 > acc.getField("n"),
+            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), (a, v) => a + v))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDistance.
     *
@@ -166,7 +232,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= 3, "banded simhash join is exact only for distance <= 3 (4 bands)")
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist() // both sides of the band self-join reuse the signatures
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),

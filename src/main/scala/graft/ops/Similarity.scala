@@ -99,6 +99,7 @@ object Similarity {
               queryId: Long, k: Int, nPlanes: Int = 4): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .persist() // reused by the query-row lookup and the bucket scan
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"))
     bucketed.filter(col(idCol) =!= queryId)

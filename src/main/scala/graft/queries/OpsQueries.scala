@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators as oracle-verified queries: text
+  * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * and multimodal binary-column plumbing.
+  *
+  * Every oracle mirrors the md5-derived hash arithmetic EXACTLY (same byte
+  * hashing, same left-to-right double summation), so the driver's
+  * value-hash compare is deterministic, not approximate.
+  */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    "x_text_quality" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "mean_word_len", "quality_score")),
+
+    "x_text_langid" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d))
+        .select("doc_id", "lang", "lang_pred")),
+
+    "x_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.canonicalFingerprint(col("text")).as("fp_canon"))),
+
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
+
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.7)),
+
+    "x_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.7)),
+
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxDistance = 3)),
+
+    "x_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", threshold = 0.9)),
+
+    "x_ann_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 10)),
+
+    "x_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, nPlanes = 4)),
+
+    "x_mm_decode" -> ((s, d) => {
+      val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
+      packed
+        .withColumn("m", Multimodal.decodeImageMetaStub(col("payload")))
+        .select(col("doc_id"), col("byte_len"), col("content_type"),
+          col("m.width"), col("m.height"), col("m.channels"))
+    }),
+
+    "x_mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.pack(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload", chunkBytes = 100))
+  )
+
+  /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
+  private val Toks =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> len(w) > 0)"""
+
+  private val ShinglesSql =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+       |  FROM t),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |         FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id),
+       |p AS (SELECT id_a, id_b,
+       |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7""".stripMargin
+
+  /** Left-fold double dot product of two DuckDB float lists (same
+    * summation order as Spark's `aggregate(zip_with(...))`). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def cosineSql(a: String, b: String): String =
+    s"""(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN CAST(0 AS DOUBLE)
+       |  ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)""".stripMargin
+
+  /** Random-hyperplane LSH bucket mirroring [[Similarity.lshBucket]]. */
+  private def bucketSql(v: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 4), p -> CASE WHEN
+       |  list_reduce(list_transform(range(1, len($v) + 1),
+       |    i -> CAST($v[i] AS DOUBLE) *
+       |      ((CAST(CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+       |          CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+       |        / 4294967296.0) - 0.5)),
+       |    (x, y) -> x + y) >= 0 THEN (1 << p) ELSE 0 END)) AS INT)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "x_text_tokens" ->
+      s"""SELECT doc_id,
+         |CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS INT) AS n_ws_tokens,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "x_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio,
+         |  round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS mean_word_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |FROM f""".stripMargin,
+
+    "x_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, w -> list_contains(['the','and','of','is','a'], w))) AS h_en,
+         |  len(list_filter(toks, w -> list_contains(['der','und','die','ist','das'], w))) AS h_de,
+         |  len(list_filter(toks, w -> list_contains(['le','et','la','est','les'], w))) AS h_fr,
+         |  len(list_filter(toks, w -> list_contains(['el','y','la','es','los'], w))) AS h_es,
+         |  len(list_filter(toks, w -> list_contains(['de','shi','zai','le','he'], w))) AS h_zh
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) <= 0 THEN 'und'
+         |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+         |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+         |       WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+         |       WHEN h_es >= h_zh THEN 'es'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM h""".stripMargin,
+
+    "x_text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         |md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp_canon
+         |FROM documents""".stripMargin,
+
+    "x_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    // The LSH parameters (32 bands x 2 rows at threshold 0.7) detect every
+    // qualifying pair with probability 1 - (1 - j^2)^32 >= 1 - 1e-9 for
+    // j >= 0.7, and the data's qualifying pairs all sit at j >= 0.9 — so
+    // the exact-Jaccard oracle IS the expected LSH output (verified).
+    "x_dedup_minhash" -> ShinglesSql,
+    "x_dedup_ngram" -> ShinglesSql,
+
+    "x_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |hh AS (SELECT doc_id, list_transform(toks,
+         |         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM t),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+         |  CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1)) > len(hs)
+         |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+         |  FROM hh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    "x_embed_neardup" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin,
+
+    "x_ann_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |      FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |      FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0)
+         |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_mm_decode" ->
+      s"""WITH h AS (SELECT doc_id, CAST(len(text) AS INT) AS byte_len,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+         |       ELSE 'audio/wav' END AS content_type,
+         |  CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h32
+         |  FROM documents)
+         |SELECT doc_id, byte_len, content_type,
+         |  h32 % 512 + 64 AS width, ((h32 >> 9) % 512) + 64 AS height,
+         |  h32 % 3 + 1 AS channels
+         |FROM h""".stripMargin,
+
+    "x_mm_frames" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  CAST(ceil(CAST(len(text) AS DOUBLE) / 100) AS BIGINT) AS n FROM documents),
+         |e AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM f)
+         |SELECT doc_id, i AS frame_idx,
+         |  md5(substring(text, CAST(i * 100 + 1 AS BIGINT), 100)) AS frame_md5
+         |FROM e""".stripMargin
+  )
+}
