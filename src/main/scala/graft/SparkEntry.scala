@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TransformQueries.queries ++
     AnalyticsQueries.queries ++
-    OpsQueries.queries
+    OpsQueries.queries ++
+    LiftQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     TransformQueries.oracleSql ++
     AnalyticsQueries.oracleSql ++
-    OpsQueries.oracleSql
+    OpsQueries.oracleSql ++
+    LiftQueries.oracleSql
 }

@@ -259,11 +259,20 @@ object Dedup {
     * bucketer in [[Similarity]] instead. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("vec"))
+    // double-cast and L2 norm are per-VECTOR quantities: computing them
+    // inside the pair expression would redo both once per pair (a vector in
+    // m pairs pays m norm scans). Precompute per row, persist, and the
+    // per-pair work drops to a single dot product — same arithmetic, same
+    // oracle.
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        Similarity.asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", Similarity.l2norm(col("vec")))
+      .persist()
     v.alias("l").join(v.alias("r"),
         col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(Similarity.cosine(col("l.vec"), col("r.vec")), 4).as("cosine"))
+        round(Similarity.cosinePrenormed(
+          col("l.vec"), col("l.norm"), col("r.vec"), col("r.norm")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

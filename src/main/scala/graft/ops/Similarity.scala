@@ -29,6 +29,18 @@ object Similarity {
   /** Element-wise double view of a float vector column. */
   private def dbl(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Public double view — precompute this once per row before pair joins. */
+  def asDouble(v: Column): Column = dbl(v)
+
+  /** Cosine over already-double vectors with precomputed norms: the
+    * per-pair cost is one dot product. Arithmetic is identical to
+    * [[cosine]] (same left-to-right dot summation, same zero-norm guard). */
+  def cosinePrenormed(a: Column, normA: Column, b: Column, normB: Column): Column = {
+    val d = normA * normB
+    val dotD = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    when(d === 0.0, lit(0.0)).otherwise(dotD / d)
+  }
+
   /** Dot product — left-to-right summation for determinism. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(dbl(a), dbl(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.common.FsUtils
+import graft.runtime.Lift
+import graft.table.ManagedTable
+
+/** End-to-end lift-job queries: each runs a full YAML pipeline through the
+  * engine (parse → bind → blocks → registries → table layer → streaming)
+  * and returns a DataFrame the driver checks against a DuckDB oracle over
+  * the original testdata. This makes the SURVEY §2 block/registry surface
+  * driver-verified, not just ScalaTest-verified.
+  *
+  * Every query rebuilds its scratch dir from the sf tables on each call, so
+  * results are deterministic across runs and scale factors.
+  */
+object LiftQueries {
+
+  /** Per-query scratch dir, wiped at the start of each invocation. */
+  private def scratch(s: SparkSession, name: String): String = {
+    val dir = s"/tmp/graft_lift/$name"
+    FsUtils.deleteFiles(s, Seq(dir))
+    dir
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // load::batch_csv with an explicit schema + transform chain, fed by a
+    // CSV export of the customer table (reference load/entrypoint.py:26-50)
+    "l_lift_csv" -> ((s, d) => {
+      val w = scratch(s, "l_lift_csv")
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.option("header", "true").csv(s"$w/in")
+      val yaml =
+        s"""LiftJob:
+           |  Raw:
+           |    Type: load::batch_csv
+           |    Properties:
+           |      Path: $w/in
+           |      SparkSchema: $${schema}
+           |      Options:
+           |        header: "true"
+           |  Shaped:
+           |    Type: transform::generic
+           |    Input: Raw
+           |    Properties:
+           |      Functions:
+           |        - where:
+           |            predicate: [c_mktsegment, '==', BUILDING]
+           |        - select:
+           |            cols:
+           |              - col: c_custkey
+           |              - col: c_name
+           |              - col: c_acctbal
+           |""".stripMargin
+      Lift.lift(s, yaml, Map("schema" ->
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"))
+        .getDf("Shaped")
+    }),
+
+    // load::batch_json with schema + suffix filtering over a JSON export of
+    // part (reference load/entrypoint.py:75-118)
+    "l_lift_json" -> ((s, d) => {
+      val w = scratch(s, "l_lift_json")
+      Tables.part(s, d).select("p_partkey", "p_name", "p_size")
+        .write.json(s"$w/in")
+      val yaml =
+        s"""LiftJob:
+           |  Raw:
+           |    Type: load::batch_json
+           |    Properties:
+           |      Path: $w/in
+           |      Suffix: .json
+           |      SparkSchema: $${schema}
+           |  Shaped:
+           |    Type: transform::generic
+           |    Input: Raw
+           |    Properties:
+           |      Functions:
+           |        - where:
+           |            predicate: [p_size, '>', 25]
+           |""".stripMargin
+      Lift.lift(s, yaml, Map("schema" -> "p_partkey BIGINT, p_name STRING, p_size INT"))
+        .getDf("Shaped")
+    }),
+
+    // load::batch_xml over Spark 4's native XML source with BatchSize
+    // chunking + allow-missing unionByName (reference load/entrypoint.py:121-192)
+    "l_lift_xml" -> ((s, d) => {
+      val w = scratch(s, "l_lift_xml")
+      Tables.nation(s, d).repartition(3)
+        .write.format("xml").option("rowTag", "nation").save(s"$w/in")
+      val yaml =
+        s"""LiftJob:
+           |  Raw:
+           |    Type: load::batch_xml
+           |    Properties:
+           |      Path: $w/in
+           |      Suffix: .xml
+           |      RowTag: nation
+           |      BatchSize: 2
+           |      SparkSchema: $${schema}
+           |""".stripMargin
+      Lift.lift(s, yaml, Map("schema" ->
+        "n_nationkey INT, n_name STRING, n_regionkey INT")).getDf("Raw")
+    }),
+
+    // custom::sql over two loaded inputs exposed as temp views
+    // (reference custom/entrypoint.py:235-271)
+    "l_lift_sql_join" -> ((s, d) => {
+      val yaml =
+        s"""LiftJob:
+           |  Sup:
+           |    Type: load::batch_parquet
+           |    Properties:
+           |      Path: $d/supplier.parquet
+           |  Nat:
+           |    Type: load::batch_parquet
+           |    Properties:
+           |      Path: $d/nation.parquet
+           |  Agg:
+           |    Type: custom::sql
+           |    Input: [Sup, Nat]
+           |    Properties:
+           |      Statement: >-
+           |        SELECT n_name, count(*) AS n_suppliers,
+           |        round(sum(s_acctbal), 2) AS total_bal
+           |        FROM Sup JOIN Nat ON s_nationkey = n_nationkey
+           |        GROUP BY n_name
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("Agg")
+    }),
+
+    // write::batch_delta upsert-merge through the managed-table layer, then
+    // read the merged table back (reference batch_delta.py:51-78)
+    "l_table_upsert" -> ((s, d) => {
+      val w = scratch(s, "l_table_upsert")
+      Tables.orders(s, d).createOrReplaceTempView("orders_src")
+      val base =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_src WHERE o_orderkey % 4 = 0
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |""".stripMargin
+      Lift.lift(s, base)
+      val upsert =
+        s"""LiftJob:
+           |  Updates:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice + 10, 2) AS price
+           |        FROM orders_src WHERE o_orderkey % 8 = 0
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: Updates
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: upsert
+           |      Upsert:
+           |        MergeStatement: source.o_orderkey == updates.o_orderkey
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, upsert).getDf("ReadBack")
+    }),
+
+    // fileregistry::s3_full_scan pruning + UpdateAfter flush + batch_delta
+    // append sink (reference s3_full_scan.py, manager.py:41-46)
+    "l_registry_fullscan" -> ((s, d) => {
+      val w = scratch(s, "l_registry_fullscan")
+      Tables.lineitem(s, d)
+        .where("l_linenumber = 1")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(3).write.parquet(s"$w/in")
+      val yaml =
+        s"""FileRegistry:
+           |  Reg:
+           |    Type: fileregistry::s3_full_scan
+           |    Properties:
+           |      BasePath: $w/registry
+           |      UpdateAfter: Sink
+           |LiftJob:
+           |  Raw:
+           |    Type: load::batch_parquet
+           |    Properties:
+           |      Path: $w/in
+           |      FileRegistry: Reg
+           |  Sink:
+           |    Type: write::batch_delta
+           |    Input: Raw
+           |    Properties:
+           |      Path: $w/table
+           |      Mode: append
+           |""".stripMargin
+      Lift.lift(s, yaml)
+      // second run must be a clean no-op (registry reports no new files)
+      Lift.lift(s, yaml)
+      ManagedTable(s, s"$w/table").read()
+    }),
+
+    // stream_json source → stream_delta sink with Trigger.AvailableNow and
+    // checkpointing (reference load/entrypoint.py:239-262, write/entrypoint
+    // .py:296-321)
+    "l_stream_json" -> ((s, d) => {
+      val w = scratch(s, "l_stream_json")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      docs.write.json(s"$w/in")
+      FsUtils.writeText(s, s"$w/schema.json", docs.schema.json)
+      val yaml =
+        s"""LiftJob:
+           |  Stream:
+           |    Type: load::stream_json
+           |    Properties:
+           |      Path: $w/in
+           |      SchemaPath: $w/schema.json
+           |  Sink:
+           |    Type: write::stream_delta
+           |    Input: Stream
+           |    Properties:
+           |      Path: $w/out
+           |      OutputMode: append
+           |""".stripMargin
+      Lift.lift(s, yaml)
+      s.read.parquet(s"$w/out/data")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "l_lift_csv" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "l_lift_json" ->
+      "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 25",
+    "l_lift_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "l_lift_sql_join" ->
+      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "l_table_upsert" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice + 10, 2) AS price
+        |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin,
+    "l_registry_fullscan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_linenumber = 1""".stripMargin,
+    "l_stream_json" ->
+      "SELECT doc_id, lang, source FROM documents"
+  )
+}

@@ -54,9 +54,11 @@ object OpsQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxDistance = 3)),
 
+    // threshold 0.4: the synthetic embeddings' max within-label cosine is
+    // ~0.51, so 0.9 would make the check vacuous (zero pairs at every sf)
     "x_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
-        "embedding", "label", threshold = 0.9)),
+        "embedding", "label", threshold = 0.4)),
 
     "x_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
@@ -199,7 +201,7 @@ object OpsQueries {
          |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin,
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
 
     "x_ann_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
