@@ -20,7 +20,8 @@ object SparkEntry {
     TransformQueries.queries ++
     AnalyticsQueries.queries ++
     OpsQueries.queries ++
-    LiftQueries.queries
+    LiftQueries.queries ++
+    StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
     TransformQueries.oracleSql ++
     AnalyticsQueries.oracleSql ++
     OpsQueries.oracleSql ++
-    LiftQueries.oracleSql
+    LiftQueries.oracleSql ++
+    StreamQueries.oracleSql
 }

@@ -213,6 +213,72 @@ object LiftQueries {
       ManagedTable(s, s"$w/table").read()
     }),
 
+    // fileregistry::s3_date_prefix_scan: strftime prefix enumeration from
+    // DefaultStartDate bounds the listing to the date window
+    // (reference s3_date_prefix_scan.py:24-166)
+    "l_registry_dateprefix" -> ((s, d) => {
+      val w = scratch(s, "l_registry_dateprefix")
+      val src = Tables.orders(s, d)
+        .where("o_orderkey % 16 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      // two date-partitioned prefixes holding half the slice each
+      src.where("o_orderkey % 32 = 0").write
+        .parquet(s"$w/in/year=2026/month=08/day=01")
+      src.where("o_orderkey % 32 <> 0").write
+        .parquet(s"$w/in/year=2026/month=08/day=02")
+      val yaml =
+        s"""FileRegistry:
+           |  Reg:
+           |    Type: fileregistry::s3_date_prefix_scan
+           |    Properties:
+           |      BasePath: $w/registry
+           |      UpdateAfter: Sink
+           |      PartitionFormat: year=%Y/month=%m/day=%d
+           |      DefaultStartDate: "2026-07-31"
+           |LiftJob:
+           |  Raw:
+           |    Type: load::batch_parquet
+           |    Properties:
+           |      Path: $w/in
+           |      FileRegistry: Reg
+           |  Sink:
+           |    Type: write::batch_delta
+           |    Input: Raw
+           |    Properties:
+           |      Path: $w/table
+           |      Mode: append
+           |""".stripMargin
+      Lift.lift(s, yaml)
+      ManagedTable(s, s"$w/table").read()
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    }),
+
+    // custom::function — the reference's python_codeblock as a host
+    // function bound through raw-object parameter substitution
+    // (reference custom/entrypoint.py:22-232, lift_definition.py:28-42)
+    "l_custom_function" -> ((s, d) => {
+      val fn: Map[String, Any] => Any = { in =>
+        val df = in("Raw").asInstanceOf[DataFrame]
+        df.where("p_retailprice > 1500")
+          .groupBy("p_brand")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_expensive"))
+      }
+      val yaml =
+        s"""LiftJob:
+           |  Raw:
+           |    Type: load::batch_parquet
+           |    Properties:
+           |      Path: $d/part.parquet
+           |  Agg:
+           |    Type: custom::function
+           |    Input: [Raw]
+           |    Properties:
+           |      CustomFunction: $${agg_fn}
+           |""".stripMargin
+      Lift.lift(s, yaml, Map("agg_fn" -> fn)).getDf("Agg")
+    }),
+
     // stream_json source → stream_delta sink with Trigger.AvailableNow and
     // checkpointing (reference load/entrypoint.py:239-262, write/entrypoint
     // .py:296-321)
@@ -261,6 +327,12 @@ object LiftQueries {
     "l_registry_fullscan" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_linenumber = 1""".stripMargin,
+    "l_registry_dateprefix" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderkey % 16 = 0""".stripMargin,
+    "l_custom_function" ->
+      """SELECT p_brand, count(*) AS n_expensive FROM part
+        |WHERE p_retailprice > 1500 GROUP BY p_brand""".stripMargin,
     "l_stream_json" ->
       "SELECT doc_id, lang, source FROM documents"
   )

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+import graft.common.FsUtils
+import graft.streaming.Streaming
+
+/** Structured-Streaming queries run as incremental batches
+  * (Trigger.AvailableNow) over a JSON export of the events table, verified
+  * against batch DuckDB oracles.
+  *
+  * Append-mode emission is watermark-driven, so each stream gets one
+  * SENTINEL event far past the real data's max event time: processing it
+  * advances the watermark beyond every real window/session horizon and
+  * flushes them all, while the sentinel's own window/session stays above
+  * the watermark and is never emitted. That makes the streaming output
+  * exactly the batch answer — deterministically.
+  */
+object StreamQueries {
+
+  /** Micro-preserving timestamp format (Spark's JSON default truncates to
+    * millis, which would break oracle equality). */
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private def scratch(s: SparkSession, name: String): String = {
+    val dir = s"/tmp/graft_stream/$name"
+    FsUtils.deleteFiles(s, Seq(dir))
+    dir
+  }
+
+  /** Export `cols` of events plus one sentinel row `sentinelHoursPastMax`
+    * hours past the max event time; returns the export dir. */
+  private def exportEvents(s: SparkSession, d: String, w: String,
+                           df: DataFrame, sentinel: DataFrame): String = {
+    val in = s"$w/in"
+    df.write.option("timestampFormat", TsFmt).json(in)
+    sentinel.write.option("timestampFormat", TsFmt).mode("append").json(in)
+    in
+  }
+
+  private def runToParquet(s: SparkSession, streamed: DataFrame, w: String): DataFrame = {
+    streamed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("checkpointLocation", s"$w/checkpoint")
+      .outputMode("append")
+      .start(s"$w/out")
+      .awaitTermination()
+    s.read.parquet(s"$w/out")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // watermark + tumbling-window aggregation (event-time, append mode)
+    "s_stream_window" -> ((s, d) => {
+      val w = scratch(s, "s_stream_window")
+      val ev = Tables.events(s, d).select("ts", "event_type", "value")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)).as("ts"),
+        lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+      val in = exportEvents(s, d, w, ev, sentinel)
+      val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      val streamed = Streaming.windowedAgg(
+        s.readStream.schema(schema).option("timestampFormat", TsFmt).json(in),
+        "ts", "event_type", "value", "1 hour", "1 hour")
+      runToParquet(s, streamed, w)
+        .where(col("event_type") =!= "zz_sentinel")
+    }),
+
+    // flatMapGroupsWithState sessionization with event-time timeouts
+    "s_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      val w = scratch(s, "s_stream_sessions")
+      val ev = Tables.events(s, d).select("user_id", "ts")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)).as("ts"))
+      val in = exportEvents(s, d, w, ev, sentinel)
+      val schema = StructType.fromDDL("user_id BIGINT, ts TIMESTAMP")
+      val streamed = Streaming.sessionize(
+        s.readStream.schema(schema).option("timestampFormat", TsFmt).json(in)
+          .withWatermark("ts", "10 minutes")
+          .as[Streaming.SessionEvent],
+        gapMinutes = 30)
+      runToParquet(s, streamed.toDF(), w)
+        .where(col("user_id") >= 0)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "s_stream_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin
+  )
+}

@@ -87,7 +87,12 @@ final class DatePrefixScan(bconf: BlockConfig) extends PathRegistry(bconf) {
   import spark.implicits._
 
   private val partitionFormat = bconf.props.getString("PartitionFormat")
-  private val defaultStart = bconf.props.getString("DefaultStartDate")
+  // YAML parsers auto-type unquoted `2026-07-31` as a Date — accept both
+  private val defaultStart = bconf.props.get[Any]("DefaultStartDate") match {
+    case d: java.util.Date =>
+      d.toInstant.atZone(ZoneOffset.UTC).toLocalDate.toString
+    case s => String.valueOf(s)
+  }
 
   protected def emptySchema: StructType = StructType(Seq(
     StructField("file_path", StringType),

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators beyond the reference's trigger-once
+  * ingestion (reference getl/blocks/load/entrypoint.py:239-262 and
+  * write/entrypoint.py:296-321 only ever read and write with no
+  * event-time logic): watermarked windowed aggregation and stateful
+  * event-time sessionization.
+  *
+  * Scale notes: both operators shuffle once on the group key and keep
+  * per-key state bounded — the watermark evicts window/session state as
+  * event time advances, so state size is O(active keys), not O(stream
+  * length). That is the property that lets the same code run continuously
+  * on an unbounded 100 TB/day stream or as an incremental AvailableNow
+  * batch over a backlog.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window aggregation: per (window, key) row count
+    * and value sum. Append mode emits a window exactly once, when the
+    * watermark passes its end — the deterministic at-most-once-per-window
+    * contract downstream sinks want. */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowLength: String,
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total_value"))
+
+  /** One event inside a session group. */
+  case class SessionEvent(user_id: Long, ts: Timestamp)
+
+  /** Open-session state carried between micro-batches (epoch micros). */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** A closed session. */
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Event-time sessionization with a max-gap rule via
+    * `flatMapGroupsWithState`: events of one user belong to the same
+    * session while consecutive gaps stay ≤ `gapMinutes`. Sessions closed
+    * by a later event emit immediately; the last open session per user
+    * emits when the event-time watermark passes its gap horizon
+    * (EventTimeTimeout), so state is always bounded by the number of
+    * users with an in-flight session.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[Session] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stateEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val outEnc: Encoder[Session] = Encoders.product[Session]
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap horizon: close it
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, toTs(s.startUs), toTs(s.endUs), s.n))
+          } else {
+            // groups are per-user and bounded (one user's events in the
+            // batch), so an in-memory sort is safe; cross-batch order is
+            // handled by merging with the open-session state
+            val sorted = rows.map(e => micros(e.ts)).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs, t, s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, toTs(s.startUs), toTs(s.endUs), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60L * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
