@@ -76,15 +76,31 @@ object LoadBlocks {
   }
 
   /** Managed-table read (the reference's Delta read, entrypoint.py:195-236):
-    * plain read, or `FileRegistry` naming a SnapshotDiff → new-rows-only
-    * version diff; absent table → empty DataFrame. */
+    * plain read, `FileRegistry` naming a SnapshotDiff → new-rows-only
+    * version diff, or `ReadChangeFeed` + `StartingTimestamp` → row-level
+    * changes since the timestamp; absent table → empty DataFrame. */
   def batchDelta(c: BlockConfig): DataFrame = {
     val path = c.props.getString("Path")
     registryFor(c) match {
       case Some(reg) => reg.loadNewRowsOnly(path)
-      case None      => ManagedTable(c.spark, path).read()
+      case None =>
+        val table = ManagedTable(c.spark, path)
+        if (c.props.getBoolean("ReadChangeFeed"))
+          table.changesSince(startingTimestampMillis(c))
+        else table.read()
     }
   }
+
+  /** `StartingTimestamp` as epoch millis — accepts `yyyy-MM-dd`,
+    * `yyyy-MM-dd HH:mm:ss`, or a YAML-auto-typed Date. */
+  private def startingTimestampMillis(c: BlockConfig): Long =
+    c.props.get[Any]("StartingTimestamp") match {
+      case d: java.util.Date => d.getTime
+      case s =>
+        val str = String.valueOf(s)
+        val norm = if (str.length == 10) s"$str 00:00:00" else str
+        java.sql.Timestamp.valueOf(norm.replace('T', ' ')).getTime
+    }
 
   /** Structured-Streaming JSON source; mandatory SchemaPath
     * (entrypoint.py:239-262). */

@@ -102,6 +102,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     write(merged, partitionBy)
   }
 
+  /** Change-data-feed analogue (reference load/entrypoint.py:222-229 reads
+    * the Databricks CDF from a starting timestamp): rows of the current
+    * snapshot that were not present in the last snapshot committed BEFORE
+    * `tsMillis` — set-difference over full rows, the row-level change set
+    * our versioned-parquet layer can answer without a commit log of
+    * per-row operations. Inclusive start: a version committed exactly at
+    * `tsMillis` counts as changed. */
+  def changesSince(tsMillis: Long): DataFrame = {
+    if (!exists) return spark.emptyDataFrame
+    history().filter(_._2 < tsMillis).lastOption.map(_._1) match {
+      case None       => read() // no snapshot predates the start → full feed
+      case Some(base) => read().except(readVersion(base))
+    }
+  }
+
   /** Delta-style UPDATE … SET on the current snapshot: one projection pass,
     * no shuffle (reference delta_table.py update via registries). */
   def updateWhere(cond: String, set: Map[String, String]): Long = {

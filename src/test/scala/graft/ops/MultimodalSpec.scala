@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Typed mapPartitions decode path (the batched-codec shape) agrees with
+  * the expression-based stub decode. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decodeBatch matches the expression stub dimensions") {
+    val docs = Seq((1L, "hello world"), (2L, "a longer payload with bytes"))
+      .toDF("doc_id", "text")
+    val packed = Multimodal.pack(docs, "doc_id", "text")
+
+    val viaExpr = packed
+      .withColumn("m", Multimodal.decodeImageMetaStub(
+        org.apache.spark.sql.functions.col("payload")))
+      .select($"doc_id", $"m.width", $"m.height")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+
+    val typed = packed.select($"doc_id".as("id"), $"payload", $"content_type".as("contentType"))
+      .as[Multimodal.Media]
+    val viaBatch = Multimodal.decodeBatch(typed)
+      .select($"id", $"width", $"height")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+
+    assert(viaExpr.toSeq === viaBatch.toSeq)
+  }
+
+  test("resizeStub caps the long side and preserves aspect ratio direction") {
+    val df = Seq((1L, 400L, 200L)).toDF("id", "width", "height")
+      .withColumn("m", org.apache.spark.sql.functions.struct($"width", $"height"))
+      .withColumn("r", Multimodal.resizeStub($"m", 100))
+    val (w, h) = df.select($"r.width", $"r.height").as[(Long, Long)].head()
+    assert(w === 100L && h === 50L)
+  }
+}

@@ -60,6 +60,18 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.versionAt(0L).isEmpty)
   }
 
+  test("changesSince returns rows added after the starting timestamp") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.changesSince(mid).as[(Int, String)].collect().toSeq === Seq((3, "c")))
+    // start before the first commit → full feed
+    assert(t.changesSince(0L).count() === 3)
+  }
+
   test("optimize compacts and zorder sorts; vacuum guards retention") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq.tabulate(100)(i => (i % 7, i)).toDF("k", "id").repartition(8))
