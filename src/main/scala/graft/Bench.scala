@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/parquet paths so the first measured query
+    // doesn't absorb one-time session initialization
+    spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
+      .groupBy("k").count().count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // optional filter regex (first arg) for timing individual queries
     val nameFilter = args.headOption.map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>

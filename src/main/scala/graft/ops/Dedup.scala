@@ -250,6 +250,56 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cluster assignment (the actual dedup step)
+  // ------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair graph: every document gets a
+    * `cluster_id` = the minimum doc id reachable through pair edges (its own
+    * id when it has no near-dups). Keeping `id == cluster_id` rows IS the
+    * deduplicated corpus.
+    *
+    * Iterative min-label propagation (the standard large-graph CC shape):
+    * each round joins labels to edges and takes the elementwise min, until
+    * a fixpoint. Near-dup graphs are overwhelmingly tiny disjoint cliques,
+    * so the iteration count is the longest chain length (few), and only
+    * documents that appear in a pair enter the loop — the untouched corpus
+    * is appended label=self afterwards with no shuffle.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    // symmetric edge list restricted to paired nodes
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      // candidate label per node = min(own, min over neighbours' labels)
+      val next = labels.alias("l")
+        .join(edges.alias("e"), col("l.id") === col("e.dst"), "left")
+        .join(labels.select(col("id").as("nid"), col("label").as("nlabel")).alias("n"),
+          col("e.src") === col("nid"), "left")
+        .groupBy(col("l.id").as("id"))
+        .agg(least(min(col("l.label")), coalesce(min(col("nlabel")),
+          min(col("l.label")))).as("label"))
+        .persist()
+      changed = next.alias("a")
+        .join(labels.alias("b"), col("a.id") === col("b.id"))
+        .where(col("a.label") =!= col("b.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    val paired = labels
+    df.select(col(idCol).as("id"))
+      .join(paired, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
+  // ------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ------------------------------------------------------------------
 

@@ -96,7 +96,29 @@ object AnalyticsQueries {
           count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("sum_price"),
           round(min("o_totalprice"), 2).as("min_price"),
-          round(max("o_totalprice"), 2).as("max_price")))
+          round(max("o_totalprice"), 2).as("max_price"))),
+
+    // ROLLUP hierarchy totals (subtotal + grand-total rows)
+    "q_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // distinct aggregate (two-phase distinct-then-agg shuffle shape)
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))),
+
+    // left-semi join (EXISTS): customers with at least one urgent order —
+    // the build side is the filtered orders key set, broadcast when small
+    "q_semi_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -144,6 +166,17 @@ object AnalyticsQueries {
         |round(sum(o_totalprice), 2) AS sum_price,
         |round(min(o_totalprice), 2) AS min_price,
         |round(max(o_totalprice), 2) AS max_price
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
   )
 }

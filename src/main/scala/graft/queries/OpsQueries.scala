@@ -54,6 +54,15 @@ object OpsQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxDistance = 3)),
 
+    // the finishing step of dedup: every doc labelled with the min id of
+    // its near-dup component; keep rows with doc_id == cluster_id
+    "x_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupClusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = 64, bands = 32, threshold = 0.7))
+    }),
+
     // threshold 0.4: the synthetic embeddings' max within-label cosine is
     // ~0.51, so 0.9 would make the check vacuous (zero pairs at every sf)
     "x_embed_neardup" -> ((s, d) =>
@@ -86,8 +95,10 @@ object OpsQueries {
   private val Toks =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> len(w) > 0)"""
 
-  private val ShinglesSql =
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+  /** Shared CTE chain computing exact-Jaccard candidate pairs (`p`),
+    * reusable inside WITH RECURSIVE for the clustering oracle. */
+  private val ShingleCtes =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -99,8 +110,10 @@ object OpsQueries {
        |p AS (SELECT id_a, id_b,
        |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
        |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 4) AS jaccard
-       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b)
-       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7""".stripMargin
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b)""".stripMargin
+
+  private val ShinglesSql =
+    s"WITH $ShingleCtes\nSELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7"
 
   /** Left-fold double dot product of two DuckDB float lists (same
     * summation order as Spark's `aggregate(zip_with(...))`). */
@@ -182,6 +195,21 @@ object OpsQueries {
     // the exact-Jaccard oracle IS the expected LSH output (verified).
     "x_dedup_minhash" -> ShinglesSql,
     "x_dedup_ngram" -> ShinglesSql,
+
+    // reachability closure over the pair graph; cluster id = min reachable
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.7),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |      UNION SELECT id_b, id_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin,
 
     "x_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
