@@ -1,0 +1,179 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row kernels of the dedup /
+  * similarity operators.
+  *
+  * The same computations are expressible with built-in higher-order
+  * functions (`transform`/`aggregate`/`zip_with` — see the git history of
+  * [[graft.ops.Dedup]]), but HOF lambdas evaluate an expression tree per
+  * array element per iteration. These expressions run one tight JVM loop
+  * per row instead, with ARITHMETIC IDENTICAL to both the HOF versions and
+  * the DuckDB oracles (md5-derived hashes, left-to-right summation), so
+  * swapping them in changes no query result.
+  *
+  * All are deterministic scalar expressions: Catalyst can constant-fold,
+  * push filters across, and pipeline them inside whole-stage codegen spans
+  * (via CodegenFallback they evaluate as a single call — no per-element
+  * virtual dispatch).
+  */
+object Hashes {
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  private def md5(bytes: Array[Byte]): Array[Byte] = {
+    val md = digests.get()
+    md.reset()
+    md.digest(bytes)
+  }
+
+  /** First 8 md5 hex chars as a long — equals
+    * `conv(substring(md5(x),1,8),16,10)`: the first 4 digest bytes read
+    * big-endian as an unsigned 32-bit value (no hex string materialized). */
+  def h32(s: UTF8String): Long = {
+    val d = md5(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 15 md5 hex chars (60 bits, positive) as a long: bytes 0..6 fully
+    * plus the high nibble of byte 7. */
+  def h60(s: UTF8String): Long = {
+    val d = md5(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}
+
+/** Distinct word n-gram shingles over a token array, first-occurrence
+  * order — equals `array_distinct(transform(...concat_ws(" ", slice…)))`. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val num = toks.numElements()
+    if (num < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= num) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** k-component MinHash signature over a shingle array using the permutation
+  * family h_i(x) = (h32(x)·(2i+1) + 101i+17) mod P; empty input yields the
+  * sentinel signature [P, P, …] — exactly the fold in
+  * [[graft.ops.Dedup.minhashSignature]]'s HOF formulation. */
+case class MinHashSig(child: Expression, k: Int, p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val mins = Array.fill[Long](k)(p)
+    var s = 0
+    val num = shingles.numElements()
+    while (s < num) {
+      val h = Hashes.h32(shingles.getUTF8String(s))
+      var i = 0
+      while (i < k) {
+        val perm = (h * (2 * i + 1) + (101 * i + 17)) % p
+        if (perm < mins(i)) mins(i) = perm
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over a token array: bit j set when more token h60 hashes
+  * have bit j set than clear (strict majority). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val num = toks.numElements()
+    val counts = new Array[Long](60)
+    var t = 0
+    while (t < num) {
+      val h = Hashes.h60(toks.getUTF8String(t))
+      var j = 0
+      while (j < 60) {
+        counts(j) += (h >> j) & 1L
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) * 2 > num) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Dot product of two double arrays, summed left to right (the oracle's
+  * summation order); null when lengths differ — matching the
+  * `aggregate(zip_with(...))` formulation's null-propagation. */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.GraftShim
+
+/** Column-API entry points for the custom Catalyst expressions. */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = GraftShim.column(e)
+  private def expr(c: Column): Expression = GraftShim.expression(c)
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    col(WordShingles(expr(tokens), n))
+
+  def minhashSig(shingles: Column, k: Int, p: Long): Column =
+    col(MinHashSig(expr(shingles), k, p))
+
+  def simhash64(tokens: Column): Column =
+    col(SimHash64(expr(tokens)))
+
+  def dotDouble(a: Column, b: Column): Column =
+    col(DotDouble(expr(a), expr(b)))
+}
+
+/** SQL registration of the custom expressions, either at session build
+  * time (`spark.sql.extensions=graft.functions.GraftExtensions`) or on a
+  * live session (`GraftExtensions.register(spark)`), so pure-SQL pipelines
+  * (`custom::sql` blocks) can call e.g.
+  * `SELECT minhash_sig(word_shingles(tokens, 3), 64, 4294967311)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intArg(args(1), "n"))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intArg(args(1), "k"), longArg(args(2), "p"))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
+      (args: Seq[Expression]) => DotDouble(args(0), args(1))))
+
+  /** Register on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    entries.foreach { case (id, info, b) =>
+      org.apache.spark.sql.GraftShim.registerFunction(spark, id, info, b)
+    }
+}

@@ -45,50 +45,23 @@ object Dedup {
   // Shingles + MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles of a text column. Documents with fewer
-    * than n tokens yield an empty set.
-    *
-    * Implemented as ONE fold over the token array with a
-    * (sliding-window, shingles) accumulator. The index-based formulation
-    * `transform(sequence(…), i => concat_ws(slice(toks, i, n)))` captures
-    * the tokenization expression inside the lambda, and a lambda-captured
-    * expression is re-evaluated on every iteration — i.e. the whole
-    * document would be re-tokenized once per shingle position. Here the
-    * token array is the fold input, evaluated exactly once. */
+  /** Distinct word n-gram shingles of a text column (first-occurrence
+    * order). Documents with fewer than n tokens yield an empty set.
+    * Tokenization stays on the codegen'd built-ins; the sliding-window
+    * shingle build is the native [[graft.functions.WordShingles]]
+    * expression — one JVM loop per row instead of a per-position HOF
+    * lambda that re-evaluates its captured token expression. */
   def shingles(text: Column, n: Int): Column =
-    if (n == 1) array_distinct(TextOps.tokens(text))
-    else aggregate(
-      TextOps.tokens(text),
-      struct(array().cast("array<string>").as("win"),
-        array().cast("array<string>").as("shs")),
-      (acc, w) => {
-        val win = acc.getField("win")
-        val shs = acc.getField("shs")
-        struct(
-          when(size(win) < n - 1, concat(win, array(w)))
-            .otherwise(concat(slice(win, 2, n - 2), array(w))).as("win"),
-          when(size(win) === n - 1,
-            array_append(shs, concat_ws(" ", concat(win, array(w)))))
-            .otherwise(shs).as("shs"))
-      },
-      acc => array_distinct(acc.getField("shs")))
+    graft.functions.GraftFunctions.wordShingles(TextOps.tokens(text), n)
 
   /** k-component MinHash signature over the shingle set, using the
     * permutation family h_i(x) = (a_i*h32(x) + b_i) mod P with
-    * a_i = 2i+1, b_i = 101i+17 (odd multipliers, deterministic).
-    *
-    * Shaped as ONE fold over the hash array (not k independent scans): a
-    * lambda-captured array expression is re-evaluated per outer iteration,
-    * so the naive `transform(0..k, i => array_min(transform(hashes, …)))`
-    * would md5 every shingle k times. Here each shingle is hashed exactly
-    * once and the accumulator is an elementwise running min. Empty shingle
-    * sets yield the sentinel signature [P, P, …]. */
+    * a_i = 2i+1, b_i = 101i+17 (odd multipliers, deterministic). Native
+    * [[graft.functions.MinHashSig]] expression: each shingle is md5'd once
+    * and the k running minima update in one tight loop. Empty shingle sets
+    * yield the sentinel signature [P, P, …]. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    aggregate(
-      transform(shingleCol, s => h32(s)),
-      array_repeat(lit(P), k),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, i) => least(m, pmod(h * (i * 2 + 1) + (i * 101 + 17), lit(P)))))
+    graft.functions.GraftFunctions.minhashSig(shingleCol, k, P)
 
   /** True Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -205,22 +178,9 @@ object Dedup {
     * hashes have bit j set than clear. Sum-of-powers construction keeps the
     * whole signature one expression. */
   def simhash(text: Column): Column =
-    // One fold over the token-hash array with a (bit-counts, n) struct
-    // accumulator, then a finish lambda thresholds each bit. The naive
-    // per-bit loop would re-evaluate the md5 hash array 60 times; here
-    // each token is hashed exactly once.
-    aggregate(
-      transform(TextOps.tokens(text), t => h60(t)),
-      struct(array_repeat(lit(0L), 60).as("cnts"), lit(0L).as("n")),
-      (acc, h) => struct(
-        zip_with(acc.getField("cnts"), sequence(lit(0), lit(59)),
-          (c, j) => c + call_function("shiftright", h, j).bitwiseAND(1)).as("cnts"),
-        (acc.getField("n") + lit(1L)).as("n")),
-      acc => aggregate(
-        zip_with(acc.getField("cnts"), sequence(lit(0), lit(59)),
-          (c, j) => when(c * 2 > acc.getField("n"),
-            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-        lit(0L), (a, v) => a + v))
+    // native expression: md5 each token once, accumulate 60 bit-counts,
+    // threshold by strict majority — one loop per row
+    graft.functions.GraftFunctions.simhash64(TextOps.tokens(text))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDistance.
     *

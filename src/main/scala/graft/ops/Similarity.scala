@@ -37,13 +37,14 @@ object Similarity {
     * [[cosine]] (same left-to-right dot summation, same zero-norm guard). */
   def cosinePrenormed(a: Column, normA: Column, b: Column, normB: Column): Column = {
     val d = normA * normB
-    val dotD = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    when(d === 0.0, lit(0.0)).otherwise(dotD / d)
+    when(d === 0.0, lit(0.0))
+      .otherwise(graft.functions.GraftFunctions.dotDouble(a, b) / d)
   }
 
-  /** Dot product — left-to-right summation for determinism. */
+  /** Dot product — left-to-right summation for determinism (native
+    * [[graft.functions.DotDouble]] expression). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(dbl(a), dbl(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dotDouble(dbl(a), dbl(b))
 
   /** L2 norm. */
   def l2norm(a: Column): Column =

@@ -1,0 +1,24 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for constructing Columns from custom Catalyst expressions:
+  * Spark 4 made the converters `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils), so the library exposes
+  * them through this in-package shim — the standard pattern for libraries
+  * that ship native expressions.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on a LIVE session's registry (extensions only
+    * apply at session build time). */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.TextOps
+
+/** The native expressions must agree exactly with the equivalent built-in
+  * higher-order-function formulations (the arithmetic the DuckDB oracles
+  * mirror). */
+class ExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "one two", // fewer tokens than n=3 → empty shingles
+    "Paella, déjà-vu & 東京 2024!", // non-ascii + punctuation
+    "a a a a a" // repeated token → distinct shingle collapse
+  ).toDF("text")
+
+  test("WordShingles equals the transform/slice/concat_ws formulation") {
+    val toks = TextOps.tokens(col("text"))
+    val hof = when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))))
+    val rows = docs.select(
+      GraftFunctions.wordShingles(toks, 3).as("native"), hof.as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("MinHashSig equals the md5/conv permutation formula") {
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    val sh = GraftFunctions.wordShingles(TextOps.tokens(col("text")), 3)
+    val p = graft.ops.Dedup.P
+    val hof = aggregate(
+      transform(sh, s => h32(s)),
+      array_repeat(lit(p), 8),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(7)),
+        (m, i) => least(m, pmod(h * (i * 2 + 1) + (i * 101 + 17), lit(p)))))
+    val rows = docs.select(
+      GraftFunctions.minhashSig(sh, 8, p).as("native"), hof.as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("SimHash64 equals the conv/substring md5 bit-majority formula") {
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val toks = TextOps.tokens(col("text"))
+    val th = transform(toks, t => h60(t))
+    val hof = aggregate(
+      sequence(lit(0), lit(59)), lit(0L),
+      (acc, j) => acc + when(
+        size(filter(th, h => call_function("shiftright", h, j).bitwiseAND(1) === 1)) * 2
+          > size(th),
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    val rows = docs.select(
+      GraftFunctions.simhash64(toks).as("native"), hof.as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("DotDouble sums left-to-right and nulls on length mismatch") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.4))
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.dotDouble($"a", $"b")).as[Double].collect()
+    assert(got(0) === 32.0)
+    assert(math.abs(got(1) - 0.11) < 1e-12)
+    val mismatched = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(GraftFunctions.dotDouble($"a", $"b")).as[Option[Double]].head()
+    assert(mismatched.isEmpty)
+  }
+
+  test("GraftExtensions registers the functions for SQL") {
+    val s2 = spark
+    GraftExtensions.register(s2)
+    locally {
+      val r = s2.sql(
+        """SELECT simhash64(array('alpha', 'beta')) AS s,
+          |  minhash_sig(array('x y z'), 4, 4294967311) AS m,
+          |  word_shingles(array('a', 'b', 'c', 'd'), 2) AS w,
+          |  dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+          |""".stripMargin).head()
+      assert(r.getLong(0) != 0L)
+      assert(r.getSeq[Long](1).length === 4)
+      assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
+      assert(r.getDouble(3) === 11.0)
+    }
+  }
+}
