@@ -1,5 +1,7 @@
 package graft.table
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,128 +12,143 @@ import graft.common.FsUtils
   * Delta tables (reference getl/common/delta_table.py, getl/blocks/write/
   * batch_delta.py; design in SURVEY.md §7.3).
   *
-  * Layout: `<path>/v=N/` immutable snapshot dirs + `<path>/_graft_log/N.json`
-  * manifests carrying the commit timestamp. This gives us:
-  *   - upsert-merge (`whenMatchedUpdateAll` / `whenNotMatchedInsertAll`)
-  *   - insert-if-absent (the registries' anti-insert)
-  *   - time travel by timestamp (SnapshotDiff registry)
-  *   - OPTIMIZE (compaction rewrite) and VACUUM (old-snapshot GC)
+  * Layout: immutable data dirs `<path>/d<N>/` plus manifest log
+  * `<path>/_graft_log/<N>.json`, where each manifest lists the data dirs
+  * composing that snapshot:
   *
-  * Scale notes: every operation is a single declarative Spark plan over the
-  * current snapshot — merges are one shuffle-join (or broadcast join when the
-  * update set is small, which is the common incremental-ingest case and is
-  * hinted automatically below); commit is an O(1) driver-side manifest write.
-  * No driver-side row iteration anywhere.
+  * {{{ {"version":3,"timestamp":1723400000000,"dirs":["…/d0","…/d3"]} }}}
+  *
+  * This gives Delta's essential operations at Delta's cost model:
+  *   - APPEND writes only the new rows' files and a manifest referencing
+  *     old + new dirs — O(new data), NOT O(table); the same holds for the
+  *     registries' insert-if-absent merge;
+  *   - upsert-merge / UPDATE rewrite into a fresh dir (one declarative
+  *     plan — anti-join + union, broadcast-hinted for small update sets);
+  *   - time travel reads any manifest's dir list (SnapshotDiff registry);
+  *   - OPTIMIZE compacts the current dir list into one dir (ZORDER ≈
+  *     range-partition + sortWithinPartitions for parquet min/max
+  *     data-skipping);
+  *   - VACUUM deletes manifests past retention and any data dir no
+  *     retained manifest references.
+  *
+  * A multi-dir snapshot reads as a `unionByName(allowMissingColumns)` of
+  * per-dir scans — schema drift across appends behaves like the
+  * reference's MergeSchema (batch_delta.py:27,40), and each scan keeps its
+  * own partition discovery, pruning and pushdown.
   */
 final class ManagedTable(spark: SparkSession, val path: String) {
 
   private def logDir = s"$path/_graft_log"
-  private def versionDir(v: Long) = s"$path/v=$v"
+  private def dataDir(v: Long) = s"$path/d$v"
+
+  private case class Manifest(version: Long, timestamp: Long, dirs: Seq[String])
+
+  private def readManifest(p: String): Option[Manifest] =
+    new Path(p).getName.stripSuffix(".json").toLongOption.map { v =>
+      val node = new ObjectMapper().readTree(FsUtils.readText(spark, p))
+      val dirs = Option(node.get("dirs")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Nil)
+      Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L), dirs)
+    }
+
+  private def manifests(): Seq[Manifest] =
+    FsUtils.listFiles(spark, logDir, ".json")
+      .flatMap(readManifest)
+      .sortBy(_.version)
 
   /** (version, commitTimestampMillis) pairs, ascending. */
-  def history(): Seq[(Long, Long)] =
-    FsUtils.listFiles(spark, logDir, ".json").flatMap { p =>
-      val name = new Path(p).getName.stripSuffix(".json")
-      name.toLongOption.map { v =>
-        val ts = FsUtils.readText(spark, p).trim
-        // manifest body: {"version":N,"timestamp":millis}
-        val m = "\"timestamp\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(ts)
-        v -> m.map(_.group(1).toLong).getOrElse(0L)
-      }
-    }.sortBy(_._1)
+  def history(): Seq[(Long, Long)] = manifests().map(m => (m.version, m.timestamp))
 
-  def exists: Boolean = history().nonEmpty
+  def exists: Boolean = manifests().nonEmpty
 
-  def currentVersion: Option[Long] = history().lastOption.map(_._1)
+  def currentVersion: Option[Long] = manifests().lastOption.map(_.version)
 
   /** Latest version committed at or before `tsMillis`, if any. */
   def versionAt(tsMillis: Long): Option[Long] =
-    history().filter(_._2 <= tsMillis).lastOption.map(_._1)
+    manifests().filter(_.timestamp <= tsMillis).lastOption.map(_.version)
 
-  def read(): DataFrame = currentVersion match {
-    case Some(v) => readVersion(v)
+  def read(): DataFrame = manifests().lastOption match {
+    case Some(m) => readDirs(m.dirs)
     case None    => spark.emptyDataFrame
   }
 
-  def readVersion(v: Long): DataFrame = spark.read.parquet(versionDir(v))
+  def readVersion(v: Long): DataFrame =
+    manifests().find(_.version == v) match {
+      case Some(m) => readDirs(m.dirs)
+      case None => throw new AnalysisException(
+        "TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> s"$path@v$v"))
+    }
 
-  /** Write a new snapshot. `partitionBy` columns apply to the parquet layout
-    * (partition pruning for downstream readers). */
-  def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
-    val v = currentVersion.map(_ + 1).getOrElse(0L)
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(versionDir(v))
-    commit(v)
-    v
+  private def readDirs(dirs: Seq[String]): DataFrame = dirs match {
+    case Nil => spark.emptyDataFrame
+    case ds  => ds.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Append = current ∪ new rows → next snapshot (positional union would be
-    * fragile across schema drift, so unionByName with missing-column fill —
-    * matching the reference's MergeSchema behavior, batch_delta.py:27,40). */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
-    if (!exists) write(df, partitionBy)
-    else write(read().unionByName(df, allowMissingColumns = true), partitionBy)
+  /** Write a full new snapshot into a fresh dir. `partitionBy` columns
+    * shape the parquet layout (partition pruning for downstream reads). */
+  def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    commitDirs(writeData(df, partitionBy) :: Nil)
+
+  /** Append: write ONLY the new rows; the next manifest references the
+    * previous snapshot's dirs plus the new one. */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val prev = manifests().lastOption.map(_.dirs).getOrElse(Nil)
+    commitDirs(prev :+ writeData(df, partitionBy))
+  }
 
   /** Delta-style merge (reference getl/common/delta_table.py:27-44): target
     * aliased `source`, updates aliased `updates`, raw SQL condition like
     * `source.eventId == updates.eventId`.
     *
-    *   - whenMatchedUpdateAll + whenNotMatchedInsertAll (upsert=true):
-    *     rows of target NOT matching any update survive; all updates enter.
-    *   - insert-only (upsert=false): target survives; only non-matching
-    *     updates enter (registry anti-insert, fileregistry_utils.py:14-32).
-    *
-    * Both compile to ONE anti-join + union — the update set in incremental
-    * ingest is small, so it is broadcast-hinted for a shuffle-free plan.
+    *   - upsert (whenMatchedUpdateAll + whenNotMatchedInsertAll): one
+    *     anti-join + union rewritten into a fresh snapshot dir;
+    *   - insert-only (registry anti-insert): only the NOT-matching update
+    *     rows are appended — O(new data) like append.
     */
   def merge(updates: DataFrame, condition: String, upsert: Boolean = true,
             partitionBy: Seq[String] = Nil): Long = {
     if (!exists) return write(updates, partitionBy)
     val target = read()
-    val merged =
-      if (upsert)
+    if (upsert)
+      write(
         target.alias("source")
           .join(broadcast(updates.alias("updates")), expr(condition), "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-      else
-        target.unionByName(
-          updates.alias("updates")
-            .join(broadcast(target.alias("source")), expr(condition), "left_anti"),
-          allowMissingColumns = true)
-    write(merged, partitionBy)
+          .unionByName(updates, allowMissingColumns = true),
+        partitionBy)
+    else
+      append(
+        updates.alias("updates")
+          .join(broadcast(target.alias("source")), expr(condition), "left_anti"),
+        partitionBy)
   }
 
-  /** Change-data-feed analogue (reference load/entrypoint.py:222-229 reads
-    * the Databricks CDF from a starting timestamp): rows of the current
-    * snapshot that were not present in the last snapshot committed BEFORE
-    * `tsMillis` — set-difference over full rows, the row-level change set
-    * our versioned-parquet layer can answer without a commit log of
-    * per-row operations. Inclusive start: a version committed exactly at
-    * `tsMillis` counts as changed. */
+  /** Change-data-feed analogue (reference load/entrypoint.py:222-229):
+    * rows of the current snapshot not present in the last snapshot
+    * committed BEFORE `tsMillis` (inclusive start). */
   def changesSince(tsMillis: Long): DataFrame = {
     if (!exists) return spark.emptyDataFrame
-    history().filter(_._2 < tsMillis).lastOption.map(_._1) match {
+    manifests().filter(_.timestamp < tsMillis).lastOption match {
       case None       => read() // no snapshot predates the start → full feed
-      case Some(base) => read().except(readVersion(base))
+      case Some(base) => read().except(readDirs(base.dirs))
     }
   }
 
-  /** Delta-style UPDATE … SET on the current snapshot: one projection pass,
-    * no shuffle (reference delta_table.py update via registries). */
+  /** Delta-style UPDATE … SET on the current snapshot: one projection pass
+    * into a fresh snapshot dir. */
   def updateWhere(cond: String, set: Map[String, String]): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
-    val cur = read()
-    val updated = set.foldLeft(cur) { case (df, (c, valueExpr)) =>
+    val updated = set.foldLeft(read()) { case (df, (c, valueExpr)) =>
       df.withColumn(c, when(expr(cond), expr(valueExpr)).otherwise(col(c)))
     }
     write(updated)
   }
 
-  /** OPTIMIZE [ZORDER BY cols]: rewrite the current snapshot compacted; a
-    * z-order request approximates to range-partition + sortWithinPartitions
-    * on those columns — same data-skipping effect for parquet min/max stats
-    * (reference batch_delta.py:116-134). */
+  /** OPTIMIZE [ZORDER BY cols]: compact the current snapshot's dir list
+    * into ONE dir; a z-order request approximates to range-partition +
+    * sortWithinPartitions on those columns — same data-skipping effect for
+    * parquet min/max stats (reference batch_delta.py:116-134). */
   def optimize(zorderBy: Seq[String] = Nil, targetPartitions: Int = 0): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
     val cur = read()
@@ -145,37 +162,54 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     write(compacted)
   }
 
-  /** VACUUM RETAIN n HOURS: delete snapshots older than the horizon, always
-    * keeping the current one (reference batch_delta.py:136-155, incl. the
-    * <168h guard unless explicitly overridden). */
+  /** VACUUM RETAIN n HOURS: drop manifests older than the horizon (always
+    * keeping the current one) and delete data dirs no retained manifest
+    * references (reference batch_delta.py:136-155, incl. the <168h guard
+    * unless explicitly overridden). */
   def vacuum(retainHours: Double, enforceRetention: Boolean = true): Unit = {
     if (enforceRetention && retainHours < 168)
       throw new IllegalArgumentException(
         s"retentionDurationCheck: refusing VACUUM RETAIN $retainHours HOURS (<168); " +
           "pass enforceRetention=false to override")
     val horizon = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    val hist = history()
-    val keep = hist.lastOption.map(_._1).toSet
-    hist.filter { case (v, ts) => ts < horizon && !keep.contains(v) }
-      .foreach { case (v, _) =>
-        FsUtils.deleteFiles(spark, Seq(versionDir(v), s"$logDir/$v.json"))
-      }
+    val all = manifests()
+    val current = all.lastOption.map(_.version).toSet
+    val (dropped, retained) = all.partition(m =>
+      m.timestamp < horizon && !current.contains(m.version))
+    val referenced = retained.flatMap(_.dirs).toSet
+    val orphanDirs = dropped.flatMap(_.dirs).distinct.filterNot(referenced)
+    FsUtils.deleteFiles(spark,
+      orphanDirs ++ dropped.map(m => s"$logDir/${m.version}.json"))
   }
 
-  /** Register in the session catalog (reference common/hive_table.py:20-38
-    * `CREATE DATABASE/TABLE IF NOT EXISTS … USING DELTA LOCATION`). Our
-    * snapshots move per-version, so the stable equivalent is a catalog view
-    * over the current snapshot, refreshed on each write. */
+  /** Register in the session catalog (reference common/hive_table.py:20-38).
+    * Our snapshots move per-version, so the stable equivalent is a catalog
+    * view over the current snapshot, refreshed on each write. */
   def registerAs(databaseName: String, tableName: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $databaseName")
-    val loc = currentVersion.map(versionDir).getOrElse(path)
+    val selects = manifests().lastOption.map(_.dirs).getOrElse(Nil) match {
+      case Nil => Seq(s"SELECT * FROM parquet.`$path`")
+      case ds  => ds.map(d => s"SELECT * FROM parquet.`$d`")
+    }
     spark.sql(
-      s"CREATE OR REPLACE VIEW $databaseName.$tableName AS SELECT * FROM parquet.`$loc`")
+      s"CREATE OR REPLACE VIEW $databaseName.$tableName AS ${selects.mkString(" UNION ALL ")}")
   }
 
-  private def commit(v: Long): Unit =
+  private def writeData(df: DataFrame, partitionBy: Seq[String]): String = {
+    val v = currentVersion.map(_ + 1).getOrElse(0L)
+    val dir = dataDir(v)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    dir
+  }
+
+  private def commitDirs(dirs: Seq[String]): Long = {
+    val v = currentVersion.map(_ + 1).getOrElse(0L)
+    val dirsJson = dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
     FsUtils.writeText(spark, s"$logDir/$v.json",
-      s"""{"version":$v,"timestamp":${System.currentTimeMillis()}}""")
+      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson}""")
+    v
+  }
 }
 
 object ManagedTable {
