@@ -39,10 +39,15 @@ object TextOps {
     * to filter web corpora. Returns the input plus feature columns. */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nTok = size(toks)
     val sw = typedLit(StopwordsEn)
-    df.withColumn("n_tokens", nTok)
+    // tokenize ONCE into a shared column: each feature referencing the
+    // `tokens(t)` tree directly would re-run the regex split per feature
+    // (CollapseProject refuses to inline a multiply-referenced alias, so a
+    // real column is evaluated a single time per row)
+    val toks = col("_toks")
+    val nTok = size(toks)
+    df.withColumn("_toks", tokens(t))
+      .withColumn("n_tokens", nTok)
       .withColumn("punct_ratio",
         round(regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") /
           greatest(length(t), lit(1)), 4))
@@ -57,6 +62,7 @@ object TextOps {
           least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
             col("stopword_ratio") * 0.4 +
             (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 4))
+      .drop("_toks")
   }
 
   /** Per-language marker-word profiles for the n-gram/stopword language-ID
@@ -72,15 +78,21 @@ object TextOps {
     * deterministic first-profile-wins tie-break, `und` when nothing hits.
     * One expression per row — embarrassingly parallel at any scale. */
   def langId(df: DataFrame, textCol: String = "text", outCol: String = "lang_pred"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // token array and the argmax struct each live in a real column so they
+    // evaluate once per row (the struct is referenced twice below; the
+    // token array once per language profile)
+    val toks = col("_toks")
     val scored: Column = LangProfiles.foldLeft(
       struct(lit(-1).as("hits"), lit("und").as("lang"))) { case (best, (lang, words)) =>
       val hits = size(filter(toks, w => array_contains(typedLit(words), w)))
       when(hits > best.getField("hits"),
         struct(hits.as("hits"), lit(lang).as("lang"))).otherwise(best)
     }
-    df.withColumn(outCol,
-      when(scored.getField("hits") > 0, scored.getField("lang")).otherwise(lit("und")))
+    df.withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_scored", scored)
+      .withColumn(outCol,
+        when(col("_scored.hits") > 0, col("_scored.lang")).otherwise(lit("und")))
+      .drop("_toks", "_scored")
   }
 
   /** Exact content fingerprint: md5 of the raw text. */
