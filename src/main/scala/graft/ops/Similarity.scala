@@ -129,6 +129,17 @@ object Similarity {
                    blockCol: String, threshold: Double): DataFrame =
     Dedup.embeddingNearDupPairs(df, idCol, vecCol, blockCol, threshold)
 
+  /** Per-label centroid of an embedding column, one output row per
+    * (label, dimension): posexplode → partial per-dimension sums map-side →
+    * one shuffle of (label, dim) pairs. The IVF coarse-quantizer build
+    * step — at scale this is how the bucket centroids for ANN routing are
+    * produced. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String,
+                scale: Int = 4): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), scale).as("mean"))
+
   /** Per-query-group ranked neighbours (window form): given a candidates
     * DataFrame of (queryId, candId, score), keep the top-k per query. The
     * window partitions by query so the sort is per-group, not global. */

@@ -69,6 +69,9 @@ object OpsQueries {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", threshold = 0.4)),
 
+    "x_embed_centroid" -> ((s, d) =>
+      Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")),
+
     "x_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 0L, k = 10)),
@@ -230,6 +233,12 @@ object OpsQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
+
+    "x_embed_centroid" ->
+      s"""SELECT label, CAST(t.dim AS INT) AS dim,
+         |round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
+         |FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+         |GROUP BY 1, 2""".stripMargin,
 
     "x_ann_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -43,13 +43,20 @@ object StreamQueries {
   }
 
   private def runToParquet(s: SparkSession, streamed: DataFrame, w: String): DataFrame = {
-    streamed.writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .option("checkpointLocation", s"$w/checkpoint")
-      .outputMode("append")
-      .start(s"$w/out")
-      .awaitTermination()
+    // stateful streaming keeps one state-store dir per shuffle partition;
+    // for these incremental micro-batches 8 partitions bound the file
+    // churn without limiting throughput (restored after the run)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      streamed.writeStream
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("checkpointLocation", s"$w/checkpoint")
+        .outputMode("append")
+        .start(s"$w/out")
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(s"$w/out")
   }
 
@@ -70,6 +77,20 @@ object StreamQueries {
         "ts", "event_type", "value", "1 hour", "1 hour")
       runToParquet(s, streamed, w)
         .where(col("event_type") =!= "zz_sentinel")
+    }),
+
+    // streaming exact dedup: the export is written TWICE (every event
+    // duplicated); dropDuplicatesWithinWatermark keeps one copy each
+    "s_stream_dedup" -> ((s, d) => {
+      val w = scratch(s, "s_stream_dedup")
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
+      ev.write.option("timestampFormat", TsFmt).json(s"$w/in")
+      ev.write.option("timestampFormat", TsFmt).mode("append").json(s"$w/in")
+      val schema = StructType.fromDDL("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+      val streamed = Streaming.streamDedup(
+        s.readStream.schema(schema).option("timestampFormat", TsFmt).json(s"$w/in"),
+        "ts", Seq("event_id"), watermarkDelay = "1 hour")
+      runToParquet(s, streamed, w)
     }),
 
     // flatMapGroupsWithState sessionization with event-time timeouts
@@ -94,6 +115,8 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s_stream_dedup" ->
+      "SELECT event_id, ts, event_type FROM events",
     "s_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value

@@ -35,6 +35,16 @@ object Streaming {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first occurrence per key, with state
+    * bounded by the watermark — late duplicates beyond `watermarkDelay`
+    * age out of the state store instead of accumulating forever (the
+    * property that matters on an unbounded ingest stream). */
+  def streamDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One event inside a session group. */
   case class SessionEvent(user_id: Long, ts: Timestamp)
 
