@@ -140,6 +140,46 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(round(avg(col("v").cast("double")), scale).as("mean"))
 
+  /** IVF (inverted-file) approximate top-k with a supplied coarse
+    * quantizer: [[centroids]] of `quantizerCol` are the cell centers
+    * (production systems train these offline with k-means — here the
+    * pre-labelled partition stands in as the trained quantizer); every
+    * vector is assigned to its nearest centroid by squared L2 (broadcast
+    * cross join against the tiny centroid table — map-only); the query
+    * probes ONLY its own cell and scores exact cosine inside it.
+    *
+    * At scale the assigned table is written partitioned by cell so a probe
+    * reads one partition — the IVF pruning shape; recall grows with
+    * multi-probe. Deterministic end to end: same dot/dist summation order
+    * as the oracle, ties broken by cell id.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              quantizerCol: String, queryId: Long, k: Int): DataFrame = {
+    val cvecs = centroids(df, quantizerCol, vecCol)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+      .select(col("label").as("cell"),
+        transform(col("sm"), s => s.getField("mean")).as("cvec"))
+
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist"), col("cell"))
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .persist()
+
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("cell"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), "cell")
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-query-group ranked neighbours (window form): given a candidates
     * DataFrame of (queryId, candId, score), keep the top-k per query. The
     * window partitions by query so the sort is per-group, not global. */

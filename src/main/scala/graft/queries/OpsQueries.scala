@@ -80,6 +80,10 @@ object OpsQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, nPlanes = 4)),
 
+    "x_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", queryId = 0L, k = 10)),
+
     "x_mm_decode" -> ((s, d) => {
       val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
       packed
@@ -129,6 +133,13 @@ object OpsQueries {
   private def cosineSql(a: String, b: String): String =
     s"""(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN CAST(0 AS DOUBLE)
        |  ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)""".stripMargin
+
+  /** Squared L2 between a float list and a double list — mirrors
+    * [[Similarity.sqDist]]'s left-to-right summation. */
+  private def sqDistSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |  i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
+       |  (x, y) -> x + y)""".stripMargin
 
   /** Random-hyperplane LSH bucket mirroring [[Similarity.lshBucket]]. */
   private def bucketSql(v: String): String =
@@ -252,6 +263,23 @@ object OpsQueries {
          |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
          |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
          |      FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0)
+         |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_ann_ivf" ->
+      s"""WITH c AS (SELECT label, CAST(t.dim AS INT) AS dim,
+         |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
+         |  FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT label AS cell, list(mean ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |a AS (SELECT e.vec_id, e.embedding, cv.cell,
+         |  ${sqDistSql("e.embedding", "cv.cvec")} AS dist
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, embedding, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |   FROM a) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cell FROM asg WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |      FROM asg e JOIN q ON e.cell = q.cell WHERE e.vec_id <> 0)
          |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "x_mm_decode" ->
