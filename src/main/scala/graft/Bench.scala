@@ -10,11 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/parquet paths so the first measured query
-    // doesn't absorb one-time session initialization
+    // Steady-state warmup: the first execution of each pipeline shape pays
+    // one-time JIT + janino codegen + engine init (measured: ~7s for the
+    // shingle/minhash pipeline, ~7s for the streaming engine — vs <1s
+    // warm). Run every query once at the smallest scale factor first so
+    // the timed section measures the engine, not classloading. Generated
+    // code is keyed by expression structure, not data, so sf0.001 warms
+    // the same code paths the timed sfDir run takes.
     spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      }
+    }
     // optional filter regex (first arg) for timing individual queries
     val nameFilter = args.headOption.map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>

@@ -20,7 +20,7 @@ object LiftQueries {
 
   /** Per-query scratch dir, wiped at the start of each invocation. */
   private def scratch(s: SparkSession, name: String): String = {
-    val dir = s"/tmp/graft_lift/$name"
+    val dir = graft.common.Scratch.dir("lift", name)
     FsUtils.deleteFiles(s, Seq(dir))
     dir
   }

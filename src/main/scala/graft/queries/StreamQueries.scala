@@ -27,7 +27,7 @@ object StreamQueries {
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   private def scratch(s: SparkSession, name: String): String = {
-    val dir = s"/tmp/graft_stream/$name"
+    val dir = graft.common.Scratch.dir("stream", name)
     FsUtils.deleteFiles(s, Seq(dir))
     dir
   }
