@@ -95,6 +95,25 @@ object TextOps {
       .drop("_toks", "_scored")
   }
 
+  /** PII patterns shared by [[redactPii]] and its oracle: RE2-compatible
+    * (no backrefs/lookaround) so DuckDB's regexp engine matches Java's. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrub for training corpora: counts and redacts email addresses and
+    * phone-number-shaped digit runs. Returns (n_emails, n_phones, redacted)
+    * columns appended to the input. Pure per-row regexp expressions —
+    * map-only at any scale; emails are replaced first so phone matching
+    * never sees digits inside addresses. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_phones",
+        regexp_count(regexp_replace(t, EmailRe, "<EMAIL>"), lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -118,6 +118,39 @@ object AnalyticsQueries {
       Tables.customer(s, d)
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
+    }),
+
+    // exact interpolated percentiles (single-pass sort-based aggregate;
+    // at 100 TB swap `percentile` for `percentile_approx` sketch merge)
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))),
+
+    // pivot (one shuffle: the pivot column folds into conditional
+    // aggregates, not per-value passes; values enumerated so the plan is
+    // static and no driver-side distinct scan runs)
+    "q_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+        .select(col("l_returnflag"),
+          round(coalesce(col("F"), lit(0.0)), 2).as("F"),
+          round(coalesce(col("O"), lit(0.0)), 2).as("O"))),
+
+    // sliding window frame: 7-day moving average of daily revenue. The
+    // unpartitioned window runs on the already-reduced daily table (rows =
+    // days), so the single-task sort is over a tiny input at any sf.
+    "q_window_moving" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("rev"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily.withColumn("rev_ma7", round(avg(col("rev")).over(w), 2))
     })
   )
 
@@ -177,6 +210,23 @@ object AnalyticsQueries {
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F,
+        |round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_window_moving" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS rev
+        |             FROM events GROUP BY 1)
+        |SELECT day, rev,
+        |round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_ma7
+        |FROM dly""".stripMargin
   )
 }

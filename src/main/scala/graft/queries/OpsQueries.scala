@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -95,7 +95,52 @@ object OpsQueries {
     "x_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.pack(Tables.documents(s, d), "doc_id", "text"),
-        "doc_id", "payload", chunkBytes = 100))
+        "doc_id", "payload", chunkBytes = 100)),
+
+    // as-of join: each order annotated with the customer's strictly
+    // previous order (right side pre-reduced to one row per key/ts so the
+    // carried payload is deterministic)
+    "x_asof_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val prev = orders.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("prev_okey"))
+      AsofJoin.asofJoin(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        prev, Seq("o_custkey"), "o_orderdate", "o_orderdate",
+        Map("prev_okey" -> "prev_okey", "o_orderdate" -> "prev_date"),
+        strict = true)
+        .select("o_orderkey", "prev_okey", "prev_date")
+    }),
+
+    // keyless interval-containment join, bucketed by week: lineitems
+    // shipped inside each sampled order's [orderdate, orderdate + n) window
+    "x_range_join" -> ((s, d) => {
+      val iv = Tables.orders(s, d)
+        .where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("iv_id"),
+          col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("make_interval(0,0,0, 1 + o_orderkey % 28)"))
+            .as("w_end"))
+      val matched = RangeJoin.intervalJoin(iv, "w_start", "w_end",
+        Tables.lineitem(s, d), "l_shipdate", Seq("l_orderkey", "l_quantity"))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_ship"), round(sum("l_quantity"), 2).as("qty"))
+      iv.join(matched, Seq("iv_id"), "left")
+        .select(col("iv_id"), coalesce(col("n_ship"), lit(0L)).as("n_ship"),
+          col("qty"))
+    }),
+
+    // PII scrub: synthetic emails/phones appended per doc (the corpus has
+    // none), then counted and redacted with RE2-portable patterns
+    "x_text_pii" -> ((s, d) => {
+      val enriched = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" now")))
+      TextOps.redactPii(enriched)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+    })
   )
 
   /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
@@ -300,6 +345,35 @@ object OpsQueries {
          |e AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM f)
          |SELECT doc_id, i AS frame_idx,
          |  md5(substring(text, CAST(i * 100 + 1 AS BIGINT), 100)) AS frame_md5
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+
+    "x_asof_join" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_okey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT l.o_orderkey, r.prev_okey, r.o_orderdate AS prev_date
+        |FROM orders l ASOF LEFT JOIN r
+        |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    "x_range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS iv_id, o_orderdate AS w_start,
+        |              o_orderdate + INTERVAL (1 + o_orderkey % 28) DAY AS w_end
+        |            FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT iv_id, count(l_orderkey) AS n_ship,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM iv LEFT JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
+        |GROUP BY iv_id""".stripMargin,
+
+    "x_text_pii" ->
+      """WITH e AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM e""".stripMargin
   )
 }
