@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation shapes for hot keys at cluster scale.
+  *
+  * AQE's runtime skew-join splitting (`spark.sql.adaptive.skewJoin`)
+  * handles most cases for free; these are the explicit forms for the two
+  * places AQE cannot help: a skewed *aggregation* (one reducer key gets a
+  * whole task's worth of rows) and a broadcast-ineligible join against a
+  * replicable side. Both trade one extra narrow stage for bounding the
+  * largest reducer partition by `saltBuckets`.
+  */
+object Skew {
+
+  /** Two-phase aggregation with a salted first phase: rows fan out over
+    * `saltBuckets` sub-keys, partial aggregates shuffle per (key, salt),
+    * and a second tiny shuffle folds the partials per key. The hot key's
+    * rows land on `saltBuckets` reducers instead of one.
+    *
+    * `partials` maps output column name → (partial aggregate of the input
+    * rows, final fold of the partial column). The caller supplies both
+    * halves because only algebraic aggregates decompose this way, e.g.
+    * count → (count, sum), sum → (sum, sum), max → (max, max).
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+                partials: Map[String, (Column, Column)]): DataFrame = {
+    // deterministic salt (hash of the whole row % buckets) rather than
+    // rand(): reruns and retried tasks produce identical partials
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val ps = partials.toSeq.sortBy(_._1) // stable column order
+    val phase1 = salted
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(ps.head._2._1.as(ps.head._1),
+        ps.tail.map { case (n, (p, _)) => p.as(n) }: _*)
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(ps.head._2._2.as(ps.head._1),
+        ps.tail.map { case (n, (_, f)) => f.as(n) }: _*)
+  }
+
+  /** Salted equi-join: the skewed left side gets a random-but-deterministic
+    * salt in [0, saltBuckets); the right side is replicated once per salt
+    * value. The shuffle key becomes (key, salt), so a hot key spreads over
+    * `saltBuckets` tasks at the cost of a `saltBuckets`-fold right-side
+    * blowup — only sensible when the right side is small-ish but above the
+    * broadcast threshold. Plain inner-join semantics are preserved.
+    */
+  def saltedJoin(skewedLeft: DataFrame, right: DataFrame,
+                 joinKeys: Seq[String], saltBuckets: Int): DataFrame = {
+    val l = skewedLeft.withColumn("__salt",
+      pmod(hash(skewedLeft.columns.map(col): _*), lit(saltBuckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, joinKeys :+ "__salt").drop("__salt")
+  }
+}

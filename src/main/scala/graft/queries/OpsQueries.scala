@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -128,6 +128,30 @@ object OpsQueries {
       iv.join(matched, Seq("iv_id"), "left")
         .select(col("iv_id"), coalesce(col("n_ship"), lit(0L)).as("n_ship"),
           col("qty"))
+    }),
+
+    // skewed aggregation via salting: events concentrate on few
+    // event_types (hot reducer keys); the salted two-phase plan spreads
+    // each key over 16 reducers and must agree exactly with a plain GROUP BY
+    "x_skew_agg" -> ((s, d) =>
+      Skew.saltedAgg(
+        Tables.events(s, d).select("event_type", "value"),
+        Seq("event_type"), saltBuckets = 16,
+        Map(
+          "n" -> (count(lit(1)), sum(col("n"))),
+          "total" -> (sum(col("value")), sum(col("total")))))
+        .select(col("event_type"), col("n"), round(col("total"), 2).as("total"))),
+
+    // salted join against a replicated small side (the explicit fallback
+    // when the dim is above broadcast size and the fact key is hot)
+    "x_skew_join" -> ((s, d) => {
+      val dim = Tables.events(s, d).groupBy("event_type")
+        .agg(round(min("value"), 2).as("w"))
+      Skew.saltedJoin(
+          Tables.events(s, d).select("event_type", "value"),
+          dim, Seq("event_type"), saltBuckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value") * col("w")), 2).as("wsum"))
     }),
 
     // PII scrub: synthetic emails/phones appended per doc (the corpus has
@@ -362,6 +386,17 @@ object OpsQueries {
         |  round(sum(l_quantity), 2) AS qty
         |FROM iv LEFT JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
         |GROUP BY iv_id""".stripMargin,
+
+    "x_skew_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x_skew_join" ->
+      """WITH dim AS (SELECT event_type, round(min(value), 2) AS w
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n, round(sum(e.value * dim.w), 2) AS wsum
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     "x_text_pii" ->
       """WITH e AS (SELECT doc_id,
