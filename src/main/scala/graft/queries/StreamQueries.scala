@@ -93,6 +93,31 @@ object StreamQueries {
       runToParquet(s, streamed, w)
     }),
 
+    // watermarked stream-stream interval join: every view by the same
+    // user in the 24 h before each purchase (inner matches emit as both
+    // sides arrive, so no sentinel is needed for determinism)
+    "s_stream_join" -> ((s, d) => {
+      val w = scratch(s, "s_stream_join")
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+      ev.write.option("timestampFormat", TsFmt).json(s"$w/in")
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      def stream = s.readStream.schema(schema)
+        .option("timestampFormat", TsFmt).json(s"$w/in")
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val views = stream.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_ts"),
+          col("user_id").as("v_user"))
+      val joined = Streaming.lagJoin(
+          purchases, "p_ts",
+          views.withColumnRenamed("v_user", "user_id"), "v_ts",
+          Seq("user_id"), maxLag = "24 HOURS", watermarkDelay = "1 hour")
+        .select(col("purchase_id"), col("view_id"), purchases("user_id"))
+      runToParquet(s, joined, w)
+    }),
+
     // flatMapGroupsWithState sessionization with event-time timeouts
     "s_stream_sessions" -> ((s, d) => {
       import s.implicits._
@@ -117,6 +142,11 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "s_stream_dedup" ->
       "SELECT event_id, ts, event_type FROM events",
+    "s_stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR""".stripMargin,
     "s_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value

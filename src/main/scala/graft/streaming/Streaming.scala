@@ -45,6 +45,28 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream inner join: pairs a left event with every
+    * right event of the same key whose timestamp falls in
+    * `[leftTs - maxLag, leftTs]` (the "views preceding a purchase" shape).
+    *
+    * Both sides carry the same watermark delay and the join condition
+    * bounds the event-time distance, which is exactly what lets the state
+    * store evict: each side buffers only `maxLag + watermarkDelay` of
+    * history per key instead of the whole stream. Inner matches emit as
+    * soon as both rows have arrived, so the result set is independent of
+    * micro-batch boundaries. Sides must not share non-key column names.
+    */
+  def lagJoin(left: DataFrame, leftTs: String, right: DataFrame,
+              rightTs: String, keyCols: Seq[String], maxLag: String,
+              watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxLag") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, cond, "inner")
+  }
+
   /** One event inside a session group. */
   case class SessionEvent(user_id: Long, ts: Timestamp)
 
