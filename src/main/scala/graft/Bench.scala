@@ -4,10 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    System.setProperty("derby.system.home", graft.common.Scratch.dir("spark", "derby"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", "warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup: the first execution of each pipeline shape pays

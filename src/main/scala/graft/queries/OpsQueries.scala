@@ -154,6 +154,24 @@ object OpsQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value") * col("w")), 2).as("wsum"))
     }),
 
+    // co-bucketed join: both tables written bucketBy(orderkey) so the
+    // join plans exchange-free (BucketedSpec asserts the plan property;
+    // this verifies the result equals the plain join)
+    "x_bucket_join" -> ((s, d) => {
+      val w = graft.common.Scratch.dir("ops", "bucket_join")
+      graft.common.FsUtils.deleteFiles(s, Seq(w))
+      graft.table.Bucketed.writeBucketed(Tables.orders(s, d),
+        "q_b_orders", s"$w/orders", Seq("o_orderkey"), 8)
+      graft.table.Bucketed.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+        "q_b_lineitem", s"$w/lineitem", Seq("l_orderkey"), 8)
+      graft.table.Bucketed.table(s, "q_b_orders")
+        .join(graft.table.Bucketed.table(s, "q_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+    }),
+
     // PII scrub: synthetic emails/phones appended per doc (the corpus has
     // none), then counted and redacted with RE2-portable patterns
     "x_text_pii" -> ((s, d) => {
@@ -397,6 +415,12 @@ object OpsQueries {
         |SELECT e.event_type, count(*) AS n, round(sum(e.value * dim.w), 2) AS wsum
         |FROM events e JOIN dim USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
+
+    "x_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |round(sum(l_extendedprice), 2) AS rev
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "x_text_pii" ->
       """WITH e AS (SELECT doc_id,

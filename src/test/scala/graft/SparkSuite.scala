@@ -15,6 +15,7 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = {
+    System.setProperty("derby.system.home", graft.common.Scratch.dir("spark", "derby"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -22,6 +23,7 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", "warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
