@@ -46,4 +46,43 @@ class JdbcBlocksSpec extends SparkSuite {
     val rows = log.getDf("Back").as[(Long, String)].collect().sortBy(_._1)
     assert(rows.toSeq === Seq((2L, "b"), (3L, "c")))
   }
+
+  test("load::jdbc partition-parallel read splits the query into stride scans") {
+    val url2 = "jdbc:derby:memory:graftdb2;create=true"
+    spark.range(100).selectExpr("id", "id * 2 AS v")
+      .createOrReplaceTempView("jdbc_src2")
+    val yaml =
+      s"""LiftJob:
+         |  Src:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT * FROM jdbc_src2
+         |  Out:
+         |    Type: write::batch_jdbc
+         |    Input: Src
+         |    Properties:
+         |      Mode: append
+         |      Driver: $driver
+         |      ConnUrl: $url2
+         |      Table: wide
+         |      User: ""
+         |      Password: ""
+         |  Back:
+         |    Type: load::jdbc
+         |    Properties:
+         |      Driver: $driver
+         |      ConnUrl: $url2
+         |      User: ""
+         |      Password: ""
+         |      Query: SELECT "id", "v" FROM wide
+         |      PartitionColumn: id
+         |      LowerBound: 0
+         |      UpperBound: 100
+         |      NumPartitions: 4
+         |""".stripMargin
+    val back = Lift.lift(spark, yaml).getDf("Back")
+    assert(back.rdd.getNumPartitions == 4) // stride queries, not one reader
+    assert(back.count() == 100)
+    assert(back.selectExpr("sum(v)").head().getLong(0) == 9900L)
+  }
 }

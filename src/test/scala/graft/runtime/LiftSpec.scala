@@ -53,6 +53,40 @@ class LiftSpec extends SparkSuite {
     assert(written.count() > 0)
   }
 
+  test("transform join with broadcast: true plans a broadcast hash join") {
+    val yaml =
+      s"""LiftJob:
+         |  Fact:
+         |    Type: load::batch_parquet
+         |    Properties:
+         |      Path: $sf1/orders.parquet
+         |  Dim:
+         |    Type: load::batch_parquet
+         |    Properties:
+         |      Path: $sf1/customer.parquet
+         |  Joined:
+         |    Type: transform::generic
+         |    Input: Fact
+         |    Properties:
+         |      Functions:
+         |        - rename_column:
+         |            col: o_custkey
+         |            new_name: c_custkey
+         |        - join:
+         |            right_df: Dim
+         |            cols: [c_custkey]
+         |            join_type: inner
+         |            broadcast: true
+         |""".stripMargin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // hint must win
+    try {
+      val joined = Lift.lift(spark, yaml).getDf("Joined")
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("parameters bind strings and raw objects (custom function block)") {
     val fn: Map[String, Any] => Any = { in =>
       val df = in("Raw").asInstanceOf[DataFrame]
