@@ -28,6 +28,7 @@ object Bench {
         try fn(spark, warmDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+        spark.catalog.clearCache()
       }
     }
     // optional filter regex (first arg) for timing individual queries
@@ -41,6 +42,10 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+      // queries persist intermediates (signature stages, bucketed sides);
+      // drop them so later queries aren't timed under earlier queries'
+      // cache pressure
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
