@@ -142,6 +142,21 @@ object AnalyticsQueries {
           round(coalesce(col("F"), lit(0.0)), 2).as("F"),
           round(coalesce(col("O"), lit(0.0)), 2).as("O"))),
 
+    // CUBE grouping sets (all four subtotal combinations in one shuffle)
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // INTERSECT (distinct set semantics): part keys present in both the
+    // high-price catalog slice and the discounted lineitem slice
+    "q_intersect" -> ((s, d) =>
+      Tables.part(s, d).where(col("p_retailprice") > 1400)
+        .select(col("p_partkey").as("k"))
+        .intersect(
+          Tables.lineitem(s, d).where(col("l_discount") >= 0.08)
+            .select(col("l_partkey").as("k")))),
+
     // sliding window frame: 7-day moving average of daily revenue. The
     // unpartitioned window runs on the already-reduced daily table (rows =
     // days), so the single-task sort is over a tiny input at any sf.
@@ -222,6 +237,14 @@ object AnalyticsQueries {
         |round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F,
         |round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_intersect" ->
+      """SELECT p_partkey AS k FROM part WHERE p_retailprice > 1400
+        |INTERSECT
+        |SELECT l_partkey AS k FROM lineitem WHERE l_discount >= 0.08""".stripMargin,
     "q_window_moving" ->
       """WITH dly AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS rev
         |             FROM events GROUP BY 1)

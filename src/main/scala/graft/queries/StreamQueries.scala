@@ -98,7 +98,11 @@ object StreamQueries {
     // sides arrive, so no sentinel is needed for determinism)
     "s_stream_join" -> ((s, d) => {
       val w = scratch(s, "s_stream_join")
-      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+      // only the two joined event types ship through the stream — the
+      // export-side filter is the streaming analogue of scan pruning
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "view"))
+        .select("event_id", "ts", "user_id", "event_type")
       ev.write.option("timestampFormat", TsFmt).json(s"$w/in")
       val schema = StructType.fromDDL(
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
