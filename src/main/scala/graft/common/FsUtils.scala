@@ -35,6 +35,20 @@ object FsUtils {
     finally out.close()
   }
 
+  /** Write-then-rename so readers never observe a half-written file — the
+    * commit primitive for manifest logs. (Rename is atomic on HDFS and
+    * POSIX filesystems; object stores substitute a conditional-put in the
+    * same position.) */
+  def writeTextAtomic(spark: SparkSession, path: String, text: String): Unit = {
+    val tmp = s"$path.tmp-${java.util.UUID.randomUUID}"
+    writeText(spark, tmp, text)
+    val f = fs(path, hadoopConf(spark))
+    if (!f.rename(new Path(tmp), new Path(path))) {
+      f.delete(new Path(tmp), false)
+      throw new java.io.IOException(s"atomic commit rename failed: $path")
+    }
+  }
+
   def exists(spark: SparkSession, path: String): Boolean =
     fs(path, hadoopConf(spark)).exists(new Path(path))
 

@@ -160,7 +160,8 @@ object OpsQueries {
     "x_bucket_join" -> ((s, d) => {
       val w = graft.common.Scratch.dir("ops", "bucket_join")
       graft.common.FsUtils.deleteFiles(s, Seq(w))
-      graft.table.Bucketed.writeBucketed(Tables.orders(s, d),
+      graft.table.Bucketed.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
         "q_b_orders", s"$w/orders", Seq("o_orderkey"), 8)
       graft.table.Bucketed.writeBucketed(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),

@@ -206,7 +206,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def commitDirs(dirs: Seq[String]): Long = {
     val v = currentVersion.map(_ + 1).getOrElse(0L)
     val dirsJson = dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
-    FsUtils.writeText(spark, s"$logDir/$v.json",
+    // atomic rename commit: a manifest either exists completely or not at
+    // all, so a crash mid-write can never corrupt the table's log
+    FsUtils.writeTextAtomic(spark, s"$logDir/$v.json",
       s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson}""")
     v
   }
