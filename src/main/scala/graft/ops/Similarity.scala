@@ -180,6 +180,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector int8 scalar quantization: maps each component onto
+    * round((x - lo) / (hi - lo) * 255) with the vector's own [lo, hi]
+    * range — the classic 4x storage cut before ANN indexing. Returns a
+    * struct (lo, hi, q: array<int>); dequantization is
+    * lo + q/255*(hi-lo). Constant vectors (hi == lo) quantize to zeros.
+    * Pure per-row expressions — map-only at any scale. */
+  def quantizeInt8(vec: Column): Column = {
+    val v = dbl(vec)
+    val lo = array_min(v)
+    val hi = array_max(v)
+    val scale = when(hi === lo, lit(1.0)).otherwise(hi - lo)
+    struct(
+      round(lo, 4).as("lo"), round(hi, 4).as("hi"),
+      transform(v, x => round((x - lo) / scale * 255).cast("int")).as("q"))
+  }
+
   /** Per-query-group ranked neighbours (window form): given a candidates
     * DataFrame of (queryId, candId, score), keep the top-k per query. The
     * window partitions by query so the sort is per-group, not global. */

@@ -114,6 +114,16 @@ object TextOps {
         regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
   }
 
+  /** Corpus vocabulary by document frequency: one row per token with the
+    * number of distinct documents containing it. Tokens are de-duplicated
+    * per document BEFORE the explode, so the shuffle carries each (doc,
+    * token) once and the count needs no DISTINCT aggregation — the
+    * standard vocab-building shape at corpus scale. */
+  def docFrequency(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+
   /** Exact content fingerprint: md5 of the raw text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -84,6 +84,20 @@ object OpsQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", queryId = 0L, k = 10)),
 
+    // int8 scalar quantization, verified per (vector, dimension) element
+    "x_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+        .select(col("vec_id"), col("z.lo").as("lo"), col("z.hi").as("hi"),
+          posexplode(col("z.q")).as(Seq("dim", "qv")))),
+
+    // corpus vocabulary: top-20 tokens by document frequency
+    // (TakeOrderedAndProject — per-partition top-k before the driver merge)
+    "x_text_vocab" -> ((s, d) =>
+      TextOps.docFrequency(Tables.documents(s, d))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(20)),
+
     "x_mm_decode" -> ((s, d) => {
       val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
       packed
@@ -369,6 +383,23 @@ object OpsQueries {
          |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
          |      FROM asg e JOIN q ON e.cell = q.cell WHERE e.vec_id <> 0)
          |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_embed_quantize" ->
+      s"""WITH m AS (SELECT vec_id,
+         |  list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+         |  list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+         |  FROM embeddings)
+         |SELECT e.vec_id, round(m.lo, 4) AS lo, round(m.hi, 4) AS hi,
+         |  CAST(t.i - 1 AS INT) AS dim,
+         |  CAST(round((CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) - m.lo) /
+         |    (CASE WHEN m.hi = m.lo THEN 1 ELSE m.hi - m.lo END) * 255) AS INT) AS qv
+         |FROM embeddings e JOIN m ON e.vec_id = m.vec_id,
+         |  UNNEST(range(1, len(e.embedding) + 1)) AS t(i)""".stripMargin,
+
+    "x_text_vocab" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($Toks)) AS token FROM documents),
+         |df AS (SELECT token, count(*) AS doc_freq FROM t GROUP BY token)
+         |SELECT token, doc_freq FROM df ORDER BY doc_freq DESC, token LIMIT 20""".stripMargin,
 
     "x_mm_decode" ->
       s"""WITH h AS (SELECT doc_id, CAST(len(text) AS INT) AS byte_len,
