@@ -187,7 +187,10 @@ object Similarity {
     * lo + q/255*(hi-lo). Constant vectors (hi == lo) quantize to zeros.
     * Pure per-row expressions — map-only at any scale. */
   def quantizeInt8(vec: Column): Column = {
-    val v = dbl(vec)
+    // array-level Cast, not a per-element transform lambda: lo/hi get
+    // re-evaluated per exploded output row downstream, and Cast+ArrayMin
+    // are codegen'd while a HOF lambda is interpreted per element
+    val v = vec.cast("array<double>")
     val lo = array_min(v)
     val hi = array_max(v)
     val scale = when(hi === lo, lit(1.0)).otherwise(hi - lo)

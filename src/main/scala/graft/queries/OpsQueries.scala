@@ -84,12 +84,22 @@ object OpsQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", queryId = 0L, k = 10)),
 
-    // int8 scalar quantization, verified per (vector, dimension) element
+    // int8 scalar quantization, verified per (vector, dimension) element.
+    // lo/hi live in a project BELOW the Generate (multiply-referenced, so
+    // CollapseProject can't inline them into the generator) — otherwise
+    // the per-element lambda recomputes the array min/max per output row
     "x_embed_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
-        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
-        .select(col("vec_id"), col("z.lo").as("lo"), col("z.hi").as("hi"),
-          posexplode(col("z.q")).as(Seq("dim", "qv")))),
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("lo0", array_min(col("v")))
+        .withColumn("hi0", array_max(col("v")))
+        .withColumn("scale0",
+          when(col("hi0") === col("lo0"), lit(1.0)).otherwise(col("hi0") - col("lo0")))
+        .select(col("vec_id"), round(col("lo0"), 4).as("lo"),
+          round(col("hi0"), 4).as("hi"),
+          posexplode(transform(col("v"),
+            x => round((x - col("lo0")) / col("scale0") * 255).cast("int")))
+            .as(Seq("dim", "qv")))),
 
     // corpus vocabulary: top-20 tokens by document frequency
     // (TakeOrderedAndProject — per-partition top-k before the driver merge)
