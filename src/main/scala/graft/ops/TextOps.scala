@@ -124,6 +124,29 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Per-document top TF-IDF term: term frequency from the token multiset,
+    * document frequency from [[docFrequency]], idf = ln(N / df). N arrives
+    * as a broadcast one-row aggregate (no driver-side action), the df table
+    * joins by token (broadcast-sized for real vocabularies), and the top
+    * term per document reduces through one window pass. */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = docFrequency(df, textCol)
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("doc_freq")), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"), col("tfidf"))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -107,6 +107,17 @@ object OpsQueries {
       TextOps.docFrequency(Tables.documents(s, d))
         .orderBy(col("doc_freq").desc, col("token"))
         .limit(20)),
+
+    // per-document top TF-IDF term
+    "x_text_tfidf" -> ((s, d) =>
+      TextOps.tfidfTop(Tables.documents(s, d), "doc_id")),
+
+    // deterministic hash-based stratified sampling: downsample dominant
+    // languages, keep rare ones — reproducible on any cluster layout
+    "x_sample_stratified" -> ((s, d) =>
+      Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
+        .select("doc_id", "lang")),
 
     "x_mm_decode" -> ((s, d) => {
       val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
@@ -410,6 +421,24 @@ object OpsQueries {
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($Toks)) AS token FROM documents),
          |df AS (SELECT token, count(*) AS doc_freq FROM t GROUP BY token)
          |SELECT token, doc_freq FROM df ORDER BY doc_freq DESC, token LIMIT 20""".stripMargin,
+
+    "x_text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+         |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq), 4) AS tfidf
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tf, doc_freq, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token) AS rn FROM s) WHERE rn = 1""".stripMargin,
+
+    "x_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0
+        |  < (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.5 ELSE 1.0 END)""".stripMargin,
 
     "x_mm_decode" ->
       s"""WITH h AS (SELECT doc_id, CAST(len(text) AS INT) AS byte_len,
