@@ -67,6 +67,39 @@ object Streaming {
     l.join(r, cond, "inner")
   }
 
+  /** Streaming upsert into a [[graft.table.ManagedTable]]: each micro-batch
+    * merges on `mergeCondition` (alias `source` = table, `updates` = batch,
+    * reference getl/common/delta_table.py:27-44), after an in-batch dedup
+    * on `keyCols` keeping the LAST row per key in `orderCol` order — so
+    * replays and within-batch duplicates can't double-apply.
+    *
+    * This is the reference's stream_delta sink upgraded from append-only to
+    * merge semantics; with Trigger.AvailableNow it runs as an incremental
+    * exactly-once-per-key batch over a backlog. The merge itself is
+    * O(table) per batch (snapshot rewrite) — at scale, partition the table
+    * so the anti-join rewrite prunes to touched partitions.
+    */
+  def streamUpsert(events: DataFrame, table: graft.table.ManagedTable,
+                   keyCols: Seq[String], orderCol: String,
+                   mergeCondition: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    events.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", s"${table.path}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        table.merge(deduped, mergeCondition, upsert = true)
+        ()
+      }
+      .start()
+      .awaitTermination()
+  }
+
   /** One event inside a session group. */
   case class SessionEvent(user_id: Long, ts: Timestamp)
 

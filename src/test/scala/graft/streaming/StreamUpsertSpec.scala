@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSuite
+import graft.table.ManagedTable
+
+class StreamUpsertSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streamUpsert merges latest-per-key into a managed table") {
+    val w = graft.common.Scratch.dir("test", "stream_upsert")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+
+    // seed table: keys 1, 2
+    val table = ManagedTable(spark, s"$w/table")
+    table.write(Seq((1L, 0L, "seed1"), (2L, 0L, "seed2")).toDF("id", "ver", "payload"))
+
+    // stream carries key 2 twice (versions 1 and 2) and a new key 3
+    Seq((2L, 1L, "old2"), (2L, 2L, "new2"), (3L, 1L, "new3"))
+      .toDF("id", "ver", "payload")
+      .write.json(s"$w/in")
+    val schema = StructType.fromDDL("id BIGINT, ver BIGINT, payload STRING")
+    Streaming.streamUpsert(
+      spark.readStream.schema(schema).json(s"$w/in"),
+      table, keyCols = Seq("id"), orderCol = "ver",
+      mergeCondition = "source.id == updates.id")
+
+    val got = table.read().as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 0L, "seed1"),  // untouched
+      (2L, 2L, "new2"),   // within-batch dedup kept the latest version
+      (3L, 1L, "new3")))  // new key inserted
+  }
+
+  test("streamUpsert is idempotent across replays of the same input") {
+    val w = graft.common.Scratch.dir("test", "stream_upsert_replay")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val table = ManagedTable(spark, s"$w/table")
+    Seq((1L, 5L, "x")).toDF("id", "ver", "payload").write.json(s"$w/in")
+    val schema = StructType.fromDDL("id BIGINT, ver BIGINT, payload STRING")
+    def run(): Unit = Streaming.streamUpsert(
+      spark.readStream.schema(schema).json(s"$w/in"),
+      table, Seq("id"), "ver", "source.id == updates.id")
+    run()
+    val v1 = table.currentVersion
+    run() // checkpoint marks the input processed: no new merge commits
+    assert(table.currentVersion == v1)
+    assert(table.read().count() == 1)
+  }
+}
