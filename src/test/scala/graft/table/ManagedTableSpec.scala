@@ -84,6 +84,20 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.history().size === 1)
   }
 
+  test("partitioned snapshots prune partitions on filtered reads") {
+    import org.apache.spark.sql.functions.col
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq.tabulate(60)(i => (s"p${i % 3}", i)).toDF("part", "id"),
+      partitionBy = Seq("part"))
+    val filtered = t.read().where(col("part") === "p1")
+    assert(filtered.count() === 20)
+    val scan = filtered.queryExecution.executedPlan.toString
+    // the partition filter must reach the scan's directory pruning, not
+    // run as a post-scan row filter over all partitions
+    assert(scan.contains("PartitionFilters: [isnotnull(part"),
+      s"expected partition pruning in:\n$scan")
+  }
+
   test("registerAs exposes a catalog view over the current snapshot") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq((1, "a")).toDF("id", "v"))
