@@ -157,6 +157,15 @@ object AnalyticsQueries {
           Tables.lineitem(s, d).where(col("l_discount") >= 0.08)
             .select(col("l_partkey").as("k")))),
 
+    // UNPIVOT/melt: wide per-status aggregates into (metric, value) rows
+    "q_unpivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum("o_totalprice"), 2).as("sum_price"),
+          round(avg("o_totalprice"), 2).as("avg_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("sum_price"), col("avg_price")), "metric", "value")),
+
     // sliding window frame: 7-day moving average of daily revenue. The
     // unpartitioned window runs on the already-reduced daily table (rows =
     // days), so the single-task sort is over a tiny input at any sf.
@@ -245,6 +254,13 @@ object AnalyticsQueries {
       """SELECT p_partkey AS k FROM part WHERE p_retailprice > 1400
         |INTERSECT
         |SELECT l_partkey AS k FROM lineitem WHERE l_discount >= 0.08""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price,
+        |           round(avg(o_totalprice), 2) AS avg_price
+        |           FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM a
+        |UNION ALL
+        |SELECT o_orderstatus, 'avg_price' AS metric, avg_price AS value FROM a""".stripMargin,
     "q_window_moving" ->
       """WITH dly AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS rev
         |             FROM events GROUP BY 1)
