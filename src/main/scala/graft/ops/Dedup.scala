@@ -318,6 +318,18 @@ object Dedup {
     * column): pairs are generated per block via equi-join — the standard
     * blocked-dedup shape; an unblocked variant at 100 TB would use the LSH
     * bucketer in [[Similarity]] instead. */
+  /** Unblocked embedding near-dup: when no natural blocking column exists,
+    * the random-hyperplane LSH bucket IS the blocking key — vectors only
+    * pair within their signature bucket, so the corpus never cross-joins.
+    * Recall is tunable by plane count (fewer planes → bigger buckets →
+    * higher recall and cost); exact cosine verifies every candidate. */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int, threshold: Double): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), nPlanes).as("__bucket"))
+    embeddingNearDupPairs(bucketed, idCol, vecCol, "__bucket", threshold)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
     // double-cast and L2 norm are per-VECTOR quantities: computing them

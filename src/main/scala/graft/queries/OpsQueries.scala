@@ -69,6 +69,12 @@ object OpsQueries {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", threshold = 0.4)),
 
+    // unblocked near-dup: the LSH bucket is the blocking key (the 100 TB
+    // path when no label/cluster column exists)
+    "x_embed_lsh_pairs" -> ((s, d) =>
+      Dedup.embeddingLshPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", nPlanes = 4, threshold = 0.3)),
+
     "x_embed_centroid" -> ((s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")),
 
@@ -367,6 +373,14 @@ object OpsQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
+
+    "x_embed_lsh_pairs" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |  round(${cosineSql("l.embedding", "r.embedding")}, 4) AS cosine
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
 
     "x_embed_centroid" ->
       s"""SELECT label, CAST(t.dim AS INT) AS dim,
