@@ -41,10 +41,15 @@ object AsofJoin {
     val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
     val paySorted = payload.toSeq.sortBy(_._1)
 
-    val rightTagged = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(rightOrd).as("__ord"),
-        struct(paySorted.map { case (src, dst) => col(src).as(dst) }: _*).as("__pay")): _*)
+    // equi-join semantics: a null key matches nothing. The window below
+    // partitions nulls TOGETHER, so null-key right rows must be dropped
+    // here or null-key left rows would pick up their payloads.
+    val rightTagged = right
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(rightOrd).as("__ord"),
+          struct(paySorted.map { case (src, dst) => col(src).as(dst) }: _*).as("__pay")): _*)
       .withColumn("__lrow", lit(null).cast(
         org.apache.spark.sql.types.StructType(left.schema.fields)))
 

@@ -23,7 +23,8 @@ import graft.common.FsUtils
   *     old + new dirs — O(new data), NOT O(table); the same holds for the
   *     registries' insert-if-absent merge;
   *   - upsert-merge / UPDATE rewrite into a fresh dir (one declarative
-  *     plan — anti-join + union, broadcast-hinted for small update sets);
+  *     plan — anti-join + union; AQE picks broadcast at runtime when the
+  *     update set is small);
   *   - time travel reads any manifest's dir list (SnapshotDiff registry);
   *   - OPTIMIZE compacts the current dir list into one dir (ZORDER ≈
   *     range-partition + sortWithinPartitions for parquet min/max
@@ -111,16 +112,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             partitionBy: Seq[String] = Nil): Long = {
     if (!exists) return write(updates, partitionBy)
     val target = read()
+    // no explicit broadcast hint on either side: updates batches and the
+    // target both grow without bound at scale, and a forced broadcast of
+    // the anti-join build side would OOM; AQE converts the exchange to a
+    // broadcast at runtime whenever the observed size is actually small
     if (upsert)
       write(
         target.alias("source")
-          .join(broadcast(updates.alias("updates")), expr(condition), "left_anti")
+          .join(updates.alias("updates"), expr(condition), "left_anti")
           .unionByName(updates, allowMissingColumns = true),
         partitionBy)
     else
       append(
         updates.alias("updates")
-          .join(broadcast(target.alias("source")), expr(condition), "left_anti"),
+          .join(target.alias("source"), expr(condition), "left_anti"),
         partitionBy)
   }
 

@@ -41,6 +41,17 @@ class JoinOpsSpec extends SparkSuite {
     assert(out("a").contains(100.0))
   }
 
+  test("asofJoin never matches null keys (equi-join semantics)") {
+    val l = Seq((Option.empty[Long], ts("2024-01-01 12:00:00"), "nk"))
+      .toDF("key", "tts", "tag")
+    val r = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), 99.0))
+      .toDF("key", "qts", "price")
+    val out = AsofJoin.asofJoin(l, r, Seq("key"), "tts", "qts",
+      Map("price" -> "price"))
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("nk" -> None)) // left row kept, no null-key match
+  }
+
   test("asofJoin keeps every left row and all left columns") {
     val out = AsofJoin.asofJoin(trades, quotes, Seq("key"), "tts", "qts",
       Map("price" -> "p", "qts" -> "matched_at"))
