@@ -65,9 +65,13 @@ object Multimodal {
                    chunkBytes: Int): DataFrame = {
     val payload = col(payloadCol)
     val nFrames = ceil(length(payload).cast("double") / chunkBytes).cast("long")
+    // sequence(0, -1) would generate a DESCENDING [0, -1] for an empty
+    // payload — guard to an empty frame list instead (zero output rows)
+    val frameIdxs = when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+      .otherwise(array().cast("array<bigint>"))
     df.select(
       col(idCol),
-      explode(transform(sequence(lit(0L), nFrames - 1),
+      explode(transform(frameIdxs,
         i => struct(
           i.as("frame_idx"),
           md5(call_function("substring", payload, i * chunkBytes + 1, lit(chunkBytes)))

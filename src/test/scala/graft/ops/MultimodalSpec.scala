@@ -27,6 +27,15 @@ class MultimodalSpec extends SparkSuite {
     assert(viaExpr.toSeq === viaBatch.toSeq)
   }
 
+  test("sampleFrames yields zero rows for an empty payload") {
+    val df = Seq((1L, ""), (2L, "abcdef")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", chunkBytes = 4)
+    val perDoc = frames.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(2L -> 2L)) // doc 1 absent, doc 2 has ceil(6/4)=2
+  }
+
   test("resizeStub caps the long side and preserves aspect ratio direction") {
     val df = Seq((1L, 400L, 200L)).toDF("id", "width", "height")
       .withColumn("m", org.apache.spark.sql.functions.struct($"width", $"height"))
