@@ -28,6 +28,7 @@ object RangeJoin {
   def intervalJoin(intervals: DataFrame, startCol: String, endCol: String,
                    points: DataFrame, ptCol: String,
                    payload: Seq[String], widthDays: Int = 7): DataFrame = {
+    require(widthDays >= 1, s"widthDays must be positive, got $widthDays")
     val iv = intervals.withColumn("__bucket",
       explode(sequence(
         dayBucket(col(startCol), widthDays),

@@ -26,6 +26,8 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
                 partials: Map[String, (Column, Column)]): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
+    require(partials.nonEmpty, "at least one aggregate required")
     // deterministic salt (hash of the whole row % buckets) rather than
     // rand(): reruns and retried tasks produce identical partials
     val salted = df.withColumn("__salt",
@@ -50,6 +52,7 @@ object Skew {
     */
   def saltedJoin(skewedLeft: DataFrame, right: DataFrame,
                  joinKeys: Seq[String], saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
     val l = skewedLeft.withColumn("__salt",
       pmod(hash(skewedLeft.columns.map(col): _*), lit(saltBuckets)))
     val r = right.withColumn("__salt",
