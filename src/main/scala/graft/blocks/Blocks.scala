@@ -325,7 +325,16 @@ object WriteBlocks {
 
   private def fileWrite(c: BlockConfig, format: String): DataFrame = {
     val df = c.inputDf
-    val w = df.write.mode(c.props.getOrElse("Mode", "overwrite"))
+    // output-file sizing (the small-files problem): `Repartition: n`
+    // rebalances via a shuffle, `Coalesce: n` merges without one — at
+    // scale, a sink that writes thousands of KB-sized files per partition
+    // costs more in listing/open overhead downstream than the write itself
+    val sized = (c.props.getStringOpt("Repartition"), c.props.getStringOpt("Coalesce")) match {
+      case (Some(n), _) => df.repartition(n.toInt)
+      case (None, Some(n)) => df.coalesce(n.toInt)
+      case _ => df
+    }
+    val w = sized.write.mode(c.props.getStringOpt("Mode").getOrElse("overwrite"))
       .options(c.props.stringOptions("Options"))
     val pb =
       if (c.props.exists("PartitionBy.Columns"))
@@ -346,7 +355,7 @@ object WriteBlocks {
       .option("dbtable", c.props.getString("Table"))
       .option("user", c.props.getString("User"))
       .option("password", c.props.getString("Password"))
-      .option("numPartitions", c.props.getOrElse("NumPartitions", 10).toString)
+      .option("numPartitions", c.props.getStringOpt("NumPartitions").getOrElse("10"))
       .option("isolationLevel", "READ_COMMITTED")
       .save()
     df

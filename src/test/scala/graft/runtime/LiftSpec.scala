@@ -87,6 +87,27 @@ class LiftSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("write blocks size output files via Repartition") {
+    val out = tmp()
+    val yaml =
+      s"""LiftJob:
+         |  Raw:
+         |    Type: load::batch_parquet
+         |    Properties:
+         |      Path: $sf1/orders.parquet
+         |  Out:
+         |    Type: write::batch_parquet
+         |    Input: Raw
+         |    Properties:
+         |      Path: $out/sized
+         |      Repartition: 2
+         |""".stripMargin
+    Lift.lift(spark, yaml)
+    val files = new java.io.File(s"$out/sized").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2)
+  }
+
   test("parameters bind strings and raw objects (custom function block)") {
     val fn: Map[String, Any] => Any = { in =>
       val df = in("Raw").asInstanceOf[DataFrame]
