@@ -180,6 +180,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic distributed k-means (Lloyd's) — the IVF coarse-quantizer
+    * training step. Seeds are the k vectors with the smallest md5(id)
+    * (reproducible without RNG state); each iteration broadcasts the tiny
+    * centroid table, assigns every vector to its nearest centroid by
+    * squared L2 map-side, and reduces new centroids with one shuffle of
+    * (cell, dim) partial sums. Only k×dim doubles ever reach the driver —
+    * the corpus never does. Ties break by cell id; empty cells drop.
+    *
+    * Returns one row per (cell, dim) with the centroid mean — the same
+    * shape [[centroids]] produces, feeding [[ivfTopK]]-style probing.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int, scale: Int = 4): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val centSchema = StructType(Seq(
+      StructField("cell", LongType), StructField("cvec", ArrayType(DoubleType))))
+    def centsDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cs.map(c => Row(c._1, c._2)), 1), centSchema)
+
+    // each iteration ends in a k×dim collect, so the next pass scans the
+    // corpus exactly once against a literal centroid table instead of
+    // re-deriving every previous iteration lazily
+    var cents: Seq[(Long, Seq[Double])] = df
+      .orderBy(Dedup.h32(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(idCol).cast("long"), dbl(col(vecCol)))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+      cents = df.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(centsDf(cents)))
+        .withColumn("dist", sqDist(col(vecCol), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cell"), posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        // 6-dp rounding between iterations: distributed summation order
+        // is engine-specific, and unrounded ULP noise in a centroid could
+        // flip a near-tie assignment next pass — rounding pins both
+        // engines to identical centroids
+        .agg(round(avg(col("x")), 6).as("mean"))
+        .orderBy(col("cell"), col("dim"))
+        .collect().toSeq
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cell, rows) => (cell, rows.map(_.getDouble(2))) }
+    }
+    centsDf(cents)
+      .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "mean")))
+      .select(col("cell"), col("dim"), round(col("mean"), scale).as("mean"))
+  }
+
   /** Per-vector int8 scalar quantization: maps each component onto
     * round((x - lo) / (hi - lo) * 255) with the vector's own [lo, hi]
     * range — the classic 4x storage cut before ANN indexing. Returns a

@@ -78,6 +78,12 @@ object OpsQueries {
     "x_embed_centroid" -> ((s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")),
 
+    // deterministic Lloyd's k-means (the IVF quantizer training step):
+    // md5-seeded init, 2 iterations, centroids rounded between passes
+    "x_embed_kmeans" -> ((s, d) =>
+      Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
     "x_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 0L, k = 10)),
@@ -373,6 +379,29 @@ object OpsQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin,
+
+    "x_embed_kmeans" -> {
+      def assign(cents: String) =
+        s"""SELECT vec_id, vec, cell,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM (SELECT v.vec_id, v.vec, c.cell,
+           |    ${sqDistSql("v.vec", "c.cvec")} AS dist
+           |    FROM v CROSS JOIN $cents c)""".stripMargin
+      def means(a: String) =
+        s"""SELECT cell, CAST(t.dim AS INT) AS dim, round(avg(vec[t.dim + 1]), 6) AS mean
+           |  FROM $a, UNNEST(range(len(vec))) AS t(dim) WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |           FROM embeddings),
+         |s0 AS (SELECT vec_id AS cell, vec AS cvec FROM v
+         |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+         |       LIMIT 8),
+         |a1 AS (${assign("s0")}),
+         |m1 AS (${means("a1")}),
+         |c1 AS (SELECT cell, list(mean ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+         |a2 AS (${assign("c1")}),
+         |m2 AS (${means("a2")})
+         |SELECT cell, dim, round(mean, 4) AS mean FROM m2""".stripMargin
+    },
 
     "x_embed_lsh_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
