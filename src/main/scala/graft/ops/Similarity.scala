@@ -255,6 +255,34 @@ object Similarity {
       transform(v, x => round((x - lo) / scale * 255).cast("int")).as("q"))
   }
 
+  /** IVF top-k over a [[kmeans]]-trained quantizer: train `nCells`
+    * centroids, assign every vector to its nearest cell (broadcast
+    * map-only argmin, same shape as [[ivfTopK]]), probe the query's cell
+    * with exact cosine. The full self-trained IVF pipeline — no
+    * pre-existing label column required. */
+  def ivfTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, nCells: Int, iters: Int): DataFrame = {
+    val cvecs = kmeans(df, idCol, vecCol, nCells, iters)
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+      .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .persist()
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("cell"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), "cell")
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-query-group ranked neighbours (window form): given a candidates
     * DataFrame of (queryId, candId, score), keep the top-k per query. The
     * window partitions by query so the sort is per-group, not global. */

@@ -96,6 +96,12 @@ object OpsQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", queryId = 0L, k = 10)),
 
+    // the self-trained IVF pipeline: k-means quantizer -> cell assignment
+    // -> single-cell probe
+    "x_ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTopKTrained(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 10, nCells = 8, iters = 2)),
+
     // int8 scalar quantization, verified per (vector, dimension) element.
     // lo/hi live in a project BELOW the Generate (multiply-referenced, so
     // CollapseProject can't inline them into the generator) — otherwise
@@ -401,6 +407,35 @@ object OpsQueries {
          |a2 AS (${assign("c1")}),
          |m2 AS (${means("a2")})
          |SELECT cell, dim, round(mean, 4) AS mean FROM m2""".stripMargin
+    },
+
+    "x_ann_ivf_trained" -> {
+      def assign(cents: String) =
+        s"""SELECT vec_id, vec, cell,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM (SELECT v.vec_id, v.vec, c.cell,
+           |    ${sqDistSql("v.vec", "c.cvec")} AS dist
+           |    FROM v CROSS JOIN $cents c)""".stripMargin
+      def means(a: String) =
+        s"""SELECT cell, CAST(t.dim AS INT) AS dim, round(avg(vec[t.dim + 1]), 6) AS mean
+           |  FROM $a, UNNEST(range(len(vec))) AS t(dim) WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |           FROM embeddings),
+         |s0 AS (SELECT vec_id AS cell, vec AS cvec FROM v
+         |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+         |       LIMIT 8),
+         |a1 AS (${assign("s0")}),
+         |m1 AS (${means("a1")}),
+         |c1 AS (SELECT cell, list(mean ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+         |a2 AS (${assign("c1")}),
+         |m2 AS (${means("a2")}),
+         |c2 AS (SELECT cell, list(round(mean, 4) ORDER BY dim) AS cvec FROM m2 GROUP BY cell),
+         |asg AS (${assign("c2")}),
+         |q AS (SELECT vec AS qv, cell FROM asg WHERE vec_id = 0 AND rn = 1),
+         |sc AS (SELECT e.vec_id, round(${cosineSql("e.vec", "q.qv")}, 3) AS cosine
+         |       FROM asg e JOIN q ON e.cell = q.cell
+         |       WHERE e.rn = 1 AND e.vec_id <> 0)
+         |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
     "x_embed_lsh_pairs" ->
