@@ -130,6 +130,10 @@ object OpsQueries {
     "x_text_tfidf" -> ((s, d) =>
       TextOps.tfidfTop(Tables.documents(s, d), "doc_id")),
 
+    // Gopher-style repetition signal: top-trigram fraction per document
+    "x_text_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id")),
+
     // deterministic hash-based stratified sampling: downsample dominant
     // languages, keep rare ones — reproducible on any cluster layout
     "x_sample_stratified" -> ((s, d) =>
@@ -511,6 +515,19 @@ object OpsQueries {
          |SELECT doc_id, token, tf, doc_freq, tfidf FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, token) AS rn FROM s) WHERE rn = 1""".stripMargin,
+
+    "x_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(toks) - 1),
+         |          i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS tris FROM t),
+         |e AS (SELECT doc_id, unnest(tris) AS tri FROM g),
+         |c AS (SELECT doc_id, tri, count(*) AS n FROM e GROUP BY 1, 2),
+         |m AS (SELECT doc_id, CAST(max(n) AS INT) AS max_tri, CAST(sum(n) AS INT) AS n_tri
+         |      FROM c GROUP BY 1)
+         |SELECT g.doc_id, coalesce(m.max_tri, 0) AS max_tri, coalesce(m.n_tri, 0) AS n_tri,
+         |  round(CAST(coalesce(m.max_tri, 0) AS DOUBLE) / greatest(coalesce(m.n_tri, 0), 1), 4) AS rep_ratio
+         |FROM g LEFT JOIN m USING (doc_id)""".stripMargin,
 
     "x_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
