@@ -93,6 +93,29 @@ object StreamQueries {
       runToParquet(s, streamed, w)
     }),
 
+    // stream-static join: the streaming side enriches against a batch
+    // dimension computed once on the driver side of the plan — no state,
+    // the static side re-scans per micro-batch (broadcast-sized here)
+    "s_stream_enrich" -> ((s, d) => {
+      val w = scratch(s, "s_stream_enrich")
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+      ev.write.option("timestampFormat", TsFmt).json(s"$w/in")
+      val dim = Tables.events(s, d).groupBy("event_type")
+        .agg(round(min("value"), 2).as("w"))
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      // exact integer cents: value and w are 2-dp quantities, so their
+      // double product sits ON .005 boundaries where HALF_UP (Spark's
+      // BigDecimal round) and floating rounding (DuckDB) disagree
+      val streamed = s.readStream.schema(schema)
+        .option("timestampFormat", TsFmt).json(s"$w/in")
+        .join(broadcast(dim), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          (round(col("value") * 100).cast("long") *
+            round(col("w") * 100).cast("long")).as("weighted_e4"))
+      runToParquet(s, streamed, w)
+    }),
+
     // watermarked stream-stream interval join: every view by the same
     // user in the 24 h before each purchase (inner matches emit as both
     // sides arrive, so no sentinel is needed for determinism)
@@ -146,6 +169,12 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "s_stream_dedup" ->
       "SELECT event_id, ts, event_type FROM events",
+    "s_stream_enrich" ->
+      """WITH dim AS (SELECT event_type, round(min(value), 2) AS w
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  CAST(round(e.value * 100) AS BIGINT) * CAST(round(dim.w * 100) AS BIGINT) AS weighted_e4
+        |FROM events e JOIN dim USING (event_type)""".stripMargin,
     "s_stream_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
         |FROM events p JOIN events v ON p.user_id = v.user_id
