@@ -15,8 +15,8 @@ import graft.table.ManagedTable
   * getl/fileregistry/fileregistry_utils.py + s3_full_scan.py).
   *
   * State is a [[ManagedTable]] of `(file_path, [prefix_date,] date_lifted)`
-  * rows. All operations are single Spark plans: anti-insert is a broadcast
-  * left-anti join (the new-file set is tiny vs. the registry), and the lift
+  * rows. All operations are single Spark plans: anti-insert is a left-anti
+  * join (AQE broadcasts the small side at runtime), and the lift
   * flush is one projection pass — the registry never iterates rows on the
   * driver except to hand the path list to `spark.read.load(paths:_*)`,
   * which is exactly the reference's coarse-grained file pruning.
