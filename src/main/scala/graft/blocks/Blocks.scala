@@ -23,6 +23,7 @@ object BlockRegistry {
     "load::batch_parquet" -> LoadBlocks.batchParquet,
     "load::batch_json" -> LoadBlocks.batchJson,
     "load::batch_xml" -> LoadBlocks.batchXml,
+    "load::batch_orc" -> LoadBlocks.batchOrc,
     "load::batch_delta" -> LoadBlocks.batchDelta,
     "load::stream_json" -> LoadBlocks.streamJson,
     "load::jdbc" -> LoadBlocks.jdbc,
@@ -33,6 +34,7 @@ object BlockRegistry {
     "write::batch_json" -> WriteBlocks.batchJson,
     "write::batch_parquet" -> WriteBlocks.batchParquet,
     "write::batch_csv" -> WriteBlocks.batchCsv,
+    "write::batch_orc" -> WriteBlocks.batchOrc,
     "write::batch_jdbc" -> WriteBlocks.batchJdbc,
     "write::batch_delta" -> WriteBlocks.batchDelta,
     "write::stream_delta" -> WriteBlocks.streamDelta,
@@ -52,6 +54,11 @@ object LoadBlocks {
     * (entrypoint.py:53-72). */
   def batchParquet(c: BlockConfig): DataFrame =
     batchRead(c, "parquet", suffix = ".parquet")
+
+  /** ORC batch read (beyond the reference; Spark-native columnar source
+    * with the same pushdown/pruning properties as parquet). */
+  def batchOrc(c: BlockConfig): DataFrame =
+    batchRead(c, "orc", suffix = ".orc")
 
   /** JSON batch read; schema via JsonSchemaPath/JsonSchema/SparkSchema else
     * inferred; `Suffix` default `.json` (entrypoint.py:75-118). */
@@ -322,6 +329,7 @@ object WriteBlocks {
   def batchJson(c: BlockConfig): DataFrame = fileWrite(c, "json")
   def batchParquet(c: BlockConfig): DataFrame = fileWrite(c, "parquet")
   def batchCsv(c: BlockConfig): DataFrame = fileWrite(c, "csv")
+  def batchOrc(c: BlockConfig): DataFrame = fileWrite(c, "orc")
 
   private def fileWrite(c: BlockConfig, format: String): DataFrame = {
     val df = c.inputDf

@@ -87,6 +87,29 @@ class LiftSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("orc write and read round-trip") {
+    val out = tmp()
+    val yaml =
+      s"""LiftJob:
+         |  Raw:
+         |    Type: load::batch_parquet
+         |    Properties:
+         |      Path: $sf0/nation.parquet
+         |  Out:
+         |    Type: write::batch_orc
+         |    Input: Raw
+         |    Properties:
+         |      Path: $out/orc
+         |  Back:
+         |    Type: load::batch_orc
+         |    Properties:
+         |      Path: $out/orc
+         |""".stripMargin
+    val log = Lift.lift(spark, yaml)
+    assert(log.getDf("Back").count() ==
+      spark.read.parquet(s"$sf0/nation.parquet").count())
+  }
+
   test("write blocks size output files via Repartition") {
     val out = tmp()
     val yaml =
