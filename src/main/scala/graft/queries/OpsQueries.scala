@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -133,6 +133,14 @@ object OpsQueries {
     // Gopher-style repetition signal: top-trigram fraction per document
     "x_text_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id")),
+
+    // concat-and-chunk sequence packing: each doc assigned the 2048-token
+    // training chunk its first token falls in (two-level prefix sum)
+    "x_pack_chunks" -> ((s, d) =>
+      Packing.packChunks(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 2048, blockSize = 100)),
 
     // deterministic hash-based stratified sampling: downsample dominant
     // languages, keep rare ones — reproducible on any cluster layout
@@ -528,6 +536,18 @@ object OpsQueries {
          |SELECT g.doc_id, coalesce(m.max_tri, 0) AS max_tri, coalesce(m.n_tri, 0) AS n_tri,
          |  round(CAST(coalesce(m.max_tri, 0) AS DOUBLE) / greatest(coalesce(m.n_tri, 0), 1), 4) AS rep_ratio
          |FROM g LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "x_pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  coalesce(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(floor(CAST(before AS DOUBLE) / 2048) AS BIGINT) AS chunk_id
+        |FROM c""".stripMargin,
 
     "x_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
