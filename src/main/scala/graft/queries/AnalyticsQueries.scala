@@ -72,6 +72,23 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // TPC-H Q15-shaped: top supplier by quarterly revenue (scalar-subquery
+    // max via a broadcast one-row aggregate — no driver action)
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+
     // window function: per-customer order ranking (Spark SQL surface)
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -209,6 +226,14 @@ object AnalyticsQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
         |SELECT o_custkey, o_orderkey,
