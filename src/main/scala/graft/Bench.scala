@@ -5,12 +5,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors))
-    System.setProperty("derby.system.home", graft.common.Scratch.dir("spark", "derby"))
+    System.setProperty("derby.system.home",
+      graft.common.Scratch.dir("spark", s"derby-${ProcessHandle.current().pid()}"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", "warehouse"))
+      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup: the first execution of each pipeline shape pays

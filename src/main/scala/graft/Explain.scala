@@ -6,13 +6,14 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    System.setProperty("derby.system.home", graft.common.Scratch.dir("spark", "derby"))
+    System.setProperty("derby.system.home",
+      graft.common.Scratch.dir("spark", s"derby-${ProcessHandle.current().pid()}"))
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", "warehouse"))
+      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -137,15 +137,18 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name")
     }),
 
-    // exact interpolated percentiles (single-pass sort-based aggregate;
-    // at 100 TB swap `percentile` for `percentile_approx` sketch merge)
+    // exact discrete percentiles (single-pass sort-based aggregate; at
+    // 100 TB swap for the `percentile_approx` sketch merge). DISC, not
+    // CONT: interpolated midpoints are float arithmetic the two engines
+    // round differently at .005 boundaries, while disc returns an actual
+    // data value — bit-identical everywhere.
     "q_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"))),
 
     // pivot (one shuffle: the pivot column folds into conditional
     // aggregates, not per-value passes; values enumerated so the plan is
@@ -262,9 +265,9 @@ object AnalyticsQueries {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
-        |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |quantile_disc(l_extendedprice, 0.5) AS p50,
+        |quantile_disc(l_extendedprice, 0.9) AS p90,
+        |quantile_disc(l_extendedprice, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,

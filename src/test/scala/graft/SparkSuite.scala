@@ -15,7 +15,8 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = {
-    System.setProperty("derby.system.home", graft.common.Scratch.dir("spark", "derby"))
+    System.setProperty("derby.system.home",
+      graft.common.Scratch.dir("spark", s"derby-${ProcessHandle.current().pid()}"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -23,7 +24,7 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", "warehouse"))
+      .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
