@@ -241,7 +241,13 @@ object Similarity {
     * range — the classic 4x storage cut before ANN indexing. Returns a
     * struct (lo, hi, q: array<int>); dequantization is
     * lo + q/255*(hi-lo). Constant vectors (hi == lo) quantize to zeros.
-    * Pure per-row expressions — map-only at any scale. */
+    * Pure per-row expressions — map-only at any scale.
+    *
+    * Caveat: don't `posexplode` the `q` field of this struct directly —
+    * the Generate inlines the whole expression and re-evaluates the
+    * min/max per output row. Stage lo/hi/scale as plain columns in a
+    * project below the explode instead (see the `x_embed_quantize` query
+    * for the pattern; measured 14x difference). */
   def quantizeInt8(vec: Column): Column = {
     // array-level Cast, not a per-element transform lambda: lo/hi get
     // re-evaluated per exploded output row downstream, and Cast+ArrayMin
