@@ -159,8 +159,14 @@ object LoadBlocks {
       case None if format != "parquet" => reader.option("inferSchema", "true")
       case None => reader
     }
-    withSchema.load(paths: _*)
+    applyAlias(c, withSchema.load(paths: _*))
   }
+
+  /** `Alias` names the plan for self-join disambiguation. (The reference
+    * documents Alias but discards the aliased frame —
+    * load/entrypoint.py:15-23; a real alias is strictly more useful.) */
+  private def applyAlias(c: BlockConfig, df: DataFrame): DataFrame =
+    c.props.getStringOpt("Alias").fold(df)(df.alias)
 
   /** Registry-driven file pruning (entrypoint.py:311-322): when a
     * `FileRegistry` is configured, the scan is narrowed to unprocessed
