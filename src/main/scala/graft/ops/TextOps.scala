@@ -126,17 +126,25 @@ object TextOps {
 
   /** Per-document top TF-IDF term: term frequency from the token multiset,
     * document frequency from [[docFrequency]], idf = ln(N / df). N arrives
-    * as a broadcast one-row aggregate (no driver-side action), the df table
-    * joins by token (broadcast-sized for real vocabularies), and the top
-    * term per document reduces through one window pass. */
-  def tfidfTop(df: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    * as a broadcast one-row aggregate (no driver-side action); the df table
+    * joins by token through a plain shuffle join — the vocabulary is
+    * O(corpus) on a web-scale crawl (billions of distinct tokens), so a
+    * broadcast here would OOM every executor; AQE still downgrades the
+    * exchange to a broadcast at runtime when the observed vocabulary is
+    * actually small. `minDocFreq` > 1 prunes the long hapax tail before the
+    * join (standard practice; hapaxes always win raw TF-IDF argmax, so the
+    * floor changes results — default 1 keeps exact semantics). The top term
+    * per document reduces through one window pass. */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String = "text",
+               minDocFreq: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = docFrequency(df, textCol)
+    val dfreq0 = docFrequency(df, textCol)
+    val dfreq = if (minDocFreq > 1L) dfreq0.where(col("doc_freq") >= minDocFreq) else dfreq0
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") / col("doc_freq")), 4))

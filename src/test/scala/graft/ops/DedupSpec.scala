@@ -36,4 +36,64 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq(1L -> 2L, 3L -> 1L))
   }
+
+  test("simhash bucket-cap split path equals brute force") {
+    // every signature shares band 0 (low 15 bits = 0x1234), so ALL docs
+    // land in one band-0 bucket; cap=5 forces that bucket through the
+    // secondary sub-band split, which must stay exact for distance <= 3
+    val base = 0x0ABCDE0FF1234L | 0x1234L
+    val sigs = (0 until 24).map { i =>
+      val flips = (i % 4) match {
+        case 0 => 0L                                  // identical to base
+        case 1 => 1L << (15 + (i % 40))               // hamming 1
+        case 2 => (1L << 20) | (1L << 45) | (1L << 59) // hamming 3 from base
+        case 3 => 0x3F0L << 30                        // hamming 6 — out
+      }
+      (i.toLong, base ^ flips)
+    }.toDF("id", "sig")
+
+    def brute(maxD: Int): Set[(Long, Long, Int)] = {
+      val rows = sigs.as[(Long, Long)].collect()
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxD
+      } yield (ia, ib, h)).toSet
+    }
+
+    val split = Dedup.simhashPairsFromSigs(sigs, maxDistance = 3, bucketCap = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val plain = Dedup.simhashPairsFromSigs(sigs, maxDistance = 3, bucketCap = 100000)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(split === brute(3))
+    assert(plain === brute(3))
+  }
+
+  test("ngram hot-shingle cap prunes boilerplate buckets, keeps real near-dups") {
+    // 12 docs share ONLY the boilerplate trailer; docs 100/101 are real
+    // near-dups of each other (and also carry the trailer)
+    val trailer = "all rights reserved worldwide"
+    val docs = ((0 until 12).map(i =>
+      (i.toLong, s"unique$i alpha$i beta$i gamma$i delta$i $trailer")) ++ Seq(
+      (100L, s"the quick brown fox jumps over the lazy dog $trailer"),
+      (101L, s"the quick brown fox jumps over the lazy cat $trailer")))
+      .toDF("doc_id", "text")
+
+    // uncapped: boilerplate-only pairs exist as candidates but fail the
+    // 0.3 threshold except the true pair; capped at df<=4 the trailer
+    // shingles (df=14) leave the index and the true pair must survive
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.3, maxShingleDf = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+
+    // candidate volume actually shrinks: with the cap the inverted-index
+    // join can no longer produce the 12-doc boilerplate clique at ANY
+    // threshold; without it every trailer pair is a candidate
+    val cappedAll = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.0, maxShingleDf = 4).count()
+    val uncappedAll = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.0, maxShingleDf = 0).count()
+    assert(cappedAll === 1L)
+    assert(uncappedAll >= (14L * 13L) / 2L)
+  }
 }

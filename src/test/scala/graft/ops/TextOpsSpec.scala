@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tfidfTop does not hint a broadcast of the vocabulary side") {
+    // the doc-frequency table is O(vocabulary) — corpus-sized on web data —
+    // so the only broadcast HINT in the plan must be the one-row n_docs
+    // aggregate; the token join has to stay a plain (AQE-managed) shuffle
+    // join. Hints survive into the optimized plan as JoinHint entries.
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the lazy dog"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.tfidfTop(docs, "doc_id")
+      .queryExecution.optimizedPlan.treeString
+    val hinted = "strategy=broadcast".r.findAllIn(plan).size
+    assert(hinted === 1, s"expected only the n_docs broadcast hint, plan:\n$plan")
+  }
+
+  test("tfidfTop picks the highest-tfidf token per doc deterministically") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry cherry"),
+      (3L, "apple banana cherry")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTop(docs, "doc_id")
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // idf: apple ln(3/2), banana ln(3/3)=0, cherry ln(3/2)
+    assert(got(1L) === "apple")   // tf 2 * ln(1.5)
+    assert(got(2L) === "cherry")  // tf 2 * ln(1.5)
+    assert(got(3L) === "apple")   // tie apple/cherry at tf 1 → token asc
+  }
+
+  test("tfidfTop minDocFreq floor prunes the hapax tail") {
+    val docs = Seq(
+      (1L, "common rareword common"),
+      (2L, "common common shared"),
+      (3L, "shared common")).toDF("doc_id", "text")
+    val floored = TextOps.tfidfTop(docs, "doc_id", minDocFreq = 2L)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // rareword (df=1) is pruned, so doc 1 falls back to a df>=2 token
+    assert(floored(1L) !== "rareword")
+  }
+}
