@@ -55,5 +55,46 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    val rc = regressionGate(results, sfDir, nameFilter.isDefined)
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Regression gate against the committed per-query baseline
+    * (BENCH_BASELINE.json): non-zero exit when the total over queries both
+    * runs know exceeds 2x the baseline total, or any single query exceeds
+    * 3x its recorded time (with a 1 s absolute floor so sub-second noise
+    * can't trip it). New queries without a baseline row only count toward
+    * nothing — they get a row when the baseline is re-recorded. */
+  private def regressionGate(results: Seq[(String, Double)], sfDir: String,
+                             filtered: Boolean): Int = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_BASELINE.json")
+    val f = new java.io.File(path)
+    if (filtered || !f.isFile) return 0
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    if (!sfDir.endsWith(node.get("sf").asText())) return 0
+    val base = {
+      val q = node.get("queries")
+      val it = q.fieldNames()
+      val b = scala.collection.mutable.Map[String, Double]()
+      while (it.hasNext) { val n = it.next(); b(n) = q.get(n).asDouble() }
+      b.toMap
+    }
+    var rc = 0
+    val common = results.filter { case (n, t) => base.contains(n) && t >= 0 }
+    val baseTotal = common.map { case (n, _) => base(n) }.sum
+    val curTotal = common.map(_._2).sum
+    if (baseTotal > 0 && curTotal > 2 * baseTotal) {
+      System.err.println(
+        f"[bench] REGRESSION: total $curTotal%.1fs > 2x baseline $baseTotal%.1fs")
+      rc = 1
+    }
+    common.foreach { case (n, t) =>
+      if (t > math.max(3 * base(n), 1.0)) {
+        System.err.println(
+          f"[bench] REGRESSION: $n $t%.2fs > 3x baseline ${base(n)}%.2fs")
+        rc = 1
+      }
+    }
+    rc
   }
 }

@@ -39,7 +39,8 @@ object BlockRegistry {
     "write::batch_delta" -> WriteBlocks.batchDelta,
     "write::stream_delta" -> WriteBlocks.streamDelta,
     "write::batch_postgres_upsert" -> WriteBlocks.postgresUpsert,
-    "write::batch_mysql_upsert" -> WriteBlocks.mysqlUpsert
+    "write::batch_mysql_upsert" -> WriteBlocks.mysqlUpsert,
+    "write::batch_jdbc_upsert" -> WriteBlocks.jdbcMergeUpsert
   )
 }
 
@@ -85,16 +86,20 @@ object LoadBlocks {
   /** Managed-table read (the reference's Delta read, entrypoint.py:195-236):
     * plain read, `FileRegistry` naming a SnapshotDiff → new-rows-only
     * version diff, or `ReadChangeFeed` + `StartingTimestamp` → row-level
-    * changes since the timestamp; absent table → empty DataFrame. */
+    * changes since the timestamp (`IncludeChangeType: true` adds the
+    * Delta-CDF `_change_type` insert/delete marker column); absent table →
+    * empty DataFrame. */
   def batchDelta(c: BlockConfig): DataFrame = {
     val path = c.props.getString("Path")
     registryFor(c) match {
       case Some(reg) => reg.loadNewRowsOnly(path)
       case None =>
         val table = ManagedTable(c.spark, path)
-        if (c.props.getBoolean("ReadChangeFeed"))
-          table.changesSince(startingTimestampMillis(c))
-        else table.read()
+        if (c.props.getBoolean("ReadChangeFeed")) {
+          val since = startingTimestampMillis(c)
+          if (c.props.getBoolean("IncludeChangeType")) table.changesWithType(since)
+          else table.changesSince(since)
+        } else table.read()
     }
   }
 
@@ -427,4 +432,9 @@ object WriteBlocks {
 
   def postgresUpsert(c: BlockConfig): DataFrame = Upsert.postgres(c)
   def mysqlUpsert(c: BlockConfig): DataFrame = Upsert.mysql(c)
+
+  /** Standard-MERGE JDBC upsert (beyond the reference's two dialects):
+    * same partition-parallel chunk/retry engine, SQL:2003 MERGE syntax —
+    * end-to-end testable against embedded Derby. */
+  def jdbcMergeUpsert(c: BlockConfig): DataFrame = Upsert.jdbcMerge(c)
 }

@@ -51,6 +51,28 @@ object Upsert {
     df
   }
 
+  /** Generic SQL:2003 `MERGE INTO` upsert — the same chunked
+    * partition-parallel execution path as the Postgres/MySQL dialects, for
+    * targets that speak standard MERGE (Derby, DB2, Oracle, SQL Server).
+    * This is the dialect the sandbox can drive END TO END against embedded
+    * Derby, so the whole executor-side machinery (connection per
+    * partition, 1000-row chunks, executeBatch, retry loop) is verified
+    * against a real database, not just as SQL text. */
+  def jdbcMerge(c: BlockConfig): DataFrame = {
+    val df = c.inputDf
+    val columns = df.columns.toSeq
+    val conflictCols = c.props.getStringSeq("ConflictColumns")
+    val updateCols =
+      if (c.props.exists("UpdateColumns")) c.props.getStringSeq("UpdateColumns")
+      else columns.diff(conflictCols)
+    val dual = c.props.getOrElse("DualTable", "SYSIBM.SYSDUMMY1")
+    val sql = mergeSql(c.props.getString("Table"), columns, conflictCols, updateCols, dual)
+    // parameter markers appear in ON (conflict cols), UPDATE SET (update
+    // cols), then INSERT VALUES (all cols) order
+    run(c, df, sql, conflictCols ++ updateCols ++ columns)
+    df
+  }
+
   /** `INSERT INTO t (a,b) VALUES (?,?) ON CONFLICT (a) DO UPDATE SET
     * b = EXCLUDED.b` — upsert.py:100-137. */
   def postgresSql(table: String, columns: Seq[String], conflict: Seq[String],
@@ -68,6 +90,25 @@ object Upsert {
     s"INSERT INTO $table (${columns.mkString(", ")}) " +
       s"VALUES (${columns.map(_ => "?").mkString(", ")}) " +
       s"ON DUPLICATE KEY UPDATE ${update.map(u => s"$u = VALUES($u)").mkString(", ")}"
+
+  /** `MERGE INTO t USING <dual> ON t.k = ? WHEN MATCHED THEN UPDATE SET
+    * v = ? WHEN NOT MATCHED THEN INSERT (k, v) VALUES (?, ?)` — the
+    * single-row standard-MERGE upsert shape (the one-row dual table makes
+    * each batched statement an upsert of one parameter row, mirroring the
+    * per-row VALUES of the other dialects). */
+  def mergeSql(table: String, columns: Seq[String], conflict: Seq[String],
+               update: Seq[String], dual: String): String = {
+    // ANSI-quoted column identifiers: Spark's JDBC writer creates tables
+    // with quoted (case-exact) column names, so the merge must quote too
+    def q(c: String) = "\"" + c + "\""
+    val on = conflict.map(k => s"$table.${q(k)} = ?").mkString(" AND ")
+    val matched =
+      if (update.isEmpty) ""
+      else s" WHEN MATCHED THEN UPDATE SET ${update.map(u => s"${q(u)} = ?").mkString(", ")}"
+    s"MERGE INTO $table USING $dual ON $on$matched " +
+      s"WHEN NOT MATCHED THEN INSERT (${columns.map(q).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+  }
 
   private def run(c: BlockConfig, df: DataFrame, sql: String, columns: Seq[String]): Unit = {
     val url = c.props.getString("ConnUrl")

@@ -71,6 +71,18 @@ object FsUtils {
     out.toSeq
   }
 
+  /** Immediate children of a directory as (subdirectory names, file names).
+    * One non-recursive metadata listing — used by the managed table's
+    * partition-pruned merge to enumerate hive partition dirs. */
+  def listChildren(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+    val f = fs(dir, hadoopConf(spark))
+    val p = new Path(dir)
+    if (!f.exists(p)) return (Nil, Nil)
+    val st = f.listStatus(p).toSeq
+    (st.filter(_.isDirectory).map(_.getPath.getName),
+      st.filter(_.isFile).map(_.getPath.getName))
+  }
+
   /** Delete paths (files or directories) — reference `delete_files`
     * (utils.py:55-73). */
   def deleteFiles(spark: SparkSession, paths: Seq[String]): Unit =

@@ -248,24 +248,28 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7fff).as("key")))).as("bucket"))
-    // bucket population: a (band, key) count is tiny metadata; joining it
-    // back routes each row to the plain or the split path. Both members of
-    // any bucket see the same count, so a bucket never straddles paths.
-    val counts = banded.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
-    val withN = banded.join(counts, "bucket")
+      .persist() // feeds the hot-bucket count and both join sides
+    // bucket population is a narrow count on the band key; only buckets
+    // ABOVE the cap survive the filter, so the routing join broadcasts a
+    // near-empty (usually empty) list — the healthy-corpus path keeps the
+    // exact single-self-join plan it had without the guard. Both members
+    // of any bucket see the same count, so a bucket never straddles paths.
+    val hot = banded.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > bucketCap)
+      .select(col("bucket"))
 
     def pairCols(j: DataFrame): DataFrame = j
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
 
-    val small = withN.where(col("__n") <= bucketCap)
+    val small = banded.join(broadcast(hot), Seq("bucket"), "left_anti")
     val smallPairs = pairCols(small.alias("l")
       .join(small.alias("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id")))
 
     // oversized buckets: secondary banding of the 45 bits OUTSIDE the
     // primary band. rem = low bits below the band ++ high bits above it.
-    val big = withN.where(col("__n") > bucketCap)
+    val big = banded.join(broadcast(hot), Seq("bucket"), "left_semi")
     val bandBits = col("bucket.band") * 15
     val low = col("sig").bitwiseAND(
       call_function("shiftleft", lit(1L), bandBits) - 1)

@@ -180,6 +180,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe IVF top-k: like [[ivfTopK]] but the query probes its
+    * `probes` nearest cells instead of only its own — the standard recall
+    * lever for inverted-file ANN (single-probe recall collapses when the
+    * true neighbour sits just across a Voronoi boundary). Cost scales
+    * linearly with the probe count while the corpus scan stays pruned to
+    * `probes / nCells` of the data; at scale the assigned table is
+    * partitioned by cell, so P probes read P partitions.
+    *
+    * Deterministic: probe cells are the P smallest (squared-L2, cell id)
+    * pairs against the query vector, scoring is the same left-to-right
+    * cosine as the brute-force baseline. */
+  def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                        quantizerCol: String, queryId: Long, k: Int,
+                        probes: Int): DataFrame = {
+    val cvecs = centroids(df, quantizerCol, vecCol)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+      .select(col("label").as("cell"),
+        transform(col("sm"), s => s.getField("mean")).as("cvec"))
+
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist"), col("cell"))
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .persist()
+
+    // probe list: the query vector against the tiny centroid table —
+    // k-row TakeOrderedAndProject, broadcast into the cell-pruned scan
+    val qvec = df.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    val probeCells = qvec.crossJoin(broadcast(cvecs))
+      .select(col("q_vec"), col("cell"), sqDist(col("q_vec"), col("cvec")).as("dist"))
+      .orderBy(col("dist"), col("cell"))
+      .limit(probes)
+      .select(col("q_vec"), col("cell"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic distributed k-means (Lloyd's) — the IVF coarse-quantizer
     * training step. Seeds are the k vectors with the smallest md5(id)
     * (reproducible without RNG state); each iteration broadcasts the tiny

@@ -279,6 +279,149 @@ object LiftQueries {
       Lift.lift(s, yaml, Map("agg_fn" -> fn)).getDf("Agg")
     }),
 
+    // write::batch_jdbc → load::jdbc round-trip against embedded Derby:
+    // the write creates+fills the table, the load pushes the SQL (with a
+    // MOD filter) down into the database (reference load/entrypoint.py:
+    // 265-301, write/entrypoint.py:21-62)
+    "l_jdbc_roundtrip" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("jdbc_sup_src")
+      val url = "jdbc:derby:memory:graft_q_jdbc;create=true"
+      val yaml =
+        s"""LiftJob:
+           |  Src:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+           |        FROM jdbc_sup_src
+           |  Out:
+           |    Type: write::batch_jdbc
+           |    Input: Src
+           |    Properties:
+           |      Mode: overwrite
+           |      Driver: org.apache.derby.jdbc.EmbeddedDriver
+           |      ConnUrl: $url
+           |      Table: sup_rt
+           |      User: ""
+           |      Password: ""
+           |      NumPartitions: 4
+           |  Back:
+           |    Type: load::jdbc
+           |    Properties:
+           |      Driver: org.apache.derby.jdbc.EmbeddedDriver
+           |      ConnUrl: $url
+           |      User: ""
+           |      Password: ""
+           |      Query: >-
+           |        SELECT "s_suppkey", "s_name", "bal" FROM sup_rt
+           |        WHERE MOD("s_suppkey", 3) = 0
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("Back")
+    }),
+
+    // write::batch_jdbc_upsert: the partition-parallel chunked upsert
+    // engine (one connection per partition, 1000-row executeBatch chunks,
+    // retry loop — reference common/upsert.py) driven END TO END against
+    // embedded Derby via the standard-MERGE dialect, then read back
+    "l_jdbc_upsert" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("jdbc_ord_src")
+      val url = "jdbc:derby:memory:graft_q_upsert;create=true"
+      val common =
+        s"""      Driver: org.apache.derby.jdbc.EmbeddedDriver
+           |      ConnUrl: $url
+           |      User: ""
+           |      Password: """"".stripMargin
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 4 = 0
+           |  Seed:
+           |    Type: write::batch_jdbc
+           |    Input: Base
+           |    Properties:
+           |      Mode: overwrite
+           |      Table: ord_ups
+           |      NumPartitions: 4
+           |$common
+           |  Updates:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 8 = 0
+           |  Ups:
+           |    Type: write::batch_jdbc_upsert
+           |    Input: Updates
+           |    Properties:
+           |      Table: ord_ups
+           |      ConflictColumns: [o_orderkey]
+           |$common
+           |  Back:
+           |    Type: load::jdbc
+           |    Properties:
+           |      Query: SELECT "o_orderkey", "o_orderstatus", "price" FROM ord_ups
+           |$common
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("Back")
+    }),
+
+    // fileregistry::delta_diff: two incremental runs over a growing managed
+    // table — run 1 full-loads and sets the watermark, run 2 must see ONLY
+    // the rows appended after it (reference delta_diff.py:10-64, mirrored
+    // on tests/integration/test_delta_file_registry.py:52-140)
+    "l_registry_deltadiff" -> ((s, d) => {
+      val w = scratch(s, "l_registry_deltadiff")
+      Tables.orders(s, d).createOrReplaceTempView("orders_dd_src")
+      def buildTarget(pred: String, mode: String): String =
+        s"""LiftJob:
+           |  Rows:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus FROM orders_dd_src
+           |        WHERE $pred
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: Rows
+           |    Properties:
+           |      Path: $w/target
+           |      Mode: $mode
+           |""".stripMargin
+      val incremental =
+        s"""FileRegistry:
+           |  Reg:
+           |    Type: fileregistry::delta_diff
+           |    Properties:
+           |      BasePath: $w/watermark
+           |      UpdateAfter: Sink
+           |      JoinOnFields: [o_orderkey]
+           |LiftJob:
+           |  Raw:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/target
+           |      FileRegistry: Reg
+           |  Sink:
+           |    Type: write::batch_delta
+           |    Input: Raw
+           |    Properties:
+           |      Path: $w/out
+           |      Mode: clean_write
+           |""".stripMargin
+      Lift.lift(s, buildTarget("o_orderkey % 10 = 0 AND o_orderkey % 20 = 0", "clean_write"))
+      Thread.sleep(5) // version timestamps are ms-resolution; keep ordering strict
+      Lift.lift(s, incremental) // full load (no watermark yet) + watermark flush
+      Thread.sleep(5)
+      Lift.lift(s, buildTarget("o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0", "append"))
+      Thread.sleep(5)
+      Lift.lift(s, incremental) // second run: the appended rows only
+      ManagedTable(s, s"$w/out").read()
+    }),
+
     // stream_json source → stream_delta sink with Trigger.AvailableNow and
     // checkpointing (reference load/entrypoint.py:239-262, write/entrypoint
     // .py:296-321)
@@ -330,6 +473,18 @@ object LiftQueries {
     "l_registry_dateprefix" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |WHERE o_orderkey % 16 = 0""".stripMargin,
+    "l_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal FROM supplier
+        |WHERE s_suppkey % 3 = 0""".stripMargin,
+    "l_jdbc_upsert" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
+        |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin,
+    "l_registry_deltadiff" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0""".stripMargin,
     "l_custom_function" ->
       """SELECT p_brand, count(*) AS n_expensive FROM part
         |WHERE p_retailprice > 1500 GROUP BY p_brand""".stripMargin,

@@ -102,6 +102,12 @@ object OpsQueries {
       Similarity.ivfTopKTrained(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 0L, k = 10, nCells = 8, iters = 2)),
 
+    // multi-probe IVF: the query scans its 3 nearest cells, not 1 — the
+    // recall lever when the true neighbour sits across a Voronoi boundary
+    "x_ann_ivf_probe" -> ((s, d) =>
+      Similarity.ivfTopKMultiProbe(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", queryId = 0L, k = 10, probes = 3)),
+
     // int8 scalar quantization, verified per (vector, dimension) element.
     // lo/hi live in a project BELOW the Generate (multiply-referenced, so
     // CollapseProject can't inline them into the generator) — otherwise
@@ -493,6 +499,25 @@ object OpsQueries {
          |q AS (SELECT embedding AS qv, cell FROM asg WHERE vec_id = 0),
          |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
          |      FROM asg e JOIN q ON e.cell = q.cell WHERE e.vec_id <> 0)
+         |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_ann_ivf_probe" ->
+      s"""WITH c AS (SELECT label, CAST(t.dim AS INT) AS dim,
+         |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
+         |  FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT label AS cell, list(mean ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |a AS (SELECT e.vec_id, e.embedding, cv.cell,
+         |  ${sqDistSql("e.embedding", "cv.cvec")} AS dist
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, embedding, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |   FROM a) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT cv.cell FROM cv, q
+         |       ORDER BY ${sqDistSql("q.qv", "cv.cvec")}, cv.cell LIMIT 3),
+         |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |      FROM asg e JOIN pc ON e.cell = pc.cell, q WHERE e.vec_id <> 0)
          |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "x_embed_quantize" ->

@@ -75,13 +75,14 @@ object Streaming {
     *
     * This is the reference's stream_delta sink upgraded from append-only to
     * merge semantics; with Trigger.AvailableNow it runs as an incremental
-    * exactly-once-per-key batch over a backlog. The merge itself is
-    * O(table) per batch (snapshot rewrite) — at scale, partition the table
-    * so the anti-join rewrite prunes to touched partitions.
+    * exactly-once-per-key batch over a backlog. Pass `partitionBy` to
+    * activate the table's partition-pruned merge: each micro-batch then
+    * rewrites only the partitions its keys touch (O(touched partitions)
+    * per batch), instead of rewriting the whole snapshot.
     */
   def streamUpsert(events: DataFrame, table: graft.table.ManagedTable,
                    keyCols: Seq[String], orderCol: String,
-                   mergeCondition: String): Unit = {
+                   mergeCondition: String, partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.expressions.Window
     events.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -93,7 +94,8 @@ object Streaming {
         val deduped = batch
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
-        table.merge(deduped, mergeCondition, upsert = true)
+        table.merge(deduped, mergeCondition, upsert = true,
+          partitionBy = partitionBy)
         ()
       }
       .start()

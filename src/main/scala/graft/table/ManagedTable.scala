@@ -18,19 +18,28 @@ import graft.common.FsUtils
   *
   * {{{ {"version":3,"timestamp":1723400000000,"dirs":["…/d0","…/d3"]} }}}
   *
+  * An entry may also be an object `{"dir":"…/d0/p=a","base":"…/d0"}`
+  * referencing ONE hive partition subdir of an earlier data dir — written
+  * by partition-pruned merges; `base` is passed as the scan's `basePath`
+  * so the partition column survives the subdir read.
+  *
   * This gives Delta's essential operations at Delta's cost model:
   *   - APPEND writes only the new rows' files and a manifest referencing
   *     old + new dirs — O(new data), NOT O(table); the same holds for the
   *     registries' insert-if-absent merge;
   *   - upsert-merge / UPDATE rewrite into a fresh dir (one declarative
   *     plan — anti-join + union; AQE picks broadcast at runtime when the
-  *     update set is small);
+  *     update set is small); when the table is partitioned, the merge
+  *     rewrites ONLY partitions containing update keys and carries
+  *     untouched partition dirs by manifest reference — O(touched
+  *     partitions), Delta's file-pruned merge cost model;
   *   - time travel reads any manifest's dir list (SnapshotDiff registry);
   *   - OPTIMIZE compacts the current dir list into one dir (ZORDER ≈
   *     range-partition + sortWithinPartitions for parquet min/max
   *     data-skipping);
   *   - VACUUM deletes manifests past retention and any data dir no
-  *     retained manifest references.
+  *     retained manifest references (containment-aware: a dir with a
+  *     referenced subdir — or inside a referenced dir — is never deleted).
   *
   * A multi-dir snapshot reads as a `unionByName(allowMissingColumns)` of
   * per-dir scans — schema drift across appends behaves like the
@@ -42,15 +51,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def logDir = s"$path/_graft_log"
   private def dataDir(v: Long) = s"$path/d$v"
 
-  private case class Manifest(version: Long, timestamp: Long, dirs: Seq[String])
+  private case class Entry(dir: String, base: Option[String])
+  private case class Manifest(version: Long, timestamp: Long, entries: Seq[Entry])
 
   private def readManifest(p: String): Option[Manifest] =
     new Path(p).getName.stripSuffix(".json").toLongOption.map { v =>
       val node = new ObjectMapper().readTree(FsUtils.readText(spark, p))
-      val dirs = Option(node.get("dirs")).map { arr =>
-        (0 until arr.size()).map(arr.get(_).asText())
+      val entries = Option(node.get("dirs")).map { arr =>
+        (0 until arr.size()).map { i =>
+          val e = arr.get(i)
+          if (e.isTextual) Entry(e.asText(), None)
+          else Entry(e.get("dir").asText(),
+            Option(e.get("base")).map(_.asText()))
+        }
       }.getOrElse(Nil)
-      Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L), dirs)
+      Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L), entries)
     }
 
   private def manifests(): Seq[Manifest] =
@@ -70,33 +85,34 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     manifests().filter(_.timestamp <= tsMillis).lastOption.map(_.version)
 
   def read(): DataFrame = manifests().lastOption match {
-    case Some(m) => readDirs(m.dirs)
+    case Some(m) => readEntries(m.entries)
     case None    => spark.emptyDataFrame
   }
 
   def readVersion(v: Long): DataFrame =
     manifests().find(_.version == v) match {
-      case Some(m) => readDirs(m.dirs)
+      case Some(m) => readEntries(m.entries)
       case None => throw new AnalysisException(
         "TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> s"$path@v$v"))
     }
 
-  private def readDirs(dirs: Seq[String]): DataFrame = dirs match {
+  private def readEntries(entries: Seq[Entry]): DataFrame = entries match {
     case Nil => spark.emptyDataFrame
-    case ds  => ds.map(spark.read.parquet(_))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    case es => es.map { e =>
+      e.base.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(e.dir)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Write a full new snapshot into a fresh dir. `partitionBy` columns
     * shape the parquet layout (partition pruning for downstream reads). */
   def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
-    commitDirs(writeData(df, partitionBy) :: Nil)
+    commitEntries(Entry(writeData(df, partitionBy), None) :: Nil)
 
   /** Append: write ONLY the new rows; the next manifest references the
     * previous snapshot's dirs plus the new one. */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
-    val prev = manifests().lastOption.map(_.dirs).getOrElse(Nil)
-    commitDirs(prev :+ writeData(df, partitionBy))
+    val prev = manifests().lastOption.map(_.entries).getOrElse(Nil)
+    commitEntries(prev :+ Entry(writeData(df, partitionBy), None))
   }
 
   /** Delta-style merge (reference getl/common/delta_table.py:27-44): target
@@ -104,13 +120,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * `source.eventId == updates.eventId`.
     *
     *   - upsert (whenMatchedUpdateAll + whenNotMatchedInsertAll): one
-    *     anti-join + union rewritten into a fresh snapshot dir;
+    *     anti-join + union rewritten into a fresh snapshot dir; when
+    *     `partitionBy` is set the rewrite is pruned to partitions that
+    *     actually contain update rows ([[prunedMerge]]) — untouched
+    *     partition dirs carry over by reference, so a merge costs
+    *     O(touched partitions), not O(table);
     *   - insert-only (registry anti-insert): only the NOT-matching update
     *     rows are appended — O(new data) like append.
     */
   def merge(updates: DataFrame, condition: String, upsert: Boolean = true,
             partitionBy: Seq[String] = Nil): Long = {
     if (!exists) return write(updates, partitionBy)
+    if (upsert && partitionBy.nonEmpty)
+      prunedMerge(updates, condition, partitionBy) match {
+        case Some(v) => return v
+        case None    => // layout not splittable → full rewrite below
+      }
     val target = read()
     // no explicit broadcast hint on either side: updates batches and the
     // target both grow without bound at scale, and a forced broadcast of
@@ -129,14 +154,102 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         partitionBy)
   }
 
+  /** Update-set size above which pruning degenerates to a full rewrite
+    * anyway (the touched-value list is driver-side metadata, so bound it). */
+  val MaxPrunedPartitions = 4096
+
+  /** Partition-pruned upsert on the FIRST partition column: rewrite only
+    * top-level partition dirs holding update rows, carry the rest by
+    * subdir reference. Returns None when the current snapshot's layout
+    * can't be split per-partition (e.g. unpartitioned legacy dirs) or the
+    * update touches more than [[MaxPrunedPartitions]] values — callers
+    * fall back to the full rewrite. */
+  private def prunedMerge(updates: DataFrame, condition: String,
+                          partitionBy: Seq[String]): Option[Long] = {
+    val pcol = partitionBy.head
+    if (!updates.columns.contains(pcol)) return None
+    val cur = manifests().last
+    val prefix = pcol + "="
+    // splittable = every entry is either already a single-partition subdir
+    // reference or a dir containing ONLY pcol=… subdirs (+ marker files)
+    val splittable = cur.entries.forall { e =>
+      if (new Path(e.dir).getName.startsWith(prefix)) true
+      else {
+        val (dirs, files) = FsUtils.listChildren(spark, e.dir)
+        dirs.forall(_.startsWith(prefix)) &&
+          files.forall(f => f.startsWith("_") || f.startsWith("."))
+      }
+    }
+    if (!splittable) return None
+
+    // touched partition values: bounded driver-side metadata (like the
+    // registries' path lists); each value is one partition key, not data
+    val touchedRows = updates.select(col(pcol)).distinct()
+      .limit(MaxPrunedPartitions + 1).collect()
+    if (touchedRows.length > MaxPrunedPartitions) return None
+    if (touchedRows.isEmpty) return Some(commitEntries(cur.entries))
+    val touchedVals = touchedRows.map(_.get(0))
+    val nonNull = touchedVals.filter(_ != null)
+    val hasNull = touchedVals.exists(_ == null)
+    var cond = if (nonNull.nonEmpty) col(pcol).isin(nonNull.toIndexedSeq: _*)
+               else lit(false)
+    if (hasNull) cond = cond || col(pcol).isNull
+
+    // the rewritten slice: current rows of touched partitions, merged with
+    // ALL updates — the anti-join reads only touched partitions (the isin
+    // filter prunes the scan before the join)
+    val merged = readEntries(cur.entries).where(cond)
+      .alias("source")
+      .join(updates.alias("updates"), expr(condition), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    val newDir = writeData(merged, partitionBy)
+
+    // the new dir's own subdir names ARE the touched partitions' encoded
+    // dir names (Spark encoded them for us — no value-formatting guesswork)
+    val rewritten = FsUtils.listChildren(spark, newDir)._1
+      .filter(_.startsWith(prefix)).toSet
+    val carried = cur.entries.flatMap { e =>
+      val name = new Path(e.dir).getName
+      if (name.startsWith(prefix)) {
+        if (rewritten.contains(name)) Nil else Seq(e)
+      } else {
+        FsUtils.listChildren(spark, e.dir)._1
+          .filterNot(rewritten.contains)
+          .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
+      }
+    }
+    Some(commitEntries(carried :+ Entry(newDir, None)))
+  }
+
   /** Change-data-feed analogue (reference load/entrypoint.py:222-229):
     * rows of the current snapshot not present in the last snapshot
-    * committed BEFORE `tsMillis` (inclusive start). */
+    * committed BEFORE `tsMillis` (inclusive start). `exceptAll` keeps
+    * multiplicity: a table legitimately holding k duplicate rows that grew
+    * to k+m reports exactly m changed rows (plain `except` is set-semantics
+    * and would under-report the diff as empty). */
   def changesSince(tsMillis: Long): DataFrame = {
     if (!exists) return spark.emptyDataFrame
     manifests().filter(_.timestamp < tsMillis).lastOption match {
       case None       => read() // no snapshot predates the start → full feed
-      case Some(base) => read().except(readDirs(base.dirs))
+      case Some(base) => read().exceptAll(readEntries(base.entries))
+    }
+  }
+
+  /** Change feed WITH Delta-CDF-style `_change_type` markers: rows only in
+    * the current snapshot are `insert`, rows only in the base snapshot are
+    * `delete` (both multiplicity-aware via `exceptAll`). An updated row
+    * surfaces as its delete+insert pair — the table layer has no key
+    * knowledge to pair them into `update_pre/postimage`, which is the
+    * honest degradation of Delta's CDF off-Databricks. */
+  def changesWithType(tsMillis: Long): DataFrame = {
+    if (!exists) return spark.emptyDataFrame
+    manifests().filter(_.timestamp < tsMillis).lastOption match {
+      case None => read().withColumn("_change_type", lit("insert"))
+      case Some(base) =>
+        val cur = read()
+        val old = readEntries(base.entries)
+        cur.exceptAll(old).withColumn("_change_type", lit("insert"))
+          .unionByName(old.exceptAll(cur).withColumn("_change_type", lit("delete")))
     }
   }
 
@@ -170,7 +283,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** VACUUM RETAIN n HOURS: drop manifests older than the horizon (always
     * keeping the current one) and delete data dirs no retained manifest
     * references (reference batch_delta.py:136-155, incl. the <168h guard
-    * unless explicitly overridden). */
+    * unless explicitly overridden). Containment-aware: a dir is deletable
+    * only when no retained reference equals it, lives inside it (a carried
+    * partition subdir), or contains it (a whole-dir reference above a
+    * dropped subdir entry). */
   def vacuum(retainHours: Double, enforceRetention: Boolean = true): Unit = {
     if (enforceRetention && retainHours < 168)
       throw new IllegalArgumentException(
@@ -181,23 +297,64 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val current = all.lastOption.map(_.version).toSet
     val (dropped, retained) = all.partition(m =>
       m.timestamp < horizon && !current.contains(m.version))
-    val referenced = retained.flatMap(_.dirs).toSet
-    val orphanDirs = dropped.flatMap(_.dirs).distinct.filterNot(referenced)
+    val referenced = retained.flatMap(_.entries).map(e => normPath(e.dir))
+    def deletable(d: String): Boolean = {
+      val n = normPath(d)
+      !referenced.exists(r => r == n || r.startsWith(n + "/") || n.startsWith(r + "/"))
+    }
+    val orphanDirs = dropped.flatMap(_.entries).map(_.dir).distinct.filter(deletable)
     FsUtils.deleteFiles(spark,
       orphanDirs ++ dropped.map(m => s"$logDir/${m.version}.json"))
   }
 
+  /** Scheme-insensitive path form for containment checks (`file:/x` and
+    * `/x` are the same local dir). */
+  private def normPath(s: String): String = {
+    val u = new Path(s).toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath else s
+  }
+
   /** Register in the session catalog (reference common/hive_table.py:20-38).
     * Our snapshots move per-version, so the stable equivalent is a catalog
-    * view over the current snapshot, refreshed on each write. */
+    * view over the current snapshot, refreshed on each write. Carried
+    * partition-subdir entries become a pruned scan of their base dir
+    * (`WHERE pcol = value` — partition pruning reads the same files, and
+    * the partition column stays in the view's schema). */
   def registerAs(databaseName: String, tableName: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $databaseName")
-    val selects = manifests().lastOption.map(_.dirs).getOrElse(Nil) match {
+    val selects = manifests().lastOption.map(_.entries).getOrElse(Nil) match {
       case Nil => Seq(s"SELECT * FROM parquet.`$path`")
-      case ds  => ds.map(d => s"SELECT * FROM parquet.`$d`")
+      case es => es.map {
+        case Entry(d, None) => s"SELECT * FROM parquet.`$d`"
+        case Entry(d, Some(b)) =>
+          // decode `pcol=value` path segments below the base into predicates
+          val rel = normPath(d).stripPrefix(normPath(b)).stripPrefix("/")
+          val preds = rel.split("/").toSeq.map { seg =>
+            val Array(c, v) = seg.split("=", 2)
+            if (v == "__HIVE_DEFAULT_PARTITION__") s"$c IS NULL"
+            else s"CAST($c AS STRING) = '${unescapePathName(v)}'"
+          }
+          s"SELECT * FROM parquet.`$b` WHERE ${preds.mkString(" AND ")}"
+      }
     }
     spark.sql(
       s"CREATE OR REPLACE VIEW $databaseName.$tableName AS ${selects.mkString(" UNION ALL ")}")
+  }
+
+  /** Inverse of Spark's partition-path escaping (`%xx` sequences only —
+    * NOT URL decoding; `+` stays `+`). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16) catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def writeData(df: DataFrame, partitionBy: Seq[String]): String = {
@@ -208,9 +365,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     dir
   }
 
-  private def commitDirs(dirs: Seq[String]): Long = {
+  private def commitEntries(entries: Seq[Entry]): Long = {
     val v = currentVersion.map(_ + 1).getOrElse(0L)
-    val dirsJson = dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
+    val dirsJson = entries.map {
+      case Entry(d, None)    => "\"" + d + "\""
+      case Entry(d, Some(b)) => s"""{"dir":"$d","base":"$b"}"""
+    }.mkString("[", ",", "]")
     // atomic rename commit: a manifest either exists completely or not at
     // all, so a crash mid-write can never corrupt the table's log
     FsUtils.writeTextAtomic(spark, s"$logDir/$v.json",

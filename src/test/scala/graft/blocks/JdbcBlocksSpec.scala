@@ -85,4 +85,54 @@ class JdbcBlocksSpec extends SparkSuite {
     assert(back.count() == 100)
     assert(back.selectExpr("sum(v)").head().getLong(0) == 9900L)
   }
+
+  test("write::batch_jdbc_upsert merges conflicting rows through the chunked engine") {
+    val url3 = "jdbc:derby:memory:graftdb3;create=true"
+    Seq((1L, "old", 1.0), (2L, "keep", 2.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("jdbc_ups_base")
+    Seq((1L, "new", 10.0), (3L, "ins", 30.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("jdbc_ups_upd")
+    val yaml =
+      s"""LiftJob:
+         |  Base:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT * FROM jdbc_ups_base
+         |  Seed:
+         |    Type: write::batch_jdbc
+         |    Input: Base
+         |    Properties:
+         |      Mode: overwrite
+         |      Driver: $driver
+         |      ConnUrl: $url3
+         |      Table: ups
+         |      User: ""
+         |      Password: ""
+         |  Updates:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT * FROM jdbc_ups_upd
+         |  Ups:
+         |    Type: write::batch_jdbc_upsert
+         |    Input: Updates
+         |    Properties:
+         |      Driver: $driver
+         |      ConnUrl: $url3
+         |      Table: ups
+         |      ConflictColumns: [id]
+         |      User: ""
+         |      Password: ""
+         |  Back:
+         |    Type: load::jdbc
+         |    Properties:
+         |      Driver: $driver
+         |      ConnUrl: $url3
+         |      User: ""
+         |      Password: ""
+         |      Query: SELECT "id", "name", "score" FROM ups
+         |""".stripMargin
+    val rows = Lift.lift(spark, yaml).getDf("Back")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "new", 10.0), (2L, "keep", 2.0), (3L, "ins", 30.0)))
+  }
 }

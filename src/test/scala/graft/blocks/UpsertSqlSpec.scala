@@ -30,4 +30,13 @@ class UpsertSqlSpec extends AnyFunSuite {
       "INSERT INTO t (id, a) VALUES (?, ?) " +
         "ON DUPLICATE KEY UPDATE id = VALUES(id), a = VALUES(a)")
   }
+
+  test("merge: standard MERGE with quoted columns and dual source") {
+    val sql = Upsert.mergeSql("t", Seq("id", "a"), Seq("id"), Seq("a"),
+      "SYSIBM.SYSDUMMY1")
+    assert(sql ===
+      "MERGE INTO t USING SYSIBM.SYSDUMMY1 ON t.\"id\" = ? " +
+        "WHEN MATCHED THEN UPDATE SET \"a\" = ? " +
+        "WHEN NOT MATCHED THEN INSERT (\"id\", \"a\") VALUES (?, ?)")
+  }
 }

@@ -34,6 +34,32 @@ class StreamUpsertSpec extends SparkSuite {
       (3L, 1L, "new3")))  // new key inserted
   }
 
+  test("streamUpsert with partitionBy prunes each micro-batch merge") {
+    val w = graft.common.Scratch.dir("test", "stream_upsert_pruned")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val table = ManagedTable(spark, s"$w/table")
+    table.write(
+      Seq(("a", 1L, 0L, "s1"), ("b", 2L, 0L, "s2")).toDF("part", "id", "ver", "payload"),
+      partitionBy = Seq("part"))
+    val beforeB = graft.common.FsUtils.listFiles(spark, s"$w/table/d0/part=b").sorted
+
+    // batch touches ONLY partition a
+    Seq(("a", 1L, 1L, "upd"), ("a", 3L, 1L, "ins"))
+      .toDF("part", "id", "ver", "payload").write.json(s"$w/in")
+    val schema = StructType.fromDDL("part STRING, id BIGINT, ver BIGINT, payload STRING")
+    Streaming.streamUpsert(
+      spark.readStream.schema(schema).json(s"$w/in"),
+      table, Seq("id"), "ver", "source.id == updates.id",
+      partitionBy = Seq("part"))
+
+    val got = table.read().select("part", "id", "ver", "payload")
+      .as[(String, Long, Long, String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("a", 1L, 1L, "upd"), ("b", 2L, 0L, "s2"), ("a", 3L, 1L, "ins")))
+    // the untouched partition's files were carried, not rewritten
+    assert(graft.common.FsUtils.listFiles(spark, s"$w/table/d0/part=b").sorted == beforeB)
+  }
+
   test("streamUpsert is idempotent across replays of the same input") {
     val w = graft.common.Scratch.dir("test", "stream_upsert_replay")
     graft.common.FsUtils.deleteFiles(spark, Seq(w))

@@ -72,6 +72,22 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.changesSince(0L).count() === 3)
   }
 
+  test("changesWithType marks inserts and deletes with multiplicity") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    // base holds TWO copies of (1, a) — count-aware diff must see the
+    // third copy as one insert, and the removed (2, b) as a delete
+    t.write(Seq((1, "a"), (1, "a"), (2, "b")).toDF("id", "v"))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.write(Seq((1, "a"), (1, "a"), (1, "a"), (3, "c")).toDF("id", "v"))
+    val got = t.changesWithType(mid)
+      .select("id", "v", "_change_type").as[(Int, String, String)]
+      .collect().sortBy(r => (r._3, r._1))
+    assert(got.toSeq === Seq(
+      (2, "b", "delete"), (1, "a", "insert"), (3, "c", "insert")))
+  }
+
   test("optimize compacts and zorder sorts; vacuum guards retention") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq.tabulate(100)(i => (i % 7, i)).toDF("k", "id").repartition(8))
@@ -103,5 +119,97 @@ class ManagedTableSpec extends SparkSuite {
     t.write(Seq((1, "a")).toDF("id", "v"))
     t.registerAs("graft_test_db", "reg_spec")
     assert(spark.sql("SELECT count(*) FROM graft_test_db.reg_spec").head().getLong(0) === 1L)
+  }
+
+  /** Recursive (relative path → size) listing of a data dir. */
+  private def fileMap(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+      .toMap
+  }
+
+  test("partitioned merge rewrites only touched partitions") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "base")).toDF("part", "id", "v"),
+      partitionBy = Seq("part"))
+
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    // updates touch ONLY partition p0
+    t.merge(Seq(("p0", 0, "upd"), ("p0", 300, "ins")).toDF("part", "id", "v"),
+      "source.id == updates.id", partitionBy = Seq("part"))
+
+    // merge semantics hold across the carried + rewritten union
+    val rows = t.read().select("part", "id", "v").as[(String, Int, String)].collect()
+    assert(rows.length === 31)
+    assert(rows.count(_._3 == "upd") === 1)
+    assert(rows.count(_._3 == "ins") === 1)
+    assert(rows.filter(r => r._1 != "p0").forall(_._3 == "base"))
+    // carried partitions: byte-identical files, still in the OLD dir
+    val untouchedAfter = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    assert(untouchedAfter === untouchedBefore)
+    // the manifest carries d0 subdirs by reference and adds only d1
+    val manifest = graft.common.FsUtils.readText(spark, s"$root/_graft_log/1.json")
+    assert(manifest.contains("\"base\""))
+    assert(manifest.contains("part=p1") && manifest.contains("part=p2"))
+    assert(!manifest.contains("part=p0\"") || manifest.contains("d1"))
+    // the rewritten dir holds ONLY the touched partition
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(d1dirs === Seq("part=p0"))
+    // the partition column survives the carried subdir reads
+    assert(t.read().where($"part" === "p2").count() === 10)
+  }
+
+  test("repeated pruned merges chain carried references and stay correct") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(20)(i => (s"p${i % 2}", i, 0)).toDF("part", "id", "n"),
+      partitionBy = Seq("part"))
+    // three merges alternating partitions; each must see all prior state
+    t.merge(Seq(("p0", 0, 1)).toDF("part", "id", "n"), "source.id == updates.id",
+      partitionBy = Seq("part"))
+    t.merge(Seq(("p1", 1, 2)).toDF("part", "id", "n"), "source.id == updates.id",
+      partitionBy = Seq("part"))
+    t.merge(Seq(("p0", 0, 3), ("p1", 101, 4)).toDF("part", "id", "n"),
+      "source.id == updates.id", partitionBy = Seq("part"))
+    val got = t.read().select("part", "id", "n").as[(String, Int, Int)].collect().toSet
+    val expected = (Seq.tabulate(20)(i => (s"p${i % 2}", i, 0))
+      .filterNot(r => r._2 == 0 || r._2 == 1) ++
+      Seq(("p0", 0, 3), ("p1", 1, 2), ("p1", 101, 4))).toSet
+    assert(got === expected)
+    // time travel still reads every intermediate version
+    assert(t.readVersion(0).count() === 20)
+    assert(t.readVersion(2).select("part", "id", "n").as[(String, Int, Int)].collect().toSet
+      === (Seq.tabulate(20)(i => (s"p${i % 2}", i, 0))
+        .filterNot(r => r._2 == 0 || r._2 == 1) ++
+        Seq(("p0", 0, 1), ("p1", 1, 2))).toSet)
+  }
+
+  test("vacuum never deletes a dir whose subdir is still referenced") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(10)(i => (s"p${i % 2}", i)).toDF("part", "id"),
+      partitionBy = Seq("part"))
+    Thread.sleep(5)
+    t.merge(Seq(("p0", 100)).toDF("part", "id"), "source.id == updates.id",
+      partitionBy = Seq("part"))
+    // v0 references d0 (whole); v1 references d0/part=p1 (carried) + d1.
+    // Dropping v0 must NOT delete d0 — a retained subdir lives inside it.
+    t.vacuum(0, enforceRetention = false)
+    assert(t.history().map(_._1) === Seq(1L))
+    assert(t.read().count() === 11)
+    assert(t.read().where($"part" === "p1").count() === 5)
+  }
+
+  test("merge falls back to full rewrite when updates lack the partition column") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq(("p0", 1, "a")).toDF("part", "id", "v"), partitionBy = Seq("part"))
+    // updates without `part` can't prune; the full path must still work
+    t.merge(Seq((2, "b")).toDF("id", "v"),
+      "source.id == updates.id", partitionBy = Seq("part"))
+    assert(t.read().count() === 2)
   }
 }
