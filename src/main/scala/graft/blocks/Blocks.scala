@@ -315,21 +315,48 @@ object CustomBlocks {
     c.spark.sql(c.props.getString("Statement"))
   }
 
-  /** The reference's `custom::python_codeblock` as a type-safe host
-    * function (entrypoint.py:22-232): `CustomFunction` is a
-    * `Map[String, DataFrame] => Any` (one DataFrame, or a Map of named
-    * DataFrames matched against `Output:`) bound through parameters.
-    * Dynamic code loading / pip install is a JVM non-goal (SURVEY §7.3). */
+  /** The reference's `custom::python_codeblock` (entrypoint.py:22-232):
+    * `CustomFunction` is a host `Map[String, Any] => Any` (one DataFrame,
+    * or a Map of named DataFrames matched against `Output:`) bound through
+    * parameters; `CustomCodePath` loads a `.scala` file whose body
+    * evaluates to the same function type, compiled at runtime — the JVM
+    * analogue of the reference's dynamic `.py` import
+    * (entrypoint.py:190-226; `Packages:` pip-install stays a non-goal). */
   def function(c: BlockConfig): Any = {
     val props = c.props.mapOrEmpty("CustomProps")
-    c.props.get[Any]("CustomFunction") match {
-      case f: Function1[_, _] =>
-        f.asInstanceOf[Map[String, Any] => Any](
-          c.inputDfs ++ props + ("spark" -> c.spark))
-      case other => throw new IllegalArgumentException(
-        s"CustomFunction must be a Map[String, Any] => Any, got: $other")
-    }
+    val fn: Map[String, Any] => Any =
+      if (c.props.exists("CustomCodePath"))
+        ScalaCodeLoader.load(c.spark, c.props.getString("CustomCodePath"))
+      else c.props.get[Any]("CustomFunction") match {
+        case f: Function1[_, _] => f.asInstanceOf[Map[String, Any] => Any]
+        case other => throw new IllegalArgumentException(
+          s"CustomFunction must be a Map[String, Any] => Any, got: $other")
+      }
+    fn(c.inputDfs ++ props + ("spark" -> c.spark))
   }
+}
+
+/** Runtime compiler for `CustomCodePath` blocks: the file's source must
+  * evaluate to a `Map[String, Any] => Any` (the same contract as
+  * `CustomFunction`). Compiled once per path per JVM — the toolbox
+  * compile is driver-side only; the produced closure builds ordinary
+  * lazy Spark plans like any host function. */
+object ScalaCodeLoader {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Any] => Any]
+
+  def load(spark: SparkSession, path: String): Map[String, Any] => Any =
+    cache.getOrElseUpdate(path, {
+      import scala.tools.reflect.ToolBox
+      val src = graft.common.FsUtils.readText(spark, path)
+      val tb = scala.reflect.runtime.universe
+        .runtimeMirror(getClass.getClassLoader).mkToolBox()
+      tb.eval(tb.parse(src)) match {
+        case f: Function1[_, _] => f.asInstanceOf[Map[String, Any] => Any]
+        case other => throw new IllegalArgumentException(
+          s"$path must evaluate to a Map[String, Any] => Any, got: $other")
+      }
+    })
 }
 
 /** Write blocks (reference getl/blocks/write/entrypoint.py + batch_delta.py).
@@ -407,7 +434,8 @@ object WriteBlocks {
       table.optimize(
         if (c.props.exists("Optimize.ZorderBy"))
           c.props.getString("Optimize.ZorderBy").split(",").map(_.trim).toSeq
-        else Nil)
+        else Nil,
+        partitionBy = partitionBy)
     if (c.props.exists("Vacuum"))
       table.vacuum(c.props.getOrElse("Vacuum.RetainHours", 168).toDouble,
         enforceRetention = !c.props.getBoolean("Vacuum.Force"))

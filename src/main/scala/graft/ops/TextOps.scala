@@ -181,6 +181,35 @@ object TextOps {
           greatest(coalesce(col("n_tri"), lit(0)), lit(1)), 4).as("rep_ratio"))
   }
 
+  /** Benchmark-contamination screen (the decontamination step run before
+    * training): for each training document, how many of its word n-gram
+    * shingles appear ANYWHERE in the eval/benchmark corpus, plus the
+    * contaminated fraction. The shape is an inverted-index semi-join on a
+    * 64-bit shingle hash — the training corpus shuffles (id, hash) pairs
+    * only (never text), the eval side reduces to its distinct shingle
+    * hashes (tiny next to a training corpus), and docs with zero overlap
+    * survive via the final left join. A 64-bit hash collision can only
+    * overcount one shingle in ~2^64 — standard practice at corpus scale. */
+  def contaminationScreen(train: DataFrame, idCol: String,
+                          eval: DataFrame, textCol: String = "text",
+                          n: Int = 3): DataFrame = {
+    val sh = graft.functions.GraftFunctions.wordShingles(tokens(col(textCol)), n)
+    val base = train.select(col(idCol), sh.as("shs")).persist()
+    val evalSh = eval.select(explode(sh).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val hits = base.select(col(idCol), explode(col("shs")).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+      .join(evalSh, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+    base.select(col(idCol), size(col("shs")).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_shingles"), lit(1)), 4).as("contamination"))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -338,7 +338,7 @@ object LiftQueries {
            |    Properties:
            |      Statement: >-
            |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
-           |        FROM jdbc_ord_src WHERE o_orderkey % 4 = 0
+           |        FROM jdbc_ord_src WHERE o_orderkey % 40 = 0
            |  Seed:
            |    Type: write::batch_jdbc
            |    Input: Base
@@ -352,7 +352,7 @@ object LiftQueries {
            |    Properties:
            |      Statement: >-
            |        SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
-           |        FROM jdbc_ord_src WHERE o_orderkey % 8 = 0
+           |        FROM jdbc_ord_src WHERE o_orderkey % 80 = 0
            |  Ups:
            |    Type: write::batch_jdbc_upsert
            |    Input: Updates
@@ -422,6 +422,33 @@ object LiftQueries {
       ManagedTable(s, s"$w/out").read()
     }),
 
+    // custom::function via CustomCodePath: the block body lives in a
+    // .scala file compiled at runtime (the reference's dynamic .py import,
+    // custom/entrypoint.py:190-226)
+    "l_custom_codepath" -> ((s, d) => {
+      val w = scratch(s, "l_custom_codepath")
+      FsUtils.writeText(s, s"$w/block.scala",
+        """(in: Map[String, Any]) => {
+          |  import org.apache.spark.sql.functions._
+          |  val df = in("Raw").asInstanceOf[org.apache.spark.sql.DataFrame]
+          |  df.groupBy("p_brand")
+          |    .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+          |}""".stripMargin)
+      val yaml =
+        s"""LiftJob:
+           |  Raw:
+           |    Type: load::batch_parquet
+           |    Properties:
+           |      Path: $d/part.parquet
+           |  Agg:
+           |    Type: custom::function
+           |    Input: [Raw]
+           |    Properties:
+           |      CustomCodePath: $w/block.scala
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("Agg")
+    }),
+
     // stream_json source → stream_delta sink with Trigger.AvailableNow and
     // checkpointing (reference load/entrypoint.py:239-262, write/entrypoint
     // .py:296-321)
@@ -478,13 +505,16 @@ object LiftQueries {
         |WHERE s_suppkey % 3 = 0""".stripMargin,
     "l_jdbc_upsert" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
-        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+        |FROM orders WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 <> 0
         |UNION ALL
         |SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
-        |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin,
+        |FROM orders WHERE o_orderkey % 80 = 0""".stripMargin,
     "l_registry_deltadiff" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0""".stripMargin,
+    "l_custom_codepath" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY p_brand""".stripMargin,
     "l_custom_function" ->
       """SELECT p_brand, count(*) AS n_expensive FROM part
         |WHERE p_retailprice > 1500 GROUP BY p_brand""".stripMargin,

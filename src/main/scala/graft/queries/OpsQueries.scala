@@ -244,6 +244,14 @@ object OpsQueries {
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
     }),
 
+    // benchmark decontamination: every 97th doc stands in for the eval
+    // set; each training doc reports its eval-shingle overlap fraction
+    "x_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.contaminationScreen(docs, "doc_id",
+        docs.where(col("doc_id") % 97 === 0), n = 3)
+    }),
+
     // PII scrub: synthetic emails/phones appended per doc (the corpus has
     // none), then counted and redacted with RE2-portable patterns
     "x_text_pii" -> ((s, d) => {
@@ -632,6 +640,23 @@ object OpsQueries {
         |round(sum(l_extendedprice), 2) AS rev
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "x_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+         |  FROM t),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hit AS (SELECT doc_id, count(*) AS n_hit FROM ex
+         |        WHERE s IN (SELECT s FROM ev) GROUP BY doc_id)
+         |SELECT sh.doc_id, CAST(len(sh.sh) AS INT) AS n_shingles,
+         |  coalesce(hit.n_hit, 0) AS n_contaminated,
+         |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
+         |        greatest(len(sh.sh), 1), 4) AS contamination
+         |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
 
     "x_text_pii" ->
       """WITH e AS (SELECT doc_id,

@@ -267,7 +267,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * into ONE dir; a z-order request approximates to range-partition +
     * sortWithinPartitions on those columns — same data-skipping effect for
     * parquet min/max stats (reference batch_delta.py:116-134). */
-  def optimize(zorderBy: Seq[String] = Nil, targetPartitions: Int = 0): Long = {
+  def optimize(zorderBy: Seq[String] = Nil, targetPartitions: Int = 0,
+               partitionBy: Seq[String] = Nil): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
     val cur = read()
     val n = if (targetPartitions > 0) targetPartitions
@@ -277,7 +278,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         cur.repartitionByRange(n, zorderBy.map(col): _*)
           .sortWithinPartitions(zorderBy.map(col): _*)
       else cur.repartition(n)
-    write(compacted)
+    // pass the table's partition columns so compaction keeps the hive
+    // layout — otherwise one OPTIMIZE would flatten the dirs and disable
+    // both scan-time partition pruning and future pruned merges
+    write(compacted, partitionBy)
   }
 
   /** VACUUM RETAIN n HOURS: drop manifests older than the horizon (always

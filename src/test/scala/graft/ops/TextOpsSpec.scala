@@ -31,6 +31,18 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3L) === "apple")   // tie apple/cherry at tf 1 → token asc
   }
 
+  test("contaminationScreen counts eval-shingle overlap per training doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "the quick brown", "quick brown fox" with eval
+      (2L, "totally unrelated training text here"),
+      (3L, "tiny")).toDF("doc_id", "text")      // < n tokens → 0 shingles
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = TextOps.contaminationScreen(train, "doc_id", eval, n = 3)
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 4, 2L), (2L, 3, 0L), (3L, 0, 0L)))
+  }
+
   test("tfidfTop minDocFreq floor prunes the hapax tail") {
     val docs = Seq(
       (1L, "common rareword common"),

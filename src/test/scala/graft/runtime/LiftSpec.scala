@@ -156,6 +156,29 @@ class LiftSpec extends SparkSuite {
     assert(log.getDf("Split.small").count() === 2)
   }
 
+  test("CustomCodePath compiles a scala file into the block function") {
+    val w = graft.common.Scratch.dir("test", "codepath")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    graft.common.FsUtils.writeText(spark, s"$w/block.scala",
+      """(in: Map[String, Any]) => {
+        |  val df = in("Raw").asInstanceOf[org.apache.spark.sql.DataFrame]
+        |  df.where("r_regionkey >= 2")
+        |}""".stripMargin)
+    val yaml =
+      s"""LiftJob:
+         |  Raw:
+         |    Type: load::batch_parquet
+         |    Properties:
+         |      Path: $sf0/region.parquet
+         |  Shaped:
+         |    Type: custom::function
+         |    Input: [Raw]
+         |    Properties:
+         |      CustomCodePath: $w/block.scala
+         |""".stripMargin
+    assert(Lift.lift(spark, yaml).getDf("Shaped").count() === 3)
+  }
+
   test("custom::sql sees inputs as temp views") {
     val yaml =
       s"""LiftJob:

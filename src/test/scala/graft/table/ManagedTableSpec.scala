@@ -100,6 +100,17 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.history().size === 1)
   }
 
+  test("optimize with partitionBy keeps the hive layout") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(40)(i => (s"p${i % 2}", i)).toDF("part", "id").repartition(8),
+      partitionBy = Seq("part"))
+    t.optimize(targetPartitions = 1, partitionBy = Seq("part"))
+    val (dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(dirs.sorted === Seq("part=p0", "part=p1"))
+    assert(t.read().count() === 40)
+  }
+
   test("partitioned snapshots prune partitions on filtered reads") {
     import org.apache.spark.sql.functions.col
     val t = ManagedTable(spark, tmp() + "/t")
