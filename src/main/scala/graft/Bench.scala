@@ -60,11 +60,13 @@ object Bench {
   }
 
   /** Regression gate against the committed per-query baseline
-    * (BENCH_BASELINE.json): non-zero exit when the total over queries both
-    * runs know exceeds 2x the baseline total, or any single query exceeds
-    * 3x its recorded time (with a 1 s absolute floor so sub-second noise
-    * can't trip it). New queries without a baseline row only count toward
-    * nothing — they get a row when the baseline is re-recorded. */
+    * (BENCH_BASELINE.json, per-query MAX of two steady-state runs —
+    * streaming/registry queries swing 2-3x between identical runs, so the
+    * conservative side is the baseline): non-zero exit when the total over
+    * queries both runs know exceeds 2x the baseline total, or any single
+    * query exceeds 3x its recorded time (with a 2 s absolute floor so
+    * small-query noise can't trip it). New queries without a baseline row
+    * are skipped — they get a row when the baseline is re-recorded. */
   private def regressionGate(results: Seq[(String, Double)], sfDir: String,
                              filtered: Boolean): Int = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_BASELINE.json")
@@ -89,7 +91,7 @@ object Bench {
       rc = 1
     }
     common.foreach { case (n, t) =>
-      if (t > math.max(3 * base(n), 1.0)) {
+      if (t > math.max(3 * base(n), 2.0)) {
         System.err.println(
           f"[bench] REGRESSION: $n $t%.2fs > 3x baseline ${base(n)}%.2fs")
         rc = 1
