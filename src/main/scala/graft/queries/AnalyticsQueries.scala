@@ -89,6 +89,53 @@ object AnalyticsQueries {
         .select("s_suppkey", "s_name", "total_revenue")
     }),
 
+    // TPC-H Q4-shaped: order-priority checking — correlated EXISTS over a
+    // compound condition becomes a left-semi join whose predicate mixes
+    // the equi key with a non-equi column comparison (late shipments)
+    "q4_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q13-shaped: customer order-count distribution — LEFT OUTER
+    // join with an extra join-side filter (so zero-order customers stay),
+    // then a second aggregation over the counts
+    "q13_customer_distribution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      val counts = Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q18-shaped: large-volume orders — HAVING over a fact
+    // aggregation, joined back to orders+customer, deterministic top-20
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("price"),
+          col("sum_qty"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // window function: per-customer order ranking (Spark SQL surface)
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -199,6 +246,28 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM c GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS price, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 2) AS sum_qty,
