@@ -12,11 +12,14 @@ import graft.Tables
   * benchmark that surface: scan → pushed filter → partial agg → shuffle →
   * final agg, broadcast joins for dims, window functions.
   *
-  * Scale notes: q1/q6 are single-shuffle map-side-combine aggregates; q3/q5
-  * broadcast every dimension side (region/nation/customer at 100 TB TPC-H
-  * proportions stay ≪ broadcast threshold relative to fact tables, and
-  * customer is explicitly hinted); all money sums are rounded to 2 decimals
-  * so the driver's hash compare is float-stable.
+  * Scale notes: q1/q6 are single-shuffle map-side-combine aggregates.
+  * Broadcast hints go ONLY on the constant-size dimensions (region 5 rows,
+  * nation 25 rows): customer is SF-proportional (~15e9 rows at 100 TB
+  * TPC-H), so a forced customer broadcast would OOM a real cluster —
+  * those joins carry no hint and AQE broadcasts them at runtime whenever
+  * the observed side is actually small (it is at bench scale). All money
+  * sums are rounded to 2 decimals so the driver's hash compare is
+  * float-stable.
   */
 object AnalyticsQueries {
 
@@ -50,7 +53,7 @@ object AnalyticsQueries {
       val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -65,7 +68,7 @@ object AnalyticsQueries {
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -127,7 +130,7 @@ object AnalyticsQueries {
         .where(col("sum_qty") > 250)
       Tables.orders(s, d)
         .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderdate"), round(col("o_totalprice"), 2).as("price"),
