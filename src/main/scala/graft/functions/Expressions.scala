@@ -151,6 +151,85 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket of a float/double vector: bit p of the
+  * bucket is set when the projection on deterministic hyperplane p is
+  * ≥ 0, with component (p, i) = h32("p:i")/2^32 − 0.5 — arithmetic
+  * identical to the HOF formulation in [[graft.ops.Similarity]] and the
+  * DuckDB oracle (left-to-right product summation).
+  *
+  * The components depend only on (plane, dim), NOT on the row, so they
+  * are md5-hashed once per JVM and cached — the HOF version re-evaluates
+  * the md5/conv tree for every element of every row, which made the
+  * bucketer the hot kernel of LSH ANN and unblocked embedding dedup. */
+case class LshBucket(child: Expression, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  // grown under synchronization, published via @volatile so plain reads
+  // in the eval loop always see fully initialized arrays
+  @transient @volatile private var comps: Array[Array[Double]] = _
+
+  private def ensure(dims: Int): Array[Array[Double]] = synchronized {
+    var cur = comps
+    if (cur == null) cur = Array.fill(nPlanes)(Array.emptyDoubleArray)
+    var p = 0
+    while (p < nPlanes) {
+      if (cur(p).length < dims) {
+        val old = cur(p)
+        val nw = java.util.Arrays.copyOf(old, dims)
+        var i = old.length
+        while (i < dims) {
+          nw(i) = Hashes.h32(UTF8String.fromString(p + ":" + i)) / 4294967296.0 - 0.5
+          i += 1
+        }
+        cur(p) = nw
+      }
+      p += 1
+    }
+    comps = cur
+    cur
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // empty vectors and null elements poison every plane's projection in
+    // the HOF formulation (sequence(0,-1) null-pads the zip; null proj →
+    // sign 0), so the bucket degrades to 0 — mirror that exactly
+    if (n == 0) return 0
+    val cs = {
+      val cur = comps
+      if (cur != null && cur(0).length >= n) cur else ensure(n)
+    }
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return 0; i += 1 }
+    val isFloat = elemType == FloatType
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      val comp = cs(p)
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        acc += x * comp(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Dot product of two double arrays, summed left to right (the oracle's
   * summation order); null when lengths differ — matching the
   * `aggregate(zip_with(...))` formulation's null-propagation. */

@@ -22,6 +22,9 @@ object GraftFunctions {
 
   def dotDouble(a: Column, b: Column): Column =
     col(DotDouble(expr(a), expr(b)))
+
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    col(LshBucket(expr(vec), nPlanes))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -62,7 +65,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args(0))),
     (FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
-      (args: Seq[Expression]) => DotDouble(args(0), args(1))))
+      (args: Seq[Expression]) => DotDouble(args(0), args(1))),
+    (FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (args: Seq[Expression]) => LshBucket(args(0), intArg(args(1), "nPlanes"))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

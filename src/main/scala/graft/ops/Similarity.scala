@@ -96,8 +96,18 @@ object Similarity {
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** Random-hyperplane LSH bucket id (`nPlanes`-bit signature). */
+  /** Random-hyperplane LSH bucket id (`nPlanes`-bit signature) — the
+    * native [[graft.functions.LshBucket]] expression: the hyperplane
+    * components depend only on (plane, dim), so they md5-hash once per
+    * JVM instead of once per element per row (the HOF formulation below,
+    * kept as [[lshBucketHof]] for the equivalence spec, re-evaluates the
+    * whole md5/conv tree per element). */
   def lshBucket(vec: Column, nPlanes: Int): Column =
+    graft.functions.GraftFunctions.lshBucket(vec, nPlanes)
+
+  /** Reference HOF formulation of [[lshBucket]] — identical arithmetic,
+    * pinned against the native expression in ExpressionsSpec. */
+  private[graft] def lshBucketHof(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map(p => planeSign(vec, p) * (1 << p))
       .reduce((a, b) => a + b)
 

@@ -78,6 +78,26 @@ class ExpressionsSpec extends SparkSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("LshBucket equals the HOF hyperplane formulation on float and double vectors") {
+    val fvecs = Seq(
+      (1L, Seq(0.5f, -1.25f, 3.0f, 0.0f)),
+      (2L, Seq(-0.1f, -0.2f, -0.3f, 4.75f)),
+      (3L, Seq.empty[Float]),
+      (4L, Seq(1e-7f, -1e-7f, 2.5f, -9.9f, 0.125f))).toDF("id", "v")
+    for (planes <- Seq(2, 4, 8)) {
+      val rows = fvecs.select(
+        GraftFunctions.lshBucket(col("v"), planes).as("native"),
+        graft.ops.Similarity.lshBucketHof(col("v"), planes).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getInt(0) === r.getInt(1), s"planes=$planes"))
+    }
+    val dvecs = Seq((1L, Seq(0.25, -3.5, 11.0))).toDF("id", "v")
+    val r = dvecs.select(
+      GraftFunctions.lshBucket(col("v"), 4).as("native"),
+      graft.ops.Similarity.lshBucketHof(col("v"), 4).as("hof")).head()
+    assert(r.getInt(0) === r.getInt(1))
+  }
+
   test("GraftExtensions registers the functions for SQL") {
     val s2 = spark
     GraftExtensions.register(s2)
