@@ -256,3 +256,40 @@ case class DotDouble(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDouble =
     copy(left = newLeft, right = newRight)
 }
+
+/** Squared euclidean distance between two float/double vectors, summed
+  * left to right — equals `aggregate(zip_with(dbl(a), dbl(b),
+  * (x,y)=>(x-y)*(x-y)), 0.0, +)`; null when lengths differ (zip_with
+  * null-padding poisons the HOF sum). The IVF/k-means hot kernel: cell
+  * assignment evaluates this once per (row, centroid) pair. */
+case class SqDistDouble(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistDouble =
+    copy(left = newLeft, right = newRight)
+}

@@ -25,6 +25,9 @@ object GraftFunctions {
 
   def lshBucket(vec: Column, nPlanes: Int): Column =
     col(LshBucket(expr(vec), nPlanes))
+
+  def sqDistDouble(a: Column, b: Column): Column =
+    col(SqDistDouble(expr(a), expr(b)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -68,7 +71,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotDouble(args(0), args(1))),
     (FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
-      (args: Seq[Expression]) => LshBucket(args(0), intArg(args(1), "nPlanes"))))
+      (args: Seq[Expression]) => LshBucket(args(0), intArg(args(1), "nPlanes"))),
+    (FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDistDouble].getName, "sq_dist"),
+      (args: Seq[Expression]) => SqDistDouble(args(0), args(1))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -56,8 +56,14 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance — native [[graft.functions.SqDistDouble]]
+    * (the IVF/k-means assignment evaluates it once per row per centroid;
+    * the HOF reference formulation is pinned in ExpressionsSpec). */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.sqDistDouble(a, b)
+
+  /** Reference HOF formulation of [[sqDist]] — identical arithmetic. */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(dbl(a), dbl(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -98,6 +98,19 @@ class ExpressionsSpec extends SparkSuite {
     assert(r.getInt(0) === r.getInt(1))
   }
 
+  test("SqDistDouble equals the HOF formulation on mixed float/double sides") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.5f), Seq(0.5, -2.0, 3.5)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(0.0, 0.0, 0.0))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.sqDistDouble(col("a"), col("b")).as("native"),
+      graft.ops.Similarity.sqDistHof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    val mismatched = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(GraftFunctions.sqDistDouble($"a", $"b")).as[Option[Double]].head()
+    assert(mismatched.isEmpty)
+  }
+
   test("GraftExtensions registers the functions for SQL") {
     val s2 = spark
     GraftExtensions.register(s2)
