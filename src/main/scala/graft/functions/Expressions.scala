@@ -239,6 +239,11 @@ case class DotDouble(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -247,7 +252,9 @@ case class DotDouble(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -255,6 +262,35 @@ case class DotDouble(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDouble =
     copy(left = newLeft, right = newRight)
+}
+
+/** Left-to-right sum of squares of a float/double vector — the inner
+  * aggregate of an L2 norm (`sqrt` stays a built-in on top), equal to
+  * `aggregate(dbl(a), 0.0, (acc, v) => acc + v*v)`. */
+case class SumSqDouble(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumSqDouble =
+    copy(child = newChild)
 }
 
 /** Squared euclidean distance between two float/double vectors, summed

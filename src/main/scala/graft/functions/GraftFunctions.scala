@@ -28,6 +28,9 @@ object GraftFunctions {
 
   def sqDistDouble(a: Column, b: Column): Column =
     col(SqDistDouble(expr(a), expr(b)))
+
+  def sumSqDouble(a: Column): Column =
+    col(SumSqDouble(expr(a)))
 }
 
 /** SQL registration of the custom expressions, either at session build

@@ -42,12 +42,17 @@ object Similarity {
   }
 
   /** Dot product — left-to-right summation for determinism (native
-    * [[graft.functions.DotDouble]] expression). */
+    * [[graft.functions.DotDouble]] expression; reads float arrays
+    * directly, so no per-element cast lambda wraps the input). */
   def dot(a: Column, b: Column): Column =
-    graft.functions.GraftFunctions.dotDouble(dbl(a), dbl(b))
+    graft.functions.GraftFunctions.dotDouble(a, b)
 
-  /** L2 norm. */
+  /** L2 norm (native sum-of-squares inner loop; `sqrt` stays built-in). */
   def l2norm(a: Column): Column =
+    sqrt(graft.functions.GraftFunctions.sumSqDouble(a))
+
+  /** Reference HOF formulation of [[l2norm]] — identical arithmetic. */
+  private[graft] def l2normHof(a: Column): Column =
     sqrt(aggregate(dbl(a), lit(0.0), (acc, v) => acc + v * v))
 
   /** Cosine similarity; 0 when either vector has zero norm. */

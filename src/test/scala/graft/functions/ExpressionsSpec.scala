@@ -111,6 +111,14 @@ class ExpressionsSpec extends SparkSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("SumSqDouble matches the HOF l2norm inner aggregate on float vectors") {
+    val df = Seq(Seq(3.0f, 4.0f), Seq(0.0f), Seq(-1.5f, 2.25f, 0.5f)).toDF("v")
+    val rows = df.select(
+      sqrt(GraftFunctions.sumSqDouble(col("v"))).as("native"),
+      graft.ops.Similarity.l2normHof(col("v")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("GraftExtensions registers the functions for SQL") {
     val s2 = spark
     GraftExtensions.register(s2)
