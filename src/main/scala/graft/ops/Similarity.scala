@@ -302,6 +302,43 @@ object Similarity {
       .select(col("cell"), col("dim"), round(col("mean"), scale).as("mean"))
   }
 
+  /** Product quantization (PQ): split each vector into `m` contiguous
+    * `subDim`-wide subvectors and train `k` centroids per subspace with
+    * the deterministic [[kmeans]]. Returns one row per (sub, cell, dim)
+    * with the codebook mean — the classic memory-for-recall trade under
+    * IVF: m codes of log2(k) bits replace the full vector. Training cost
+    * is m independent kmeans runs; everything stays broadcast-argmin +
+    * narrow shuffles like the coarse quantizer. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
+      kmeans(sub, idCol, "subvec", k, iters).withColumn("sub", lit(s))
+    }.reduce(_.unionByName(_)).select("sub", "cell", "dim", "mean")
+
+  /** PQ encoding: train per-subspace codebooks ([[pqCodebooks]] chain) and
+    * assign every vector its nearest code per subspace — broadcast argmin
+    * over the tiny codebook, map-only per subspace. Returns one row per
+    * (id, sub) with the assigned `code` (ties break by cell id, matching
+    * the IVF assignment rule). */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
+      val cb = kmeans(sub, idCol, "subvec", k, iters)
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+        .select(col("cell"), transform(col("sm"), x => x.getField("mean")).as("cvec"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+      sub.crossJoin(broadcast(cb))
+        .withColumn("dist", sqDist(col("subvec"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col(idCol), lit(s).as("sub"), col("cell").as("code"))
+    }.reduce(_.unionByName(_))
+
   /** Per-vector int8 scalar quantization: maps each component onto
     * round((x - lo) / (hi - lo) * 255) with the vector's own [lo, hi]
     * range — the classic 4x storage cut before ANN indexing. Returns a

@@ -108,6 +108,13 @@ object OpsQueries {
       Similarity.ivfTopKMultiProbe(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", queryId = 0L, k = 10, probes = 3)),
 
+    // product quantization: 2 subspaces x 32 dims, 4 codes each — every
+    // vector reduced to (sub, code) pairs from per-subspace k-means
+    // codebooks (the PQ memory/recall trade under IVF)
+    "x_embed_pq" -> ((s, d) =>
+      Similarity.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 2, subDim = 32, k = 4, iters = 2)),
+
     // int8 scalar quantization, verified per (vector, dimension) element.
     // lo/hi live in a project BELOW the Generate (multiply-referenced, so
     // CollapseProject can't inline them into the generator) — otherwise
@@ -462,6 +469,43 @@ object OpsQueries {
          |       FROM asg e JOIN q ON e.cell = q.cell
          |       WHERE e.rn = 1 AND e.vec_id <> 0)
          |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "x_embed_pq" -> {
+      // per-subspace clone of the deterministic kmeans chain (seeds by
+      // md5(vec_id), 2 iterations, 6-dp inter-iteration rounding, final
+      // codebook rounded to 4 dp) over list_slice'd subvectors
+      def chain(s: Int): String = {
+        val a = s * 32 + 1
+        val b = a + 31
+        def assign(cents: String) =
+          s"""SELECT vec_id, vec, cell,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             |  FROM (SELECT v.vec_id, v.vec, c.cell,
+             |    ${sqDistSql("v.vec", "c.cvec")} AS dist
+             |    FROM v$s v CROSS JOIN $cents c)""".stripMargin
+        def means(t: String) =
+          s"""SELECT cell, CAST(t.dim AS INT) AS dim, round(avg(vec[t.dim + 1]), 6) AS mean
+             |  FROM $t, UNNEST(range(len(vec))) AS t(dim) WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+        s"""v$s AS (SELECT vec_id,
+           |  list_transform(list_slice(embedding, $a, $b), x -> CAST(x AS DOUBLE)) AS vec
+           |  FROM embeddings),
+           |s0$s AS (SELECT vec_id AS cell, vec AS cvec FROM v$s
+           |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+           |  LIMIT 4),
+           |a1$s AS (${assign(s"s0$s")}),
+           |m1$s AS (${means(s"a1$s")}),
+           |c1$s AS (SELECT cell, list(mean ORDER BY dim) AS cvec FROM m1$s GROUP BY cell),
+           |a2$s AS (${assign(s"c1$s")}),
+           |m2$s AS (${means(s"a2$s")}),
+           |c2$s AS (SELECT cell, list(round(mean, 4) ORDER BY dim) AS cvec FROM m2$s GROUP BY cell),
+           |asg$s AS (${assign(s"c2$s")})""".stripMargin
+      }
+      s"""WITH ${chain(0)},
+         |${chain(1)}
+         |SELECT vec_id, CAST(0 AS INT) AS sub, cell AS code FROM asg0 WHERE rn = 1
+         |UNION ALL
+         |SELECT vec_id, CAST(1 AS INT) AS sub, cell AS code FROM asg1 WHERE rn = 1""".stripMargin
     },
 
     "x_embed_lsh_pairs" ->
