@@ -339,6 +339,45 @@ object Similarity {
         .select(col(idCol), lit(s).as("sub"), col("cell").as("code"))
     }.reduce(_.unionByName(_))
 
+  /** PQ asymmetric-distance top-k (ADC): score the query against PQ codes
+    * through per-subspace lookup tables — distance(query, vec) ≈
+    * Σ_s sqDist(query_sub_s, codebook_s[code_s(vec)]). The corpus is
+    * touched only through its (id, sub, code) table; the LUT is m×k rows
+    * (broadcast), so scoring is one map-side join + a per-id sum of m
+    * doubles — the memory-bound PQ search shape. Exact per-pair float
+    * arithmetic is preserved (m=2 keeps the sum order-insensitive:
+    * two-operand IEEE addition is commutative), so the DuckDB oracle
+    * replays it bit-for-bit. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+             kNeighbors: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val scored = (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
+      val cb = kmeans(sub, idCol, "subvec", k, iters)
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+        .select(col("cell"), transform(col("sm"), x => x.getField("mean")).as("cvec"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+      val codes = sub.crossJoin(broadcast(cb))
+        .withColumn("dist", sqDist(col("subvec"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col(idCol), col("cell"))
+      // the query's distance to every codebook entry of this subspace
+      val lut = sub.filter(col(idCol) === queryId)
+        .select(col("subvec").as("q_sub"))
+        .crossJoin(broadcast(cb))
+        .select(col("cell"), sqDist(col("q_sub"), col("cvec")).as("qd"))
+      codes.join(broadcast(lut), "cell").select(col(idCol), col("qd"))
+    }.reduce(_.unionByName(_))
+    scored.where(col(idCol) =!= queryId)
+      .groupBy(col(idCol))
+      .agg(sum(col("qd")).as("adist_raw"))
+      .orderBy(col("adist_raw"), col(idCol))
+      .limit(kNeighbors)
+      .select(col(idCol), round(col("adist_raw"), 6).as("adist"))
+  }
+
   /** Per-vector int8 scalar quantization: maps each component onto
     * round((x - lo) / (hi - lo) * 255) with the vector's own [lo, hi]
     * range — the classic 4x storage cut before ANN indexing. Returns a

@@ -115,6 +115,12 @@ object OpsQueries {
       Similarity.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
         m = 2, subDim = 32, k = 4, iters = 2)),
 
+    // PQ asymmetric-distance search: the query scored against PQ codes
+    // through per-subspace lookup tables — the memory-bound ANN path
+    "x_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, kNeighbors = 10, m = 2, subDim = 32, k = 4, iters = 2)),
+
     // int8 scalar quantization, verified per (vector, dimension) element.
     // lo/hi live in a project BELOW the Generate (multiply-referenced, so
     // CollapseProject can't inline them into the generator) — otherwise
@@ -315,6 +321,37 @@ object OpsQueries {
        |  i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])),
        |  (x, y) -> x + y)""".stripMargin
 
+  /** Per-subspace clone of the deterministic kmeans chain (seeds by
+    * md5(vec_id), 2 iterations, 6-dp inter-iteration rounding, final
+    * codebook rounded to 4 dp) over list_slice'd 32-dim subvectors —
+    * produces CTEs v{s}..asg{s} for the PQ oracles. */
+  private def PqChain(s: Int): String = {
+    val a = s * 32 + 1
+    val b = a + 31
+    def assign(cents: String) =
+      s"""SELECT vec_id, vec, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM (SELECT v.vec_id, v.vec, c.cell,
+         |    ${sqDistSql("v.vec", "c.cvec")} AS dist
+         |    FROM v$s v CROSS JOIN $cents c)""".stripMargin
+    def means(t: String) =
+      s"""SELECT cell, CAST(t.dim AS INT) AS dim, round(avg(vec[t.dim + 1]), 6) AS mean
+         |  FROM $t, UNNEST(range(len(vec))) AS t(dim) WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+    s"""v$s AS (SELECT vec_id,
+       |  list_transform(list_slice(embedding, $a, $b), x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |s0$s AS (SELECT vec_id AS cell, vec AS cvec FROM v$s
+       |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+       |  LIMIT 4),
+       |a1$s AS (${assign(s"s0$s")}),
+       |m1$s AS (${means(s"a1$s")}),
+       |c1$s AS (SELECT cell, list(mean ORDER BY dim) AS cvec FROM m1$s GROUP BY cell),
+       |a2$s AS (${assign(s"c1$s")}),
+       |m2$s AS (${means(s"a2$s")}),
+       |c2$s AS (SELECT cell, list(round(mean, 4) ORDER BY dim) AS cvec FROM m2$s GROUP BY cell),
+       |asg$s AS (${assign(s"c2$s")})""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucket mirroring [[Similarity.lshBucket]]. */
   private def bucketSql(v: String): String =
     s"""CAST(list_sum(list_transform(range(0, 4), p -> CASE WHEN
@@ -472,40 +509,28 @@ object OpsQueries {
     },
 
     "x_embed_pq" -> {
-      // per-subspace clone of the deterministic kmeans chain (seeds by
-      // md5(vec_id), 2 iterations, 6-dp inter-iteration rounding, final
-      // codebook rounded to 4 dp) over list_slice'd subvectors
-      def chain(s: Int): String = {
-        val a = s * 32 + 1
-        val b = a + 31
-        def assign(cents: String) =
-          s"""SELECT vec_id, vec, cell,
-             |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-             |  FROM (SELECT v.vec_id, v.vec, c.cell,
-             |    ${sqDistSql("v.vec", "c.cvec")} AS dist
-             |    FROM v$s v CROSS JOIN $cents c)""".stripMargin
-        def means(t: String) =
-          s"""SELECT cell, CAST(t.dim AS INT) AS dim, round(avg(vec[t.dim + 1]), 6) AS mean
-             |  FROM $t, UNNEST(range(len(vec))) AS t(dim) WHERE rn = 1 GROUP BY 1, 2""".stripMargin
-        s"""v$s AS (SELECT vec_id,
-           |  list_transform(list_slice(embedding, $a, $b), x -> CAST(x AS DOUBLE)) AS vec
-           |  FROM embeddings),
-           |s0$s AS (SELECT vec_id AS cell, vec AS cvec FROM v$s
-           |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
-           |  LIMIT 4),
-           |a1$s AS (${assign(s"s0$s")}),
-           |m1$s AS (${means(s"a1$s")}),
-           |c1$s AS (SELECT cell, list(mean ORDER BY dim) AS cvec FROM m1$s GROUP BY cell),
-           |a2$s AS (${assign(s"c1$s")}),
-           |m2$s AS (${means(s"a2$s")}),
-           |c2$s AS (SELECT cell, list(round(mean, 4) ORDER BY dim) AS cvec FROM m2$s GROUP BY cell),
-           |asg$s AS (${assign(s"c2$s")})""".stripMargin
-      }
-      s"""WITH ${chain(0)},
-         |${chain(1)}
+      s"""WITH ${PqChain(0)},
+         |${PqChain(1)}
          |SELECT vec_id, CAST(0 AS INT) AS sub, cell AS code FROM asg0 WHERE rn = 1
          |UNION ALL
          |SELECT vec_id, CAST(1 AS INT) AS sub, cell AS code FROM asg1 WHERE rn = 1""".stripMargin
+    },
+
+    "x_ann_pq" -> {
+      def lut(s: Int): String =
+        s"""q$s AS (SELECT vec FROM v$s WHERE vec_id = 0),
+           |lut$s AS (SELECT c.cell, ${sqDistSql("q.vec", "c.cvec")} AS qd
+           |          FROM c2$s c, q$s q),
+           |d$s AS (SELECT a.vec_id, l.qd FROM asg$s a JOIN lut$s l ON a.cell = l.cell
+           |        WHERE a.rn = 1)""".stripMargin
+      s"""WITH ${PqChain(0)},
+         |${PqChain(1)},
+         |${lut(0)},
+         |${lut(1)}
+         |SELECT d0.vec_id, round(d0.qd + d1.qd, 6) AS adist
+         |FROM d0 JOIN d1 ON d0.vec_id = d1.vec_id
+         |WHERE d0.vec_id <> 0
+         |ORDER BY d0.qd + d1.qd, d0.vec_id LIMIT 10""".stripMargin
     },
 
     "x_embed_lsh_pairs" ->
