@@ -245,6 +245,195 @@ object AnalyticsQueries {
         .agg(round(sum("value"), 2).as("rev"))
       val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
       daily.withColumn("rev_ma7", round(avg(col("rev")).over(w), 2))
+    }),
+
+    // TPC-H Q7-shaped: bilateral trade volume between two nations. The
+    // nation dimension is filtered to the two relevant nations BEFORE the
+    // join (Catalyst cannot decompose the cross-side disjunction itself),
+    // so the fact join runs against two 2-row broadcast dims and only the
+    // same-nation combinations are removed post-join.
+    "q7_nation_volume" -> ((s, d) => {
+      val picks = Seq("NATION_3", "NATION_7")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(picks: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(picks: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q8-shaped: market share of one supplier nation inside a region
+    // market for one product type. Both sums are rounded BEFORE the
+    // division so the ratio is bit-deterministic across engines.
+    "q8_market_share" -> ((s, d) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate").between("1995-01-01", "1996-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_5", vol).otherwise(0.0)), 2)
+            .as("nation_vol"),
+          round(sum(vol), 2).as("total_vol"))
+        .select(col("o_year"),
+          round(col("nation_vol") / col("total_vol"), 4).as("mkt_share"))
+    }),
+
+    // TPC-H Q10-shaped: top customers by revenue lost to returned items
+    "q10_returned_items" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate").between("1996-01-01", "1996-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // TPC-H Q12-shaped: late shipments split by order priority class (the
+    // reference schema has no l_shipmode/receiptdate, so "late" is
+    // shipdate > orderdate + 90d). count(CASE) keeps both engines BIGINT.
+    "q12_late_shipments" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+        .groupBy(year(col("l_shipdate")).as("l_year"))
+        .agg(count(when(high, lit(1))).as("high_line_count"),
+          count(when(!high, lit(1))).as("low_line_count"))
+    }),
+
+    // TPC-H Q14-shaped: promotion revenue share for one ship-quarter;
+    // round-before-divide for cross-engine determinism
+    "q14_promo_effect" -> ((s, d) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between("1997-01-01", "1997-03-31"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", vol).otherwise(0.0)), 2)
+            .as("promo_rev"),
+          round(sum(vol), 2).as("total_rev"))
+        .select(
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 4)
+            .as("promo_share"),
+          col("promo_rev"), col("total_rev"))
+    }),
+
+    // TPC-H Q16-shaped: distinct supplier count per part group (lineitem is
+    // the part↔supplier bridge — this schema has no partsupp), excluding a
+    // "complaints" supplier set via anti-join
+    "q16_supplier_count" -> ((s, d) => {
+      val excl = Tables.supplier(s, d).filter(col("s_name").like("%7%"))
+        .select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 40)),
+          col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q17-shaped: revenue from small-quantity lines of one brand,
+    // threshold = 0.2 × per-part average quantity (correlated aggregate →
+    // one extra shuffle over lineitem keyed by part). Quantities are
+    // integer-valued doubles, so the per-part sums are exact and the
+    // 0.2×avg comparison is bit-identical across engines.
+    "q17_small_qty" -> ((s, d) => {
+      val avgQty = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ap"))
+        .agg(avg("l_quantity").as("aq"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") === "Brand#5"),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19-shaped: disjunction of brand×size×quantity conjuncts —
+    // exercises OR-of-ANDs predicate planning over a fact-dim join
+    "q19_disjunctive" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q21-shaped: suppliers who were the SOLE late shipper in a
+    // multi-supplier finished order ("late" = shipped >60d after order
+    // date). The classic EXISTS / NOT-EXISTS pair collapses into one
+    // per-order aggregate (distinct suppliers, distinct late suppliers) —
+    // one shuffle instead of two self-joins of the fact table.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val lo = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supps") >= 2 && col("n_late") === 1)
+      lo.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
+    // TPC-H Q22-shaped: positive-balance customers above the segment
+    // average with no urgent orders (avg scalar subquery via one-row
+    // broadcast + anti-join; the reference schema has customers for every
+    // order so the classic "no orders at all" predicate would be empty)
+    "q22_sales_opportunity" -> ((s, d) => {
+      val seg = Tables.customer(s, d).filter(col("c_nationkey") < 10)
+      val avgBal = seg.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("ab"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      seg.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
     })
   )
 
@@ -366,6 +555,104 @@ object AnalyticsQueries {
         |             FROM events GROUP BY 1)
         |SELECT day, rev,
         |round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_ma7
-        |FROM dly""".stripMargin
+        |FROM dly""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    round(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS nation_vol,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        |    AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+        |  GROUP BY 1)
+        |SELECT o_year, round(nation_vol / total_vol, 4) AS mkt_share FROM v""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_effect" ->
+      """WITH v AS (
+        |  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_rev,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-03-31')
+        |SELECT round(100.0 * promo_rev / total_rev, 4) AS promo_share,
+        |  promo_rev, total_rev FROM v""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 20, 27, 33, 40)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_lines
+        |FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#5'
+        |  AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |po AS (
+        |  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supps,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY 1)
+        |SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+        |FROM lo JOIN po ON l_orderkey = ok
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late AND n_supps >= 2 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q22_sales_opportunity" ->
+      """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c WHERE c_nationkey < 10
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_nationkey < 10 AND c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin
   )
 }
