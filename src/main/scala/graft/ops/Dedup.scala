@@ -45,6 +45,37 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Passage-level exact dedup (the C4/RefinedWeb line-dedup shape at
+    * passage granularity): chunk every document into k-token passages,
+    * then keep the globally-first copy — minimum (id, para_idx) — of each
+    * distinct passage. Groups on the 16-byte md5 digest like [[exact]],
+    * so the shuffle never carries passage text. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    TextOps.passages(df, idCol, textCol, k)
+      .groupBy(md5(col("para").cast("binary")).as("pk"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col(s"first.$idCol").as(idCol),
+        col("first.para_idx").as("para_idx"), col("n_copies"))
+
+  /** Gopher-style duplicated-passage fraction per document: the share of
+    * a document's k-token passages that occur elsewhere in the corpus —
+    * a standard cheap quality signal for filtering boilerplate-heavy
+    * pages. Two digest-keyed shuffles (passage count, join back) plus the
+    * per-document regroup; only 16-byte digests and ids cross the wire. */
+  def dupPassageFrac(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val p = TextOps.passages(df, idCol, textCol, k)
+      .select(col(idCol), md5(col("para").cast("binary")).as("pk"))
+    val counts = p.groupBy(col("pk").as("ck")).agg(count(lit(1)).as("n"))
+    p.join(counts, col("pk") === col("ck"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        round(avg(when(col("n") > 1, 1.0).otherwise(0.0)), 4)
+          .as("dup_para_frac"))
+  }
+
   // ------------------------------------------------------------------
   // Shingles + MinHash + LSH
   // ------------------------------------------------------------------

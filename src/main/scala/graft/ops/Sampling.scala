@@ -32,4 +32,21 @@ object Sampling {
     }
     df.where(hashUnit(col(idCol)) < rate)
   }
+
+  /** Efraimidis–Spirakis A-Res weighted sampling without replacement:
+    * each row draws u ∈ (0,1] from its id hash (the +1 keeps ln defined)
+    * and scores ln(u)/weight — a monotone transform of the classic
+    * u^(1/weight) reservoir key — and the k largest scores win. Executes
+    * as TakeOrderedAndProject: per-partition top-k heaps, only k rows per
+    * partition reach the driver-side merge, no global sort at any scale.
+    * Hash-derived u keeps the draw reproducible across retries and
+    * cluster layouts (a `rand()` key would re-roll per attempt). */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int): DataFrame = {
+    val u = (Dedup.h32(col(idCol).cast("string")) + 1) / lit(4294967296.0)
+    df.withColumn("_skey", log(u) / col(weightCol))
+      .orderBy(col("_skey").desc, col(idCol))
+      .limit(k)
+      .drop("_skey")
+  }
 }

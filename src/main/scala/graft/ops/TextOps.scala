@@ -30,6 +30,24 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Fixed-size token-window passages ("paragraphs" for corpora whose
+    * documents carry no explicit boundary characters): non-overlapping
+    * k-token windows exploded to (id, para_idx, para). Pure expression +
+    * Generate — map-only, no shuffle. The passage table is the substrate
+    * for passage-level dedup and the duplicated-passage quality signal. */
+  def passages(df: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val toks = col("_toks")
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
+    df.withColumn("_toks", tokens(col(textCol)))
+      .where(size(toks) > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * k + 1, lit(k)), " "))))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+  }
+
   /** English-ish stopword list used by quality scoring and language ID. */
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -168,6 +168,32 @@ object OpsQueries {
           Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
         .select("doc_id", "lang")),
 
+    // A-Res weighted sampling: longest documents most likely, but every
+    // document has a nonzero chance — the standard quality-weighted
+    // corpus subsampling step
+    "x_sample_weighted" -> ((s, d) =>
+      Sampling.weightedTopK(Tables.documents(s, d).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 50)),
+
+    // passage-level exact dedup: first copy of each distinct 20-token
+    // passage survives
+    "x_dedup_paragraph" -> ((s, d) =>
+      Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text", k = 20)),
+
+    // duplicated-passage fraction (Gopher repetition family, corpus-wide)
+    "x_text_dupfrac" -> ((s, d) =>
+      Dedup.dupPassageFrac(Tables.documents(s, d), "doc_id", "text", k = 20)),
+
+    // source-level (domain-level) corpus statistics: the aggregation that
+    // drives source allow/deny lists in web-scale pipelines
+    "x_doc_source_stats" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg("quality_score"), 4).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"))),
+
     "x_mm_decode" -> ((s, d) => {
       val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
       packed
@@ -656,6 +682,56 @@ object OpsQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0
         |  < (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.5 ELSE 1.0 END)""".stripMargin,
+
+    "x_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        |            / 4294967296.0) / n_chars DESC, doc_id
+        |LIMIT 50""".stripMargin,
+
+    "x_dedup_paragraph" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS INT) AS para_idx,
+         |        array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ') AS para
+         |      FROM t, unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+         |      WHERE len(toks) > 0)
+         |SELECT doc_id, para_idx, n_copies FROM (
+         |  SELECT doc_id, para_idx,
+         |         count(*) OVER (PARTITION BY para) AS n_copies,
+         |         row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+         |  FROM p) WHERE rn = 1""".stripMargin,
+
+    "x_text_dupfrac" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS INT) AS para_idx,
+         |        array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ') AS para
+         |      FROM t, unnest(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+         |      WHERE len(toks) > 0),
+         |c AS (SELECT para, count(*) AS n FROM p GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_paras,
+         |  round(avg(CASE WHEN n > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_para_frac
+         |FROM p JOIN c USING (para) GROUP BY 1""".stripMargin,
+
+    "x_doc_source_stats" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, n_chars, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id, source, lang, n_chars,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT source, lang, n_chars,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(avg(quality_score), 4) AS avg_quality,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM q GROUP BY 1""".stripMargin,
 
     "x_mm_decode" ->
       s"""WITH h AS (SELECT doc_id, CAST(len(text) AS INT) AS byte_len,

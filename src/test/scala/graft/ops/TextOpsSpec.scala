@@ -53,4 +53,47 @@ class TextOpsSpec extends SparkSuite {
     // rareword (df=1) is pruned, so doc 1 falls back to a df>=2 token
     assert(floored(1L) !== "rareword")
   }
+
+  test("passages chunks into non-overlapping k-token windows in order") {
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.passages(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 2 is empty → no rows; the last window may be short
+    assert(got === Seq((1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e"),
+      (3L, 0, "x y")))
+  }
+
+  test("paragraphDedup keeps the globally-first copy of each passage") {
+    val docs = Seq(
+      (1L, "dup passage here unique tail one"),
+      (2L, "dup passage here unique tail two"),
+      (3L, "all original content in this doc")).toDF("doc_id", "text")
+    // k=3: doc1/doc2 share passage "dup passage here" — doc 1 wins
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text", k = 3)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq((1L, 0, 2L), (1L, 1, 1L), (2L, 1, 1L),
+      (3L, 0, 1L), (3L, 1, 1L)))
+  }
+
+  test("dupPassageFrac measures the corpus-wide duplicated-passage share") {
+    val docs = Seq(
+      (1L, "dup passage here unique tail one"),
+      (2L, "dup passage here unique tail two"),
+      (3L, "all original content in this doc")).toDF("doc_id", "text")
+    val got = Dedup.dupPassageFrac(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 2L, 0.0)))
+  }
+
+  test("weightedTopK is deterministic and biased toward heavy rows") {
+    val rows = (1L to 200L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
+    val docs = rows.toDF("id", "w")
+    val got = Sampling.weightedTopK(docs, "id", "w", k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val again = Sampling.weightedTopK(docs, "id", "w", k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got === again)
+    // the ten 1000×-weighted rows should dominate the top-10
+    assert((got & (1L to 10L).toSet).size >= 8)
+  }
 }
