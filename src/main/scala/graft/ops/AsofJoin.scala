@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,12 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param leftTs  timestamp column name on `left`
-    * @param rightTs timestamp column name on `right`
-    * @param payload right columns to carry onto left rows, as
-    *                (rightColumn -> outputName)
-    * @param strict  true → match right.ts <  left.ts (previous-event join);
-    *                false → match right.ts <= left.ts (standard as-of)
+  /** @param leftTs    timestamp column name on `left`
+    * @param rightTs   timestamp column name on `right`
+    * @param payload   right columns to carry onto left rows, as
+    *                  (rightColumn -> outputName)
+    * @param strict    true → match right.ts <  left.ts (previous-event
+    *                  join; with `forward`, right.ts > left.ts);
+    *                  false → allow equal timestamps (standard as-of)
+    * @param forward   false → nearest right row at-or-before left.ts
+    *                  (backward, the default); true → nearest right row
+    *                  at-or-after left.ts (the pandas `merge_asof
+    *                  direction='forward'` shape)
+    * @param tolerance maximum allowed |left.ts − right.ts| for a match,
+    *                  as something addable to the ts column — an interval
+    *                  (`expr("INTERVAL 90 DAYS")`) for timestamps, a
+    *                  `lit(n)` for numeric ts. The nearest candidate
+    *                  beyond it yields a null payload (all farther ones
+    *                  are worse by construction).
     *
     * Right rows should be unique per (key, rightTs) — pre-aggregate
     * otherwise, or the carried payload among equal timestamps is the last
@@ -35,9 +46,13 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               payload: Map[String, String], strict: Boolean = false): DataFrame = {
-    // at equal ts the running window must include right rows for <= and
-    // exclude them for <, so right rows sort before left rows iff non-strict
+               payload: Map[String, String], strict: Boolean = false,
+               forward: Boolean = false,
+               tolerance: Option[Column] = None): DataFrame = {
+    // at equal ts the running window must include right rows for the
+    // non-strict bound and exclude them for the strict one, so right rows
+    // sort before left rows iff non-strict — in BOTH directions, because
+    // the secondary __ord sort stays ascending under the reversed ts sort
     val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
     val paySorted = payload.toSeq.sortBy(_._1)
 
@@ -49,7 +64,8 @@ object AsofJoin {
       .select(
         keyCols.map(col) ++ Seq(
           col(rightTs).as("__ts"), lit(rightOrd).as("__ord"),
-          struct(paySorted.map { case (src, dst) => col(src).as(dst) }: _*).as("__pay")): _*)
+          struct(col(rightTs).as("__rts") +:
+            paySorted.map { case (src, dst) => col(src).as(dst) }: _*).as("__pay")): _*)
       .withColumn("__lrow", lit(null).cast(
         org.apache.spark.sql.types.StructType(left.schema.fields)))
 
@@ -59,13 +75,22 @@ object AsofJoin {
         lit(null).cast(rightTagged.schema("__pay").dataType).as("__pay"),
         struct(left.columns.map(col): _*).as("__lrow")): _*)
 
+    // forward = the same merge walked from the other end: descending ts
+    // makes "last right seen so far" the nearest right at-or-after
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__ord"))
+      .orderBy(tsOrd, col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val inTol = tolerance.map { t =>
+      if (forward) col("__match.__rts") <= col("__ts") + t
+      else col("__match.__rts") >= col("__ts") - t
+    }.getOrElse(lit(true))
 
     val outCols =
       left.columns.map(c => col(s"__lrow.$c").as(c)) ++
-        paySorted.map { case (_, dst) => col(s"__match.$dst").as(dst) }
+        paySorted.map { case (_, dst) =>
+          when(inTol, col(s"__match.$dst")).as(dst) }
 
     rightTagged.unionByName(leftTagged)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))

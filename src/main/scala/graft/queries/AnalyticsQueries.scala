@@ -247,6 +247,31 @@ object AnalyticsQueries {
       daily.withColumn("rev_ma7", round(avg(col("rev")).over(w), 2))
     }),
 
+    // Batch sessionization (gaps-and-islands): sessions break on >6h
+    // inactivity. lag + running-sum windows both partition by user, so the
+    // whole query is ONE shuffle on user_id reused across both windows and
+    // the final aggregates; the event_id tie-break pins engine-identical
+    // ordering at duplicate timestamps. The batch twin of the streaming
+    // `s_stream_sessions` state machine.
+    "q_sessions_batch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = col("ts").cast("long") - col("prev_ts").cast("long")
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || gap > 21600, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+            .as("duration_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_events"),
+          max("duration_s").as("max_duration_s"))
+    }),
+
     // TPC-H Q7-shaped: bilateral trade volume between two nations. The
     // nation dimension is filtered to the two relevant nations BEFORE the
     // join (Catalyst cannot decompose the cross-side disjunction itself),
@@ -400,20 +425,26 @@ object AnalyticsQueries {
     // per-order aggregate (distinct suppliers, distinct late suppliers) —
     // one shuffle instead of two self-joins of the fact table.
     "q21_waiting_supplier" -> ((s, d) => {
-      val lo = Tables.lineitem(s, d)
+      // One pass over the fact join reduces lineitems to (order, supplier,
+      // late) — everything downstream runs on the far smaller pair table,
+      // which is persisted because it feeds both the per-order aggregate
+      // and the winner join (recomputing it would redo the fact join).
+      val os = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late", datediff(col("l_shipdate"), col("o_orderdate")) > 60)
-      val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+        .persist()
+      val perOrder = os.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supps"),
+          count(when(col("late"), lit(1))).as("n_late"))
         .filter(col("n_supps") >= 2 && col("n_late") === 1)
-      lo.filter(col("late"))
+      os.filter(col("late"))
         .join(perOrder, col("l_orderkey") === col("ok"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
     }),
@@ -556,6 +587,26 @@ object AnalyticsQueries {
         |SELECT day, rev,
         |round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_ma7
         |FROM dly""".stripMargin,
+    "q_sessions_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    date_diff('second',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN gap IS NULL OR gap > 21600 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT)
+        |      - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+        |  max(duration_s) AS max_duration_s
+        |FROM g GROUP BY 1""".stripMargin,
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

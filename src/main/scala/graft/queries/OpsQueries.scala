@@ -222,6 +222,22 @@ object OpsQueries {
         .select("o_orderkey", "prev_okey", "prev_date")
     }),
 
+    // forward as-of with tolerance: each order annotated with the
+    // customer's NEXT order, but only when it lands within 90 days —
+    // the pandas merge_asof(direction='forward', tolerance=...) shape
+    "x_asof_forward" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val next = orders.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("next_okey"))
+      AsofJoin.asofJoin(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        next, Seq("o_custkey"), "o_orderdate", "o_orderdate",
+        Map("next_okey" -> "next_okey"),
+        strict = true, forward = true,
+        tolerance = Some(expr("INTERVAL 90 DAYS")))
+        .select("o_orderkey", "next_okey")
+    }),
+
     // keyless interval-containment join, bucketed by week: lineitems
     // shipped inside each sampled order's [orderdate, orderdate + n) window
     "x_range_join" -> ((s, d) => {
@@ -759,6 +775,15 @@ object OpsQueries {
         |SELECT l.o_orderkey, r.prev_okey, r.o_orderdate AS prev_date
         |FROM orders l ASOF LEFT JOIN r
         |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    "x_asof_forward" ->
+      """WITH n AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_okey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey,
+        |  CASE WHEN n.o_orderdate <= o.o_orderdate + INTERVAL 90 DAY
+        |       THEN n.next_okey END AS next_okey
+        |FROM orders o ASOF LEFT JOIN n
+        |  ON o.o_custkey = n.o_custkey AND o.o_orderdate < n.o_orderdate""".stripMargin,
 
     "x_range_join" ->
       """WITH iv AS (SELECT o_orderkey AS iv_id, o_orderdate AS w_start,

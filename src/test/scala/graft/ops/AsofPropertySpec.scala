@@ -36,6 +36,39 @@ class AsofPropertySpec extends SparkSuite {
       (k, t) -> best
     }.toMap
 
+  private def bruteForward(left: List[(Long, Long)], right: List[(Long, Long, Long)],
+                           strict: Boolean, tolMs: Long): Map[(Long, Long), Option[Long]] =
+    left.map { case (k, t) =>
+      val candidates = right.filter { case (rk, rt, _) =>
+        rk == k && (if (strict) rt > t else rt >= t) }
+      // nearest-at-or-after; None when even the nearest exceeds tolerance
+      val best = candidates.sortBy(c => (c._2, c._3)).headOption
+      (k, t) -> best.filter(_._2 - t <= tolMs).map(_._3)
+    }.toMap
+
+  for (strict <- Seq(false, true))
+    test(s"forward asofJoin strict=$strict + tolerance equals brute force") {
+      val cases = Gen.listOfN(25, genRows)
+        .apply(Gen.Parameters.default, Seed(77L + (if (strict) 1 else 0))).get
+      cases.zipWithIndex.foreach { case ((left, rightRaw), ci) =>
+        val right = rightRaw.groupBy(r => (r._1, r._2))
+          .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toList
+        val lDf = left.map { case (k, t) => (k, ts(t)) }.toDF("k", "lts")
+        val rDf = right.map { case (k, t, p) => (k, ts(t), p) }.toDF("k", "rts", "pay")
+        val got = AsofJoin.asofJoin(lDf, rDf, Seq("k"), "lts", "rts",
+            Map("pay" -> "pay"), strict, forward = true,
+            tolerance = Some(org.apache.spark.sql.functions.expr(
+              "INTERVAL 5 MILLISECONDS")))
+          .select("k", "lts", "pay")
+          .as[(Long, java.sql.Timestamp, Option[Long])].collect()
+        val want = bruteForward(left, right, strict, tolMs = 5L)
+        got.foreach { case (k, t, pay) =>
+          assert(pay == want((k, t.getTime)), s"case $ci key=$k ts=${t.getTime}")
+        }
+        assert(got.length == left.length, s"case $ci row count")
+      }
+    }
+
   for (strict <- Seq(false, true))
     test(s"asofJoin strict=$strict equals brute force on 25 random inputs") {
       val cases = Gen.listOfN(25, genRows)

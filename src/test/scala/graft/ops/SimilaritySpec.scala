@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Recall characterization for the approximate-NN operators.
+  *
+  * The oracle queries (`x_ann_*`) pin bit-exact parameter choices so the
+  * DuckDB replay matches hash-for-hash; THIS suite instead runs the
+  * operators with production-shaped parameters and asserts they reach a
+  * usable recall floor against the exact scan — the property a user of
+  * the ANN path actually cares about. The synthetic embeddings are
+  * near-uniform (rank-1 cosine ≈ 0.37 vs rank-100 ≈ 0.11, heavy
+  * near-ties), which makes these floors conservative for real corpora
+  * with cluster structure.
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf1)
+
+  /** Exact L2 top-k ids (the ground truth PQ's asymmetric distance
+    * approximates). */
+  private def exactL2Top(k: Int, queryId: Long = 0L): Set[Long] = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.sqDist(col("embedding"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(k)
+      .select("vec_id").as[Long].collect().toSet
+  }
+
+  /** Exact cosine top-k ids (ground truth for the cosine-scored paths). */
+  private def exactCosineTop(k: Int, queryId: Long = 0L): Set[Long] =
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryId, k)
+      .select("vec_id").as[Long].collect().toSet
+
+  test("PQ with production-shaped codebooks reaches useful L2 recall") {
+    // m=8 subspaces x k=16 codes = 16^8 possible codes (vs the oracle
+    // query's deliberately tiny bit-exact m=2 x k=4 = 16 codes)
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding", queryId = 0L,
+        kNeighbors = 10, m = 8, subDim = 8, k = 16, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val r10 = (got & exactL2Top(10)).size / 10.0
+    val r100 = (got & exactL2Top(100)).size / 10.0
+    info(s"pq m=8 k=16: recall@10=$r10 within-top100=$r100")
+    assert(r100 >= 0.5, s"PQ candidates should mostly be true near neighbours ($r100)")
+  }
+
+  test("multi-probe IVF recall dominates single-probe") {
+    val single = Similarity.ivfTopKMultiProbe(emb, "vec_id", "embedding",
+        "label", queryId = 0L, k = 10, probes = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.ivfTopKMultiProbe(emb, "vec_id", "embedding",
+        "label", queryId = 0L, k = 10, probes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val t10 = exactCosineTop(10)
+    val t100 = exactCosineTop(100)
+    info(s"ivf probes=1: recall@10=${(single & t10).size / 10.0}; " +
+      s"probes=4: recall@10=${(multi & t10).size / 10.0}")
+    assert((multi & t10).size >= (single & t10).size,
+      "probing more cells must not lose recall")
+    assert((multi & t100).size >= 9,
+      "multi-probe candidates should be true near neighbours")
+  }
+}
