@@ -247,6 +247,40 @@ object AnalyticsQueries {
       daily.withColumn("rev_ma7", round(avg(col("rev")).over(w), 2))
     }),
 
+    // Sketch path for distinct counts: at 100 TB the exact two-phase
+    // distinct (q_distinct_agg) shuffles every distinct key; HLL++ ships
+    // constant-size sketches instead. The oracle validates the sketch's
+    // error CONTRACT end-to-end: the exact count must match SQL and the
+    // sketch must land within the bound (a broken sketch hash-mismatches).
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_bound"))),
+
+    // Sketch path for percentiles: KLL/GK-style approx_percentile with a
+    // 1/10000 rank-error budget, validated against the exact discrete
+    // percentile inside the same query (2% value tolerance)
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50_exact"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p99_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_approx"))
+        .select(col("l_returnflag"),
+          round(col("p50_exact"), 2).as("p50"),
+          round(col("p99_exact"), 2).as("p99"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.02 &&
+            abs(col("p99_approx") - col("p99_exact")) / col("p99_exact") <= 0.02)
+            .as("within_bound"))),
+
     // Batch sessionization (gaps-and-islands): sessions break on >6h
     // inactivity. lag + running-sum windows both partition by user, so the
     // whole query is ONE shuffle on user_id reused across both windows and
@@ -587,6 +621,16 @@ object AnalyticsQueries {
         |SELECT day, rev,
         |round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_ma7
         |FROM dly""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_disc(l_extendedprice, 0.99), 2) AS p99,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_sessions_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

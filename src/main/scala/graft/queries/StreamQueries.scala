@@ -145,6 +145,61 @@ object StreamQueries {
       runToParquet(s, joined, w)
     }),
 
+    // watermarked stream-stream LEFT OUTER join: purchases with no view
+    // in the prior 24 h survive as null-padded rows. Outer emission is
+    // watermark-driven, so BOTH branch filters get a sentinel event far
+    // past max event time (the multi-watermark policy takes the min across
+    // sides — one lagging side would hold every outer row back forever).
+    "s_stream_left_join" -> ((s, d) => {
+      val w = scratch(s, "s_stream_left_join")
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "view"))
+        .select("event_id", "ts", "user_id", "event_type")
+      // bounded driver metadata: ONE row (the max event time) seeds the
+      // sentinel timestamps — same pattern as the registry watermark read.
+      // Outer-join state evicts one micro-batch BEHIND the watermark (the
+      // eviction batch runs under the PREVIOUS batch's watermark), so two
+      // staggered sentinel pairs are appended as separate files and
+      // maxFilesPerTrigger=1 forces each into its own micro-batch: the
+      // first advances the watermark past all real data, the second's
+      // batch evicts-and-emits every real unmatched row under it.
+      val mx = ev.agg(max("ts")).head.getTimestamp(0)
+      def sentinelPair(days: Long) = {
+        val far = new java.sql.Timestamp(mx.getTime + days * 86400 * 1000)
+        Seq((-1L, far, -1L, "purchase"), (-2L, far, -1L, "view"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+      }
+      ev.coalesce(1).write.option("timestampFormat", TsFmt).json(s"$w/in")
+      sentinelPair(10).coalesce(1).write
+        .option("timestampFormat", TsFmt).mode("append").json(s"$w/in")
+      sentinelPair(20).coalesce(1).write
+        .option("timestampFormat", TsFmt).mode("append").json(s"$w/in")
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", TsFmt).json(s"$w/in")
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val views = stream.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_ts"),
+          col("user_id").as("v_user"))
+      // NOTE: no sentinel filter inside the streaming plan — a
+      // deterministic predicate on user_id/event_id would be pushed BELOW
+      // the watermark operator and silently prune the sentinel rows before
+      // they can advance the watermark (observed: the outer-row tail never
+      // flushed). Sentinels are dropped from the BATCH read of the sink.
+      val joined = Streaming.lagJoin(
+          purchases, "p_ts",
+          views.withColumnRenamed("v_user", "user_id"), "v_ts",
+          Seq("user_id"), maxLag = "24 HOURS", watermarkDelay = "1 hour",
+          joinType = "left_outer")
+        .select(col("purchase_id"), col("view_id"), purchases("user_id"))
+      runToParquet(s, joined, w).where(col("user_id") >= 0)
+    }),
+
     // flatMapGroupsWithState sessionization with event-time timeouts
     "s_stream_sessions" -> ((s, d) => {
       import s.implicits._
@@ -180,6 +235,12 @@ object StreamQueries {
         |FROM events p JOIN events v ON p.user_id = v.user_id
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR""".stripMargin,
+    "s_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+        |FROM events p LEFT JOIN events v
+        |  ON p.user_id = v.user_id AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     "s_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value

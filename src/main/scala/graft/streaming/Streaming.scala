@@ -58,13 +58,16 @@ object Streaming {
     */
   def lagJoin(left: DataFrame, leftTs: String, right: DataFrame,
               rightTs: String, keyCols: Seq[String], maxLag: String,
-              watermarkDelay: String): DataFrame = {
+              watermarkDelay: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxLag") &&
       col(rightTs) <= col(leftTs)
-    l.join(r, cond, "inner")
+    // left_outer: null-padded rows for unmatched left rows emit once the
+    // watermark proves no in-range right row can still arrive — the
+    // event-time bound on BOTH sides is what makes the state evictable
+    l.join(r, cond, joinType)
   }
 
   /** Streaming upsert into a [[graft.table.ManagedTable]]: each micro-batch
