@@ -45,6 +45,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Incremental exact dedup — the production shape where a NEW batch is
+    * deduped against the already-ingested corpus: new rows whose key
+    * digest exists in the index are dropped (16-byte digest anti-join —
+    * the index side ships digests only, never text), then the batch is
+    * deduped within itself. Cost is O(batch + index digests), repeatable
+    * per ingest without ever rewriting the index. */
+  def incrementalExact(fresh: DataFrame, index: DataFrame, keyCol: String,
+                       idCol: String): DataFrame =
+    exact(
+      fresh.join(
+        index.select(md5(col(keyCol).cast("binary")).as("__ik")).distinct(),
+        md5(col(keyCol).cast("binary")) === col("__ik"), "left_anti"),
+      keyCol, idCol)
+
   /** Passage-level exact dedup (the C4/RefinedWeb line-dedup shape at
     * passage granularity): chunk every document into k-token passages,
     * then keep the globally-first copy — minimum (id, para_idx) — of each

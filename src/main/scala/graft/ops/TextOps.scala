@@ -30,6 +30,23 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Bigram novelty: the fraction of a document's distinct word bigrams
+    * that appear in NO other document — an inter-document diversity /
+    * boilerplate signal (low novelty = heavily templated text). Shuffles
+    * carry 60-bit bigram digests + ids only; documents with fewer than
+    * two tokens have no bigrams and drop out. */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), 2)).as("bg"))
+      .select(col(idCol), Dedup.h60(col("bg")).as("bk"))
+    val dfreq = bg.groupBy(col("bk").as("ck")).agg(count(lit(1)).as("df"))
+    bg.join(dfreq, col("bk") === col("ck"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(count(when(col("df") === 1, lit(1))).cast("double") /
+          count(lit(1)), 4).as("novelty"))
+  }
+
   /** Fixed-size token-window passages ("paragraphs" for corpora whose
     * documents carry no explicit boundary characters): non-overlapping
     * k-token windows exploded to (id, para_idx, para). Pure expression +

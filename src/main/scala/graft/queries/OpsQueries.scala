@@ -184,6 +184,20 @@ object OpsQueries {
     "x_text_dupfrac" -> ((s, d) =>
       Dedup.dupPassageFrac(Tables.documents(s, d), "doc_id", "text", k = 20)),
 
+    // incremental dedup: a "new crawl" batch (doc_id % 5 == 0) deduped
+    // against the already-ingested index (everything else) — digest
+    // anti-join, then in-batch dedup
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExact(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0), "text", "doc_id")
+    }),
+
+    // inter-document bigram novelty (boilerplate/diversity signal)
+    "x_text_novelty" -> ((s, d) =>
+      TextOps.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
+
     // source-level (domain-level) corpus statistics: the aggregation that
     // drives source allow/deny lists in web-scale pipelines
     "x_doc_source_stats" -> ((s, d) =>
@@ -698,6 +712,25 @@ object OpsQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0
         |  < (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.5 ELSE 1.0 END)""".stripMargin,
+
+    "x_dedup_incremental" ->
+      """SELECT min(f.doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents f
+        |WHERE f.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents i
+        |                  WHERE i.doc_id % 5 <> 0 AND i.text = f.text)
+        |GROUP BY f.text""".stripMargin,
+
+    "x_text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+         |        i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS bg
+         |      FROM t WHERE len(toks) >= 2),
+         |d AS (SELECT bg, count(*) AS df FROM b GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
+         |        / count(*), 4) AS novelty
+         |FROM b JOIN d USING (bg) GROUP BY 1""".stripMargin,
 
     "x_sample_weighted" ->
       """SELECT doc_id, n_chars FROM documents
