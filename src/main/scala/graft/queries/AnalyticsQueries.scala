@@ -306,6 +306,63 @@ object AnalyticsQueries {
           max("duration_s").as("max_duration_s"))
     }),
 
+    // TPC-H Q2-shaped: cheapest supplier per part (argmin-per-group via
+    // row_number window; the part filter prunes the window input, not just
+    // the output). unit_cost is deliberately UNROUNDED: each division is
+    // the same IEEE-754 op in both engines and min() is order-independent,
+    // so the raw double is bit-deterministic — whereas round() here is NOT
+    // (Spark rounds the shortest decimal repr, DuckDB the exact binary
+    // value; costs like cents/8 = x.44875 sit exactly on the boundary).
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val pp = Tables.part(s, d).where(col("p_size") < 10)
+        .select("p_partkey", "p_name")
+      val cost = Tables.lineitem(s, d)
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("unit_cost"), col("l_suppkey"))
+      cost.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("unit_cost"))
+    }),
+
+    // TPC-H Q11-shaped: parts whose traded value exceeds 1.2x the average
+    // part value (HAVING vs a one-row broadcast scalar). The threshold is
+    // relative to the corpus average so the query is scale-invariant —
+    // non-empty at every SF — and rounded to 2 decimals so a last-ulp
+    // difference in the two engines' double-sum order can't flip rows.
+    "q11_important_parts" -> ((s, d) => {
+      val pv = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("part_value"))
+      val tot = pv.agg(
+        round(sum(col("part_value")) * 1.2 / count(lit(1)), 2).as("thr"))
+      pv.crossJoin(broadcast(tot))
+        .where(col("part_value") > col("thr"))
+        .select(col("l_partkey"), col("part_value"))
+    }),
+
+    // TPC-H Q20-shaped: dominant suppliers — those whose quantity share of
+    // a part exceeds 2.5x the per-part average share (sq/tq > 2.5/ns,
+    // compared as sq*ns > tq*2.5 to stay in exact arithmetic: quantities
+    // are integer-valued doubles so every sum/product here is exact, and
+    // the comparison is bit-deterministic across engines at every SF)
+    "q20_dominant_suppliers" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).where(col("p_size") < 10).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val tot = ps.groupBy(col("l_partkey").as("tk"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+      ps.join(tot, col("l_partkey") === col("tk"))
+        .where(col("sq") * col("ns") > col("tq") * 2.5)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_dominated_parts"))
+    }),
+
     // TPC-H Q7-shaped: bilateral trade volume between two nations. The
     // nation dimension is filtered to the two relevant nations BEFORE the
     // join (Catalyst cannot decompose the cross-side disjunction itself),
@@ -651,6 +708,31 @@ object AnalyticsQueries {
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
         |  max(duration_s) AS max_duration_s
         |FROM g GROUP BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH pp AS (SELECT p_partkey, p_name FROM part WHERE p_size < 10),
+        |c AS (SELECT p_partkey, p_name, l_suppkey,
+        |        min(l_extendedprice / l_quantity) AS unit_cost
+        |      FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |      GROUP BY 1, 2, 3),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |        ORDER BY unit_cost, l_suppkey) AS rn FROM c)
+        |SELECT p_partkey, p_name, s_name, unit_cost
+        |FROM b JOIN supplier ON l_suppkey = s_suppkey WHERE rn = 1""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, part_value FROM pv
+        |WHERE part_value > (SELECT round(sum(part_value) * 1.2 / count(*), 2) FROM pv)""".stripMargin,
+    "q20_dominant_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            WHERE p_size < 10 GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS tk, sum(sq) AS tq, count(*) AS ns FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        |FROM ps JOIN tot ON l_partkey = tk
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sq * ns > tq * 2.5
+        |GROUP BY 1, 2""".stripMargin,
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
