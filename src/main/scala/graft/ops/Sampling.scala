@@ -33,6 +33,42 @@ object Sampling {
     df.where(hashUnit(col(idCol)) < rate)
   }
 
+  /** Cap each stratum at `cap` rows, chosen deterministically by id hash
+    * (row_number over the per-stratum hash order). The standard "no
+    * language/source may exceed N documents" rebalancing step before
+    * training-mix assembly. One shuffle on the stratum key; each group
+    * sorts only its own rows, and AQE splits a skewed dominant stratum
+    * across tasks. For caps small enough to matter at 100 TB, the window
+    * input can be pre-pruned with a per-partition top-cap heap, but the
+    * plain window is the correct default shape. */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                    cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUnit(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** Temperature-scaled mixture weights per source: w_s ∝ count_s^alpha,
+    * normalized to sum to 1 — the standard multi-source sampling-rate
+    * computation (alpha < 1 upweights small sources, alpha = 1 is
+    * proportional). alpha = 0.5 keeps the power an exact IEEE sqrt, so
+    * the oracle reproduces it bit-for-bit; the final weight is rounded
+    * to 6 decimals to absorb summation-order ulps. Output is one row per
+    * source — a broadcast-size table joined back onto the corpus by the
+    * sampling step. */
+  def mixtureWeights(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("_pw", sqrt(col("n_docs")))
+    val tot = counts.agg(sum(col("_pw")).as("_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("_pw") / col("_tot"), 6).as("mix_weight"))
+  }
+
   /** Efraimidis–Spirakis A-Res weighted sampling without replacement:
     * each row draws u ∈ (0,1] from its id hash (the +1 keeps ln defined)
     * and scores ln(u)/weight — a monotone transform of the classic

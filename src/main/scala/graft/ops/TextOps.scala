@@ -245,6 +245,14 @@ object TextOps {
           greatest(col("n_shingles"), lit(1)), 4).as("contamination"))
   }
 
+  /** Canonical text normalization for web corpora: lowercase, collapse
+    * every whitespace run to a single space, trim the ends. Pure per-row
+    * expression — map-only at any scale. The `\s+` class is identical in
+    * Java and RE2 regex dialects, so the oracle can mirror it exactly
+    * (DuckDB needs the explicit 'g' flag for replace-all). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Exact content fingerprint: md5 of the raw text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -198,6 +198,34 @@ object OpsQueries {
     "x_text_novelty" -> ((s, d) =>
       TextOps.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
 
+    // canonical whitespace/case normalization: per-doc normalized length
+    // and content fingerprint (map-only at any scale)
+    "x_text_normalize" -> ((s, d) => {
+      val norm = TextOps.normalize(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+        length(norm).as("n_chars_norm"),
+        md5(norm.cast("binary")).as("fp_norm"))
+    }),
+
+    // exact dedup over NORMALIZED text: catches duplicates that differ
+    // only in case/whitespace — the standard canonicalize-then-dedup pass
+    "x_dedup_norm" -> ((s, d) =>
+      Dedup.exact(
+        Tables.documents(s, d)
+          .withColumn("norm", TextOps.normalize(col("text"))),
+        "norm", "doc_id")),
+
+    // per-language document cap: no stratum exceeds 20 docs, members
+    // chosen deterministically by id hash (training-mix rebalancing)
+    "x_sample_lang_cap" -> ((s, d) =>
+      Sampling.capPerStratum(Tables.documents(s, d), "doc_id", "lang", cap = 20)
+        .select("doc_id", "lang")),
+
+    // temperature-scaled (alpha = 0.5) per-source mixture weights —
+    // the multi-source sampling-rate table for training-mix assembly
+    "x_mix_weights" -> ((s, d) =>
+      Sampling.mixtureWeights(Tables.documents(s, d), "source")),
+
     // source-level (domain-level) corpus statistics: the aggregation that
     // drives source allow/deny lists in web-scale pipelines
     "x_doc_source_stats" -> ((s, d) =>
@@ -731,6 +759,30 @@ object OpsQueries {
          |  round(CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
          |        / count(*), 4) AS novelty
          |FROM b JOIN d USING (bg) GROUP BY 1""".stripMargin,
+
+    "x_text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT) AS n_chars_norm,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
+        |FROM documents""".stripMargin,
+
+    "x_dedup_norm" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+
+    "x_sample_lang_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |             / 4294967296.0, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    "x_mix_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs, sqrt(count(*)) AS pw
+        |           FROM documents GROUP BY 1)
+        |SELECT source, n_docs, round(pw / (SELECT sum(pw) FROM c), 6) AS mix_weight
+        |FROM c""".stripMargin,
 
     "x_sample_weighted" ->
       """SELECT doc_id, n_chars FROM documents

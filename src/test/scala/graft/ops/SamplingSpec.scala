@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("capPerStratum caps every stratum and is layout-independent") {
+    val docs = (0L until 100L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.capPerStratum(docs, "doc_id", "lang", cap = 10)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang === Map("de" -> 10L, "en" -> 10L))
+    // the kept SET must not depend on the physical layout — re-partitioned
+    // input selects the same ids (hash order, not arrival order)
+    val again = Sampling.capPerStratum(docs.repartition(7), "doc_id", "lang", 10)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("capPerStratum keeps strata smaller than the cap intact") {
+    val docs = Seq((1L, "rare"), (2L, "rare"), (3L, "big"), (4L, "big"),
+      (5L, "big")).toDF("doc_id", "lang")
+    val got = Sampling.capPerStratum(docs, "doc_id", "lang", cap = 2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got === Map("rare" -> 2L, "big" -> 2L))
+    val all = Sampling.capPerStratum(docs, "doc_id", "lang", cap = 10)
+    assert(all.count() === 5L)
+  }
+
+  test("mixtureWeights sums to 1 and upweights small sources vs proportional") {
+    val docs = ((0L until 90L).map(i => (i, "big")) ++
+      (90L until 100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val w = Sampling.mixtureWeights(docs, "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-4)
+    // alpha = 0.5: small source gets sqrt(10)/(sqrt(90)+sqrt(10)) = 0.25,
+    // far above its 0.10 proportional share
+    assert(w("small")._2 > 0.10 && math.abs(w("small")._2 - 0.25) < 1e-3)
+    assert(math.abs(w("big")._2 - 0.75) < 1e-3)
+  }
+}

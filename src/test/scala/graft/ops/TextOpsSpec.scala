@@ -31,6 +31,16 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3L) === "apple")   // tie apple/cherry at tf 1 → token asc
   }
 
+  test("normalize lowercases, collapses whitespace runs, and trims") {
+    val docs = Seq((1L, "  Hello\t\tWorld \n"), (2L, "already normal"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextOps.normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "hello world")
+    assert(got(2L) === "already normal")
+    assert(got(3L) === "")
+  }
+
   test("contaminationScreen counts eval-shingle overlap per training doc") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"),   // shares "the quick brown", "quick brown fox" with eval
