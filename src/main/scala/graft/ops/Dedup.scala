@@ -45,6 +45,39 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Bloom-prefiltered incremental dedup — [[incrementalExact]] with the
+    * anti-join input cut down by a Bloom filter over the index's xxhash64
+    * key hashes. At 100 TB the crawl batch is mostly NEW documents, so the
+    * expensive digest anti-join would shuffle the whole batch against the
+    * index; the Bloom probe (a codegen'd `BloomFilterMightContain` against
+    * a broadcast-literal sketch — Spark's own runtime-filter expression)
+    * discards the definitely-new majority map-side, and only the
+    * bloom-positive suspects pay the exact anti-join that resolves false
+    * positives. The sketch is built DISTRIBUTED (`stat.bloomFilter` tree
+    * aggregation); only the finished bit array reaches the driver — sized
+    * by `expectedItems`/`fpp` (1%% fpp at 10^8 keys ≈ 120 MB; beyond
+    * ~10^9 index keys, shard the index and prefilter per shard). Result is
+    * bit-identical to [[incrementalExact]]: the Bloom is an optimization,
+    * never a semantics change. */
+  def bloomIncremental(fresh: DataFrame, index: DataFrame, keyCol: String,
+                       idCol: String, expectedItems: Long,
+                       fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bf = index.select(xxhash64(col(keyCol)).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val maybe = GraftShim.column(BloomFilterMightContain(
+      Literal.create(bos.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(xxhash64(col(keyCol)))))
+    val confirmedNew = fresh.where(maybe).join(
+      index.select(md5(col(keyCol).cast("binary")).as("__ik")).distinct(),
+      md5(col(keyCol).cast("binary")) === col("__ik"), "left_anti")
+    exact(fresh.where(!maybe).unionByName(confirmedNew), keyCol, idCol)
+  }
+
   /** Incremental exact dedup — the production shape where a NEW batch is
     * deduped against the already-ingested corpus: new rows whose key
     * digest exists in the index are dropped (16-byte digest anti-join —

@@ -100,6 +100,25 @@ object TextOps {
       .drop("_toks")
   }
 
+  /** Percentile-threshold quality gate: drop every document whose
+    * [[qualityScore]] falls below the corpus's `quantile` score — the
+    * standard "cut the worst X%" filtering step. The threshold is a
+    * one-row `percentile_disc` aggregate broadcast back onto the scored
+    * corpus, so the gate is two passes over the data and no driver-side
+    * value handling; `percentile_disc` (not the interpolating
+    * `percentile`) keeps the threshold an actual observed score, which
+    * both engines agree on exactly. */
+  def qualityFilter(df: DataFrame, idCol: String,
+                    quantile: Double): DataFrame = {
+    val scored = qualityScore(df)
+    val thr = scored.agg(
+      expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY quality_score)")
+        .as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality_score") >= col("_thr"))
+      .select(col(idCol), col("quality_score"))
+  }
+
   /** Per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: broadcast as literals into codegen. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

@@ -226,6 +226,23 @@ object OpsQueries {
     "x_mix_weights" -> ((s, d) =>
       Sampling.mixtureWeights(Tables.documents(s, d), "source")),
 
+    // Bloom-prefiltered incremental dedup: identical result to the plain
+    // digest anti-join, but the definitely-new majority of the batch is
+    // discarded map-side by a broadcast Bloom sketch of the index
+    "x_dedup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomIncremental(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", expectedItems = 100000L)
+    }),
+
+    // percentile-threshold quality gate: cut the worst quartile by
+    // composite quality score (threshold = corpus P25, discrete)
+    "x_text_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(Tables.documents(s, d), "doc_id",
+        quantile = 0.25)),
+
     // source-level (domain-level) corpus statistics: the aggregation that
     // drives source allow/deny lists in web-scale pipelines
     "x_doc_source_stats" -> ((s, d) =>
@@ -783,6 +800,35 @@ object OpsQueries {
         |           FROM documents GROUP BY 1)
         |SELECT source, n_docs, round(pw / (SELECT sum(pw) FROM c), 6) AS mix_weight
         |FROM c""".stripMargin,
+
+    // the Bloom sketch is recall-lossless (only false POSITIVES, resolved
+    // by the exact anti-join), so the oracle is the plain incremental shape
+    "x_dedup_bloom" ->
+      """SELECT min(f.doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents f
+        |WHERE f.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents i
+        |                  WHERE i.doc_id % 3 <> 0 AND i.text = f.text)
+        |GROUP BY f.text""".stripMargin,
+
+    "x_text_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |  FROM f)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE quality_score >= (SELECT quantile_disc(quality_score, 0.25) FROM q)""".stripMargin,
 
     "x_sample_weighted" ->
       """SELECT doc_id, n_chars FROM documents

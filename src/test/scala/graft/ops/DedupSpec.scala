@@ -96,4 +96,28 @@ class DedupSpec extends SparkSuite {
     assert(cappedAll === 1L)
     assert(uncappedAll >= (14L * 13L) / 2L)
   }
+
+  test("bloomIncremental equals incrementalExact bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // batch: some docs duplicate the index, some duplicate each other,
+    // some are genuinely new — all three paths through the prefilter
+    val index = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((10L, "alpha"), (11L, "new one"), (12L, "new one"),
+      (13L, "delta"), (14L, "beta")).toDF("doc_id", "text")
+    val plain = Dedup.incrementalExact(fresh, index, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val bloom = Dedup.bloomIncremental(fresh, index, "text", "doc_id",
+        expectedItems = 1000L)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom === plain)
+    assert(plain === Set((11L, 2L), (13L, 1L)))
+    // the prefilter is really in the plan: the batch side carries a
+    // might_contain probe before any join (asserted on the analyzed plan —
+    // over a LocalRelation the optimizer folds the whole filter away,
+    // which on real file sources doesn't happen)
+    val plan = Dedup.bloomIncremental(fresh, index, "text", "doc_id", 1000L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
 }
