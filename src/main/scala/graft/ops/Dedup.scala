@@ -280,6 +280,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact shingle-Jaccard pairs — the PPJoin-family
+    * alternative to [[ngramJaccardPairs]]'s df-cap. Shingles are globally
+    * ordered rarest-first (document frequency asc, shingle asc) and each
+    * document indexes only its first |d| - ceil(t*|d|) + 1 shingles: any
+    * pair with J >= t must overlap by >= ceil(t*|d|) elements, so the two
+    * prefixes provably share at least one shingle (Chaudhuri et al.'s
+    * prefix-filter lemma). Unlike the df-cap this is LOSSLESS — boilerplate
+    * shingles are common, so they sort to the END of the global order and
+    * fall out of every prefix; the inverted index self-joins only on rare
+    * keys and the hot-key quadratic blowup can't happen. Costs one extra
+    * shuffle vs the cap (the df join + per-doc rank window) — the standard
+    * trade: exact recall for ~2x candidate-stage cost. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist() // feeds the index build and both verify joins
+    val ex = withSh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // plain shuffle join — the df table is vocabulary-sized, never broadcast
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(byRarity))
+      .where(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.alias("l")
+      .join(prefix.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

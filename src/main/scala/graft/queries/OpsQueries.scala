@@ -50,6 +50,13 @@ object OpsQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.7)),
 
+    // prefix-filtered (PPJoin-style) exact Jaccard: lossless scale path —
+    // boilerplate shingles drop out of every prefix instead of being
+    // df-capped away; oracle is the brute-force exact pair set
+    "x_dedup_prefix" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6)),
+
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxDistance = 3)),
@@ -521,6 +528,11 @@ object OpsQueries {
     // the exact-Jaccard oracle IS the expected LSH output (verified).
     "x_dedup_minhash" -> ShinglesSql,
     "x_dedup_ngram" -> ShinglesSql,
+
+    // prefix filtering is recall-lossless, so the oracle is the same
+    // brute-force exact-Jaccard shape at this query's threshold
+    "x_dedup_prefix" ->
+      s"WITH $ShingleCtes\nSELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6",
 
     // reachability closure over the pair graph; cluster id = min reachable
     "x_dedup_clusters" ->

@@ -97,6 +97,28 @@ class DedupSpec extends SparkSuite {
     assert(uncappedAll >= (14L * 13L) / 2L)
   }
 
+  test("prefixJaccardPairs is lossless and drops boilerplate from the index") {
+    // two true near-dups + a 12-doc family sharing ONLY a boilerplate
+    // trailer: the df-cap test's adversarial corpus. Prefix filtering must
+    // find the true pair (losslessness) while the trailer shingles — max
+    // document frequency, so LAST in the rarest-first global order — never
+    // enter any prefix, so the clique produces no candidates.
+    val trailer = "all rights reserved contact us for details"
+    val docs = ((100L, "the quick brown fox jumps over the lazy dog " + trailer) +:
+      (101L, "the quick brown fox jumps over the lazy cat " + trailer) +:
+      (0L until 12L).map(i =>
+        (i, s"unique body text number $i with its own words " + trailer)))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.contains((100L, 101L)))
+  }
+
   test("bloomIncremental equals incrementalExact bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // batch: some docs duplicate the index, some duplicate each other,
