@@ -327,6 +327,35 @@ object AnalyticsQueries {
         .select(col("p_partkey"), col("p_name"), col("s_name"), col("unit_cost"))
     }),
 
+    // TPC-H Q9-shaped: product-line profit by (nation, year). partsupp
+    // does not exist in this schema, so supply cost is proxied by a fixed
+    // retail-price fraction — the plan shape (fact ⋈ filtered part ⋈
+    // supplier ⋈ nation ⋈ orders, two broadcastable dims, group on
+    // (nation, year)) is the Q9 shape regardless of the cost source.
+    // The money columns all carry <= 2 decimals, so the profit sum runs in
+    // EXACT 1e-4-dollar longs (order-independent) and divides once at the
+    // end — a double sum rounded to 2 decimals flips at this SF's
+    // magnitudes because summation-order error exceeds the rounding
+    // granularity
+    "q9_nation_profit" -> ((s, d) => {
+      val pp = Tables.part(s, d).where(col("p_name").like("%ol%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("rp_c"))
+      val li = Tables.lineitem(s, d)
+        .withColumn("ep_c", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_bp", round(col("l_discount") * 100).cast("long"))
+        .withColumn("qty_i", col("l_quantity").cast("long"))
+      li.join(pp, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(col("ep_c") * (lit(100L) - col("disc_bp")) -
+          col("rp_c") * col("qty_i") * 10L) / 10000.0).as("profit"))
+    }),
+
     // TPC-H Q11-shaped: parts whose traded value exceeds 1.2x the average
     // part value (HAVING vs a one-row broadcast scalar). The threshold is
     // relative to the corpus average so the query is scale-invariant —
@@ -718,6 +747,19 @@ object AnalyticsQueries {
         |        ORDER BY unit_cost, l_suppkey) AS rn FROM c)
         |SELECT p_partkey, p_name, s_name, unit_cost
         |FROM b JOIN supplier ON l_suppkey = s_suppkey WHERE rn = 1""".stripMargin,
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      - CAST(round(p_retailprice * 100) AS BIGINT)
+        |        * CAST(l_quantity AS BIGINT) * 10) / 10000.0 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%ol%'
+        |GROUP BY 1, 2""".stripMargin,
     "q11_important_parts" ->
       """WITH pv AS (SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
         |            FROM lineitem GROUP BY 1)
