@@ -23,6 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Deterministic corpus shuffle: every document gets a global position
+    * under a hash-derived pseudo-random order, plus the training shard
+    * that position falls in — the "shuffle the corpus, write N shards"
+    * step before training. Same two-level structure as [[packChunks]]:
+    * the hash space splits into `buckets` ordered ranges (bucket id is
+    * monotone in the hash, so bucket-then-hash order IS global hash
+    * order), per-bucket counts go through the one small unpartitioned
+    * window, and the corpus-sized rank window is keyed by bucket. The
+    * order is a pure function of ids — reproducible across retries,
+    * layouts, and engines (the DuckDB oracle is a plain
+    * `row_number() OVER (ORDER BY hash, id)`).
+    * Returns (idCol, shuffle_pos, shard). */
+  def shuffleOrder(df: DataFrame, idCol: String, shardSize: Long,
+                   buckets: Int = 1024): DataFrame = {
+    require(shardSize >= 1 && buckets >= 1, "shardSize and buckets must be positive")
+    val withBucket = df.select(col(idCol),
+        Dedup.h32(col(idCol).cast("string")).as("__h"))
+      .withColumn("__bucket", floor(col("__h") * buckets / 4294967296.0))
+    val offsets = withBucket
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    val inBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__h"), col(idCol))
+    withBucket
+      .join(offsets, Seq("__bucket"))
+      .withColumn("__pos", col("__offset") + row_number().over(inBucket) - 1)
+      .select(col(idCol), col("__pos").as("shuffle_pos"),
+        floor(col("__pos") / shardSize).cast("long").as("shard"))
+  }
+
   /** @param capacity  tokens per packed chunk
     * @param blockSize ids per prefix-sum block (tune so corpus/blockSize
     *                  stays driver-window-sized; 1e6 blocks cover 1e12 docs)

@@ -168,6 +168,12 @@ object OpsQueries {
           TextOps.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 2048, blockSize = 100)),
 
+    // deterministic corpus shuffle: global pseudo-random position + shard
+    // assignment via hash order (two-level prefix structure)
+    "x_corpus_shuffle" -> ((s, d) =>
+      Packing.shuffleOrder(Tables.documents(s, d).select("doc_id"),
+        "doc_id", shardSize = 64)),
+
     // deterministic hash-based stratified sampling: downsample dominant
     // languages, keep rare ones — reproducible on any cluster layout
     "x_sample_stratified" -> ((s, d) =>
@@ -763,6 +769,16 @@ object OpsQueries {
         |SELECT doc_id, n AS n_tokens,
         |  CAST(floor(CAST(before AS DOUBLE) / 2048) AS BIGINT) AS chunk_id
         |FROM c""".stripMargin,
+
+    "x_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+        |    doc_id) - 1 AS BIGINT) AS shuffle_pos,
+        |  CAST(floor((row_number() OVER (ORDER BY
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+        |    doc_id) - 1) / 64) AS BIGINT) AS shard
+        |FROM documents""".stripMargin,
 
     "x_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

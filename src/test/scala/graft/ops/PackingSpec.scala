@@ -24,6 +24,30 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("shuffleOrder is a permutation equal to the global hash sort") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 500L).toDF("id")
+    val got = Packing.shuffleOrder(ids, "id", shardSize = 64, buckets = 16)
+      .as[(Long, Long, Long)].collect()
+    // positions are exactly 0..n-1 (a permutation, no collisions)
+    assert(got.map(_._2).sorted.toSeq === (0L until 500L).toSeq)
+    // equals the single-window brute force at any bucket count, and the
+    // shard is the position block
+    val brute = ids
+      .select(col("id"), graft.ops.Dedup.h32(col("id").cast("string")).as("h"))
+      .orderBy("h", "id").as[(Long, Long)].collect()
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    got.foreach { case (id, pos, shard) =>
+      assert(pos === brute(id), s"id $id")
+      assert(shard === pos / 64)
+    }
+    for (b <- Seq(1, 7, 4096)) {
+      val again = Packing.shuffleOrder(ids.repartition(5), "id", 64, b)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(again === brute, s"buckets $b")
+    }
+  }
+
   test("chunks are contiguous and capacity-respecting at the seams") {
     val out = Packing.packChunks(docs, "id", "n", capacity = 256, blockSize = 50)
       .orderBy("id").as[(Long, Long, Long)].collect()
