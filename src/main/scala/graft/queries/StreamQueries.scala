@@ -200,6 +200,48 @@ object StreamQueries {
       runToParquet(s, joined, w).where(col("user_id") >= 0)
     }),
 
+    // watermarked stream-stream FULL OUTER join: unmatched purchases AND
+    // unmatched views both survive null-padded. Same staggered-sentinel
+    // cadence as the left-outer query — both sides' state evicts one
+    // micro-batch behind the watermark, so the second sentinel batch
+    // flushes the unmatched tails of BOTH buffers.
+    "s_stream_full_join" -> ((s, d) => {
+      val w = scratch(s, "s_stream_full_join")
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "view"))
+        .select("event_id", "ts", "user_id", "event_type")
+      val mx = ev.agg(max("ts")).head.getTimestamp(0)
+      def sentinelPair(days: Long) = {
+        val far = new java.sql.Timestamp(mx.getTime + days * 86400 * 1000)
+        Seq((-1L, far, -1L, "purchase"), (-2L, far, -1L, "view"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+      }
+      ev.coalesce(1).write.option("timestampFormat", TsFmt).json(s"$w/in")
+      sentinelPair(10).coalesce(1).write
+        .option("timestampFormat", TsFmt).mode("append").json(s"$w/in")
+      sentinelPair(20).coalesce(1).write
+        .option("timestampFormat", TsFmt).mode("append").json(s"$w/in")
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", TsFmt).json(s"$w/in")
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("user_id"))
+      val views = stream.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_ts"),
+          col("user_id").as("user_id"))
+      val joined = Streaming.lagJoin(
+          purchases, "p_ts", views, "v_ts",
+          Seq("user_id"), maxLag = "24 HOURS", watermarkDelay = "1 hour",
+          joinType = "full_outer")
+        .select(col("purchase_id"), col("view_id"),
+          coalesce(purchases("user_id"), views("user_id")).as("user_id"))
+      runToParquet(s, joined, w).where(col("user_id") >= 0)
+    }),
+
     // flatMapGroupsWithState sessionization with event-time timeouts
     "s_stream_sessions" -> ((s, d) => {
       import s.implicits._
@@ -241,6 +283,13 @@ object StreamQueries {
         |  ON p.user_id = v.user_id AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
         |WHERE p.event_type = 'purchase'""".stripMargin,
+    "s_stream_full_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |  coalesce(p.user_id, v.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR""".stripMargin,
     "s_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
