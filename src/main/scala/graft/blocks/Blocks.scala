@@ -85,9 +85,11 @@ object LoadBlocks {
 
   /** Managed-table read (the reference's Delta read, entrypoint.py:195-236):
     * plain read, `FileRegistry` naming a SnapshotDiff → new-rows-only
-    * version diff, or `ReadChangeFeed` + `StartingTimestamp` → row-level
+    * version diff, `ReadChangeFeed` + `StartingTimestamp` → row-level
     * changes since the timestamp (`IncludeChangeType: true` adds the
-    * Delta-CDF `_change_type` insert/delete marker column); absent table →
+    * Delta-CDF `_change_type` insert/delete marker column), or `Version: N`
+    * → time-travel read of that snapshot (Delta's `versionAsOf`; the
+    * manifest log keeps every retained version's dir list); absent table →
     * empty DataFrame. */
   def batchDelta(c: BlockConfig): DataFrame = {
     val path = c.props.getString("Path")
@@ -99,7 +101,10 @@ object LoadBlocks {
           val since = startingTimestampMillis(c)
           if (c.props.getBoolean("IncludeChangeType")) table.changesWithType(since)
           else table.changesSince(since)
-        } else table.read()
+        } else c.props.getStringOpt("Version") match {
+          case Some(v) => table.readVersion(v.toLong)
+          case None => table.read()
+        }
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 import graft.Tables
 import graft.common.FsUtils
@@ -177,6 +178,60 @@ object LiftQueries {
            |      Path: $w/t
            |""".stripMargin
       Lift.lift(s, upsert).getDf("ReadBack")
+    }),
+
+    // time travel: clean_write (v0) then upsert-merge (v1), read BOTH
+    // versions back through load::batch_delta's Version property and union
+    // them version-tagged — Delta's versionAsOf over the manifest log
+    "l_table_timetravel" -> ((s, d) => {
+      val w = scratch(s, "l_table_timetravel")
+      Tables.orders(s, d).createOrReplaceTempView("orders_tt_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice, 2) AS price
+           |        FROM orders_tt_src WHERE o_orderkey % 6 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |""".stripMargin
+      Lift.lift(s, yaml)
+      val yaml2 =
+        s"""LiftJob:
+           |  Updates:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice + 7, 2) AS price
+           |        FROM orders_tt_src WHERE o_orderkey % 12 = 0
+           |  W1:
+           |    Type: write::batch_delta
+           |    Input: Updates
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: upsert
+           |      Upsert:
+           |        MergeStatement: source.o_orderkey == updates.o_orderkey
+           |  V0:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      Version: 0
+           |  V1:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      Version: 1
+           |""".stripMargin
+      val out = Lift.lift(s, yaml2)
+      out.getDf("V0").withColumn("version", lit(0L))
+        .unionByName(out.getDf("V1").withColumn("version", lit(1L)))
     }),
 
     // fileregistry::s3_full_scan pruning + UpdateAfter flush + batch_delta
@@ -494,6 +549,15 @@ object LiftQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice + 10, 2) AS price
         |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin,
+    "l_table_timetravel" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, CAST(0 AS BIGINT) AS version
+        |FROM orders WHERE o_orderkey % 6 = 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price, 1 AS version
+        |FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice + 7, 2) AS price, 1 AS version
+        |FROM orders WHERE o_orderkey % 12 = 0""".stripMargin,
     "l_registry_fullscan" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_linenumber = 1""".stripMargin,
