@@ -211,6 +211,29 @@ object OpsQueries {
     "x_text_novelty" -> ((s, d) =>
       TextOps.bigramNovelty(Tables.documents(s, d), "doc_id", "text")),
 
+    // corpus heavy hitters: top-20 trigram shingles by DOCUMENT frequency
+    // (shingles are per-doc distinct; deterministic tie-break on the
+    // shingle) — partial counts + TakeOrderedAndProject, so only k rows
+    // per task reach the merge
+    "x_text_top_ngrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
+
+    // log2-bucketed document-length histogram — the standard corpus size
+    // profile (map-only bucket assignment, one narrow aggregation). The
+    // +0.5 keeps the log argument off exact powers of two, where the two
+    // engines' libm could disagree by one ulp and flip the floor; for
+    // integer input it never changes the true bucket
+    "x_doc_length_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(floor(log2(greatest(col("n_chars"), lit(1)) + 0.5))
+          .cast("long").as("log2_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
     // canonical whitespace/case normalization: per-doc normalized length
     // and content fingerprint (map-only at any scale)
     "x_text_normalize" -> ((s, d) => {
@@ -804,6 +827,22 @@ object OpsQueries {
          |  round(CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
          |        / count(*), 4) AS novelty
          |FROM b JOIN d USING (bg) GROUP BY 1""".stripMargin,
+
+    "x_text_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+         |  FROM t),
+         |ex AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
+         |SELECT ngram, count(*) AS n FROM ex
+         |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "x_doc_length_hist" ->
+      """SELECT CAST(floor(log2(greatest(n_chars, 1) + 0.5)) AS BIGINT) AS log2_chars,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "x_text_normalize" ->
       """SELECT doc_id,
