@@ -311,6 +311,7 @@ object Dedup {
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
       .select(col("id"), col("shingle"))
+      .persist() // both sides of the candidate self-join read it
     val cand = prefix.alias("l")
       .join(prefix.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
