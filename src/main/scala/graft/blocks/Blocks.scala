@@ -429,6 +429,10 @@ object WriteBlocks {
           upsert = true, partitionBy = partitionBy)
       case "clean_write" | "overwrite" => table.write(df, partitionBy)
       case "append" => table.append(df, partitionBy)
+      // row-level DELETE: the input DataFrame is ignored (the predicate
+      // defines the rows to remove); partition-pruned when PartitionBy set
+      case "delete" =>
+        table.delete(c.props.getString("Delete.Predicate"), partitionBy)
       case other => throw new IllegalArgumentException(s"Unknown write mode: $other")
     }
     if (c.props.exists("HiveTable"))

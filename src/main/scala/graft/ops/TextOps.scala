@@ -178,6 +178,29 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Unigram-LM document score: mean log probability of the document's
+    * tokens under the corpus's own unigram distribution — the cheap,
+    * exactly-computable stand-in for the KenLM-perplexity quality filter
+    * (low scorers are gibberish/rare-token soup, abnormally high scorers
+    * are boilerplate). Same scale shape as [[tfidfTop]]: the token-count
+    * table is vocabulary-sized so it joins by a plain shuffle (never
+    * broadcast); only the one-row total-token aggregate is broadcast. */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String = "text"): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_tok"))
+    tf.join(counts, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("tf") * log(col("cnt").cast("double") / col("n_tok"))) /
+          sum(col("tf")), 4).as("mean_logprob"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
   /** Per-document top TF-IDF term: term frequency from the token multiset,
     * document frequency from [[docFrequency]], idf = ln(N / df). N arrives
     * as a broadcast one-row aggregate (no driver-side action); the df table

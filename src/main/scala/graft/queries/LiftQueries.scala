@@ -180,6 +180,44 @@ object LiftQueries {
       Lift.lift(s, upsert).getDf("ReadBack")
     }),
 
+    // row-level DELETE through write::batch_delta Mode: delete — the
+    // GDPR/right-to-erasure path, partition-pruned on o_orderstatus
+    "l_table_delete" -> ((s, d) => {
+      val w = scratch(s, "l_table_delete")
+      Tables.orders(s, d).createOrReplaceTempView("orders_del_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_del_src WHERE o_orderkey % 5 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      PartitionBy: o_orderstatus
+           |  D:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: delete
+           |      PartitionBy: o_orderstatus
+           |      Delete:
+           |        Predicate: o_orderkey % 10 = 0
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderstatus", "price")
+    }),
+
     // time travel: clean_write (v0) then upsert-merge (v1), read BOTH
     // versions back through load::batch_delta's Version property and union
     // them version-tagged — Delta's versionAsOf over the manifest log
@@ -549,6 +587,9 @@ object LiftQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice + 10, 2) AS price
         |FROM orders WHERE o_orderkey % 8 = 0""".stripMargin,
+    "l_table_delete" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
     "l_table_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, CAST(0 AS BIGINT) AS version
         |FROM orders WHERE o_orderkey % 6 = 0

@@ -273,6 +273,11 @@ object OpsQueries {
         "text", "doc_id", expectedItems = 100000L)
     }),
 
+    // unigram-LM scoring: per-doc mean token log-probability under the
+    // corpus's own unigram distribution (KenLM-filter stand-in)
+    "x_text_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(Tables.documents(s, d), "doc_id")),
+
     // percentile-threshold quality gate: cut the worst quartile by
     // composite quality score (threshold = corpus P25, discrete)
     "x_text_quality_filter" -> ((s, d) =>
@@ -877,6 +882,19 @@ object OpsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM documents i
         |                  WHERE i.doc_id % 3 <> 0 AND i.text = f.text)
         |GROUP BY f.text""".stripMargin,
+
+    "x_text_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |f AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+         |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM f GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM c)
+         |SELECT doc_id,
+         |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_tok)) / sum(tf), 4)
+         |    AS mean_logprob,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM f JOIN c USING (token), n
+         |GROUP BY 1""".stripMargin,
 
     "x_text_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),

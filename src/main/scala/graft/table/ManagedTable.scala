@@ -169,18 +169,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val pcol = partitionBy.head
     if (!updates.columns.contains(pcol)) return None
     val cur = manifests().last
+    if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
-    // splittable = every entry is either already a single-partition subdir
-    // reference or a dir containing ONLY pcol=… subdirs (+ marker files)
-    val splittable = cur.entries.forall { e =>
-      if (new Path(e.dir).getName.startsWith(prefix)) true
-      else {
-        val (dirs, files) = FsUtils.listChildren(spark, e.dir)
-        dirs.forall(_.startsWith(prefix)) &&
-          files.forall(f => f.startsWith("_") || f.startsWith("."))
-      }
-    }
-    if (!splittable) return None
 
     // touched partition values: bounded driver-side metadata (like the
     // registries' path lists); each value is one partition key, not data
@@ -208,6 +198,89 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // dir names (Spark encoded them for us — no value-formatting guesswork)
     val rewritten = FsUtils.listChildren(spark, newDir)._1
       .filter(_.startsWith(prefix)).toSet
+    val carried = cur.entries.flatMap { e =>
+      val name = new Path(e.dir).getName
+      if (name.startsWith(prefix)) {
+        if (rewritten.contains(name)) Nil else Seq(e)
+      } else {
+        FsUtils.listChildren(spark, e.dir)._1
+          .filterNot(rewritten.contains)
+          .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
+      }
+    }
+    Some(commitEntries(carried :+ Entry(newDir, None)))
+  }
+
+  /** splittable = every entry is either already a single-partition subdir
+    * reference or a dir containing ONLY pcol=… subdirs (+ marker files). */
+  private def splittableLayout(cur: Manifest, pcol: String): Boolean = {
+    val prefix = pcol + "="
+    cur.entries.forall { e =>
+      if (new Path(e.dir).getName.startsWith(prefix)) true
+      else {
+        val (dirs, files) = FsUtils.listChildren(spark, e.dir)
+        dirs.forall(_.startsWith(prefix)) &&
+          files.forall(f => f.startsWith("_") || f.startsWith("."))
+      }
+    }
+  }
+
+  /** Delta-style row-level DELETE (`DELETE FROM t WHERE condition` — the
+    * GDPR/right-to-erasure primitive). Rows matching `condition` (raw SQL
+    * over the table's columns) are removed in a new snapshot version; time
+    * travel still reads them in older versions until VACUUM retires those
+    * manifests. With `partitionBy` set the rewrite is pruned to partitions
+    * that contain matching rows — the touched-partition discovery scans
+    * only the filter + partition columns, and untouched dirs carry over by
+    * manifest reference, so a targeted delete costs O(touched partitions).
+    * One documented degradation: when a delete empties a partition
+    * COMPLETELY the pruned path cannot name the emptied dir without
+    * re-implementing Spark's partition-value encoding, so it falls back to
+    * the full rewrite (partition-aligned bulk deletes are the one shape
+    * where a full rewrite of the survivors is proportional to the work
+    * anyway). Returns the new version. */
+  def delete(condition: String, partitionBy: Seq[String] = Nil): Long = {
+    require(exists, s"delete on absent table $path")
+    if (partitionBy.nonEmpty)
+      prunedDelete(condition, partitionBy) match {
+        case Some(v) => return v
+        case None    => // not splittable / emptied partition → full rewrite
+      }
+    write(read().where(!expr(condition)), partitionBy)
+  }
+
+  /** Partition-pruned delete on the FIRST partition column; None → caller
+    * falls back to the full rewrite (layout not splittable, too many
+    * touched partitions, or a partition would be completely emptied). */
+  private def prunedDelete(condition: String,
+                           partitionBy: Seq[String]): Option[Long] = {
+    val pcol = partitionBy.head
+    val cur = manifests().last
+    if (!splittableLayout(cur, pcol)) return None
+    val prefix = pcol + "="
+    // touched partition values: bounded driver metadata, discovered with a
+    // column-pruned scan (only condition columns + pcol are read)
+    val touchedRows = readEntries(cur.entries).where(expr(condition))
+      .select(col(pcol)).distinct()
+      .limit(MaxPrunedPartitions + 1).collect()
+    if (touchedRows.length > MaxPrunedPartitions) return None
+    if (touchedRows.isEmpty) return Some(commitEntries(cur.entries))
+    val touchedVals = touchedRows.map(_.get(0))
+    val nonNull = touchedVals.filter(_ != null)
+    val hasNull = touchedVals.exists(_ == null)
+    var cond = if (nonNull.nonEmpty) col(pcol).isin(nonNull.toIndexedSeq: _*)
+               else lit(false)
+    if (hasNull) cond = cond || col(pcol).isNull
+
+    // survivors of the touched partitions only (the isin filter prunes the
+    // scan before the delete filter applies)
+    val kept = readEntries(cur.entries).where(cond).where(!expr(condition))
+    val newDir = writeData(kept, partitionBy)
+    val rewritten = FsUtils.listChildren(spark, newDir)._1
+      .filter(_.startsWith(prefix)).toSet
+    // a touched partition with NO survivors writes no subdir — its old dir
+    // would be silently carried (wrong). Detect and fall back.
+    if (rewritten.size < touchedVals.length) return None
     val carried = cur.entries.flatMap { e =>
       val name = new Path(e.dir).getName
       if (name.startsWith(prefix)) {

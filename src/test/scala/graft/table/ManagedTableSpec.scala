@@ -49,6 +49,44 @@ class ManagedTableSpec extends SparkSuite {
     assert(rows.toSeq === Seq((1, "z"), (2, "b")))
   }
 
+  test("delete removes matching rows and keeps them readable via time travel") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val v = t.delete("id % 2 = 1")
+    assert(t.read().as[(Int, String)].collect().toSet === Set((2, "b")))
+    assert(t.readVersion(0).count() === 3)
+    assert(v === 1L)
+  }
+
+  test("partitioned delete rewrites only touched partitions") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "base")).toDF("part", "id", "v"),
+      partitionBy = Seq("part"))
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    // delete SOME rows of p0 only (never empties it → pruned path)
+    t.delete("part = 'p0' AND id < 10", partitionBy = Seq("part"))
+    val rows = t.read().select("part", "id").as[(String, Int)].collect()
+    assert(rows.length === 30 - 4) // p0 ids 0,3,6,9
+    assert(rows.filter(_._1 == "p0").forall(_._2 >= 10))
+    // untouched partitions carried byte-identical in the OLD dir
+    assert(Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(d1dirs === Seq("part=p0"))
+  }
+
+  test("delete that empties a partition falls back and stays correct") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq(("p0", 1), ("p0", 2), ("p1", 3)).toDF("part", "id"),
+      partitionBy = Seq("part"))
+    t.delete("part = 'p0'", partitionBy = Seq("part"))
+    assert(t.read().select("part", "id").as[(String, Int)].collect().toSet ===
+      Set(("p1", 3)))
+    // no stale p0 rows through any read path
+    assert(t.read().where($"part" === "p0").count() === 0)
+  }
+
   test("versionAt picks the latest snapshot at or before a timestamp") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq(1).toDF("id"))
