@@ -433,6 +433,13 @@ object WriteBlocks {
       // defines the rows to remove); partition-pruned when PartitionBy set
       case "delete" =>
         table.delete(c.props.getString("Delete.Predicate"), partitionBy)
+      // row-level UPDATE … SET: column -> SQL expression map applied to
+      // rows matching the predicate; partition-pruned when PartitionBy set
+      case "update" =>
+        table.updateWhere(c.props.getString("Update.Predicate"),
+          c.props.getMap("Update.Set").map { case (k, v) =>
+            k -> String.valueOf(v) },
+          partitionBy)
       case other => throw new IllegalArgumentException(s"Unknown write mode: $other")
     }
     if (c.props.exists("HiveTable"))

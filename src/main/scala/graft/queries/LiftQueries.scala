@@ -180,6 +180,46 @@ object LiftQueries {
       Lift.lift(s, upsert).getDf("ReadBack")
     }),
 
+    // row-level UPDATE … SET through write::batch_delta Mode: update,
+    // partition-pruned on o_orderstatus
+    "l_table_update" -> ((s, d) => {
+      val w = scratch(s, "l_table_update")
+      Tables.orders(s, d).createOrReplaceTempView("orders_upd_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_upd_src WHERE o_orderkey % 7 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      PartitionBy: o_orderstatus
+           |  U:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: update
+           |      PartitionBy: o_orderstatus
+           |      Update:
+           |        Predicate: o_orderstatus = 'F'
+           |        Set:
+           |          price: round(price + 100, 2)
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderstatus", "price")
+    }),
+
     // row-level DELETE through write::batch_delta Mode: delete — the
     // GDPR/right-to-erasure path, partition-pruned on o_orderstatus
     "l_table_delete" -> ((s, d) => {
@@ -590,6 +630,12 @@ object LiftQueries {
     "l_table_delete" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
+    "l_table_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN round(round(o_totalprice, 2) + 100, 2)
+        |       ELSE round(o_totalprice, 2) END AS price
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "l_table_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, CAST(0 AS BIGINT) AS version
         |FROM orders WHERE o_orderkey % 6 = 0

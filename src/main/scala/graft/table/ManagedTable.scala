@@ -253,13 +253,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * falls back to the full rewrite (layout not splittable, too many
     * touched partitions, or a partition would be completely emptied). */
   private def prunedDelete(condition: String,
-                           partitionBy: Seq[String]): Option[Long] = {
+                           partitionBy: Seq[String]): Option[Long] =
+    prunedRewrite(condition, partitionBy,
+      slice => slice.where(!expr(condition)),
+      // a touched partition with NO survivors writes no subdir — its old
+      // dir would be silently carried (wrong). Detect and fall back.
+      requireAllRewritten = true)
+
+  /** Shared pruned-rewrite engine for DML on the FIRST partition column:
+    * discover partitions holding rows matching `condition` (column-pruned
+    * scan, bounded driver-side value list), run `rewriteSlice` over ONLY
+    * those partitions into a fresh dir, and carry every other partition
+    * dir by manifest reference. `requireAllRewritten` guards ops (delete)
+    * where a touched partition can vanish from the output. */
+  private def prunedRewrite(condition: String, partitionBy: Seq[String],
+                            rewriteSlice: DataFrame => DataFrame,
+                            requireAllRewritten: Boolean): Option[Long] = {
     val pcol = partitionBy.head
     val cur = manifests().last
     if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
-    // touched partition values: bounded driver metadata, discovered with a
-    // column-pruned scan (only condition columns + pcol are read)
     val touchedRows = readEntries(cur.entries).where(expr(condition))
       .select(col(pcol)).distinct()
       .limit(MaxPrunedPartitions + 1).collect()
@@ -272,15 +285,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                else lit(false)
     if (hasNull) cond = cond || col(pcol).isNull
 
-    // survivors of the touched partitions only (the isin filter prunes the
-    // scan before the delete filter applies)
-    val kept = readEntries(cur.entries).where(cond).where(!expr(condition))
-    val newDir = writeData(kept, partitionBy)
+    // the isin filter prunes the scan to touched partitions before the
+    // per-row rewrite applies
+    val out = rewriteSlice(readEntries(cur.entries).where(cond))
+    val newDir = writeData(out, partitionBy)
     val rewritten = FsUtils.listChildren(spark, newDir)._1
       .filter(_.startsWith(prefix)).toSet
-    // a touched partition with NO survivors writes no subdir — its old dir
-    // would be silently carried (wrong). Detect and fall back.
-    if (rewritten.size < touchedVals.length) return None
+    if (requireAllRewritten && rewritten.size < touchedVals.length) return None
     val carried = cur.entries.flatMap { e =>
       val name = new Path(e.dir).getName
       if (name.startsWith(prefix)) {
@@ -327,13 +338,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** Delta-style UPDATE … SET on the current snapshot: one projection pass
-    * into a fresh snapshot dir. */
-  def updateWhere(cond: String, set: Map[String, String]): Long = {
+    * into a fresh snapshot dir. With `partitionBy` set the rewrite is
+    * pruned to partitions containing matching rows, like [[delete]] —
+    * updates never remove rows, so the pruned path has no emptied-partition
+    * fallback. NOTE: assigning to the partition column itself would move
+    * rows between partitions, so that case always takes the full rewrite. */
+  def updateWhere(cond: String, set: Map[String, String],
+                  partitionBy: Seq[String] = Nil): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
-    val updated = set.foldLeft(read()) { case (df, (c, valueExpr)) =>
-      df.withColumn(c, when(expr(cond), expr(valueExpr)).otherwise(col(c)))
-    }
-    write(updated)
+    def apply(df: DataFrame): DataFrame =
+      set.foldLeft(df) { case (d, (c, valueExpr)) =>
+        d.withColumn(c, when(expr(cond), expr(valueExpr)).otherwise(col(c)))
+      }
+    if (partitionBy.nonEmpty && !set.contains(partitionBy.head))
+      prunedRewrite(cond, partitionBy, apply, requireAllRewritten = false) match {
+        case Some(v) => return v
+        case None    =>
+      }
+    write(apply(read()), partitionBy)
   }
 
   /** OPTIMIZE [ZORDER BY cols]: compact the current snapshot's dir list

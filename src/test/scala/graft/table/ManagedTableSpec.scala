@@ -75,6 +75,34 @@ class ManagedTableSpec extends SparkSuite {
     assert(d1dirs === Seq("part=p0"))
   }
 
+  test("partitioned updateWhere rewrites only touched partitions") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, 1.0)).toDF("part", "id", "v"),
+      partitionBy = Seq("part"))
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    t.updateWhere("part = 'p0' AND id < 10", Map("v" -> "v + 10"),
+      partitionBy = Seq("part"))
+    val rows = t.read().select("part", "id", "v").as[(String, Int, Double)].collect()
+    assert(rows.length === 30)
+    assert(rows.filter(r => r._1 == "p0" && r._2 < 10).forall(_._3 === 11.0))
+    assert(rows.filter(r => r._1 != "p0" || r._2 >= 10).forall(_._3 === 1.0))
+    assert(Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(d1dirs === Seq("part=p0"))
+  }
+
+  test("updateWhere assigning the partition column takes the full rewrite") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq(("p0", 1), ("p1", 2)).toDF("part", "id"),
+      partitionBy = Seq("part"))
+    t.updateWhere("id = 1", Map("part" -> "'p9'"), partitionBy = Seq("part"))
+    assert(t.read().select("part", "id").as[(String, Int)].collect().toSet ===
+      Set(("p9", 1), ("p1", 2)))
+    assert(t.read().where($"part" === "p9").count() === 1)
+  }
+
   test("delete that empties a partition falls back and stays correct") {
     val root = tmp() + "/t"
     val t = ManagedTable(spark, root)
