@@ -433,6 +433,14 @@ object WriteBlocks {
       // defines the rows to remove); partition-pruned when PartitionBy set
       case "delete" =>
         table.delete(c.props.getString("Delete.Predicate"), partitionBy)
+      // CDC apply: the input DataFrame is an I/U/D change batch; one merge
+      // applies deletes + upserts with last-op-wins in-batch collapse
+      case "apply_changes" =>
+        table.applyChanges(df,
+          c.props.getString("Cdc.MergeStatement"),
+          c.props.getString("Cdc.OpColumn"),
+          c.props.getString("Cdc.OrderColumn"),
+          partitionBy)
       // row-level UPDATE … SET: column -> SQL expression map applied to
       // rows matching the predicate; partition-pruned when PartitionBy set
       case "update" =>

@@ -180,6 +180,56 @@ object LiftQueries {
       Lift.lift(s, upsert).getDf("ReadBack")
     }),
 
+    // CDC apply through write::batch_delta Mode: apply_changes — one
+    // I/U/D batch mirrored onto the table (deletes + upserts in one merge)
+    "l_table_cdc" -> ((s, d) => {
+      val w = scratch(s, "l_table_cdc")
+      Tables.orders(s, d).createOrReplaceTempView("orders_cdc_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice, 2) AS price
+           |        FROM orders_cdc_src WHERE o_orderkey % 9 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |  Changes:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice + 50, 2) AS price,
+           |               'U' AS op, 1 AS seq
+           |        FROM orders_cdc_src WHERE o_orderkey % 18 = 0 AND o_orderkey % 27 <> 0
+           |        UNION ALL
+           |        SELECT o_orderkey, round(o_totalprice, 2) AS price, 'D' AS op, 1 AS seq
+           |        FROM orders_cdc_src WHERE o_orderkey % 27 = 0
+           |        UNION ALL
+           |        SELECT o_orderkey, round(o_totalprice, 2) AS price, 'I' AS op, 1 AS seq
+           |        FROM orders_cdc_src WHERE o_orderkey % 9 = 1
+           |  A:
+           |    Type: write::batch_delta
+           |    Input: Changes
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: apply_changes
+           |      Cdc:
+           |        MergeStatement: source.o_orderkey == updates.o_orderkey
+           |        OpColumn: op
+           |        OrderColumn: seq
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack").select("o_orderkey", "price")
+    }),
+
     // row-level UPDATE … SET through write::batch_delta Mode: update,
     // partition-pruned on o_orderstatus
     "l_table_update" -> ((s, d) => {
@@ -630,6 +680,14 @@ object LiftQueries {
     "l_table_delete" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
+    "l_table_cdc" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 18 = 0 AND o_orderkey % 27 <> 0
+        |       THEN round(round(o_totalprice, 2) + 50, 2)
+        |       ELSE round(o_totalprice, 2) END AS price
+        |FROM orders
+        |WHERE (o_orderkey % 9 = 0 AND o_orderkey % 27 <> 0)
+        |   OR o_orderkey % 9 = 1""".stripMargin,
     "l_table_update" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderstatus = 'F'

@@ -211,6 +211,74 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     Some(commitEntries(carried :+ Entry(newDir, None)))
   }
 
+  /** Apply a CDC batch — rows tagged insert/update/delete in `opCol`
+    * (values I/U/D, case-insensitive) — in ONE new snapshot version: the
+    * Delta `whenMatchedDelete` + `whenMatchedUpdateAll` +
+    * `whenNotMatchedInsertAll` composition, i.e. the standard "apply
+    * change feed to the mirror table" step. Target rows matching ANY
+    * change key leave the snapshot via one anti-join (same single pass
+    * whether the change is U or D), then the upsert-image rows (I/U)
+    * union in. With `partitionBy` set, the rewrite prunes to partitions
+    * named by the batch's keys — same contract as [[merge]]. Within one
+    * batch the LAST op per key in `orderCol` order wins (CDC logs are
+    * ordered; without the in-batch collapse a U followed by its D would
+    * resurrect the row). */
+  def applyChanges(changes: DataFrame, condition: String, opCol: String,
+                   orderCol: String, partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(changes.columns.filter(c =>
+            condition.contains(s"updates.$c")).map(col).toIndexedSeq: _*)
+          .orderBy(col(orderCol).desc)))
+      .where(col("__rn") === 1).drop("__rn")
+    val upserts = latest.where(!upper(col(opCol)).isin("D"))
+      .drop(opCol, orderCol)
+    val deletes = latest.where(upper(col(opCol)) === "D")
+      .drop(opCol, orderCol)
+    if (!exists) return write(upserts, partitionBy)
+    // one pass: every changed key (U or D) leaves via the anti-join;
+    // upsert images come back in the union
+    val allKeys = latest.drop(opCol, orderCol)
+    if (partitionBy.nonEmpty)
+      prunedRewrite(
+        // touched partitions = partitions of ANY change row; discovery
+        // uses the change keys, not a table scan
+        condUsingKeys(allKeys, partitionBy.head), partitionBy,
+        slice => slice.alias("source")
+          .join(allKeys.alias("updates"), expr(condition), "left_anti")
+          .unionByName(upserts, allowMissingColumns = true),
+        // a delete-only batch can empty a partition — its old dir must not
+        // be carried, so fall back to the full rewrite in that case
+        requireAllRewritten = true) match {
+        case Some(v) => return v
+        case None    =>
+      }
+    write(
+      read().alias("source")
+        .join(allKeys.alias("updates"), expr(condition), "left_anti")
+        .unionByName(upserts, allowMissingColumns = true),
+      partitionBy)
+  }
+
+  /** SQL predicate matching table rows whose partition value appears in
+    * the (bounded) change batch — drives touched-partition discovery for
+    * [[applyChanges]] without scanning the table for matches. */
+  private def condUsingKeys(keys: DataFrame, pcol: String): String = {
+    val vals = keys.select(col(pcol)).distinct()
+      .limit(MaxPrunedPartitions + 1).collect().map(_.get(0))
+    if (vals.isEmpty) "false"
+    else {
+      val nonNull = vals.filter(_ != null).map {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case o         => String.valueOf(o)
+      }
+      val in = if (nonNull.nonEmpty)
+        s"$pcol IN (${nonNull.mkString(", ")})" else "false"
+      if (vals.exists(_ == null)) s"($in OR $pcol IS NULL)" else in
+    }
+  }
+
   /** splittable = every entry is either already a single-partition subdir
     * reference or a dir containing ONLY pcol=… subdirs (+ marker files). */
   private def splittableLayout(cur: Manifest, pcol: String): Boolean = {

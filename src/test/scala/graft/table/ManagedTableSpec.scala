@@ -103,6 +103,41 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.read().where($"part" === "p9").count() === 1)
   }
 
+  test("applyChanges applies an I/U/D CDC batch with last-op-wins collapse") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val cdc = Seq(
+      (2, "b2", "U", 10L),  // update
+      (3, "x", "D", 11L),   // delete
+      (4, "d", "I", 12L),   // insert
+      (5, "e", "I", 13L),   // insert then delete in the SAME batch...
+      (5, "e", "D", 14L)    // ...later op wins → never lands
+    ).toDF("id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq")
+    assert(t.read().as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b2"), (4, "d")))
+  }
+
+  test("partitioned applyChanges prunes to the batch's partitions") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "base")).toDF("part", "id", "v"),
+      partitionBy = Seq("part"))
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    val cdc = Seq(("p0", 0, "upd", "U", 1L), ("p0", 3, "x", "D", 2L),
+      ("p0", 300, "new", "I", 3L)).toDF("part", "id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
+      partitionBy = Seq("part"))
+    val rows = t.read().select("part", "id", "v").as[(String, Int, String)].collect()
+    assert(rows.length === 30)                       // -1 delete +1 insert
+    assert(rows.find(_._2 == 0).get._3 === "upd")
+    assert(!rows.exists(_._2 == 3))
+    assert(rows.find(_._2 == 300).get._3 === "new")
+    assert(Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(d1dirs === Seq("part=p0"))
+  }
+
   test("delete that empties a partition falls back and stays correct") {
     val root = tmp() + "/t"
     val t = ManagedTable(spark, root)
