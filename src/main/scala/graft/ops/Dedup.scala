@@ -45,6 +45,19 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Soft dedup: keep EVERY copy but weight each row 1/n_copies, so a
+    * document family contributes one unit of training mass total (the
+    * dedup-by-downweighting alternative studied in the LLM-data
+    * literature). One window over the 16-byte digest key — same narrow
+    * shuffle as [[exact]], no rows dropped. */
+  def softWeights(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(keyCol).cast("binary")))
+    df.select(col(idCol),
+      count(lit(1)).over(w).as("n_copies"),
+      round(lit(1.0) / count(lit(1)).over(w), 6).as("weight"))
+  }
+
   /** Bloom-prefiltered incremental dedup — [[incrementalExact]] with the
     * anti-join input cut down by a Bloom filter over the index's xxhash64
     * key hashes. At 100 TB the crawl batch is mostly NEW documents, so the

@@ -171,6 +171,29 @@ object AnalyticsQueries {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
 
+    // explicit GROUPING SETS with grouping_id disambiguation (the general
+    // form cube/rollup compile to; one pass, no per-set re-scan)
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS total
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    // correlated LATERAL subquery: each nation's two highest-balance
+    // suppliers (per-row dependent top-k — the decorrelation stress shape)
+    "q_lateral" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_lat")
+      s.sql("""SELECT n_name, s_name, round(s_acctbal, 2) AS bal
+               FROM nation_lat,
+               LATERAL (SELECT s_name, s_acctbal FROM supplier_lat
+                        WHERE s_nationkey = n_nationkey
+                        ORDER BY s_acctbal DESC, s_name LIMIT 2)""")
+    }),
+
     // distinct aggregate (two-phase distinct-then-agg shuffle shape)
     "q_distinct_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -668,6 +691,18 @@ object AnalyticsQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_lateral" ->
+      """SELECT n_name, s_name, round(s_acctbal, 2) AS bal
+        |FROM nation,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -262,6 +262,22 @@ object OpsQueries {
     "x_mix_weights" -> ((s, d) =>
       Sampling.mixtureWeights(Tables.documents(s, d), "source")),
 
+    // soft dedup: every copy kept, weighted 1/n_copies — the
+    // downweight-instead-of-drop alternative
+    "x_dedup_soft" -> ((s, d) =>
+      Dedup.softWeights(Tables.documents(s, d), "text", "doc_id")),
+
+    // Matryoshka truncation: slice each embedding to its first 16 dims
+    // and L2-renormalize — map-only, the MRL serving-dimension cut
+    "x_embed_truncate" -> ((s, d) => {
+      val v = slice(col("embedding").cast("array<double>"), 1, 16)
+      val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(element_at(v, 1) / when(n === 0, 1.0).otherwise(n), 4)
+          .as("d1_renormed"),
+        round(n, 4).as("norm16"))
+    }),
+
     // Bloom-prefiltered incremental dedup: identical result to the plain
     // digest anti-join, but the definitely-new majority of the batch is
     // discarded map-side by a broadcast Bloom sketch of the index
@@ -872,6 +888,23 @@ object OpsQueries {
         |           FROM documents GROUP BY 1)
         |SELECT source, n_docs, round(pw / (SELECT sum(pw) FROM c), 6) AS mix_weight
         |FROM c""".stripMargin,
+
+    "x_dedup_soft" ->
+      """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,
+        |  round(1.0 / count(*) OVER (PARTITION BY text), 6) AS weight
+        |FROM documents""".stripMargin,
+
+    "x_embed_truncate" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
+        |      FROM v)
+        |SELECT vec_id,
+        |  round(v[1] / (CASE WHEN nn = 0 THEN 1.0 ELSE nn END), 4) AS d1_renormed,
+        |  round(nn, 4) AS norm16
+        |FROM n""".stripMargin,
 
     // the Bloom sketch is recall-lossless (only false POSITIVES, resolved
     // by the exact anti-join), so the oracle is the plain incremental shape
