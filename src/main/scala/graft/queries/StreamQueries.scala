@@ -242,6 +242,33 @@ object StreamQueries {
       runToParquet(s, joined, w).where(col("user_id") >= 0)
     }),
 
+    // streaming CDC mirror: an I/U/D change log drains onto a managed
+    // table via foreachBatch applyChanges (AvailableNow, checkpointed)
+    "s_stream_cdc" -> ((s, d) => {
+      val w = scratch(s, "s_stream_cdc")
+      val orders = Tables.orders(s, d)
+      val table = graft.table.ManagedTable(s, s"$w/table")
+      table.write(orders.where(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")))
+      val changes =
+        orders.where(col("o_orderkey") % 22 === 0 && col("o_orderkey") % 33 =!= 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") + 50, 2).as("price"),
+            lit("U").as("op"), lit(1L).as("seq"))
+        .unionByName(orders.where(col("o_orderkey") % 33 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+            lit("D").as("op"), lit(1L).as("seq")))
+        .unionByName(orders.where(col("o_orderkey") % 11 === 1)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+            lit("I").as("op"), lit(1L).as("seq")))
+      changes.write.json(s"$w/in")
+      val schema = StructType.fromDDL(
+        "o_orderkey BIGINT, price DOUBLE, op STRING, seq BIGINT")
+      Streaming.streamApplyChanges(
+        s.readStream.schema(schema).json(s"$w/in"),
+        table, "source.o_orderkey == updates.o_orderkey", "op", "seq")
+      table.read()
+    }),
+
     // flatMapGroupsWithState sessionization with event-time timeouts
     "s_stream_sessions" -> ((s, d) => {
       import s.implicits._
@@ -290,6 +317,14 @@ object StreamQueries {
         |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR""".stripMargin,
+    "s_stream_cdc" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 22 = 0 AND o_orderkey % 33 <> 0
+        |       THEN round(round(o_totalprice, 2) + 50, 2)
+        |       ELSE round(o_totalprice, 2) END AS price
+        |FROM orders
+        |WHERE (o_orderkey % 11 = 0 AND o_orderkey % 33 <> 0)
+        |   OR o_orderkey % 11 = 1""".stripMargin,
     "s_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value

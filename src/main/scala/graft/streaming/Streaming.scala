@@ -105,6 +105,31 @@ object Streaming {
       .awaitTermination()
   }
 
+  /** Streaming CDC mirror: apply an I/U/D change stream onto a
+    * [[graft.table.ManagedTable]] — each micro-batch goes through
+    * [[graft.table.ManagedTable.applyChanges]], which collapses the batch
+    * last-op-wins per key and mirrors deletes + upserts in one version.
+    * The Delta `.writeStream` + CDC-merge recipe; with
+    * Trigger.AvailableNow it drains a change-log backlog incrementally
+    * with exactly-once-per-batch checkpointing (replays are no-ops). */
+  def streamApplyChanges(changes: DataFrame, table: graft.table.ManagedTable,
+                         mergeCondition: String, opCol: String,
+                         orderCol: String,
+                         partitionBy: Seq[String] = Nil): Unit = {
+    changes.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", s"${table.path}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          table.applyChanges(batch, mergeCondition, opCol, orderCol,
+            partitionBy)
+        ()
+      }
+      .start()
+      .awaitTermination()
+  }
+
   /** One event inside a session group. */
   case class SessionEvent(user_id: Long, ts: Timestamp)
 

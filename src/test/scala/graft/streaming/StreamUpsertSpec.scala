@@ -60,6 +60,26 @@ class StreamUpsertSpec extends SparkSuite {
     assert(graft.common.FsUtils.listFiles(spark, s"$w/table/d0/part=b").sorted == beforeB)
   }
 
+  test("streamApplyChanges mirrors an I/U/D change stream onto the table") {
+    val w = graft.common.Scratch.dir("test", "stream_cdc")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val table = ManagedTable(spark, s"$w/table")
+    table.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Seq((2L, "b2", "U", 1L), (3L, "x", "D", 2L), (4L, "d", "I", 3L),
+      (5L, "e", "I", 4L), (5L, "e", "D", 5L))
+      .toDF("id", "v", "op", "seq").write.json(s"$w/in")
+    val schema = StructType.fromDDL("id BIGINT, v STRING, op STRING, seq BIGINT")
+    def run(): Unit = Streaming.streamApplyChanges(
+      spark.readStream.schema(schema).json(s"$w/in"),
+      table, "source.id == updates.id", "op", "seq")
+    run()
+    assert(table.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b2"), (4L, "d")))
+    val v1 = table.currentVersion
+    run() // replay: checkpoint marks the log drained, no new version
+    assert(table.currentVersion === v1)
+  }
+
   test("streamUpsert is idempotent across replays of the same input") {
     val w = graft.common.Scratch.dir("test", "stream_upsert_replay")
     graft.common.FsUtils.deleteFiles(spark, Seq(w))
