@@ -48,14 +48,17 @@ object Dedup {
   /** Soft dedup: keep EVERY copy but weight each row 1/n_copies, so a
     * document family contributes one unit of training mass total (the
     * dedup-by-downweighting alternative studied in the LLM-data
-    * literature). One window over the 16-byte digest key — same narrow
-    * shuffle as [[exact]], no rows dropped. */
+    * literature). The input projects to (id, 16-byte digest) BEFORE the
+    * per-digest window, so the exchange carries digests + ids only — the
+    * same narrow-shuffle rule as [[exact]]; a window over the raw rows
+    * would ship every document's text bytes. No rows dropped. */
   def softWeights(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(keyCol).cast("binary")))
-    df.select(col(idCol),
-      count(lit(1)).over(w).as("n_copies"),
-      round(lit(1.0) / count(lit(1)).over(w), 6).as("weight"))
+    val w = Window.partitionBy(col("__k"))
+    df.select(col(idCol), md5(col(keyCol).cast("binary")).as("__k"))
+      .select(col(idCol),
+        count(lit(1)).over(w).as("n_copies"),
+        round(lit(1.0) / count(lit(1)).over(w), 6).as("weight"))
   }
 
   /** Bloom-prefiltered incremental dedup — [[incrementalExact]] with the
