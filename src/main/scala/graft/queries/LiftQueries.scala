@@ -180,6 +180,29 @@ object LiftQueries {
       Lift.lift(s, upsert).getDf("ReadBack")
     }),
 
+    // the native graft expressions called FROM SQL: word_shingles +
+    // simhash64 registered on the session (SparkSessionExtensions path)
+    // and invoked inside a custom::sql statement — proving the extension
+    // wiring end-to-end against the built-in-function oracle formulations
+    "l_sql_native_fns" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_fns_src")
+      val yaml =
+        s"""LiftJob:
+           |  Q:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT doc_id,
+           |          size(word_shingles(filter(split(lower(text), '[^a-z0-9'']+'),
+           |                                    t -> length(t) > 0), 3)) AS n_shingles,
+           |          simhash64(filter(split(lower(text), '[^a-z0-9'']+'),
+           |                           t -> length(t) > 0)) AS sig
+           |        FROM docs_fns_src
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("Q")
+    }),
+
     // CDC apply through write::batch_delta Mode: apply_changes — one
     // I/U/D batch mirrored onto the table (deletes + upserts in one merge)
     "l_table_cdc" -> ((s, d) => {
@@ -680,6 +703,23 @@ object LiftQueries {
     "l_table_delete" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
+    "l_sql_native_fns" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+        |              w -> len(w) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN 0
+        |       ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) END
+        |  AS n_shingles FROM t),
+        |hh AS (SELECT doc_id, list_transform(toks,
+        |         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM t),
+        |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |  CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1)) > len(hs)
+        |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM hh)
+        |SELECT sh.doc_id, CAST(n_shingles AS INT) AS n_shingles, sig
+        |FROM sh JOIN sig ON sh.doc_id = sig.doc_id""".stripMargin,
     "l_table_cdc" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 18 = 0 AND o_orderkey % 27 <> 0
