@@ -194,6 +194,26 @@ object AnalyticsQueries {
                         ORDER BY s_acctbal DESC, s_name LIMIT 2)""")
     }),
 
+    // recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's
+    // date-ordered order chain — an acyclic recursion (UNION-distinct
+    // closure over cyclic graphs is not supported yet, so the cluster
+    // closure stays on the distributed label-propagation path)
+    "q_recursive" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+      s.sql("""WITH RECURSIVE
+        o AS (SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders_rec WHERE o_custkey % 50 = 0),
+        chain(o_custkey, o_orderkey, depth) AS (
+          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) FROM o WHERE rn = 1
+          UNION ALL
+          SELECT n.o_custkey, n.o_orderkey, c.depth + 1
+          FROM chain c JOIN o n
+            ON n.o_custkey = c.o_custkey AND n.rn = c.depth + 1)
+        SELECT o_custkey, o_orderkey, depth FROM chain""")
+    }),
+
     // distinct aggregate (two-phase distinct-then-agg shuffle shape)
     "q_distinct_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -691,6 +711,19 @@ object AnalyticsQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_recursive" ->
+      """WITH RECURSIVE
+        |o AS (SELECT o_custkey, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders WHERE o_custkey % 50 = 0),
+        |chain(o_custkey, o_orderkey, depth) AS (
+        |  SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.o_custkey, n.o_orderkey, c.depth + 1
+        |  FROM chain c JOIN o n
+        |    ON n.o_custkey = c.o_custkey AND n.rn = c.depth + 1)
+        |SELECT o_custkey, o_orderkey, depth FROM chain""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,

@@ -242,6 +242,31 @@ object StreamQueries {
       runToParquet(s, joined, w).where(col("user_id") >= 0)
     }),
 
+    // NATIVE session_window aggregation (vs s_stream_sessions'
+    // flatMapGroupsWithState): same 30-minute-gap semantics through
+    // Spark's built-in session merge operator. session_window's end is
+    // last-event + gap, so the oracle adds the gap to max(ts).
+    "s_stream_session_window" -> ((s, d) => {
+      val w = scratch(s, "s_stream_session_window")
+      val ev = Tables.events(s, d).select("user_id", "ts")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)).as("ts"))
+      val in = exportEvents(s, d, w, ev, sentinel)
+      val schema = StructType.fromDDL("user_id BIGINT, ts TIMESTAMP")
+      val streamed = s.readStream.schema(schema)
+        .option("timestampFormat", TsFmt).json(in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+      runToParquet(s, streamed, w).where(col("user_id") >= 0)
+    }),
+
     // streaming CDC mirror: an I/U/D change log drains onto a managed
     // table via foreachBatch applyChanges (AvailableNow, checkpointed)
     "s_stream_cdc" -> ((s, d) => {
@@ -343,6 +368,23 @@ object StreamQueries {
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM s)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "s_stream_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin
   )
