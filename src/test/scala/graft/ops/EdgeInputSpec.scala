@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+
+/** Adversarial-input hardening: real crawls contain empty documents, null
+  * text, and whitespace-only pages. Every corpus operator must process
+  * such rows without crashing and with defensible semantics (a null/empty
+  * doc has no tokens, no shingles, no pairs). */
+class EdgeInputSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a normal document with several words here"),
+    (2L, ""),                    // empty
+    (3L, null.asInstanceOf[String]), // null text
+    (4L, "   \t\n  "),           // whitespace-only
+    (5L, "a normal document with several words here")) // dup of 1
+    .toDF("doc_id", "text")
+
+  test("quality, langid, logprob, and normalize survive null/empty text") {
+    assert(TextOps.qualityScore(docs).count() === 5)
+    assert(TextOps.langId(docs).count() === 5)
+    // null/empty docs have no tokens → no logprob row (they drop out of
+    // the explode), normal docs keep theirs
+    val lp = TextOps.unigramLogProb(docs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lp === Set(1L, 5L))
+    val norm = docs.select($"doc_id", TextOps.normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(norm(4L) === "")
+    assert(norm(3L) === null)
+  }
+
+  test("dedup families treat empty/whitespace docs as content groups, never crash") {
+    // exact dedup: empty and whitespace are DIFFERENT byte content; null
+    // text md5's to null → its own group
+    val exact = Dedup.exact(docs.where($"text".isNotNull), "text", "doc_id")
+    assert(exact.count() === 3) // {normal x2}, {empty}, {whitespace}
+    // near-dup pipelines: zero-shingle docs are dropped before banding —
+    // only the true dup pair of tokenful docs comes back
+    val mh = Dedup.minhashLshPairs(docs.where($"text".isNotNull),
+        "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh === Set((1L, 5L)))
+    val pf = Dedup.prefixJaccardPairs(docs.where($"text".isNotNull),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pf === Set((1L, 5L)))
+  }
+
+  test("sampling and packing ops handle degenerate strata and zero tokens") {
+    val capped = Sampling.capPerStratum(
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      "doc_id", "lang", cap = 100)
+    assert(capped.count() === 5)
+    // zero-token docs occupy zero budget but still get a chunk assignment
+    val packed = Packing.packChunks(
+      docs.select($"doc_id",
+        TextOps.tokenCount(org.apache.spark.sql.functions
+          .coalesce($"text", org.apache.spark.sql.functions.lit("")))
+          .as("n_tokens")),
+      "doc_id", "n_tokens", capacity = 8, blockSize = 2)
+    assert(packed.count() === 5)
+    val shuffled = Packing.shuffleOrder(docs.select("doc_id"), "doc_id", 2)
+    assert(shuffled.select("shuffle_pos").as[Long].collect().sorted.toSeq ===
+      (0L until 5L).toSeq)
+  }
+}
