@@ -69,6 +69,32 @@ object Sampling {
         round(col("_pw") / col("_tot"), 6).as("mix_weight"))
   }
 
+  /** Assemble a training mix: [[mixtureWeights]] turned into per-source
+    * document quotas (`totalTarget` × weight, floor 1) and filled
+    * deterministically by id-hash rank — the end-to-end "sample each
+    * source to its temperature-scaled share" step. The quota table is
+    * source-count-sized (broadcast); the rank window shuffles once on the
+    * source key like [[capPerStratum]]. */
+  def mixSample(df: DataFrame, idCol: String, sourceCol: String,
+                totalTarget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // quota arithmetic stays in exact integers: mix_weight carries exactly
+    // 6 decimals, so weight*1e6 recovers an integer and the half-up
+    // division below is engine-portable (round(weight * target) on the
+    // double would flip at decimal .5 boundaries across engines)
+    val quotas = mixtureWeights(df, sourceCol)
+      .withColumn("__w6", round(col("mix_weight") * 1000000).cast("long"))
+      .select(col(sourceCol),
+        greatest(lit(1L),
+          expr(s"(__w6 * $totalTarget + 500000) div 1000000")).as("__quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(hashUnit(col(idCol)), col(idCol))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Efraimidis–Spirakis A-Res weighted sampling without replacement:
     * each row draws u ∈ (0,1] from its id hash (the +1 keeps ln defined)
     * and scores ln(u)/weight — a monotone transform of the classic

@@ -278,6 +278,12 @@ object OpsQueries {
         round(n, 4).as("norm16"))
     }),
 
+    // mix assembly: temperature weights → per-source quotas → hash-ranked
+    // fill (the end-to-end training-mix sampling composition)
+    "x_mix_apply" -> ((s, d) =>
+      Sampling.mixSample(Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source", totalTarget = 200L)),
+
     // Bloom-prefiltered incremental dedup: identical result to the plain
     // digest anti-join, but the definitely-new majority of the batch is
     // discarded map-side by a broadcast Bloom sketch of the index
@@ -888,6 +894,19 @@ object OpsQueries {
         |           FROM documents GROUP BY 1)
         |SELECT source, n_docs, round(pw / (SELECT sum(pw) FROM c), 6) AS mix_weight
         |FROM c""".stripMargin,
+
+    "x_mix_apply" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs, sqrt(count(*)) AS pw
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |        CAST(round(round(pw / (SELECT sum(pw) FROM c), 6) * 1000000) AS BIGINT) AS w6
+        |      FROM c),
+        |q AS (SELECT source, greatest(1, (w6 * 200 + 500000) // 1000000) AS quota FROM w),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |        ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |                 / 4294967296.0, doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, source FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin,
 
     "x_dedup_soft" ->
       """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,

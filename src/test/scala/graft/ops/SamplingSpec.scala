@@ -29,6 +29,19 @@ class SamplingSpec extends SparkSuite {
     assert(all.count() === 5L)
   }
 
+  test("mixSample fills per-source quotas deterministically") {
+    val docs = ((0L until 90L).map(i => (i, "big")) ++
+      (90L until 100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val got = Sampling.mixSample(docs, "doc_id", "source", totalTarget = 40L)
+    val bySrc = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    // weights: big 0.75, small 0.25 → quotas 30 / 10 (small capped by its
+    // own size; alpha=0.5 gave it 2.5x its proportional share)
+    assert(bySrc === Map("big" -> 30L, "small" -> 10L))
+    val again = Sampling.mixSample(docs.repartition(7), "doc_id", "source", 40L)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("mixtureWeights sums to 1 and upweights small sources vs proportional") {
     val docs = ((0L until 90L).map(i => (i, "big")) ++
       (90L until 100L).map(i => (i, "small"))).toDF("doc_id", "source")
