@@ -103,7 +103,12 @@ object LoadBlocks {
           else table.changesSince(since)
         } else c.props.getStringOpt("Version") match {
           case Some(v) => table.readVersion(v.toLong)
-          case None => table.read()
+          // `Where` → data-skipping read: files whose collected stats
+          // prove no match are never opened (DataSkipping)
+          case None => c.props.getStringOpt("Where") match {
+            case Some(w) => table.readWhere(w)
+            case None    => table.read()
+          }
         }
     }
   }
@@ -463,6 +468,13 @@ object WriteBlocks {
     if (c.props.exists("Vacuum"))
       table.vacuum(c.props.getOrElse("Vacuum.RetainHours", 168).toDouble,
         enforceRetention = !c.props.getBoolean("Vacuum.Force"))
+    // `Stats: true` (or `Stats.Columns: a,b`) → collect per-file
+    // data-skipping stats for dirs that lack them (DataSkipping)
+    if (c.props.exists("Stats"))
+      table.collectStats(
+        if (c.props.exists("Stats.Columns"))
+          c.props.getStringSeq("Stats.Columns")
+        else Nil)
     df
   }
 

@@ -332,6 +332,43 @@ object LiftQueries {
     }),
 
     // time travel: clean_write (v0) then upsert-merge (v1), read BOTH
+    // file-level data skipping: clean_write, OPTIMIZE ZORDER clusters the
+    // files by o_orderdate, Stats collects per-file min/max (DataSkipping),
+    // and the read-back's Where prunes files at planning time — the Delta
+    // stats + DataSkippingReader path over plain parquet. The YAML result
+    // is correct with or without pruning; DataSkippingSpec asserts the
+    // pruning itself.
+    "l_table_skipping" -> ((s, d) => {
+      val w = scratch(s, "l_table_skipping")
+      Tables.orders(s, d).createOrReplaceTempView("orders_skip_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+           |        FROM orders_skip_src
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      Optimize:
+           |        ZorderBy: o_orderdate
+           |      Stats: true
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      Where: o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderdate", "price")
+    }),
+
     // versions back through load::batch_delta's Version property and union
     // them version-tagged — Delta's versionAsOf over the manifest log
     "l_table_timetravel" -> ((s, d) => {
@@ -734,6 +771,10 @@ object LiftQueries {
         |       THEN round(round(o_totalprice, 2) + 100, 2)
         |       ELSE round(o_totalprice, 2) END AS price
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "l_table_skipping" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'""".stripMargin,
     "l_table_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, CAST(0 AS BIGINT) AS version
         |FROM orders WHERE o_orderkey % 6 = 0

@@ -1,0 +1,173 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping for [[ManagedTable]] — the engine's analogue of
+  * Delta Lake's per-file statistics + DataSkippingReader (the reference
+  * relies on Delta for this; we rebuild it over plain parquet).
+  *
+  * Two pieces:
+  *
+  *  1. '''Stats collection''' ([[fileStats]]): one distributed aggregation
+  *     over a data dir grouped by `input_file_name()` producing, per file,
+  *     the row count and `min/max/null-count` of every atomic column (the
+  *     first [[MaxStatsColumns]], mirroring Delta's
+  *     `dataSkippingNumIndexedCols`). Cost is one column-pruned pass over
+  *     the newly written files — the same cost model as Delta, which
+  *     computes stats inline during the write. Partition columns read
+  *     through `basePath` are constant per file, so their min = max =
+  *     value: partition pruning falls out of the same mechanism for free.
+  *
+  *  2. '''Predicate rewrite''' ([[mightMatchSql]]): a data predicate is
+  *     rewritten into a "file might contain a matching row" predicate over
+  *     the stats columns (`c = v` → `min_c <= v AND max_c >= v`, etc. —
+  *     Delta's DataSkippingReader shape). The rewritten predicate is then
+  *     evaluated '''by Spark itself''' as a filter on the stats DataFrame,
+  *     so literal/column type coercion is exactly the engine's own — no
+  *     hand-rolled comparison semantics to get subtly wrong. Unsupported
+  *     sub-predicates conservatively rewrite to `true` (never skip).
+  *
+  * Why this matters at 100 TB: Spark's parquet reader already does
+  * row-group skipping from footers, but only AFTER listing and opening
+  * every file. With millions of files, planning-time pruning from a small
+  * stats table (one row per file) is the difference between touching every
+  * object and touching only the files a predicate can match — stats rows
+  * are ~1e-6 of the data they describe, and the stats filter itself runs
+  * distributed.
+  *
+  * Null semantics note: an all-null column in a file stores null min/max;
+  * any comparison over them evaluates to null and the `WHERE` drops the
+  * file — correct, since no non-null value can match a comparison. Null
+  * hunting predicates (`IS NULL`) use the null-count column instead.
+  */
+object DataSkipping {
+
+  /** Stats are collected for the first N atomic columns (Delta's
+    * `dataSkippingNumIndexedCols` default). A 2000-column table would
+    * otherwise pay 6000 aggregates per file for stats nobody filters on. */
+  val MaxStatsColumns = 32
+
+  val PathCol = "__path"
+  val RowsCol = "__rows"
+  def minCol(c: String) = s"min_$c"
+  def maxCol(c: String) = s"max_$c"
+  def nullsCol(c: String) = s"nulls_$c"
+
+  private def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: StructType | _: ArrayType | _: MapType | _: BinaryType |
+           _: NullType | _: VariantType => false
+      case _ => true
+    }
+  }
+
+  /** Per-file stats for one data dir: `__path` (raw `input_file_name`
+    * URI), `__rows`, and min/max/null-count per eligible column. `cols`
+    * restricts the stat columns (empty = first [[MaxStatsColumns]] atomic
+    * columns). Runs as ONE distributed aggregation; only the per-file
+    * stat rows come back when the caller collects. */
+  def fileStats(spark: SparkSession, dir: String, basePath: Option[String],
+                cols: Seq[String] = Nil): DataFrame = {
+    val df = basePath.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(dir)
+    val eligible = df.schema.fields.filter(f => atomic(f.dataType))
+    val picked =
+      if (cols.nonEmpty) eligible.filter(f => cols.exists(_.equalsIgnoreCase(f.name)))
+      else eligible.take(MaxStatsColumns)
+    val aggs = count(lit(1)).as(RowsCol) +: picked.toSeq.flatMap { f =>
+      Seq(min(col(f.name)).as(minCol(f.name)),
+          max(col(f.name)).as(maxCol(f.name)),
+          (count(lit(1)) - count(col(f.name))).as(nullsCol(f.name)))
+    }
+    // project the file name first: nondeterministic expressions may not
+    // appear directly in a grouping expression
+    df.withColumn(PathCol, input_file_name())
+      .groupBy(PathCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Rewrite `condition` (raw SQL over the data columns) into SQL over a
+    * stats table. `statCols` maps lower-cased data-column name → actual
+    * name for columns that have stats; anything else rewrites to `true`. */
+  def mightMatchSql(spark: SparkSession, condition: String,
+                    statCols: Map[String, String]): String = {
+    def statOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        statCols.get(a.nameParts.head.toLowerCase)
+      case _ => None
+    }
+    def lited(e: Expression): Option[String] = e match {
+      case l: Literal => Some(l.sql)
+      case _ => None
+    }
+    // range tests; comparisons against an all-null file's null min/max
+    // yield null, which WHERE treats as "skip the file" — see class doc
+    def cmp(a: Expression, b: Expression,
+            fwd: (String, String) => String,
+            rev: (String, String) => String): String =
+      (statOf(a), lited(b), statOf(b), lited(a)) match {
+        case (Some(c), Some(v), _, _) => fwd(c, v)
+        case (_, _, Some(c), Some(v)) => rev(c, v)
+        case _ => "true"
+      }
+    def go(e: Expression): String = e match {
+      case And(l, r) => s"(${go(l)} AND ${go(r)})"
+      case Or(l, r)  => s"(${go(l)} OR ${go(r)})"
+      case Not(IsNull(a)) => go(IsNotNull(a))
+      case Not(IsNotNull(a)) => go(IsNull(a))
+      case EqualTo(a, b) => cmp(a, b,
+        (c, v) => s"(`${minCol(c)}` <= $v AND `${maxCol(c)}` >= $v)",
+        (c, v) => s"(`${minCol(c)}` <= $v AND `${maxCol(c)}` >= $v)")
+      case EqualNullSafe(a, b) => (statOf(a), lited(b)) match {
+        case (Some(c), Some(v)) if v == "NULL" => s"`${nullsCol(c)}` > 0"
+        case _ => go(EqualTo(a, b))
+      }
+      case LessThan(a, b) => cmp(a, b,
+        (c, v) => s"`${minCol(c)}` < $v",  // some row < v  ⇔  min < v
+        (c, v) => s"`${maxCol(c)}` > $v")  // v < some row  ⇔  max > v
+      case LessThanOrEqual(a, b) => cmp(a, b,
+        (c, v) => s"`${minCol(c)}` <= $v",
+        (c, v) => s"`${maxCol(c)}` >= $v")
+      case GreaterThan(a, b) => cmp(a, b,
+        (c, v) => s"`${maxCol(c)}` > $v",
+        (c, v) => s"`${minCol(c)}` < $v")
+      case GreaterThanOrEqual(a, b) => cmp(a, b,
+        (c, v) => s"`${maxCol(c)}` >= $v",
+        (c, v) => s"`${minCol(c)}` <= $v")
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        statOf(a) match {
+          case Some(c) => vs.map(v => go(EqualTo(a, v))).mkString("(", " OR ", ")")
+          case None => "true"
+        }
+      case IsNull(a) => statOf(a) match {
+        case Some(c) => s"`${nullsCol(c)}` > 0"
+        case None => "true"
+      }
+      case IsNotNull(a) => statOf(a) match {
+        case Some(c) => s"`$RowsCol` > `${nullsCol(c)}`"
+        case None => "true"
+      }
+      case StartsWith(a, b) => (statOf(a), lited(b)) match {
+        // rows in [prefix, prefix + maxChar): min <= upper bound is
+        // approximated by the substring test on both bound columns
+        case (Some(c), Some(v)) =>
+          s"(substring(`${minCol(c)}`, 1, length($v)) <= $v AND " +
+            s"substring(`${maxCol(c)}`, 1, length($v)) >= $v)"
+        case _ => "true"
+      }
+      case _ => "true"
+    }
+    go(spark.sessionState.sqlParser.parseExpression(condition))
+  }
+
+  /** Canonical filesystem path of a raw `input_file_name()` URI (or any
+    * path string) for prefix matching and hand-off to the reader. */
+  def canonPath(s: String): String = {
+    val u = try new java.net.URI(s) catch { case _: Exception => null }
+    if (u != null && u.getPath != null && u.getPath.nonEmpty) u.getPath
+    else new Path(s).toUri.getPath
+  }
+}

@@ -426,6 +426,87 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     write(apply(read()), partitionBy)
   }
 
+  private def statsDirFor(e: Entry): String =
+    s"$path/_graft_stats/${new Path(e.base.getOrElse(e.dir)).getName}"
+
+  /** Collect per-file data-skipping stats (see [[DataSkipping]]) for every
+    * data dir of the current snapshot that doesn't have them yet. Stats are
+    * keyed by the dir they describe (`_graft_stats/d<N>`), so a dir carried
+    * across versions — including partition subdirs carried by pruned
+    * merges, which share their base dir's stats — is aggregated once, ever.
+    * `cols` restricts the statted columns (empty = the first
+    * [[DataSkipping.MaxStatsColumns]] atomic columns). Each missing dir
+    * costs one distributed, column-pruned aggregation pass. */
+  def collectStats(cols: Seq[String] = Nil): Unit = {
+    require(exists, s"collectStats on absent table $path")
+    manifests().last.entries
+      .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
+      .distinct
+      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
+      .foreach { case (sd, dataDir) =>
+        DataSkipping.fileStats(spark, dataDir, None, cols)
+          .write.mode("overwrite").parquet(sd)
+      }
+  }
+
+  /** Per-entry file selection for `condition`: (basePath, surviving file
+    * paths, files before pruning). Entries without collected stats keep
+    * all their files (pruning never affects correctness). The stats
+    * filter runs distributed; only surviving paths reach the driver —
+    * the same driver-side file list Spark's scan planning needs anyway. */
+  private def pruneEntries(entries: Seq[Entry],
+                           condition: String): Seq[(String, Seq[String], Long)] =
+    entries.map { e =>
+      val bp = e.base.getOrElse(e.dir)
+      val sd = statsDirFor(e)
+      val prefix = DataSkipping.canonPath(e.dir)
+      def underEntry(p: String) =
+        e.base.isEmpty || p == prefix || p.startsWith(prefix + "/")
+      if (FsUtils.exists(spark, sd)) {
+        val stats = spark.read.parquet(sd)
+        val statCols = stats.schema.fieldNames.toSeq
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+          .map(c => c.toLowerCase -> c).toMap
+        val mm = DataSkipping.mightMatchSql(spark, condition, statCols)
+        val all = stats.select(DataSkipping.PathCol).collect()
+          .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
+        val kept = stats.where(mm).select(DataSkipping.PathCol).collect()
+          .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
+        (bp, kept.toSeq, all.length.toLong)
+      } else {
+        val files = FsUtils.listFiles(spark, e.dir)
+          .filterNot { f =>
+            val n = new Path(f).getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+        (bp, files, files.length.toLong)
+      }
+    }
+
+  /** (files read, files in snapshot) for `condition` — the observability
+    * hook specs and operators use to assert skipping actually happened. */
+  def pruneInfo(condition: String): (Long, Long) = {
+    val sel = pruneEntries(manifests().last.entries, condition)
+    (sel.map(_._2.length.toLong).sum, sel.map(_._3).sum)
+  }
+
+  /** Read the current snapshot with file-level data skipping: files whose
+    * [[DataSkipping]] stats prove no row can satisfy `condition` are never
+    * opened; the residual filter still applies (pruning is planning-time
+    * only, row-level filtering is unchanged). Falls back to a plain
+    * filtered read when no stats exist. */
+  def readWhere(condition: String): DataFrame = manifests().lastOption match {
+    case None => spark.emptyDataFrame
+    case Some(m) =>
+      val dfs = pruneEntries(m.entries, condition).collect {
+        case (bp, files, _) if files.nonEmpty =>
+          spark.read.option("basePath", bp).parquet(files: _*)
+      }
+      if (dfs.isEmpty) read().where(expr(condition)).limit(0)
+      else dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+        .where(expr(condition))
+  }
+
   /** OPTIMIZE [ZORDER BY cols]: compact the current snapshot's dir list
     * into ONE dir; a z-order request approximates to range-partition +
     * sortWithinPartitions on those columns — same data-skipping effect for
