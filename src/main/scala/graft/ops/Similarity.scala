@@ -431,6 +431,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN: every row of `queries` gets its top-k nearest
+    * corpus rows by cosine — the batched form of [[bruteForceTopK]] (one
+    * probe vector at a time doesn't amortize the corpus scan when scoring
+    * a whole query batch, e.g. eval-set retrieval or near-dup lookups).
+    *
+    * Shape: the query batch is broadcast (batches are small relative to
+    * the corpus), scoring is map-only over the corpus scan, and only
+    * compact (q_id, id, score) triples reach the per-query top-k window —
+    * |corpus|×|queries| triples is the exact-join cost floor. At larger
+    * query batches or corpora, [[knnJoinIvf]] prunes candidates by cell
+    * before scoring. Self pairs (query id = corpus id) are excluded. */
+  def knnJoinExact(corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int): DataFrame = {
+    val qs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
+    corpus.crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-pruned k-NN join: corpus rows are assigned to quantizer cells
+    * once (broadcast argmin, map-only — same assignment as [[ivfTopK]]);
+    * each query probes only its `probes` nearest cells, so the scored
+    * candidate set shrinks to ~probes/nCells of the corpus before the
+    * per-query top-k window. This is the scale path for batch retrieval:
+    * at 100 TB the assigned table is written partitioned by cell and a
+    * query batch touches only its probed partitions. Deterministic like
+    * the single-query variants (ties by cell id, then corpus id). */
+  def knnJoinIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                 quantizerCol: String, queries: DataFrame, qIdCol: String,
+                 qVecCol: String, k: Int, probes: Int): DataFrame = {
+    val cvecs = centroids(corpus, quantizerCol, vecCol)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+      .select(col("label").as("cell"),
+        transform(col("sm"), s => s.getField("mean")).as("cvec"))
+
+    val wa = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(wa))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+
+    val qs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))
+    val probeCells = qs.crossJoin(broadcast(cvecs))
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        sqDist(col("q_vec"), col("cvec")).as("dist"))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= probes)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
+    assigned.join(broadcast(probeCells), "cell")
+      .where(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .withColumn("rank", row_number().over(wk).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Per-query-group ranked neighbours (window form): given a candidates
     * DataFrame of (queryId, candId, score), keep the top-k per query. The
     * window partitions by query so the sort is per-group, not global. */

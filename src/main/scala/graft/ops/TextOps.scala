@@ -201,6 +201,49 @@ object TextOps {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Okapi BM25 relevance of every document against a literal query-term
+    * set (k1/b defaults 1.2/0.75; Robertson `+1` idf so scores stay
+    * positive) — the lexical-retrieval ranking primitive.
+    *
+    * Scale shape: the exploded token stream is pruned to the query's
+    * terms map-side BEFORE any aggregation (the term set is a literal IN
+    * list, pushed into the scan's filter), so the only O(corpus) state is
+    * the per-doc length table, joined by a plain shuffle on the doc id.
+    * Per-term document frequency (≤ |q| rows) and the corpus scalars
+    * (N, avgdl) broadcast. The per-doc score sum is ordered by token, so
+    * the double summation is deterministic and the DuckDB oracle replays
+    * it exactly; the final top-k is a TakeOrderedAndProject. */
+  def bm25(df: DataFrame, idCol: String, queryTerms: Seq[String],
+           textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 10): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val dl = toks.select(col(idCol), size(col("toks")).cast("double").as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .where(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("token"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (acc, v) => acc + v).as("raw"))
+      .select(col(idCol), round(col("raw"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Per-document top TF-IDF term: term frequency from the token multiset,
     * document frequency from [[docFrequency]], idf = ln(N / df). N arrives
     * as a broadcast one-row aggregate (no driver-side action); the df table

@@ -115,6 +115,25 @@ object OpsQueries {
       Similarity.ivfTopKMultiProbe(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", queryId = 0L, k = 10, probes = 3)),
 
+    // batch k-NN JOIN: every query vector (the vec_id % 100 slice) gets
+    // its top-5 corpus neighbours in one pass — broadcast query batch,
+    // map-only scoring, per-query top-k window
+    "x_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnJoinExact(e, "vec_id", "embedding",
+        e.where(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+    }),
+
+    // IVF-pruned k-NN join: corpus assigned to label cells once, each
+    // query scores only its 2 nearest cells — the batch-retrieval scale
+    // path (probes/nCells of the corpus per query)
+    "x_knn_join_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnJoinIvf(e, "vec_id", "embedding", "label",
+        e.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, probes = 2)
+    }),
+
     // product quantization: 2 subspaces x 32 dims, 4 codes each — every
     // vector reduced to (sub, code) pairs from per-subspace k-means
     // codebooks (the PQ memory/recall trade under IVF)
@@ -155,6 +174,13 @@ object OpsQueries {
     // per-document top TF-IDF term
     "x_text_tfidf" -> ((s, d) =>
       TextOps.tfidfTop(Tables.documents(s, d), "doc_id")),
+
+    // Okapi BM25 lexical retrieval: top-10 documents for a 3-term query —
+    // token stream pruned to the query terms map-side, doc-length join by
+    // plain shuffle, deterministic token-ordered score summation
+    "x_text_bm25" -> ((s, d) =>
+      TextOps.bm25(Tables.documents(s, d), "doc_id",
+        Seq("spark", "query", "join"))),
 
     // Gopher-style repetition signal: top-trigram fraction per document
     "x_text_repetition" -> ((s, d) =>
@@ -747,6 +773,61 @@ object OpsQueries {
          |      FROM asg e JOIN q ON e.cell = q.cell WHERE e.vec_id <> 0)
          |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
+    "x_text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE token IN ('spark', 'query', 'join') GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.token,
+         |        ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |          * tf.tf * (1.2 + 1.0)
+         |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |agg AS (SELECT doc_id,
+         |          round(list_reduce(list(s ORDER BY token), (x, y) -> x + y), 4) AS bm25
+         |        FROM s GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "x_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |      FROM embeddings e CROSS JOIN q WHERE q.q_id <> e.vec_id),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "x_knn_join_ivf" ->
+      s"""WITH c AS (SELECT label, CAST(t.dim AS INT) AS dim,
+         |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
+         |  FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT label AS cell, list(mean ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |a AS (SELECT e.vec_id, e.embedding, cv.cell,
+         |  ${sqDistSql("e.embedding", "cv.cvec")} AS dist
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, embedding, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |   FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 100 = 0),
+         |pc AS (SELECT q_id, qv, cell FROM
+         |  (SELECT q.q_id, q.qv, cv.cell,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |       ORDER BY ${sqDistSql("q.qv", "cv.cvec")}, cv.cell) AS rn
+         |   FROM q CROSS JOIN cv) WHERE rn <= 2),
+         |s AS (SELECT pc.q_id, e.vec_id,
+         |        round(${cosineSql("e.embedding", "pc.qv")}, 3) AS cosine
+         |      FROM asg e JOIN pc ON e.cell = pc.cell WHERE pc.q_id <> e.vec_id),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
     "x_ann_ivf_probe" ->
       s"""WITH c AS (SELECT label, CAST(t.dim AS INT) AS dim,
          |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
