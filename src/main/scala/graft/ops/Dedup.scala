@@ -228,6 +228,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Group-level MinHash sketches + pairwise estimated Jaccard — corpus
+    * overlap between SOURCES (crawls, dumps, snapshots) without any
+    * doc-to-doc join. Exploits sketch mergeability: the MinHash of a
+    * union of shingle sets is the per-position min over the members'
+    * hashes, so one aggregation pass produces a k-long signature per
+    * group and only |groups|×k longs ever leave the shuffle — the
+    * estimate's cost is independent of how many documents each group
+    * holds, which is the whole point at 100 TB (a doc-level overlap join
+    * between two crawls would be quadratic). The pairwise estimate is
+    * the fraction of equal signature positions, computed on the tiny
+    * group-signature table. Same md5 hash family as
+    * [[minhashSignature]], so the DuckDB oracle replays it exactly. */
+  def groupMinhashSim(df: DataFrame, groupCol: String, textCol: String,
+                      n: Int = 3, k: Int = 32): DataFrame = {
+    // distinct (group, shingle): union semantics within the group
+    val h = df.select(col(groupCol).as("src"),
+        explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+      .withColumn("h", h32(col("s")))
+    // k running minima as k partial-aggregating min() columns — map-side
+    // combine reduces each partition to |groups|×k longs before the shuffle
+    val aggs = (0 until k).map(i =>
+      min((lit(2L * i + 1) * col("h") + lit(101L * i + 17)) % lit(P)).as(s"m$i"))
+    val sigs = h.groupBy(col("src"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("src"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    sigs.alias("a")
+      .join(sigs.alias("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        round(size(filter(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => x === y), p => p)).cast("double") / k, 4)
+          .as("est_jaccard"))
+  }
+
   /** Exact Jaccard for every pair of documents sharing >= 1 shingle, from
     * the inverted index alone: |A∩B| is the pair's shingle-match count c,
     * |A∪B| = |A| + |B| - c. Shuffles only (id, id, count) triples — the

@@ -201,6 +201,32 @@ object TextOps {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Hashed-feature linear classifier scoring — the inference shape of a
+    * fastText-style quality/domain classifier: each token hashes into one
+    * of `dim` feature buckets, the bucket's weight comes from a broadcast
+    * linear model, and the document score is the mean token weight. Here
+    * the weight table is a deterministic hash-derived stand-in in
+    * [-1, 1] (a real model would substitute its trained array as a
+    * broadcast literal — the plan shape is identical). Map-only scoring:
+    * integer milli-weights are summed exactly (no float summation-order
+    * nondeterminism) and divided once per document. */
+  def hashedLinearScore(df: DataFrame, idCol: String,
+                        textCol: String = "text", dim: Int = 1024): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .withColumn("b", Dedup.h32(col("token")) % dim)
+      .withColumn("w_milli",
+        Dedup.h32(concat(lit("w:"), col("b").cast("string"))) % 2001L - 1000L)
+      .groupBy(col(idCol))
+      .agg(sum(col("w_milli")).as("wsum"), count(lit(1)).as("n_tokens"))
+      .select(col(idCol),
+        // floor-based fixed point, not round(): mean milli-weights hit
+        // exact .5 ties at 4 dp (e.g. -2264/32), where Spark's HALF_UP
+        // and DuckDB disagree on negatives — floor has no tie cases
+        (floor(col("wsum") * 10.0 / col("n_tokens")).cast("double") / 10000.0)
+          .as("score"),
+        col("n_tokens"),
+        (col("wsum") >= 0).as("keep"))
+
   /** Okapi BM25 relevance of every document against a literal query-term
     * set (k1/b defaults 1.2/0.75; Robertson `+1` idf so scores stay
     * positive) — the lexical-retrieval ranking primitive.

@@ -175,6 +175,19 @@ object OpsQueries {
     "x_text_tfidf" -> ((s, d) =>
       TextOps.tfidfTop(Tables.documents(s, d), "doc_id")),
 
+    // hashed-feature linear classifier inference (fastText shape): tokens
+    // hash into weight buckets, exact integer milli-weight summation,
+    // map-only — the quality/domain classifier scoring pass
+    "x_text_classifier" -> ((s, d) =>
+      TextOps.hashedLinearScore(Tables.documents(s, d), "doc_id")),
+
+    // source-level corpus-overlap sketches: one mergeable MinHash per
+    // source (per-position min over the group's shingle hashes — cost
+    // independent of group size), pairwise estimated Jaccard on the tiny
+    // signature table
+    "x_source_minhash" -> ((s, d) =>
+      Dedup.groupMinhashSim(Tables.documents(s, d), "source", "text")),
+
     // Okapi BM25 lexical retrieval: top-10 documents for a 3-term query —
     // token stream pruned to the query terms map-side, doc-length join by
     // plain shuffle, deterministic token-ordered score summation
@@ -773,6 +786,37 @@ object OpsQueries {
          |      FROM asg e JOIN q ON e.cell = q.cell WHERE e.vec_id <> 0)
          |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
+    "x_text_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS token FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024 AS b
+         |      FROM tok),
+         |w AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5('w:' || b), 1, 8) AS BIGINT) % 2001 - 1000 AS w_milli
+         |      FROM f),
+         |a AS (SELECT doc_id, sum(w_milli) AS wsum, count(*) AS n_tokens
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id,
+         |  floor(wsum * 10.0 / n_tokens) / 10000.0 AS score,
+         |  n_tokens, wsum >= 0 AS keep
+         |FROM a""".stripMargin,
+    "x_source_minhash" ->
+      s"""WITH t AS (SELECT source, $Toks AS toks FROM documents),
+         |sh AS (SELECT source,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+         |  FROM t),
+         |d AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh),
+         |h AS (SELECT source, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM d),
+         |sig AS (SELECT source, u.i,
+         |          min(((2 * u.i + 1) * h + (101 * u.i + 17)) % 4294967311) AS m
+         |        FROM h, UNNEST(range(32)) AS u(i) GROUP BY 1, 2),
+         |sv AS (SELECT source, list(m ORDER BY i) AS sig FROM sig GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  round(CAST(len(list_filter(range(1, 33), i -> a.sig[i] = b.sig[i]))
+         |        AS DOUBLE) / 32, 4) AS est_jaccard
+         |FROM sv a JOIN sv b ON a.source < b.source""".stripMargin,
     "x_text_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
          |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
