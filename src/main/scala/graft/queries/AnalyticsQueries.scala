@@ -199,17 +199,25 @@ object AnalyticsQueries {
     // closure over cyclic graphs is not supported yet, so the cluster
     // closure stays on the distributed label-propagation path)
     "q_recursive" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+      // the walked relation is cached OUTSIDE the recursion: each
+      // UNION ALL step joins against `o`, and an inline CTE would
+      // re-run the window + scan once per recursion depth (~30x at
+      // sf0.1 — measured 4s -> sub-second with the cached base)
+      Tables.orders(s, d).where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
+        .persist()
+        .createOrReplaceTempView("orders_rec_ranked")
       s.sql("""WITH RECURSIVE
-        o AS (SELECT o_custkey, o_orderkey,
-                row_number() OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) AS rn
-              FROM orders_rec WHERE o_custkey % 50 = 0),
         chain(o_custkey, o_orderkey, depth) AS (
-          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) FROM o WHERE rn = 1
+          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT)
+          FROM orders_rec_ranked WHERE rn = 1
           UNION ALL
-          SELECT n.o_custkey, n.o_orderkey, c.depth + 1
-          FROM chain c JOIN o n
+          SELECT /*+ BROADCAST(n) */ n.o_custkey, n.o_orderkey, c.depth + 1
+          FROM chain c JOIN orders_rec_ranked n
             ON n.o_custkey = c.o_custkey AND n.rn = c.depth + 1)
         SELECT o_custkey, o_orderkey, depth FROM chain""")
     }),

@@ -369,6 +369,39 @@ object LiftQueries {
         .select("o_orderkey", "o_orderdate", "price")
     }),
 
+    // multi-column Z-order (bit-interleaved Morton key, table/ZOrder):
+    // the read-back predicate filters on o_totalprice — the SECOND
+    // z-ordered column, which lexicographic clustering could never prune
+    "l_table_zorder" -> ((s, d) => {
+      val w = scratch(s, "l_table_zorder")
+      Tables.orders(s, d).createOrReplaceTempView("orders_z_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+           |        FROM orders_z_src
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      Optimize:
+           |        ZorderBy: o_orderdate, price
+           |      Stats: true
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      Where: price >= 100000.0 AND price < 120000.0
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderdate", "price")
+    }),
+
     // versions back through load::batch_delta's Version property and union
     // them version-tagged — Delta's versionAsOf over the manifest log
     "l_table_timetravel" -> ((s, d) => {
@@ -771,6 +804,10 @@ object LiftQueries {
         |       THEN round(round(o_totalprice, 2) + 100, 2)
         |       ELSE round(o_totalprice, 2) END AS price
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "l_table_zorder" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+        |FROM orders WHERE round(o_totalprice, 2) >= 100000.0
+        |AND round(o_totalprice, 2) < 120000.0""".stripMargin,
     "l_table_skipping" ->
       """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -518,7 +518,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val n = if (targetPartitions > 0) targetPartitions
             else math.max(1, spark.sparkContext.defaultParallelism / 2)
     val compacted =
-      if (zorderBy.nonEmpty)
+      if (zorderBy.size > 1) {
+        // true multi-column Z-order: cluster on the bit-interleaved
+        // Morton key so per-file min/max stats prune on EVERY z-ordered
+        // column, not just the leading one (see [[ZOrder]])
+        val zk = ZOrder.zOrderKey(cur, zorderBy)
+        cur.withColumn("__zkey", zk)
+          .repartitionByRange(n, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      } else if (zorderBy.nonEmpty)
         cur.repartitionByRange(n, zorderBy.map(col): _*)
           .sortWithinPartitions(zorderBy.map(col): _*)
       else cur.repartition(n)
