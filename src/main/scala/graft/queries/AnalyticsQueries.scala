@@ -298,6 +298,24 @@ object AnalyticsQueries {
       daily.withColumn("rev_ma7", round(avg(col("rev")).over(w), 2))
     }),
 
+    // RANGE frame with a time interval — unlike the ROWS frame above, the
+    // trailing week is defined by VALUE distance, so calendar gaps shrink
+    // the frame instead of silently widening it. Integer-cents revenue
+    // keeps the sliding sum exact in both engines. The unpartitioned
+    // window is bounded to one row per distinct day, never per input row.
+    "q_window_range" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_wr")
+      s.sql("""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+          FROM orders_wr GROUP BY 1)
+        SELECT day, rev_cents,
+               SUM(rev_cents) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                 AS trailing7_cents
+        FROM daily""")
+    }),
+
     // Sketch path for distinct counts: at 100 TB the exact two-phase
     // distinct (q_distinct_agg) shuffles every distinct key; HLL++ ships
     // constant-size sketches instead. The oracle validates the sketch's
@@ -783,6 +801,16 @@ object AnalyticsQueries {
         |SELECT day, rev,
         |round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_ma7
         |FROM dly""".stripMargin,
+    "q_window_range" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev_cents,
+        |       CAST(SUM(rev_cents) OVER (ORDER BY day
+        |         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS trailing7_cents
+        |FROM daily""".stripMargin,
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound

@@ -269,6 +269,30 @@ object StreamQueries {
 
     // streaming CDC mirror: an I/U/D change log drains onto a managed
     // table via foreachBatch applyChanges (AvailableNow, checkpointed)
+    // streaming dedup-against-index ingestion: two AvailableNow drains of
+    // the same checkpointed stream — wave 1 seeds the corpus, wave 2 (a
+    // re-crawl: exact duplicates + genuinely new docs) lands later and
+    // only its new texts survive the digest anti-join. The corpus table
+    // grows by manifest reference, O(new data) per batch.
+    "s_stream_dedup_index" -> ((s, d) => {
+      val w = scratch(s, "s_stream_dedup_index")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val table = graft.table.ManagedTable(s, s"$w/corpus")
+      val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+      def drain(): Unit = Streaming.streamDedupIndex(
+        s.readStream.schema(schema).json(s"$w/in"), table, "doc_id", "text")
+      docs.write.json(s"$w/in")
+      drain()
+      docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        .write.mode("append").json(s"$w/in")
+      drain()
+      table.read().select("doc_id", "digest")
+    }),
+
     "s_stream_cdc" -> ((s, d) => {
       val w = scratch(s, "s_stream_cdc")
       val orders = Tables.orders(s, d)
@@ -318,6 +342,19 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "s_stream_dedup" ->
       "SELECT event_id, ts, event_type FROM events",
+    "s_stream_dedup_index" ->
+      """WITH w0 AS (SELECT doc_id, text, 0 AS wave FROM documents),
+        |w1 AS (SELECT doc_id + 10000 AS doc_id, text, 1 AS wave
+        |       FROM documents WHERE doc_id % 7 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 20000, text || ' fresh', 1
+        |       FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT * FROM w0 UNION ALL SELECT * FROM w1),
+        |r AS (SELECT doc_id, md5(text) AS digest,
+        |        row_number() OVER (PARTITION BY md5(text)
+        |                           ORDER BY wave, doc_id) AS rn
+        |      FROM a)
+        |SELECT doc_id, digest FROM r WHERE rn = 1""".stripMargin,
     "s_stream_enrich" ->
       """WITH dim AS (SELECT event_type, round(min(value), 2) AS w
         |             FROM events GROUP BY event_type)

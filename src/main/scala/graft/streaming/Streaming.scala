@@ -105,6 +105,43 @@ object Streaming {
       .awaitTermination()
   }
 
+  /** Streaming corpus ingestion with dedup-against-index — the continuous
+    * form of [[graft.ops.Dedup.incrementalExact]]: each micro-batch
+    * collapses its own duplicates (first id wins per text digest),
+    * anti-joins the persistent index's 16-byte digests (the batch never
+    * sees index text), and appends only genuinely-new documents. The
+    * table grows O(new data) per batch via [[graft.table.ManagedTable
+    * .append]]'s manifest reference — nothing is rewritten. Replay-safe:
+    * a re-delivered batch finds its digests already indexed and appends
+    * nothing, so checkpoint recovery never duplicates. At larger index
+    * sizes the anti-join's probe side is cut by a Bloom prefilter
+    * ([[graft.ops.Dedup.bloomIncremental]]) — same contract. */
+  def streamDedupIndex(docs: DataFrame, table: graft.table.ManagedTable,
+                       idCol: String, textCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", s"${table.path}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withDigest = batch
+          .withColumn("digest", md5(col(textCol).cast("binary")))
+        val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
+        val firstInBatch = withDigest
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        val fresh =
+          if (table.exists)
+            firstInBatch.join(table.read().select(col("digest")),
+              Seq("digest"), "left_anti")
+          else firstInBatch
+        if (!fresh.isEmpty) table.append(fresh)
+        ()
+      }
+      .start()
+      .awaitTermination()
+  }
+
   /** Streaming CDC mirror: apply an I/U/D change stream onto a
     * [[graft.table.ManagedTable]] — each micro-batch goes through
     * [[graft.table.ManagedTable.applyChanges]], which collapses the batch
