@@ -468,6 +468,12 @@ object WriteBlocks {
     if (c.props.exists("Vacuum"))
       table.vacuum(c.props.getOrElse("Vacuum.RetainHours", 168).toDouble,
         enforceRetention = !c.props.getBoolean("Vacuum.Force"))
+    // `Compact` → incremental small-file binpacking: only entries whose
+    // files run small rewrite; healthy dirs carry by manifest reference
+    if (c.props.exists("Compact"))
+      table.compactSmall(
+        c.props.getOrElse("Compact.TargetMB", 128).toLong * 1024 * 1024,
+        partitionBy)
     // `Stats: true` (or `Stats.Columns: a,b`) → collect per-file
     // data-skipping stats for dirs that lack them (DataSkipping)
     if (c.props.exists("Stats"))

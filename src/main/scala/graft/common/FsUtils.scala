@@ -71,6 +71,24 @@ object FsUtils {
     out.toSeq
   }
 
+  /** Recursive (path, byteSize) listing of data files under a prefix —
+    * marker files (`_SUCCESS`, checksums) excluded. Drives small-file
+    * detection for incremental compaction. Metadata-only. */
+  def listFilesWithSize(spark: SparkSession, prefix: String): Seq[(String, Long)] = {
+    val f = fs(prefix, hadoopConf(spark))
+    val p = new Path(prefix)
+    if (!f.exists(p)) return Nil
+    val out = ArrayBuffer[(String, Long)]()
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += ((st.getPath.toString, st.getLen))
+    }
+    out.toSeq
+  }
+
   /** Immediate children of a directory as (subdirectory names, file names).
     * One non-recursive metadata listing — used by the managed table's
     * partition-pruned merge to enumerate hive partition dirs. */

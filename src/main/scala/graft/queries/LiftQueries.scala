@@ -369,6 +369,57 @@ object LiftQueries {
         .select("o_orderkey", "o_orderdate", "price")
     }),
 
+    // incremental small-file compaction: clean_write + two appends leave
+    // a small-file tail; the final write's Compact binpacks ONLY the
+    // small entries (healthy dirs carry by manifest reference untouched —
+    // asserted in DataSkippingSpec); the oracle proves no row is lost
+    "l_table_compact" -> ((s, d) => {
+      val w = scratch(s, "l_table_compact")
+      Tables.orders(s, d).createOrReplaceTempView("orders_cp_src")
+      val sel = "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price FROM orders_cp_src"
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: $sel WHERE o_orderkey % 10 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |  A1:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: $sel WHERE o_orderkey % 10 = 1
+           |  W1:
+           |    Type: write::batch_delta
+           |    Input: A1
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: append
+           |  A2:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: $sel WHERE o_orderkey % 10 = 2
+           |  W2:
+           |    Type: write::batch_delta
+           |    Input: A2
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: append
+           |      Compact:
+           |        TargetMB: 64
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderstatus", "price")
+    }),
+
     // multi-column Z-order (bit-interleaved Morton key, table/ZOrder):
     // the read-back predicate filters on o_totalprice — the SECOND
     // z-ordered column, which lexicographic clustering could never prune
@@ -804,6 +855,9 @@ object LiftQueries {
         |       THEN round(round(o_totalprice, 2) + 100, 2)
         |       ELSE round(o_totalprice, 2) END AS price
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "l_table_compact" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""".stripMargin,
     "l_table_zorder" ->
       """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
         |FROM orders WHERE round(o_totalprice, 2) >= 100000.0

@@ -537,6 +537,38 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     write(compacted, partitionBy)
   }
 
+  /** Incremental small-file compaction — Delta's OPTIMIZE binpacking
+    * without the full-table rewrite: only snapshot entries whose data
+    * files are small (mean size below `targetBytes / 2` with more than
+    * one file) are coalesced into one fresh right-sized dir; every
+    * healthy dir carries over by manifest reference untouched. This is
+    * the maintenance op a streaming/append-heavy table needs at 100 TB —
+    * each AvailableNow batch appends a small dir, and compaction cost
+    * must track the SMALL tail, not the table. File sizes come from one
+    * metadata listing per entry; the rewrite sizes its output by total
+    * bytes / targetBytes. Returns the new version (a no-op commit when
+    * nothing qualifies). */
+  def compactSmall(targetBytes: Long = 128L * 1024 * 1024,
+                   partitionBy: Seq[String] = Nil): Long = {
+    require(exists, s"compactSmall on absent table $path")
+    val cur = manifests().last
+    val sized = cur.entries.map { e =>
+      (e, FsUtils.listFilesWithSize(spark, e.dir))
+    }
+    val (small, healthy) = sized.partition { case (_, files) =>
+      files.nonEmpty && files.map(_._2).sum / files.length < targetBytes / 2
+    }
+    if (small.isEmpty) return commitEntries(cur.entries)
+    val totalBytes = small.flatMap(_._2).map(_._2).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // already as packed as it gets (e.g. ONE small single-file dir, or a
+    // just-compacted dir that is still under target) — don't churn
+    if (small.map(_._2.length).sum <= n) return commitEntries(cur.entries)
+    val merged = readEntries(small.map(_._1)).repartition(n)
+    commitEntries(
+      healthy.map(_._1) :+ Entry(writeData(merged, partitionBy), None))
+  }
+
   /** VACUUM RETAIN n HOURS: drop manifests older than the horizon (always
     * keeping the current one) and delete data dirs no retained manifest
     * references (reference batch_delta.py:136-155, incl. the <168h guard

@@ -114,6 +114,38 @@ class DataSkippingSpec extends SparkSuite {
     assert(t.readWhere("p = 'c'").select("id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("compactSmall rewrites only small-file entries; healthy dirs carry untouched") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    // healthy dir: one well-sized file (incompressible md5 payload)
+    t.write(spark.range(10000)
+      .selectExpr("id", "md5(CAST(id AS STRING)) AS pad").coalesce(1))
+    // five tiny appended batches (streaming-shaped small-file tail)
+    (1 to 5).foreach { i =>
+      t.append(spark.range(100000 + i * 10, 100000 + i * 10 + 5)
+        .selectExpr("id", "md5(CAST(id AS STRING)) AS pad").coalesce(1))
+    }
+    val before = t.read().collect().map(_.toString).sorted.toSeq
+    val healthyFiles = graft.common.FsUtils
+      .listFilesWithSize(spark, t.path + "/d0").sortBy(_._1)
+    val v = t.compactSmall(targetBytes = 64 * 1024)
+    assert(t.currentVersion.contains(v))
+    // data unchanged
+    assert(t.read().collect().map(_.toString).sorted.toSeq === before)
+    // healthy dir untouched, byte-identical, still referenced
+    assert(graft.common.FsUtils.listFilesWithSize(spark, t.path + "/d0")
+      .sortBy(_._1) === healthyFiles)
+    // the five tiny dirs collapsed into one entry: total data files shrink
+    val (_, total) = t.pruneInfo("id >= 0")
+    assert(total === 2, s"expected healthy + 1 compacted entry, got $total files")
+    // a second compaction is a no-op commit: the compacted dir is still
+    // below target but already a single file — no churn
+    val before2 = t.read().count()
+    t.compactSmall(targetBytes = 64 * 1024)
+    assert(t.read().count() === before2)
+    val (_, total2) = t.pruneInfo("id >= 0")
+    assert(total2 === 2)
+  }
+
   test("timestamp range predicates prune a time-clustered table") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(spark.range(365)
