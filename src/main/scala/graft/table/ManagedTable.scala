@@ -455,9 +455,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * filter runs distributed; only surviving paths reach the driver —
     * the same driver-side file list Spark's scan planning needs anyway. */
   private def pruneEntries(entries: Seq[Entry],
-                           condition: String): Seq[(String, Seq[String], Long)] =
+                           condition: String): Seq[(Entry, Seq[String], Long)] =
     entries.map { e =>
-      val bp = e.base.getOrElse(e.dir)
       val sd = statsDirFor(e)
       val prefix = DataSkipping.canonPath(e.dir)
       def underEntry(p: String) =
@@ -472,14 +471,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
         val kept = stats.where(mm).select(DataSkipping.PathCol).collect()
           .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
-        (bp, kept.toSeq, all.length.toLong)
+        (e, kept.toSeq, all.length.toLong)
       } else {
         val files = FsUtils.listFiles(spark, e.dir)
           .filterNot { f =>
             val n = new Path(f).getName
             n.startsWith("_") || n.startsWith(".")
           }
-        (bp, files, files.length.toLong)
+        (e, files, files.length.toLong)
       }
     }
 
@@ -498,12 +497,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhere(condition: String): DataFrame = manifests().lastOption match {
     case None => spark.emptyDataFrame
     case Some(m) =>
-      val dfs = pruneEntries(m.entries, condition).collect {
-        case (bp, files, _) if files.nonEmpty =>
-          spark.read.option("basePath", bp).parquet(files: _*)
+      val dfs = pruneEntries(m.entries, condition).map {
+        case (e, files, _) if files.nonEmpty =>
+          spark.read.option("basePath", e.base.getOrElse(e.dir))
+            .parquet(files: _*)
+        case (e, _, _) =>
+          // fully-pruned entry: keep its SCHEMA as a zero-row slice —
+          // under schema drift, dropping the entry entirely could lose
+          // columns the residual filter (or the caller) references
+          // (limit 0 plans to an empty relation, nothing is scanned)
+          readEntries(Seq(e)).limit(0)
       }
-      if (dfs.isEmpty) read().where(expr(condition)).limit(0)
-      else dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+      dfs.reduce(_.unionByName(_, allowMissingColumns = true))
         .where(expr(condition))
   }
 

@@ -33,6 +33,29 @@ class EdgeInputSpec extends SparkSuite {
     assert(norm(3L) === null)
   }
 
+  test("bm25, classifier and group sketches survive null/empty/matchless input") {
+    // no document contains the query terms → empty result, no crash
+    assert(TextOps.bm25(docs, "doc_id", Seq("zzz_absent_term")).count() === 0)
+    // null/empty docs have no tokens → no classifier row; text docs score
+    val cls = TextOps.hashedLinearScore(docs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cls === Set(1L, 5L))
+    // a group whose docs all have < n tokens contributes no shingles →
+    // it has no signature and silently drops from the pairing
+    val grouped = docs.withColumn("src",
+      org.apache.spark.sql.functions.when(col("doc_id") <= 3, "a").otherwise("b"))
+    val sim = Dedup.groupMinhashSim(grouped, "src", "text")
+    assert(sim.count() === 1) // only the (a, b) pair, both have >=1 tokenful doc
+    val shortOnly = Seq((1L, "x y", "s1"), (2L, "p q", "s2"))
+      .toDF("doc_id", "text", "src")
+    assert(Dedup.groupMinhashSim(shortOnly, "src", "text").count() === 0)
+    // empty query batch → empty knn join
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.knnJoinExact(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 0), "vec_id", "embedding", 5).count() === 0)
+  }
+
   test("dedup families treat empty/whitespace docs as content groups, never crash") {
     // exact dedup: empty and whitespace are DIFFERENT byte content; null
     // text md5's to null → its own group

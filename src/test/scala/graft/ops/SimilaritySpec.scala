@@ -67,4 +67,24 @@ class SimilaritySpec extends SparkSuite {
     assert((multi & t100).size >= 9,
       "multi-probe candidates should be true near neighbours")
   }
+
+  test("IVF knn join recall vs the exact knn join, per query") {
+    val queries = emb.where(col("vec_id") % 500 === 0) // a 13-query batch at sf0.01
+    val exact = Similarity.knnJoinExact(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.knnJoinIvf(emb, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", k = 10, probes = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet === exact.keySet, "every query must get results")
+    val recalls = exact.map { case (q, t) => (ivf(q) & t).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    info(f"knn-join IVF probes=3 mean recall@10 = $mean%.2f over ${recalls.size} queries")
+    // near-uniform synthetic vectors: 3/8 cells probed must find a clear
+    // share of true neighbours on average, and never come back empty
+    assert(mean >= 0.3, f"mean recall collapsed: $mean%.2f")
+    assert(ivf.values.forall(_.nonEmpty))
+  }
 }

@@ -146,6 +146,25 @@ class DataSkippingSpec extends SparkSuite {
     assert(total2 === 2)
   }
 
+  test("schema drift across appends: stats prune per dir, missing columns stay null") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(spark.range(100).selectExpr("id").coalesce(1))
+    // later append carries an extra column the first dir lacks
+    t.append(spark.range(100, 200).selectExpr("id", "id * 1.5 AS extra").coalesce(1))
+    t.collectStats()
+    // predicate on the drifted column: dir 1 has no `extra` stats column →
+    // conservatively kept; dir 2 prunes by range
+    val (kept, total) = t.pruneInfo("extra > 1000.0")
+    assert(total === 2 && kept <= 2)
+    assert(t.readWhere("extra > 1000.0").count() === 0)
+    val out = t.readWhere("extra >= 150.0 AND extra < 160.0")
+    assert(out.columns.toSet === Set("id", "extra"))
+    assert(out.count() === t.read().where("extra >= 150.0 AND extra < 160.0").count())
+    // predicate on the shared column prunes across BOTH dirs
+    val (keptId, _) = t.pruneInfo("id < 50")
+    assert(keptId === 1)
+  }
+
   test("timestamp range predicates prune a time-clustered table") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(spark.range(365)
