@@ -330,6 +330,33 @@ object AnalyticsQueries {
           (abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("within_bound"))),
 
+    // Sketch MERGEABILITY (Datasketches HLL): per-group sketches built
+    // once, then the GLOBAL distinct estimated by merging the group
+    // sketches — never rescanning the data. This is the two-level
+    // rollup pattern at 100 TB: daily/per-source sketches persist, any
+    // ad-hoc union (all-time, per-region) is a constant-size merge.
+    // The oracle validates the error contract like q_approx_distinct.
+    "q_sketch_union" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_sk")
+      s.sql("""
+        WITH per_type AS (
+          SELECT event_type,
+                 hll_sketch_agg(user_id) AS sk,
+                 count(DISTINCT user_id) AS exact_users
+          FROM events_sk GROUP BY event_type),
+        merged AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS approx_total
+          FROM per_type),
+        exact_total AS (
+          SELECT count(DISTINCT user_id) AS total FROM events_sk)
+        SELECT p.event_type, p.exact_users,
+               abs(hll_sketch_estimate(p.sk) - p.exact_users) / CAST(p.exact_users AS DOUBLE)
+                 <= 0.05 AS type_within_bound,
+               abs(m.approx_total - e.total) / CAST(e.total AS DOUBLE)
+                 <= 0.05 AS union_within_bound
+        FROM per_type p CROSS JOIN merged m CROSS JOIN exact_total e""")
+    }),
+
     // Sketch path for percentiles: KLL/GK-style approx_percentile with a
     // 1/10000 rank-error budget, validated against the exact discrete
     // percentile inside the same query (2% value tolerance)
@@ -814,6 +841,10 @@ object AnalyticsQueries {
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_sketch_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS type_within_bound, TRUE AS union_within_bound
         |FROM events GROUP BY 1""".stripMargin,
     "q_approx_percentile" ->
       """SELECT l_returnflag,
