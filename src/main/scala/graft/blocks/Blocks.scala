@@ -438,6 +438,13 @@ object WriteBlocks {
       // defines the rows to remove); partition-pruned when PartitionBy set
       case "delete" =>
         table.delete(c.props.getString("Delete.Predicate"), partitionBy)
+      // RESTORE: roll back to a prior version as a new commit (input
+      // DataFrame ignored; manifest-only, no data movement)
+      case "restore" =>
+        table.restore(c.props.getString("Restore.Version").toLong)
+      // shallow CLONE: zero-copy snapshot of this table at another path
+      case "clone" =>
+        table.cloneTo(c.props.getString("Clone.TargetPath"))
       // CDC apply: the input DataFrame is an I/U/D change batch; one merge
       // applies deletes + upserts with last-op-wins in-batch collapse
       case "apply_changes" =>

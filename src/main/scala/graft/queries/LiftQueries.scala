@@ -369,6 +369,64 @@ object LiftQueries {
         .select("o_orderkey", "o_orderdate", "price")
     }),
 
+    // RESTORE: v0 clean_write, v1 botched upsert, restore to v0 as a NEW
+    // commit (manifest-only rollback, no data movement), then read back
+    // through a shallow CLONE of the restored table (zero-copy snapshot)
+    "l_table_restore" -> ((s, d) => {
+      val w = scratch(s, "l_table_restore")
+      Tables.orders(s, d).createOrReplaceTempView("orders_rs_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice, 2) AS price
+           |        FROM orders_rs_src WHERE o_orderkey % 12 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |  Botch:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice * 0, 2) AS price
+           |        FROM orders_rs_src WHERE o_orderkey % 12 = 0
+           |  W1:
+           |    Type: write::batch_delta
+           |    Input: Botch
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: upsert
+           |      Upsert:
+           |        MergeStatement: source.o_orderkey == updates.o_orderkey
+           |  R:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: restore
+           |      Restore:
+           |        Version: 0
+           |  C:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clone
+           |      Clone:
+           |        TargetPath: $w/t-clone
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t-clone
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack").select("o_orderkey", "price")
+    }),
+
     // incremental small-file compaction: clean_write + two appends leave
     // a small-file tail; the final write's Compact binpacks ONLY the
     // small entries (healthy dirs carry by manifest reference untouched —
@@ -858,6 +916,9 @@ object LiftQueries {
     "l_table_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""".stripMargin,
+    "l_table_restore" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 12 = 0""".stripMargin,
     "l_table_zorder" ->
       """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
         |FROM orders WHERE round(o_totalprice, 2) >= 100000.0

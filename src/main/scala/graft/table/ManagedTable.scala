@@ -51,8 +51,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def logDir = s"$path/_graft_log"
   private def dataDir(v: Long) = s"$path/d$v"
 
-  private case class Entry(dir: String, base: Option[String])
-  private case class Manifest(version: Long, timestamp: Long, entries: Seq[Entry])
+  import ManagedTable.{Entry, Manifest}
 
   private def readManifest(p: String): Option[Manifest] =
     new Path(p).getName.stripSuffix(".json").toLongOption.map { v =>
@@ -542,6 +541,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     write(compacted, partitionBy)
   }
 
+  /** Delta-style RESTORE: roll the table back to snapshot `v` by
+    * committing a NEW version whose entries are v's entries — history is
+    * preserved (the bad versions stay time-travelable until VACUUM), the
+    * restore itself is a manifest write, no data moves. */
+  def restore(v: Long): Long = {
+    val m = manifests().find(_.version == v).getOrElse(
+      throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND",
+        Map("relationName" -> s"$path@v$v")))
+    commitEntries(m.entries)
+  }
+
+  /** Delta-style shallow CLONE: create a table at `targetPath` whose
+    * first manifest references THIS table's current data dirs — a
+    * zero-copy snapshot (the 100 TB dev/test-sandbox primitive: cloning
+    * costs one manifest write regardless of table size). The clone's
+    * subsequent writes land under its own path and never touch the
+    * source; vacuuming the clone can't delete source dirs because its
+    * orphan scan only ever matches dirs its own manifests dropped.
+    * CAVEAT (same as Delta's shallow clone): vacuuming the SOURCE can
+    * remove dirs the clone still references — deep-copy (`read` +
+    * `write`) when lifetimes are independent. */
+  def cloneTo(targetPath: String): ManagedTable = {
+    val target = new ManagedTable(spark, targetPath)
+    require(!target.exists, s"clone target already exists: $targetPath")
+    val entries = manifests().lastOption.map(_.entries).getOrElse(Nil)
+    target.commitEntries(entries)
+    target
+  }
+
   /** Incremental small-file compaction — Delta's OPTIMIZE binpacking
     * without the full-table rewrite: only snapshot entries whose data
     * files are small (mean size below `targetBytes / 2` with more than
@@ -596,7 +624,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val n = normPath(d)
       !referenced.exists(r => r == n || r.startsWith(n + "/") || n.startsWith(r + "/"))
     }
-    val orphanDirs = dropped.flatMap(_.entries).map(_.dir).distinct.filter(deletable)
+    // never delete dirs OUTSIDE this table's own path: a shallow clone's
+    // manifests reference the source table's dirs, which are borrowed,
+    // not owned — the source's own vacuum governs their lifetime
+    val own = normPath(path) + "/"
+    val orphanDirs = dropped.flatMap(_.entries).map(_.dir).distinct
+      .filter(d => normPath(d).startsWith(own))
+      .filter(deletable)
     FsUtils.deleteFiles(spark,
       orphanDirs ++ dropped.map(m => s"$logDir/${m.version}.json"))
   }
@@ -674,6 +708,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 }
 
 object ManagedTable {
+  private[table] case class Entry(dir: String, base: Option[String])
+  private[table] case class Manifest(version: Long, timestamp: Long,
+                                     entries: Seq[Entry])
+
   def apply(spark: SparkSession, path: String): ManagedTable =
     new ManagedTable(spark, path)
 }

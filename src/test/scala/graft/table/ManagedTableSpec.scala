@@ -150,6 +150,38 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.read().where($"part" === "p0").count() === 0)
   }
 
+  test("restore rolls back as a new commit; history stays time-travelable") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "good"), (2, "good")).toDF("id", "v"))          // v0
+    t.write(Seq((1, "bad")).toDF("id", "v"))                        // v1
+    val v = t.restore(0)                                            // v2 = v0
+    assert(v === 2L)
+    assert(t.read().count() === 2)
+    assert(t.read().where($"v" === "good").count() === 2)
+    // the bad version is still readable until VACUUM retires it
+    assert(t.readVersion(1).count() === 1)
+    intercept[org.apache.spark.sql.AnalysisException](t.restore(99))
+  }
+
+  test("shallow clone is zero-copy; divergent writes never cross paths") {
+    val src = ManagedTable(spark, tmp() + "/src")
+    src.write(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val clone = src.cloneTo(src.path + "-clone")
+    // zero-copy: the clone's manifest references the source's data dir
+    assert(clone.read().count() === 2)
+    assert(graft.common.FsUtils.listFilesWithSize(spark, clone.path)
+      .forall(_._1.contains("_graft_log")), "clone must hold no data files")
+    // divergence: clone upsert doesn't touch the source, and vice versa
+    clone.merge(Seq((3, "c")).toDF("id", "v"), "source.id == updates.id")
+    src.merge(Seq((4, "d")).toDF("id", "v"), "source.id == updates.id")
+    assert(clone.read().select("id").as[Int].collect().toSet === Set(1, 2, 3))
+    assert(src.read().select("id").as[Int].collect().toSet === Set(1, 2, 4))
+    // vacuuming the clone never deletes source dirs it still references
+    clone.vacuum(0, enforceRetention = false)
+    assert(src.read().count() === 3)
+    intercept[IllegalArgumentException](src.cloneTo(clone.path))
+  }
+
   test("versionAt picks the latest snapshot at or before a timestamp") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq(1).toDF("id"))
