@@ -49,6 +49,34 @@ object FsUtils {
     }
   }
 
+  /** Atomic put-if-absent — the optimistic-concurrency commit primitive
+    * for manifest logs: exactly ONE of any number of concurrent callers
+    * writing the same path wins (returns true); the rest observe the loss
+    * (false) instead of silently overwriting. On file:// the winner is
+    * decided by hard-link creation (link(2) fails EEXIST atomically —
+    * POSIX rename would overwrite); on HDFS-like filesystems by rename's
+    * no-overwrite contract (rename onto an existing destination returns
+    * false). Object stores substitute a conditional-put (S3
+    * If-None-Match) in the same position. */
+  def writeTextIfAbsent(spark: SparkSession, path: String, text: String): Boolean = {
+    val f = fs(path, hadoopConf(spark))
+    val dst = new Path(path)
+    if (f.exists(dst)) return false
+    val tmpStr = s"$path.tmp-${java.util.UUID.randomUUID}"
+    writeText(spark, tmpStr, text)
+    val won =
+      if (f.getUri.getScheme == "file") {
+        import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+        try { Files.createLink(Paths.get(dst.toUri.getPath),
+                               Paths.get(new Path(tmpStr).toUri.getPath)); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } else f.rename(new Path(tmpStr), dst)
+    // link winner + any loser still hold the tmp file; rename winner's tmp
+    // is already gone (delete is then a harmless no-op)
+    f.delete(new Path(tmpStr), false)
+    won
+  }
+
   def exists(spark: SparkSession, path: String): Boolean =
     fs(path, hadoopConf(spark)).exists(new Path(path))
 
