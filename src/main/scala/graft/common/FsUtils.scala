@@ -80,53 +80,87 @@ object FsUtils {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(path, hadoopConf(spark)).exists(new Path(path))
 
+  /** Re-run a metadata listing that raced a concurrent writer: Hadoop's
+    * listing iterators stat each entry lazily, so a tmp/commit file
+    * vanishing between readdir and stat (another writer finishing its
+    * atomic rename) throws mid-iteration. The re-list observes a
+    * consistent later state — bounded, and only metadata work. */
+  private def relisting[T](body: => T): T = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: RuntimeException =>
+          i += 1
+          if (i >= 5) throw e
+          Thread.sleep(10L * i)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Recursively list file paths under a prefix with a suffix filter —
     * the engine's analogue of the reference's paginated S3 listing
     * (s3path.py:80-106). Driver-side metadata op; the data itself is
     * never touched.
     */
-  def listFiles(spark: SparkSession, prefix: String, suffix: String = ""): Seq[String] = {
+  def listFiles(spark: SparkSession, prefix: String, suffix: String = ""): Seq[String] = relisting {
     val f = fs(prefix, hadoopConf(spark))
     val p = new Path(prefix)
-    if (!f.exists(p)) return Nil
-    val out = ArrayBuffer[String]()
-    val it = f.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val s = st.getPath.toString
-      if (st.isFile && (suffix.isEmpty || s.endsWith(suffix))) out += s
+    if (!f.exists(p)) Nil
+    else {
+      val out = ArrayBuffer[String]()
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val s = st.getPath.toString
+        if (st.isFile && (suffix.isEmpty || s.endsWith(suffix))) out += s
+      }
+      out.toSeq
     }
-    out.toSeq
   }
 
   /** Recursive (path, byteSize) listing of data files under a prefix —
     * marker files (`_SUCCESS`, checksums) excluded. Drives small-file
     * detection for incremental compaction. Metadata-only. */
-  def listFilesWithSize(spark: SparkSession, prefix: String): Seq[(String, Long)] = {
+  def listFilesWithSize(spark: SparkSession, prefix: String): Seq[(String, Long)] = relisting {
     val f = fs(prefix, hadoopConf(spark))
     val p = new Path(prefix)
-    if (!f.exists(p)) return Nil
-    val out = ArrayBuffer[(String, Long)]()
-    val it = f.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-        out += ((st.getPath.toString, st.getLen))
+    if (!f.exists(p)) Nil
+    else {
+      val out = ArrayBuffer[(String, Long)]()
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          out += ((st.getPath.toString, st.getLen))
+      }
+      out.toSeq
     }
-    out.toSeq
   }
 
   /** Immediate children of a directory as (subdirectory names, file names).
     * One non-recursive metadata listing — used by the managed table's
     * partition-pruned merge to enumerate hive partition dirs. */
-  def listChildren(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+  def listChildren(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = relisting {
     val f = fs(dir, hadoopConf(spark))
     val p = new Path(dir)
-    if (!f.exists(p)) return (Nil, Nil)
-    val st = f.listStatus(p).toSeq
-    (st.filter(_.isDirectory).map(_.getPath.getName),
-      st.filter(_.isFile).map(_.getPath.getName))
+    if (!f.exists(p)) (Nil, Nil)
+    else {
+      val st = f.listStatus(p).toSeq
+      (st.filter(_.isDirectory).map(_.getPath.getName),
+        st.filter(_.isFile).map(_.getPath.getName))
+    }
+  }
+
+  /** Immediate child DIRECTORIES of `dir` as (name, modificationTimeMs). */
+  def listChildDirsWithModTime(spark: SparkSession, dir: String): Seq[(String, Long)] = relisting {
+    val f = fs(dir, hadoopConf(spark))
+    val p = new Path(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(st => (st.getPath.getName, st.getModificationTime))
   }
 
   /** Delete paths (files or directories) — reference `delete_files`

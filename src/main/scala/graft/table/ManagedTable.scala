@@ -108,10 +108,17 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     commitEntries(Entry(writeData(df, partitionBy), None) :: Nil)
 
   /** Append: write ONLY the new rows; the next manifest references the
-    * previous snapshot's dirs plus the new one. */
+    * previous snapshot's dirs plus the new one. The new rows are written
+    * once; when the commit loses a race only the MANIFEST is rebased onto
+    * the new head (Delta's blind-append fast path — N concurrent appends
+    * all land, as N consecutive versions). */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
-    val prev = manifests().lastOption.map(_.entries).getOrElse(Nil)
-    commitEntries(prev :+ Entry(writeData(df, partitionBy), None))
+    val dir = writeData(df, partitionBy)
+    withCommitRetry("append") {
+      val prev = manifests().lastOption
+      commitAgainst(prev.map(_.version),
+        prev.map(_.entries).getOrElse(Nil) :+ Entry(dir, None))
+    }
   }
 
   /** Delta-style merge (reference getl/common/delta_table.py:27-44): target
@@ -128,29 +135,33 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     *     rows are appended — O(new data) like append.
     */
   def merge(updates: DataFrame, condition: String, upsert: Boolean = true,
-            partitionBy: Seq[String] = Nil): Long = {
-    if (!exists) return write(updates, partitionBy)
-    if (upsert && partitionBy.nonEmpty)
-      prunedMerge(updates, condition, partitionBy) match {
-        case Some(v) => return v
-        case None    => // layout not splittable → full rewrite below
-      }
-    val target = read()
-    // no explicit broadcast hint on either side: updates batches and the
-    // target both grow without bound at scale, and a forced broadcast of
-    // the anti-join build side would OOM; AQE converts the exchange to a
-    // broadcast at runtime whenever the observed size is actually small
-    if (upsert)
-      write(
-        target.alias("source")
-          .join(updates.alias("updates"), expr(condition), "left_anti")
-          .unionByName(updates, allowMissingColumns = true),
-        partitionBy)
-    else
-      append(
-        updates.alias("updates")
-          .join(target.alias("source"), expr(condition), "left_anti"),
-        partitionBy)
+            partitionBy: Seq[String] = Nil): Long = withCommitRetry("merge") {
+    manifests().lastOption match {
+      case None =>
+        commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
+      case Some(cur) =>
+        val pruned = if (upsert && partitionBy.nonEmpty)
+          prunedMerge(updates, condition, partitionBy) else None
+        pruned.getOrElse {
+          val target = readEntries(cur.entries)
+          // no explicit broadcast hint on either side: updates batches and
+          // the target both grow without bound at scale, and a forced
+          // broadcast of the anti-join build side would OOM; AQE converts
+          // the exchange to a broadcast at runtime whenever the observed
+          // size is actually small
+          if (upsert)
+            commitAgainst(Some(cur.version), Seq(Entry(writeData(
+              target.alias("source")
+                .join(updates.alias("updates"), expr(condition), "left_anti")
+                .unionByName(updates, allowMissingColumns = true),
+              partitionBy), None)))
+          else
+            commitAgainst(Some(cur.version), cur.entries :+ Entry(writeData(
+              updates.alias("updates")
+                .join(target.alias("source"), expr(condition), "left_anti"),
+              partitionBy), None))
+        }
+    }
   }
 
   /** Update-set size above which pruning degenerates to a full rewrite
@@ -176,7 +187,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val touchedRows = updates.select(col(pcol)).distinct()
       .limit(MaxPrunedPartitions + 1).collect()
     if (touchedRows.length > MaxPrunedPartitions) return None
-    if (touchedRows.isEmpty) return Some(commitEntries(cur.entries))
+    if (touchedRows.isEmpty)
+      return Some(commitAgainst(Some(cur.version), cur.entries))
     val touchedVals = touchedRows.map(_.get(0))
     val nonNull = touchedVals.filter(_ != null)
     val hasNull = touchedVals.exists(_ == null)
@@ -207,7 +219,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
       }
     }
-    Some(commitEntries(carried :+ Entry(newDir, None)))
+    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None)))
   }
 
   /** Apply a CDC batch — rows tagged insert/update/delete in `opCol`
@@ -233,31 +245,34 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .where(col("__rn") === 1).drop("__rn")
     val upserts = latest.where(!upper(col(opCol)).isin("D"))
       .drop(opCol, orderCol)
-    val deletes = latest.where(upper(col(opCol)) === "D")
-      .drop(opCol, orderCol)
-    if (!exists) return write(upserts, partitionBy)
     // one pass: every changed key (U or D) leaves via the anti-join;
     // upsert images come back in the union
     val allKeys = latest.drop(opCol, orderCol)
-    if (partitionBy.nonEmpty)
-      prunedRewrite(
-        // touched partitions = partitions of ANY change row; discovery
-        // uses the change keys, not a table scan
-        condUsingKeys(allKeys, partitionBy.head), partitionBy,
-        slice => slice.alias("source")
-          .join(allKeys.alias("updates"), expr(condition), "left_anti")
-          .unionByName(upserts, allowMissingColumns = true),
-        // a delete-only batch can empty a partition — its old dir must not
-        // be carried, so fall back to the full rewrite in that case
-        requireAllRewritten = true) match {
-        case Some(v) => return v
-        case None    =>
+    withCommitRetry("applyChanges") {
+      manifests().lastOption match {
+        case None =>
+          commitAgainst(None, Seq(Entry(writeData(upserts, partitionBy), None)))
+        case Some(cur) =>
+          val pruned = if (partitionBy.nonEmpty)
+            prunedRewrite(
+              // touched partitions = partitions of ANY change row; discovery
+              // uses the change keys, not a table scan
+              condUsingKeys(allKeys, partitionBy.head), partitionBy,
+              slice => slice.alias("source")
+                .join(allKeys.alias("updates"), expr(condition), "left_anti")
+                .unionByName(upserts, allowMissingColumns = true),
+              // a delete-only batch can empty a partition — its old dir must
+              // not be carried, so fall back to the full rewrite in that case
+              requireAllRewritten = true)
+          else None
+          pruned.getOrElse(
+            commitAgainst(Some(cur.version), Seq(Entry(writeData(
+              readEntries(cur.entries).alias("source")
+                .join(allKeys.alias("updates"), expr(condition), "left_anti")
+                .unionByName(upserts, allowMissingColumns = true),
+              partitionBy), None))))
       }
-    write(
-      read().alias("source")
-        .join(allKeys.alias("updates"), expr(condition), "left_anti")
-        .unionByName(upserts, allowMissingColumns = true),
-      partitionBy)
+    }
   }
 
   /** SQL predicate matching table rows whose partition value appears in
@@ -308,12 +323,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * anyway). Returns the new version. */
   def delete(condition: String, partitionBy: Seq[String] = Nil): Long = {
     require(exists, s"delete on absent table $path")
-    if (partitionBy.nonEmpty)
-      prunedDelete(condition, partitionBy) match {
-        case Some(v) => return v
-        case None    => // not splittable / emptied partition → full rewrite
-      }
-    write(read().where(!expr(condition)), partitionBy)
+    withCommitRetry("delete") {
+      val cur = manifests().last
+      val pruned = if (partitionBy.nonEmpty)
+        prunedDelete(condition, partitionBy) else None
+      pruned.getOrElse( // not splittable / emptied partition → full rewrite
+        commitAgainst(Some(cur.version), Seq(Entry(writeData(
+          readEntries(cur.entries).where(!expr(condition)), partitionBy), None))))
+    }
   }
 
   /** Partition-pruned delete on the FIRST partition column; None → caller
@@ -344,7 +361,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .select(col(pcol)).distinct()
       .limit(MaxPrunedPartitions + 1).collect()
     if (touchedRows.length > MaxPrunedPartitions) return None
-    if (touchedRows.isEmpty) return Some(commitEntries(cur.entries))
+    if (touchedRows.isEmpty)
+      return Some(commitAgainst(Some(cur.version), cur.entries))
     val touchedVals = touchedRows.map(_.get(0))
     val nonNull = touchedVals.filter(_ != null)
     val hasNull = touchedVals.exists(_ == null)
@@ -369,7 +387,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
       }
     }
-    Some(commitEntries(carried :+ Entry(newDir, None)))
+    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None)))
   }
 
   /** Change-data-feed analogue (reference load/entrypoint.py:222-229):
@@ -417,12 +435,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       set.foldLeft(df) { case (d, (c, valueExpr)) =>
         d.withColumn(c, when(expr(cond), expr(valueExpr)).otherwise(col(c)))
       }
-    if (partitionBy.nonEmpty && !set.contains(partitionBy.head))
-      prunedRewrite(cond, partitionBy, apply, requireAllRewritten = false) match {
-        case Some(v) => return v
-        case None    =>
-      }
-    write(apply(read()), partitionBy)
+    withCommitRetry("update") {
+      val cur = manifests().last
+      val pruned = if (partitionBy.nonEmpty && !set.contains(partitionBy.head))
+        prunedRewrite(cond, partitionBy, apply, requireAllRewritten = false)
+      else None
+      pruned.getOrElse(
+        commitAgainst(Some(cur.version), Seq(Entry(writeData(
+          apply(readEntries(cur.entries)), partitionBy), None))))
+    }
   }
 
   private def statsDirFor(e: Entry): String =
@@ -518,27 +539,31 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def optimize(zorderBy: Seq[String] = Nil, targetPartitions: Int = 0,
                partitionBy: Seq[String] = Nil): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
-    val cur = read()
-    val n = if (targetPartitions > 0) targetPartitions
-            else math.max(1, spark.sparkContext.defaultParallelism / 2)
-    val compacted =
-      if (zorderBy.size > 1) {
-        // true multi-column Z-order: cluster on the bit-interleaved
-        // Morton key so per-file min/max stats prune on EVERY z-ordered
-        // column, not just the leading one (see [[ZOrder]])
-        val zk = ZOrder.zOrderKey(cur, zorderBy)
-        cur.withColumn("__zkey", zk)
-          .repartitionByRange(n, col("__zkey"))
-          .sortWithinPartitions(col("__zkey"))
-          .drop("__zkey")
-      } else if (zorderBy.nonEmpty)
-        cur.repartitionByRange(n, zorderBy.map(col): _*)
-          .sortWithinPartitions(zorderBy.map(col): _*)
-      else cur.repartition(n)
-    // pass the table's partition columns so compaction keeps the hive
-    // layout — otherwise one OPTIMIZE would flatten the dirs and disable
-    // both scan-time partition pruning and future pruned merges
-    write(compacted, partitionBy)
+    withCommitRetry("optimize") {
+      val curM = manifests().last
+      val cur = readEntries(curM.entries)
+      val n = if (targetPartitions > 0) targetPartitions
+              else math.max(1, spark.sparkContext.defaultParallelism / 2)
+      val compacted =
+        if (zorderBy.size > 1) {
+          // true multi-column Z-order: cluster on the bit-interleaved
+          // Morton key so per-file min/max stats prune on EVERY z-ordered
+          // column, not just the leading one (see [[ZOrder]])
+          val zk = ZOrder.zOrderKey(cur, zorderBy)
+          cur.withColumn("__zkey", zk)
+            .repartitionByRange(n, col("__zkey"))
+            .sortWithinPartitions(col("__zkey"))
+            .drop("__zkey")
+        } else if (zorderBy.nonEmpty)
+          cur.repartitionByRange(n, zorderBy.map(col): _*)
+            .sortWithinPartitions(zorderBy.map(col): _*)
+        else cur.repartition(n)
+      // pass the table's partition columns so compaction keeps the hive
+      // layout — otherwise one OPTIMIZE would flatten the dirs and disable
+      // both scan-time partition pruning and future pruned merges
+      commitAgainst(Some(curM.version),
+        Seq(Entry(writeData(compacted, partitionBy), None)))
+    }
   }
 
   /** Delta-style RESTORE: roll the table back to snapshot `v` by
@@ -566,7 +591,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val target = new ManagedTable(spark, targetPath)
     require(!target.exists, s"clone target already exists: $targetPath")
     val entries = manifests().lastOption.map(_.entries).getOrElse(Nil)
-    target.commitEntries(entries)
+    // CAS at the target's version 0: of two racing clones to one path,
+    // exactly one wins and the other fails loudly
+    target.commitAgainst(None, entries)
     target
   }
 
@@ -584,22 +611,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def compactSmall(targetBytes: Long = 128L * 1024 * 1024,
                    partitionBy: Seq[String] = Nil): Long = {
     require(exists, s"compactSmall on absent table $path")
-    val cur = manifests().last
-    val sized = cur.entries.map { e =>
-      (e, FsUtils.listFilesWithSize(spark, e.dir))
+    withCommitRetry("compactSmall") {
+      val cur = manifests().last
+      val sized = cur.entries.map { e =>
+        (e, FsUtils.listFilesWithSize(spark, e.dir))
+      }
+      val (small, healthy) = sized.partition { case (_, files) =>
+        files.nonEmpty && files.map(_._2).sum / files.length < targetBytes / 2
+      }
+      val totalBytes = small.flatMap(_._2).map(_._2).sum
+      val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      // nothing small, or already as packed as it gets (e.g. ONE small
+      // single-file dir, or a just-compacted dir still under target) —
+      // commit a no-op version rather than churn data
+      if (small.isEmpty || small.map(_._2.length).sum <= n)
+        commitAgainst(Some(cur.version), cur.entries)
+      else {
+        val merged = readEntries(small.map(_._1)).repartition(n)
+        commitAgainst(Some(cur.version),
+          healthy.map(_._1) :+ Entry(writeData(merged, partitionBy), None))
+      }
     }
-    val (small, healthy) = sized.partition { case (_, files) =>
-      files.nonEmpty && files.map(_._2).sum / files.length < targetBytes / 2
-    }
-    if (small.isEmpty) return commitEntries(cur.entries)
-    val totalBytes = small.flatMap(_._2).map(_._2).sum
-    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // already as packed as it gets (e.g. ONE small single-file dir, or a
-    // just-compacted dir that is still under target) — don't churn
-    if (small.map(_._2.length).sum <= n) return commitEntries(cur.entries)
-    val merged = readEntries(small.map(_._1)).repartition(n)
-    commitEntries(
-      healthy.map(_._1) :+ Entry(writeData(merged, partitionBy), None))
   }
 
   /** VACUUM RETAIN n HOURS: drop manifests older than the horizon (always
@@ -631,8 +663,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val orphanDirs = dropped.flatMap(_.entries).map(_.dir).distinct
       .filter(d => normPath(d).startsWith(own))
       .filter(deletable)
+    // also reap data dirs referenced by NO manifest at all — the residue
+    // of optimistic commits that LOST their race (the op re-ran and wrote
+    // a fresh dir). The retention horizon doubles as the in-flight guard:
+    // a dir younger than the horizon may belong to a writer whose commit
+    // hasn't landed yet, so it survives until a later vacuum.
+    val allRefs = all.flatMap(_.entries).map(e => normPath(e.dir))
+    val raceOrphans = FsUtils.listChildDirsWithModTime(spark, path)
+      .filter { case (name, mod) => name.startsWith("d") && mod < horizon }
+      .map { case (name, _) => s"$path/$name" }
+      .filter { d =>
+        val n = normPath(d)
+        !allRefs.exists(r => r == n || r.startsWith(n + "/") || n.startsWith(r + "/"))
+      }
     FsUtils.deleteFiles(spark,
-      orphanDirs ++ dropped.map(m => s"$logDir/${m.version}.json"))
+      orphanDirs ++ raceOrphans ++ dropped.map(m => s"$logDir/${m.version}.json"))
   }
 
   /** Scheme-insensitive path form for containment checks (`file:/x` and
@@ -686,24 +731,75 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   private def writeData(df: DataFrame, partitionBy: Seq[String]): String = {
+    // next-version hint + random suffix: concurrent writers (and retried
+    // optimistic commits) must never share a data dir — parquet overwrite
+    // mode would clobber the other writer's files mid-job. Nothing parses
+    // the name back; manifests carry full paths. A dir whose commit LOSES
+    // its race is left unreferenced and reaped by vacuum's orphan sweep.
     val v = currentVersion.map(_ + 1).getOrElse(0L)
-    val dir = dataDir(v)
+    val dir = s"${dataDir(v)}-${java.util.UUID.randomUUID.toString.take(8)}"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     dir
   }
 
-  private def commitEntries(entries: Seq[Entry]): Long = {
-    val v = currentVersion.map(_ + 1).getOrElse(0L)
+  /** One optimistic commit attempt at exactly version `v` — true iff this
+    * writer won the put-if-absent race for the manifest file (a manifest
+    * still either exists completely or not at all; a crash mid-write can
+    * never corrupt the log). */
+  private def tryCommit(v: Long, entries: Seq[Entry]): Boolean = {
     val dirsJson = entries.map {
       case Entry(d, None)    => "\"" + d + "\""
       case Entry(d, Some(b)) => s"""{"dir":"$d","base":"$b"}"""
     }.mkString("[", ",", "]")
-    // atomic rename commit: a manifest either exists completely or not at
-    // all, so a crash mid-write can never corrupt the table's log
-    FsUtils.writeTextAtomic(spark, s"$logDir/$v.json",
+    FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
       s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson}""")
+  }
+
+  /** Blind snapshot commit (clean_write / restore / append-rebase): the
+    * entries do not derive from the snapshot they land on, so losing a
+    * version-number race is harmless — take the next number and retry
+    * until the manifest lands. */
+  private def commitEntries(entries: Seq[Entry]): Long = {
+    var tries = 0
+    var v = currentVersion.map(_ + 1).getOrElse(0L)
+    while (!tryCommit(v, entries)) {
+      tries += 1
+      if (tries > 1000) throw new java.io.IOException(
+        s"commit contention on $path: gave up after $tries attempts")
+      v = currentVersion.map(_ + 1).getOrElse(0L)
+    }
     v
+  }
+
+  /** Compare-and-swap commit for read-modify-write operations: `entries`
+    * were computed against snapshot `base`, so they are valid ONLY as
+    * version base+1. A concurrent writer winning that version number
+    * means this operation read a snapshot that is no longer current →
+    * [[ManagedTable.ConcurrentWriteException]], and [[withCommitRetry]]
+    * re-runs the whole operation against the new snapshot. This is
+    * Delta's optimistic-concurrency loop with recompute-on-conflict in
+    * place of logical conflict classification — always serializable,
+    * never a silent lost update. */
+  private def commitAgainst(base: Option[Long], entries: Seq[Entry]): Long = {
+    val v = base.map(_ + 1).getOrElse(0L)
+    if (!tryCommit(v, entries))
+      throw new ManagedTable.ConcurrentWriteException(path, base)
+    v
+  }
+
+  /** Bounded re-run loop around a read-modify-write operation body whose
+    * commit is a [[commitAgainst]] CAS. */
+  private def withCommitRetry[T](op: String)(body: => T): T = {
+    var last: ManagedTable.ConcurrentWriteException = null
+    var attempt = 0
+    while (attempt < ManagedTable.MaxCommitAttempts) {
+      try return body
+      catch { case e: ManagedTable.ConcurrentWriteException =>
+        last = e; attempt += 1 }
+    }
+    throw new java.io.IOException(
+      s"$op on $path lost ${ManagedTable.MaxCommitAttempts} optimistic-commit races", last)
   }
 }
 
@@ -711,6 +807,18 @@ object ManagedTable {
   private[table] case class Entry(dir: String, base: Option[String])
   private[table] case class Manifest(version: Long, timestamp: Long,
                                      entries: Seq[Entry])
+
+  /** Attempts a read-modify-write operation makes before giving up under
+    * sustained commit contention. */
+  val MaxCommitAttempts = 10
+
+  /** An optimistic commit lost its race: the snapshot the operation was
+    * computed against is no longer the table's head. Public ops catch and
+    * re-run internally up to [[MaxCommitAttempts]] times; seeing this
+    * escape means sustained multi-writer contention on one table. */
+  final class ConcurrentWriteException(path: String, base: Option[Long])
+    extends RuntimeException(
+      s"concurrent update on $path: snapshot ${base.fold("<empty>")(v => s"v$v")} is no longer current")
 
   def apply(spark: SparkSession, path: String): ManagedTable =
     new ManagedTable(spark, path)

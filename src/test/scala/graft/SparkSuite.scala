@@ -11,6 +11,15 @@ trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
   val sf0: String = "/root/testdata/sf0.001"
   val sf1: String = "/root/testdata/sf0.01"
+
+  /** Resolve a ManagedTable data dir by its version-hint prefix (dir names
+    * are `d<v>-<random>`; exactly one per version in single-writer tests). */
+  def dataDirOf(root: String, v: Int): String = {
+    val hits = graft.common.FsUtils.listChildren(spark, root)._1
+      .filter(_.startsWith(s"d$v-"))
+    assert(hits.size == 1, s"expected one d$v-* dir under $root, got $hits")
+    s"$root/${hits.head}"
+  }
 }
 
 object SparkSuite {

@@ -45,6 +45,27 @@ class FsUtilsSpec extends SparkSuite {
     assert(!FsUtils.exists(spark, s"$w/b"))
   }
 
+  test("writeTextIfAbsent: exactly one of N racing writers wins") {
+    val w = tmp()
+    val target = s"$w/commit/0.json"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (1 to 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = FsUtils.writeTextIfAbsent(spark, target, s"writer-$i")
+        })
+      }
+      val wins = futures.zipWithIndex.filter(_._1.get())
+      assert(wins.size === 1, s"expected exactly one winner, got ${wins.size}")
+      // the surviving content is the winner's, complete and uncorrupted
+      assert(FsUtils.readText(spark, target) === s"writer-${wins.head._2 + 1}")
+      // losers' tmp files are cleaned up
+      assert(FsUtils.listFiles(spark, s"$w/commit").size === 1)
+    } finally pool.shutdown()
+    // a later put-if-absent still loses
+    assert(!FsUtils.writeTextIfAbsent(spark, target, "late"))
+  }
+
   test("copy of a missing source raises FileNotFoundException") {
     val w = tmp()
     intercept[java.io.FileNotFoundException] {

@@ -41,7 +41,8 @@ class StreamUpsertSpec extends SparkSuite {
     table.write(
       Seq(("a", 1L, 0L, "s1"), ("b", 2L, 0L, "s2")).toDF("part", "id", "ver", "payload"),
       partitionBy = Seq("part"))
-    val beforeB = graft.common.FsUtils.listFiles(spark, s"$w/table/d0/part=b").sorted
+    val beforeB = graft.common.FsUtils
+      .listFiles(spark, s"${dataDirOf(s"$w/table", 0)}/part=b").sorted
 
     // batch touches ONLY partition a
     Seq(("a", 1L, 1L, "upd"), ("a", 3L, 1L, "ins"))
@@ -57,7 +58,8 @@ class StreamUpsertSpec extends SparkSuite {
     assert(got.toSeq == Seq(
       ("a", 1L, 1L, "upd"), ("b", 2L, 0L, "s2"), ("a", 3L, 1L, "ins")))
     // the untouched partition's files were carried, not rewritten
-    assert(graft.common.FsUtils.listFiles(spark, s"$w/table/d0/part=b").sorted == beforeB)
+    assert(graft.common.FsUtils
+      .listFiles(spark, s"${dataDirOf(s"$w/table", 0)}/part=b").sorted == beforeB)
   }
 
   test("streamApplyChanges mirrors an I/U/D change stream onto the table") {

@@ -126,13 +126,13 @@ class DataSkippingSpec extends SparkSuite {
     }
     val before = t.read().collect().map(_.toString).sorted.toSeq
     val healthyFiles = graft.common.FsUtils
-      .listFilesWithSize(spark, t.path + "/d0").sortBy(_._1)
+      .listFilesWithSize(spark, dataDirOf(t.path, 0)).sortBy(_._1)
     val v = t.compactSmall(targetBytes = 64 * 1024)
     assert(t.currentVersion.contains(v))
     // data unchanged
     assert(t.read().collect().map(_.toString).sorted.toSeq === before)
     // healthy dir untouched, byte-identical, still referenced
-    assert(graft.common.FsUtils.listFilesWithSize(spark, t.path + "/d0")
+    assert(graft.common.FsUtils.listFilesWithSize(spark, dataDirOf(t.path, 0))
       .sortBy(_._1) === healthyFiles)
     // the five tiny dirs collapsed into one entry: total data files shrink
     val (_, total) = t.pruneInfo("id >= 0")

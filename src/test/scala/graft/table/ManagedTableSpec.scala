@@ -63,15 +63,16 @@ class ManagedTableSpec extends SparkSuite {
     val t = ManagedTable(spark, root)
     t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "base")).toDF("part", "id", "v"),
       partitionBy = Seq("part"))
-    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    val d0 = dataDirOf(root, 0)
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p"))
     // delete SOME rows of p0 only (never empties it → pruned path)
     t.delete("part = 'p0' AND id < 10", partitionBy = Seq("part"))
     val rows = t.read().select("part", "id").as[(String, Int)].collect()
     assert(rows.length === 30 - 4) // p0 ids 0,3,6,9
     assert(rows.filter(_._1 == "p0").forall(_._2 >= 10))
     // untouched partitions carried byte-identical in the OLD dir
-    assert(Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p")) === untouchedBefore)
-    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, dataDirOf(root, 1))
     assert(d1dirs === Seq("part=p0"))
   }
 
@@ -80,15 +81,16 @@ class ManagedTableSpec extends SparkSuite {
     val t = ManagedTable(spark, root)
     t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, 1.0)).toDF("part", "id", "v"),
       partitionBy = Seq("part"))
-    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    val d0 = dataDirOf(root, 0)
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p"))
     t.updateWhere("part = 'p0' AND id < 10", Map("v" -> "v + 10"),
       partitionBy = Seq("part"))
     val rows = t.read().select("part", "id", "v").as[(String, Int, Double)].collect()
     assert(rows.length === 30)
     assert(rows.filter(r => r._1 == "p0" && r._2 < 10).forall(_._3 === 11.0))
     assert(rows.filter(r => r._1 != "p0" || r._2 >= 10).forall(_._3 === 1.0))
-    assert(Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p")) === untouchedBefore)
-    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, dataDirOf(root, 1))
     assert(d1dirs === Seq("part=p0"))
   }
 
@@ -123,7 +125,8 @@ class ManagedTableSpec extends SparkSuite {
     val t = ManagedTable(spark, root)
     t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "base")).toDF("part", "id", "v"),
       partitionBy = Seq("part"))
-    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    val d0 = dataDirOf(root, 0)
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p"))
     val cdc = Seq(("p0", 0, "upd", "U", 1L), ("p0", 3, "x", "D", 2L),
       ("p0", 300, "new", "I", 3L)).toDF("part", "id", "v", "op", "seq")
     t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
@@ -133,8 +136,8 @@ class ManagedTableSpec extends SparkSuite {
     assert(rows.find(_._2 == 0).get._3 === "upd")
     assert(!rows.exists(_._2 == 3))
     assert(rows.find(_._2 == 300).get._3 === "new")
-    assert(Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p")) === untouchedBefore)
-    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    assert(Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, dataDirOf(root, 1))
     assert(d1dirs === Seq("part=p0"))
   }
 
@@ -148,6 +151,57 @@ class ManagedTableSpec extends SparkSuite {
       Set(("p1", 3)))
     // no stale p0 rows through any read path
     assert(t.read().where($"part" === "p0").count() === 0)
+  }
+
+  test("concurrent appends all land as consecutive versions — no lost update") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((0, "seed")).toDF("id", "v"))
+    val dfs = (1 to 8).map(i => Seq((i, s"r$i")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = dfs.map { df =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.append(df)
+        })
+      }
+      val versions = futures.map(_.get())
+      // every append won SOME version; the set is exactly 1..8
+      assert(versions.toSet === (1L to 8L).toSet)
+    } finally pool.shutdown()
+    assert(t.currentVersion.contains(8L))
+    assert(t.read().select("id").as[Int].collect().toSet === (0 to 8).toSet)
+  }
+
+  test("concurrent merges re-run on conflict — no lost update") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((0, "base")).toDF("id", "v"))
+    val dfs = (1 to 4).map(i => Seq((i, s"m$i")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = dfs.map { df =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.merge(df, "source.id == updates.id")
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // without the CAS commit, later full-rewrite merges computed against a
+    // stale snapshot would silently drop earlier merges' rows
+    assert(t.read().select("id").as[Int].collect().toSet === (0 to 4).toSet)
+    assert(t.currentVersion.contains(4L))
+  }
+
+  test("vacuum reaps unreferenced race-orphan dirs but never live data") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    // fabricate the residue of a commit that lost its race: a data dir no
+    // manifest references
+    Seq((9, "zz")).toDF("id", "v").write.parquet(s"$root/d9-deadbeef")
+    Thread.sleep(20)
+    t.vacuum(0, enforceRetention = false)
+    assert(!graft.common.FsUtils.exists(spark, s"$root/d9-deadbeef"))
+    assert(t.read().count() === 1)
   }
 
   test("restore rolls back as a new commit; history stays time-travelable") {
@@ -239,7 +293,7 @@ class ManagedTableSpec extends SparkSuite {
     t.write(Seq.tabulate(40)(i => (s"p${i % 2}", i)).toDF("part", "id").repartition(8),
       partitionBy = Seq("part"))
     t.optimize(targetPartitions = 1, partitionBy = Seq("part"))
-    val (dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    val (dirs, _) = graft.common.FsUtils.listChildren(spark, dataDirOf(root, 1))
     assert(dirs.sorted === Seq("part=p0", "part=p1"))
     assert(t.read().count() === 40)
   }
@@ -281,7 +335,8 @@ class ManagedTableSpec extends SparkSuite {
     t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "base")).toDF("part", "id", "v"),
       partitionBy = Seq("part"))
 
-    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    val d0 = dataDirOf(root, 0)
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p"))
     // updates touch ONLY partition p0
     t.merge(Seq(("p0", 0, "upd"), ("p0", 300, "ins")).toDF("part", "id", "v"),
       "source.id == updates.id", partitionBy = Seq("part"))
@@ -293,7 +348,7 @@ class ManagedTableSpec extends SparkSuite {
     assert(rows.count(_._3 == "ins") === 1)
     assert(rows.filter(r => r._1 != "p0").forall(_._3 == "base"))
     // carried partitions: byte-identical files, still in the OLD dir
-    val untouchedAfter = Seq("p1", "p2").map(p => fileMap(s"$root/d0/part=$p"))
+    val untouchedAfter = Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p"))
     assert(untouchedAfter === untouchedBefore)
     // the manifest carries d0 subdirs by reference and adds only d1
     val manifest = graft.common.FsUtils.readText(spark, s"$root/_graft_log/1.json")
@@ -301,7 +356,7 @@ class ManagedTableSpec extends SparkSuite {
     assert(manifest.contains("part=p1") && manifest.contains("part=p2"))
     assert(!manifest.contains("part=p0\"") || manifest.contains("d1"))
     // the rewritten dir holds ONLY the touched partition
-    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, s"$root/d1")
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, dataDirOf(root, 1))
     assert(d1dirs === Seq("part=p0"))
     // the partition column survives the carried subdir reads
     assert(t.read().where($"part" === "p2").count() === 10)
