@@ -428,6 +428,14 @@ object WriteBlocks {
       if (c.props.exists("PartitionBy.Columns"))
         c.props.getStringSeq("PartitionBy.Columns")
       else Nil
+    // table-level write validation, set BEFORE the mode runs so the very
+    // first write is already validated: CHECK constraints (name → SQL
+    // expression) and Delta-default schema enforcement
+    if (c.props.exists("Checks"))
+      c.props.getMap("Checks").foreach { case (n, e) =>
+        table.setCheck(n, String.valueOf(e)) }
+    if (c.props.exists("EnforceSchema"))
+      table.setSchemaEnforced(c.props.getBoolean("EnforceSchema"))
     c.props.getOrElse("Mode", "append") match {
       case "upsert" =>
         table.merge(df, c.props.getString("Upsert.MergeStatement"),

@@ -43,9 +43,21 @@ object FsUtils {
     val tmp = s"$path.tmp-${java.util.UUID.randomUUID}"
     writeText(spark, tmp, text)
     val f = fs(path, hadoopConf(spark))
-    if (!f.rename(new Path(tmp), new Path(path))) {
-      f.delete(new Path(tmp), false)
-      throw new java.io.IOException(s"atomic commit rename failed: $path")
+    if (f.getUri.getScheme == "file") {
+      // atomic REPLACE: plain Hadoop rename won't overwrite an existing
+      // destination on the local FS, so use rename(2) semantics directly
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.move(Paths.get(new Path(tmp).toUri.getPath),
+        Paths.get(new Path(path).toUri.getPath),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // HDFS-likes: FileContext rename carries an explicit atomic
+      // OVERWRITE option (FileSystem.rename's no-overwrite contract
+      // would refuse the replace)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(path).toUri, hadoopConf(spark))
+      fc.rename(new Path(tmp), new Path(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 

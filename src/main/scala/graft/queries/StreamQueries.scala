@@ -293,6 +293,33 @@ object StreamQueries {
       table.read().select("doc_id", "digest")
     }),
 
+    // table-as-streaming-SOURCE: the ingest table doubles as a Delta-style
+    // streaming source. Wave 1 seeds it; an AvailableNow drain ships its
+    // files downstream; wave 2 APPENDS (fresh dir by manifest reference);
+    // a second drain on the SAME checkpoint ships only the new files —
+    // the sink ends with exactly one copy of every row (a re-shipped file
+    // would break the oracle hash)
+    "s_stream_table_source" -> ((s, d) => {
+      val w = scratch(s, "s_stream_table_source")
+      val orders = Tables.orders(s, d)
+      def wave(m: Long) = orders.where(col("o_orderkey") % 9 === m)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      val table = graft.table.ManagedTable(s, s"$w/ingest")
+      def drain(): Unit =
+        table.streamAppends().writeStream
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("checkpointLocation", s"$w/checkpoint")
+          .outputMode("append")
+          .start(s"$w/out")
+          .awaitTermination()
+      table.write(wave(0))
+      drain()
+      table.append(wave(1))
+      drain()
+      s.read.parquet(s"$w/out")
+    }),
+
     "s_stream_cdc" -> ((s, d) => {
       val w = scratch(s, "s_stream_cdc")
       val orders = Tables.orders(s, d)
@@ -355,6 +382,9 @@ object StreamQueries {
         |                           ORDER BY wave, doc_id) AS rn
         |      FROM a)
         |SELECT doc_id, digest FROM r WHERE rn = 1""".stripMargin,
+    "s_stream_table_source" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 9 IN (0, 1)""".stripMargin,
     "s_stream_enrich" ->
       """WITH dim AS (SELECT event_type, round(min(value), 2) AS w
         |             FROM events GROUP BY event_type)

@@ -102,10 +102,102 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  // ---------------------------------------------------------------- checks
+  private def propsPath = s"$logDir/_properties.json"
+
+  /** Table properties: CHECK constraints + schema-enforcement flag.
+    * Stored beside the manifest log; read per write (one tiny file —
+    * same cost class as the manifest listing). */
+  private def readProps(): (Boolean, Map[String, String]) = {
+    if (!FsUtils.exists(spark, propsPath)) return (false, Map.empty)
+    val node = new ObjectMapper().readTree(FsUtils.readText(spark, propsPath))
+    val checks = Option(node.get("checks")).map { c =>
+      val it = c.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }.getOrElse(Map.empty)
+    (Option(node.get("schemaEnforced")).exists(_.asBoolean(false)), checks)
+  }
+
+  private def writeProps(enforced: Boolean, checks: Map[String, String]): Unit = {
+    val mapper = new ObjectMapper()
+    val body = checks.map { case (k, v) =>
+      s"${mapper.writeValueAsString(k)}: ${mapper.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    FsUtils.writeTextAtomic(spark, propsPath,
+      s"""{"schemaEnforced":$enforced,"checks":$body}""")
+  }
+
+  /** Registered CHECK constraints (name → SQL expression). */
+  def checks: Map[String, String] = readProps()._2
+
+  /** Add/replace a CHECK constraint (`ALTER TABLE ADD CONSTRAINT name
+    * CHECK (expr)`): every subsequent write/append/merge batch must
+    * satisfy `expression` on every row or the operation fails BEFORE
+    * committing. The existing snapshot is validated now — a constraint
+    * the current data violates is rejected, like Delta. */
+  def setCheck(name: String, expression: String): Unit = {
+    if (exists) {
+      val bad = read().where(!expr(expression)).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK $name: existing rows violate ($expression)")
+    }
+    val (enforced, cur) = readProps()
+    writeProps(enforced, cur + (name -> expression))
+  }
+
+  def dropCheck(name: String): Unit = {
+    val (enforced, cur) = readProps()
+    writeProps(enforced, cur - name)
+  }
+
+  /** Toggle schema enforcement. Off (default) the table behaves like
+    * Delta with mergeSchema: drifted batches union by name at read time.
+    * On, a batch may only use the table's existing columns with equal
+    * types — the Delta default, failing fast at write time instead of
+    * poisoning future reads with an incompatible column type. */
+  def setSchemaEnforced(on: Boolean): Unit = {
+    val (_, cur) = readProps()
+    writeProps(on, cur)
+  }
+
+  /** Write-time validation: CHECK constraints (one scan of the BATCH,
+    * never the table) + optional schema enforcement against the current
+    * snapshot's schema. */
+  private def validateBatch(df: DataFrame): Unit = {
+    val (enforced, cks) = readProps()
+    if (enforced && exists) {
+      val have = read().schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+      df.schema.foreach { f =>
+        have.get(f.name.toLowerCase) match {
+          case None => throw new AnalysisException("FIELD_NOT_FOUND",
+            Map("fieldName" -> f.name,
+                "fields" -> have.keys.mkString(", ")))
+          case Some(t) if t != f.dataType =>
+            throw new AnalysisException("CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE",
+              Map("left" -> t.sql, "right" -> f.dataType.sql))
+          case _ =>
+        }
+      }
+    }
+    if (cks.nonEmpty) {
+      val violated = cks.find { case (_, e) =>
+        df.where(!expr(e) || expr(e).isNull).limit(1).count() > 0
+      }
+      violated.foreach { case (n, e) =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n ($e) violated by the write batch")
+      }
+    }
+  }
+
   /** Write a full new snapshot into a fresh dir. `partitionBy` columns
     * shape the parquet layout (partition pruning for downstream reads). */
-  def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+  def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    validateBatch(df)
     commitEntries(Entry(writeData(df, partitionBy), None) :: Nil)
+  }
 
   /** Append: write ONLY the new rows; the next manifest references the
     * previous snapshot's dirs plus the new one. The new rows are written
@@ -113,6 +205,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * the new head (Delta's blind-append fast path — N concurrent appends
     * all land, as N consecutive versions). */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    validateBatch(df)
     val dir = writeData(df, partitionBy)
     withCommitRetry("append") {
       val prev = manifests().lastOption
@@ -136,6 +229,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     */
   def merge(updates: DataFrame, condition: String, upsert: Boolean = true,
             partitionBy: Seq[String] = Nil): Long = withCommitRetry("merge") {
+    validateBatch(updates)
     manifests().lastOption match {
       case None =>
         commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
@@ -248,6 +342,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // one pass: every changed key (U or D) leaves via the anti-join;
     // upsert images come back in the union
     val allKeys = latest.drop(opCol, orderCol)
+    validateBatch(upserts)
     withCommitRetry("applyChanges") {
       manifests().lastOption match {
         case None =>
@@ -435,6 +530,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       set.foldLeft(df) { case (d, (c, valueExpr)) =>
         d.withColumn(c, when(expr(cond), expr(valueExpr)).otherwise(col(c)))
       }
+    // CHECK constraints see the post-update image of CHANGED rows only —
+    // one extra scan proportional to the matched slice, not the table
+    validateBatch(apply(read().where(expr(cond))))
     withCommitRetry("update") {
       val cur = manifests().last
       val pruned = if (partitionBy.nonEmpty && !set.contains(partitionBy.head))
@@ -530,6 +628,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
       dfs.reduce(_.unionByName(_, allowMissingColumns = true))
         .where(expr(condition))
+  }
+
+  /** Structured-Streaming SOURCE over an APPEND-ONLY table: a parquet
+    * file-stream on the table's data-dir glob. Every [[append]] commits a
+    * fresh `d<v>-…` dir whose files the source discovers on its next poll,
+    * so `table.streamAppends() → transform → writeStream` chains
+    * incremental pipelines off the table exactly like Delta's streaming
+    * source in append-only mode (checkpointed offsets = processed files;
+    * replays are exact). CAVEAT (Delta's too, absent skipChangeCommits):
+    * snapshot-REPLACING commits — clean_write, a rewriting merge,
+    * optimize, compactSmall, restore — rewrite existing rows into new
+    * files, which a file-offset source would surface as phantom new
+    * appends. Attach streams only to ingest tables maintained by append,
+    * and compact them in maintenance windows when no stream is attached
+    * (or with the stream's checkpoint advanced past the rewrite).
+    * Partition columns live in dir names, not files, so stream
+    * unpartitioned ingest tables (partition-shaping belongs downstream). */
+  def streamAppends(): DataFrame = {
+    require(exists, s"streamAppends on absent table $path")
+    spark.readStream.schema(read().schema).parquet(s"$path/d*")
   }
 
   /** OPTIMIZE [ZORDER BY cols]: compact the current snapshot's dir list

@@ -235,6 +235,33 @@ class LiftSpec extends SparkSuite {
     assert(table.read().count() === 3)
   }
 
+  test("batch_delta Checks + EnforceSchema gate writes through the DSL") {
+    val work = Files.createTempDirectory("graft-lift-checks").toString
+    Seq((1, 10), (2, -3)).toDF("id", "qty").createOrReplaceTempView("chk_src")
+    def yaml(filter: String) =
+      s"""LiftJob:
+         |  Src:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT * FROM chk_src WHERE $filter
+         |  W:
+         |    Type: write::batch_delta
+         |    Input: Src
+         |    Properties:
+         |      Path: $work/t
+         |      Mode: append
+         |      EnforceSchema: true
+         |      Checks:
+         |        qty_pos: qty > 0
+         |""".stripMargin
+    // a batch violating the CHECK never commits
+    intercept[IllegalArgumentException](Lift.lift(spark, yaml("true")))
+    assert(!ManagedTable(spark, s"$work/t").exists)
+    // the conforming slice lands
+    Lift.lift(spark, yaml("qty > 0"))
+    assert(ManagedTable(spark, s"$work/t").read().count() === 1)
+  }
+
   test("delta upsert write merges on the MergeStatement") {
     val work = tmp()
     ManagedTable(spark, s"$work/t")

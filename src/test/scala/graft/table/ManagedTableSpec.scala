@@ -204,6 +204,58 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.read().count() === 1)
   }
 
+  test("CHECK constraints validate every ingest batch before commit") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, 10)).toDF("id", "qty"))
+    t.setCheck("qty_pos", "qty > 0")
+    // violating append fails BEFORE commit; table unchanged
+    intercept[IllegalArgumentException](t.append(Seq((2, -5)).toDF("id", "qty")))
+    assert(t.currentVersion.contains(0L))
+    t.append(Seq((2, 5)).toDF("id", "qty"))
+    // NULL check result counts as a violation (Delta semantics)
+    intercept[IllegalArgumentException](
+      t.merge(Seq((3, None: Option[Int])).toDF("id", "qty"), "source.id == updates.id"))
+    // updateWhere validates the post-update image of changed rows
+    intercept[IllegalArgumentException](t.updateWhere("id = 1", Map("qty" -> "-1")))
+    // a constraint the existing data violates cannot be added
+    intercept[IllegalArgumentException](t.setCheck("qty_big", "qty > 100"))
+    t.dropCheck("qty_pos")
+    t.append(Seq((4, -1)).toDF("id", "qty"))
+    assert(t.read().count() === 3)
+  }
+
+  test("schema enforcement rejects drifted batches; merge-by-name default") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b", 1.5)).toDF("id", "v", "extra")) // default: drift OK
+    assert(t.read().columns.toSet === Set("id", "v", "extra"))
+    t.setSchemaEnforced(true)
+    intercept[org.apache.spark.sql.AnalysisException](
+      t.append(Seq((3, "c", "boom")).toDF("id", "v", "nope")))     // new column
+    intercept[org.apache.spark.sql.AnalysisException](
+      t.append(Seq(("3", "c")).toDF("id", "v")))                   // type change
+    t.append(Seq(4).toDF("id"))                 // subset of columns still fine
+    assert(t.read().count() === 3)
+  }
+
+  test("streamAppends ships each appended batch downstream exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    def drain(): Unit = t.streamAppends().writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("checkpointLocation", s"$root-cp")
+      .outputMode("append")
+      .start(s"$root-out").awaitTermination()
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    drain()
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    drain()
+    val out = spark.read.parquet(s"$root-out")
+    assert(out.select("id").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("restore rolls back as a new commit; history stays time-travelable") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq((1, "good"), (2, "good")).toDF("id", "v"))          // v0
