@@ -95,6 +95,32 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Token-budgeted mix assembly: [[mixtureWeights]] scaled by a total
+    * TOKEN budget instead of a document count — training mixes are
+    * specified in tokens, and sources with long documents must fill
+    * fewer of them. Each source's docs fill in deterministic id-hash
+    * order while the running token total of STRICTLY-EARLIER-ranked docs
+    * stays under the source's budget, so the doc that crosses the
+    * boundary is the last one in (≥ 1 doc per source with a positive
+    * budget). Cost model matches [[mixSample]]: one broadcast-size quota
+    * table and ONE shuffle on the source key; the running sum is a
+    * per-source window over already-co-located rows. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tokensCol: String, totalTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = mixtureWeights(df, sourceCol)
+      .withColumn("__w6", round(col("mix_weight") * 1000000).cast("long"))
+      .select(col(sourceCol),
+        expr(s"(__w6 * $totalTokens + 500000) div 1000000").as("__budget"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(hashUnit(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(budgets), sourceCol)
+      .withColumn("__prior", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .where(col("__prior") < col("__budget"))
+      .drop("__prior", "__budget")
+  }
+
   /** Efraimidis–Spirakis A-Res weighted sampling without replacement:
     * each row draws u ∈ (0,1] from its id hash (the +1 keeps ln defined)
     * and scores ln(u)/weight — a monotone transform of the classic

@@ -323,6 +323,16 @@ object OpsQueries {
       Sampling.mixSample(Tables.documents(s, d).select("doc_id", "source"),
         "doc_id", "source", totalTarget = 200L)),
 
+    // token-budgeted mix: the same temperature weights scaled by a TOTAL
+    // TOKEN budget — each source fills in hash-rank order until its
+    // running token total crosses its budget (boundary doc included)
+    "x_mix_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetMix(docs, "doc_id", "source", "n_tokens",
+        totalTokens = 12000L)
+    }),
+
     // Bloom-prefiltered incremental dedup: identical result to the plain
     // digest anti-join, but the definitely-new majority of the batch is
     // discarded map-side by a broadcast Bloom sketch of the index
@@ -1032,6 +1042,23 @@ object OpsQueries {
         |                 / 4294967296.0, doc_id) AS rn
         |      FROM documents)
         |SELECT doc_id, source FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin,
+
+    "x_mix_tokens" ->
+      """WITH c AS (SELECT source, sqrt(count(*)) AS pw FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |        CAST(round(round(pw / (SELECT sum(pw) FROM c), 6) * 1000000) AS BIGINT) AS w6
+        |      FROM c),
+        |q AS (SELECT source, (w6 * 12000 + 500000) // 1000000 AS budget FROM w),
+        |t AS (SELECT doc_id, source,
+        |        CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |      FROM t)
+        |SELECT r.doc_id, r.source, r.n_tokens
+        |FROM r JOIN q USING (source) WHERE r.prior < q.budget""".stripMargin,
 
     "x_dedup_soft" ->
       """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,

@@ -42,6 +42,32 @@ class SamplingSpec extends SparkSuite {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("tokenBudgetMix fills each source until its token budget crosses") {
+    // one source → weight 1.0 → budget = totalTokens exactly
+    val docs = (0L until 10L).map(i => (i, "only", 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.tokenBudgetMix(docs, "doc_id", "source", "n_tokens",
+      totalTokens = 12L)
+    // ranks fill 5+5 = 10 < 12, third doc's prior 10 < 12 (crosses, kept),
+    // fourth's prior 15 >= 12 (dropped)
+    assert(got.count() === 3)
+    // deterministic under re-layout
+    val again = Sampling.tokenBudgetMix(docs.repartition(7), "doc_id",
+      "source", "n_tokens", totalTokens = 12L)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // long-doc sources fill fewer documents than short-doc sources of the
+    // same weight: equal doc counts → equal budgets, 10x token length →
+    // ~10x fewer docs
+    val mixed = ((0L until 50L).map(i => (i, "long", 100L)) ++
+      (50L until 100L).map(i => (i, "short", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val m = Sampling.tokenBudgetMix(mixed, "doc_id", "source", "n_tokens",
+      totalTokens = 2000L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(m("long") === 10L && m("short") === 50L)
+  }
+
   test("mixtureWeights sums to 1 and upweights small sources vs proportional") {
     val docs = ((0L until 90L).map(i => (i, "big")) ++
       (90L until 100L).map(i => (i, "small"))).toDF("doc_id", "source")
