@@ -293,6 +293,34 @@ object StreamQueries {
       table.read().select("doc_id", "digest")
     }),
 
+    // streaming NEAR-dup ingestion: wave 1 seeds a MinHash-LSH index; wave
+    // 2 is a re-crawl — near-duplicate copies (two tokens appended) plus
+    // genuinely fresh docs — and only docs with NO smaller-id near-dup
+    // (exact Jaccard >= 0.7 on 3-shingles) survive into the corpus
+    "s_stream_neardup_index" -> ((s, d) => {
+      val w = scratch(s, "s_stream_neardup_index")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = graft.table.ManagedTable(s, s"$w/corpus")
+      val lsh = graft.table.ManagedTable(s, s"$w/lsh")
+      val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+      def drain(): Unit = Streaming.streamNearDupIndex(
+        s.readStream.schema(schema).json(s"$w/in"), corpus, lsh,
+        "doc_id", "text")
+      docs.write.json(s"$w/in")
+      drain()
+      docs.where(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" re crawl")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("entirely fresh page about topic "),
+              reverse(col("text"))).as("text")))
+        .write.mode("append").json(s"$w/in")
+      drain()
+      corpus.read().where(col("kept"))
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+    }),
+
     // table-as-streaming-SOURCE: the ingest table doubles as a Delta-style
     // streaming source. Wave 1 seeds it; an AvailableNow drain ships its
     // files downstream; wave 2 APPENDS (fresh dir by manifest reference);
@@ -382,6 +410,31 @@ object StreamQueries {
         |                           ORDER BY wave, doc_id) AS rn
         |      FROM a)
         |SELECT doc_id, digest FROM r WHERE rn = 1""".stripMargin,
+    "s_stream_neardup_index" ->
+      """WITH w1 AS (SELECT doc_id + 10000 AS doc_id, text || ' re crawl' AS text
+        |            FROM documents WHERE doc_id % 6 = 0
+        |            UNION ALL
+        |            SELECT doc_id + 20000, 'entirely fresh page about topic ' || reverse(text)
+        |            FROM documents WHERE doc_id % 10 = 3),
+        |a AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM w1),
+        |t AS (SELECT doc_id, text,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> len(w) > 0) AS toks
+        |      FROM a),
+        |sh AS (SELECT doc_id, text,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id),
+        |drp AS (SELECT DISTINCT id_b
+        |        FROM cand JOIN sh x ON x.doc_id = cand.id_a
+        |                  JOIN sh y ON y.doc_id = cand.id_b
+        |        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+        |              CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.7)
+        |SELECT doc_id, md5(text) AS digest FROM a
+        |WHERE doc_id NOT IN (SELECT id_b FROM drp)""".stripMargin,
     "s_stream_table_source" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 9 IN (0, 1)""".stripMargin,

@@ -142,6 +142,111 @@ object Streaming {
       .awaitTermination()
   }
 
+  /** Streaming NEAR-dup ingestion against a persistent MinHash-LSH index:
+    * the fuzzy sibling of [[streamDedupIndex]]. Each micro-batch computes
+    * per-doc shingle sets + banded MinHash buckets
+    * ([[graft.ops.Dedup.minhashLshPairs]] machinery); candidate pairs come
+    * from bucket equality — against the persistent `lsh` index AND within
+    * the batch — and are verified with EXACT Jaccard ≥ `threshold` over
+    * shingle sets recomputed only for candidate docs. A doc is dropped
+    * when a SMALLER-id near-dup exists among everything processed so far
+    * or earlier in its own batch; survivors append to `corpus`.
+    *
+    * Both tables record EVERY processed doc, kept or dropped: `lsh` holds
+    * each doc's bands (it answers "was anything similar seen" — and a
+    * dropped doc must keep blocking later copies of itself), and `corpus`
+    * holds (id, text, kept) — the text of dropped docs stays available
+    * for exact verification of later candidates, and the kept=false rows
+    * double as the reject/provenance log a curation pipeline wants. The
+    * live corpus is `corpus.read().where("kept")`. Recording dropped docs
+    * keeps chains deterministic: A~B, B~C with ids 1<2<3 drops both B and
+    * C in any batch split. With doc ids monotone across batches — the
+    * natural shape for crawl/ingest ids, and the documented precondition —
+    * the result equals the batch-global rule "keep iff no smaller-id
+    * near-dup exists", independent of micro-batch boundaries.
+    *
+    * Scale: per batch, signatures are map-only over the batch; the index
+    * probe is an equi-join on compact (band, slice-hash) longs; exact
+    * verification touches only candidate texts (semi-joined out of the
+    * corpus before shingling). The index grows `bands` longs per doc —
+    * O(corpus) rows but tiny ones, the standard LSH memory trade. Replay
+    * after checkpoint recovery is idempotent: both appends anti-join on
+    * already-present ids. */
+  def streamNearDupIndex(docs: DataFrame, corpus: graft.table.ManagedTable,
+                         lsh: graft.table.ManagedTable, idCol: String,
+                         textCol: String, n: Int = 3, k: Int = 64,
+                         bands: Int = 32, threshold: Double = 0.7): Unit = {
+    import graft.ops.Dedup
+    val rows = k / bands
+    docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", s"${corpus.path}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = batch
+          .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+          .withColumn("sh", Dedup.shingles(col("text"), n))
+          .persist()
+        val banded = base.where(size(col("sh")) > 0)
+          .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
+          .select(col("id"), explode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
+            .as("bucket"))
+          .persist()
+
+        // candidates: bucket-equal prior docs with SMALLER id — from the
+        // persistent index and from earlier-id rows of this batch
+        val fromIndex =
+          if (lsh.exists)
+            banded.alias("b").join(lsh.read().alias("i"),
+                expr("b.bucket = i.bucket AND i.id < b.id"))
+              .select(col("b.id").as("id"), col("i.id").as("prior_id"))
+          else base.limit(0).select(col("id"), col("id").as("prior_id"))
+        val inBatch = banded.alias("l").join(banded.alias("r"),
+            expr("l.bucket = r.bucket AND r.id < l.id"))
+          .select(col("l.id").as("id"), col("r.id").as("prior_id"))
+        val cand = fromIndex.unionByName(inBatch).distinct()
+
+        // exact-Jaccard verification, shingling ONLY candidate prior docs
+        val corpusPrior =
+          if (corpus.exists) corpus.read()
+            .select(col(idCol).cast("long").as("prior_id"),
+              col(textCol).as("ptext"))
+            .join(cand.select("prior_id").distinct(), Seq("prior_id"), "left_semi")
+            .select(col("prior_id"), Dedup.shingles(col("ptext"), n).as("psh"))
+          else base.limit(0).select(col("id").as("prior_id"), col("sh").as("psh"))
+        val priorSh = corpusPrior
+          .unionByName(base.select(col("id").as("prior_id"), col("sh").as("psh")))
+        val dropIds = cand
+          .join(base.select(col("id"), col("sh")), Seq("id"))
+          .join(priorSh, Seq("prior_id"))
+          .where(Dedup.jaccard(col("sh"), col("psh")) >= threshold)
+          .select("id").distinct()
+
+        val flagged = base
+          .join(dropIds.withColumn("__drop", lit(true)), Seq("id"), "left")
+          .select(col("id").as(idCol), col("text").as(textCol),
+            coalesce(!col("__drop"), lit(true)).as("kept"))
+        // idempotent replay: never re-append an id either table has seen
+        val freshDocs =
+          if (corpus.exists)
+            flagged.join(corpus.read().select(col(idCol)), Seq(idCol), "left_anti")
+          else flagged
+        if (!freshDocs.isEmpty) corpus.append(freshDocs)
+        val freshBands =
+          if (lsh.exists)
+            banded.join(lsh.read().select("id").distinct(), Seq("id"), "left_anti")
+          else banded
+        if (!freshBands.isEmpty) lsh.append(freshBands)
+        base.unpersist()
+        banded.unpersist()
+        ()
+      }
+      .start()
+      .awaitTermination()
+  }
+
   /** Streaming CDC mirror: apply an I/U/D change stream onto a
     * [[graft.table.ManagedTable]] — each micro-batch goes through
     * [[graft.table.ManagedTable.applyChanges]], which collapses the batch

@@ -97,4 +97,35 @@ class StreamUpsertSpec extends SparkSuite {
     assert(table.currentVersion == v1)
     assert(table.read().count() == 1)
   }
+
+  test("streamNearDupIndex drops chain members; dropped docs still block") {
+    val w = graft.common.Scratch.dir("test", "stream_neardup")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val corpus = ManagedTable(spark, s"$w/corpus")
+    val lsh = ManagedTable(spark, s"$w/lsh")
+    // chain: j(a,b)=8/10=0.8, j(b,c)=10/12=0.83 (both >= 0.7), but
+    // j(a,c)=8/12=0.67 < 0.7 — only a direct B link drops C
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = a + " b1 b2"
+    val c = b + " c1 c2"
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    def drain(): Unit = Streaming.streamNearDupIndex(
+      spark.readStream.schema(schema).json(s"$w/in"), corpus, lsh,
+      "doc_id", "text")
+    Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text").write.json(s"$w/in")
+    drain()
+    def kept() = corpus.read().where(col("kept"))
+      .select("doc_id").as[Long].collect().toSet
+    // b drops against a; c drops against b EVEN THOUGH b itself dropped
+    assert(kept() === Set(1L))
+    // wave 2: a copy of the DROPPED doc 3 is still rejected — the tables
+    // record every processed doc (bands + text), kept or not
+    Seq((4L, c)).toDF("doc_id", "text").write.mode("append").json(s"$w/in")
+    drain()
+    assert(kept() === Set(1L))
+    // all four processed docs are recorded; three are the reject log
+    assert(corpus.read().count() === 4)
+    assert(corpus.read().where(!col("kept")).count() === 3)
+    assert(lsh.read().select("id").distinct().count() === 4)
+  }
 }
