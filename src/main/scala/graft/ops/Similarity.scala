@@ -431,6 +431,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style SEMANTIC dedup: cluster the embeddings with the
+    * deterministic [[kmeans]] quantizer, then WITHIN each cell drop the
+    * larger id of any pair with cosine ≥ `threshold` — near-duplicate
+    * MEANING rather than near-duplicate text, the step that catches
+    * translations, re-renderings and templated paraphrases shingle-based
+    * dedup can't see (Abbas et al. 2023, SemDeDup). The pairwise compare
+    * is confined to cells (equi-join on the cell id — never a corpus
+    * cross join): with balanced cells each join key holds corpus/k rows,
+    * the exact O(|cell|²) the SemDeDup recipe accepts, and raising k
+    * shrinks the per-key quadratic directly. Returns kept (id, cell).
+    * Smaller-id-wins like every dedup here, so the result is a pure
+    * function of the input regardless of layout. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cvecs = kmeans(df, idCol, vecCol, k, iters)
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+      .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("dist", sqDist(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cell"))
+      .persist() // feeds both sides of the in-cell pair join
+    val drops = assigned.alias("l")
+      .join(assigned.alias("r"), expr("l.cell = r.cell AND r.id < l.id"))
+      .where(cosine(col("l.vec"), col("r.vec")) >= threshold)
+      .select(col("l.id").as("id")).distinct()
+    assigned.join(drops, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** Exact k-NN JOIN: every row of `queries` gets its top-k nearest
     * corpus rows by cosine — the batched form of [[bruteForceTopK]] (one
     * probe vector at a time doesn't amortize the corpus scan when scoring

@@ -91,6 +91,14 @@ object OpsQueries {
       Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2)),
 
+    // SemDeDup: cluster embeddings with the trained quantizer, drop the
+    // larger id of any within-cell pair with cosine >= 0.35 — semantic
+    // near-dup removal (the synthetic corpus's max within-cell cosine is
+    // ~0.5, so 0.35 exercises real drops without emptying cells)
+    "x_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 2, threshold = 0.35)),
+
     "x_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 0L, k = 10)),
@@ -724,6 +732,35 @@ object OpsQueries {
          |       FROM asg e JOIN q ON e.cell = q.cell
          |       WHERE e.rn = 1 AND e.vec_id <> 0)
          |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "x_dedup_semantic" -> {
+      def assign(cents: String) =
+        s"""SELECT vec_id, vec, cell,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM (SELECT v.vec_id, v.vec, c.cell,
+           |    ${sqDistSql("v.vec", "c.cvec")} AS dist
+           |    FROM v CROSS JOIN $cents c)""".stripMargin
+      def means(a: String) =
+        s"""SELECT cell, CAST(t.dim AS INT) AS dim, round(avg(vec[t.dim + 1]), 6) AS mean
+           |  FROM $a, UNNEST(range(len(vec))) AS t(dim) WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |           FROM embeddings),
+         |s0 AS (SELECT vec_id AS cell, vec AS cvec FROM v
+         |       ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+         |       LIMIT 8),
+         |a1 AS (${assign("s0")}),
+         |m1 AS (${means("a1")}),
+         |c1 AS (SELECT cell, list(mean ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+         |a2 AS (${assign("c1")}),
+         |m2 AS (${means("a2")}),
+         |c2 AS (SELECT cell, list(round(mean, 4) ORDER BY dim) AS cvec FROM m2 GROUP BY cell),
+         |asg AS (SELECT vec_id, vec, cell FROM (${assign("c2")}) WHERE rn = 1),
+         |drp AS (SELECT DISTINCT l.vec_id AS id
+         |        FROM asg l JOIN asg r ON l.cell = r.cell AND r.vec_id < l.vec_id
+         |        WHERE ${cosineSql("l.vec", "r.vec")} >= 0.35)
+         |SELECT vec_id, cell FROM asg
+         |WHERE vec_id NOT IN (SELECT id FROM drp)""".stripMargin
     },
 
     "x_embed_pq" -> {

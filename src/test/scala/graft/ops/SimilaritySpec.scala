@@ -39,6 +39,20 @@ class SimilaritySpec extends SparkSuite {
     Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryId, k)
       .select("vec_id").as[Long].collect().toSet
 
+  test("semanticDedup drops the larger id of semantically-identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(1f, 0f, 0f, 0f))) // semantic duplicate of id 1
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 2, iters = 1, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // identical vectors always co-cluster; smaller id wins
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("PQ with production-shaped codebooks reaches useful L2 recall") {
     // m=8 subspaces x k=16 codes = 16^8 possible codes (vs the oracle
     // query's deliberately tiny bit-exact m=2 x k=4 = 16 codes)
