@@ -67,29 +67,53 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L), entries)
     }
 
+  /** Every manifest, parsed — O(versions) reads. Only the ops that truly
+    * need timestamps or the whole history (history, time travel by
+    * timestamp, change feeds, vacuum) pay this; the hot paths below go
+    * through [[versionsOnDisk]]/[[lastManifest]] instead, because each
+    * manifest is SELF-CONTAINED (it lists the full snapshot, no log
+    * replay), so reading the head of a 100k-commit table costs one
+    * listing + ONE small read — the property Delta needs checkpoint
+    * files to recover. */
   private def manifests(): Seq[Manifest] =
     FsUtils.listFiles(spark, logDir, ".json")
       .flatMap(readManifest)
       .sortBy(_.version)
 
+  /** Committed version numbers, ascending — one metadata LISTING, no
+    * manifest file is read (versions are the file names). */
+  private def versionsOnDisk(): Seq[Long] =
+    FsUtils.listFiles(spark, logDir, ".json")
+      .flatMap(p => new Path(p).getName.stripSuffix(".json").toLongOption)
+      .sorted
+
+  private def manifestAt(v: Long): Option[Manifest] = {
+    val p = s"$logDir/$v.json"
+    if (FsUtils.exists(spark, p)) readManifest(p) else None
+  }
+
+  /** The current snapshot's manifest: one listing + one read. */
+  private def lastManifest(): Option[Manifest] =
+    versionsOnDisk().lastOption.flatMap(manifestAt)
+
   /** (version, commitTimestampMillis) pairs, ascending. */
   def history(): Seq[(Long, Long)] = manifests().map(m => (m.version, m.timestamp))
 
-  def exists: Boolean = manifests().nonEmpty
+  def exists: Boolean = versionsOnDisk().nonEmpty
 
-  def currentVersion: Option[Long] = manifests().lastOption.map(_.version)
+  def currentVersion: Option[Long] = versionsOnDisk().lastOption
 
   /** Latest version committed at or before `tsMillis`, if any. */
   def versionAt(tsMillis: Long): Option[Long] =
     manifests().filter(_.timestamp <= tsMillis).lastOption.map(_.version)
 
-  def read(): DataFrame = manifests().lastOption match {
+  def read(): DataFrame = lastManifest() match {
     case Some(m) => readEntries(m.entries)
     case None    => spark.emptyDataFrame
   }
 
   def readVersion(v: Long): DataFrame =
-    manifests().find(_.version == v) match {
+    manifestAt(v) match {
       case Some(m) => readEntries(m.entries)
       case None => throw new AnalysisException(
         "TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> s"$path@v$v"))
@@ -208,7 +232,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     validateBatch(df)
     val dir = writeData(df, partitionBy)
     withCommitRetry("append") {
-      val prev = manifests().lastOption
+      val prev = lastManifest()
       commitAgainst(prev.map(_.version),
         prev.map(_.entries).getOrElse(Nil) :+ Entry(dir, None))
     }
@@ -230,7 +254,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def merge(updates: DataFrame, condition: String, upsert: Boolean = true,
             partitionBy: Seq[String] = Nil): Long = withCommitRetry("merge") {
     validateBatch(updates)
-    manifests().lastOption match {
+    lastManifest() match {
       case None =>
         commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
       case Some(cur) =>
@@ -272,7 +296,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                           partitionBy: Seq[String]): Option[Long] = {
     val pcol = partitionBy.head
     if (!updates.columns.contains(pcol)) return None
-    val cur = manifests().last
+    val cur = lastManifest().get
     if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
 
@@ -344,7 +368,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val allKeys = latest.drop(opCol, orderCol)
     validateBatch(upserts)
     withCommitRetry("applyChanges") {
-      manifests().lastOption match {
+      lastManifest() match {
         case None =>
           commitAgainst(None, Seq(Entry(writeData(upserts, partitionBy), None)))
         case Some(cur) =>
@@ -419,7 +443,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def delete(condition: String, partitionBy: Seq[String] = Nil): Long = {
     require(exists, s"delete on absent table $path")
     withCommitRetry("delete") {
-      val cur = manifests().last
+      val cur = lastManifest().get
       val pruned = if (partitionBy.nonEmpty)
         prunedDelete(condition, partitionBy) else None
       pruned.getOrElse( // not splittable / emptied partition → full rewrite
@@ -449,7 +473,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                             rewriteSlice: DataFrame => DataFrame,
                             requireAllRewritten: Boolean): Option[Long] = {
     val pcol = partitionBy.head
-    val cur = manifests().last
+    val cur = lastManifest().get
     if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
     val touchedRows = readEntries(cur.entries).where(expr(condition))
@@ -534,7 +558,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // one extra scan proportional to the matched slice, not the table
     validateBatch(apply(read().where(expr(cond))))
     withCommitRetry("update") {
-      val cur = manifests().last
+      val cur = lastManifest().get
       val pruned = if (partitionBy.nonEmpty && !set.contains(partitionBy.head))
         prunedRewrite(cond, partitionBy, apply, requireAllRewritten = false)
       else None
@@ -557,7 +581,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * costs one distributed, column-pruned aggregation pass. */
   def collectStats(cols: Seq[String] = Nil): Unit = {
     require(exists, s"collectStats on absent table $path")
-    manifests().last.entries
+    lastManifest().get.entries
       .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
       .distinct
       .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
@@ -603,7 +627,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   /** (files read, files in snapshot) for `condition` — the observability
     * hook specs and operators use to assert skipping actually happened. */
   def pruneInfo(condition: String): (Long, Long) = {
-    val sel = pruneEntries(manifests().last.entries, condition)
+    val sel = pruneEntries(lastManifest().get.entries, condition)
     (sel.map(_._2.length.toLong).sum, sel.map(_._3).sum)
   }
 
@@ -612,7 +636,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * opened; the residual filter still applies (pruning is planning-time
     * only, row-level filtering is unchanged). Falls back to a plain
     * filtered read when no stats exist. */
-  def readWhere(condition: String): DataFrame = manifests().lastOption match {
+  def readWhere(condition: String): DataFrame = lastManifest() match {
     case None => spark.emptyDataFrame
     case Some(m) =>
       val dfs = pruneEntries(m.entries, condition).map {
@@ -658,7 +682,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                partitionBy: Seq[String] = Nil): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
     withCommitRetry("optimize") {
-      val curM = manifests().last
+      val curM = lastManifest().get
       val cur = readEntries(curM.entries)
       val n = if (targetPartitions > 0) targetPartitions
               else math.max(1, spark.sparkContext.defaultParallelism / 2)
@@ -689,7 +713,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * preserved (the bad versions stay time-travelable until VACUUM), the
     * restore itself is a manifest write, no data moves. */
   def restore(v: Long): Long = {
-    val m = manifests().find(_.version == v).getOrElse(
+    val m = manifestAt(v).getOrElse(
       throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND",
         Map("relationName" -> s"$path@v$v")))
     commitEntries(m.entries)
@@ -708,7 +732,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def cloneTo(targetPath: String): ManagedTable = {
     val target = new ManagedTable(spark, targetPath)
     require(!target.exists, s"clone target already exists: $targetPath")
-    val entries = manifests().lastOption.map(_.entries).getOrElse(Nil)
+    val entries = lastManifest().map(_.entries).getOrElse(Nil)
     // CAS at the target's version 0: of two racing clones to one path,
     // exactly one wins and the other fails loudly
     target.commitAgainst(None, entries)
@@ -730,7 +754,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                    partitionBy: Seq[String] = Nil): Long = {
     require(exists, s"compactSmall on absent table $path")
     withCommitRetry("compactSmall") {
-      val cur = manifests().last
+      val cur = lastManifest().get
       val sized = cur.entries.map { e =>
         (e, FsUtils.listFilesWithSize(spark, e.dir))
       }
@@ -813,7 +837,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * the partition column stays in the view's schema). */
   def registerAs(databaseName: String, tableName: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $databaseName")
-    val selects = manifests().lastOption.map(_.entries).getOrElse(Nil) match {
+    val selects = lastManifest().map(_.entries).getOrElse(Nil) match {
       case Nil => Seq(s"SELECT * FROM parquet.`$path`")
       case es => es.map {
         case Entry(d, None) => s"SELECT * FROM parquet.`$d`"
