@@ -270,6 +270,33 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two bounded candidate
+    * rankings — the standard hybrid-retrieval merge of a lexical ([[bm25]])
+    * and a semantic (ANN) top-k: score(d) = Σ 1/(c + rank(d)) over the
+    * rankings containing d, c = 60 the published default. Both inputs are
+    * top-k lists, so the rank windows and the outer join operate on
+    * k-sized frames — the corpus itself is never touched by the fusion
+    * (the upstream retrievers already did the heavy lifting with their
+    * own scale shapes). Ranks break ties by id; the fused score rounds to
+    * 6 dp so ordering is engine-portable. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              scoreA: String, scoreB: String, topK: Int,
+              c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, scoreCol: String, rankName: String) =
+      df.select(col(idCol), col(scoreCol))
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(col(scoreCol).desc, col(idCol))))
+        .drop(scoreCol)
+    ranked(a, scoreA, "rank_a")
+      .join(ranked(b, scoreB, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Per-document top TF-IDF term: term frequency from the token multiset,
     * document frequency from [[docFrequency]], idf = ln(N / df). N arrives
     * as a broadcast one-row aggregate (no driver-side action); the df table

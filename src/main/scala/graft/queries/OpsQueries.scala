@@ -203,6 +203,17 @@ object OpsQueries {
       TextOps.bm25(Tables.documents(s, d), "doc_id",
         Seq("spark", "query", "join"))),
 
+    // hybrid retrieval: BM25 top-20 and exact-cosine top-20 fused by
+    // reciprocal rank (1/(60+rank)); the fusion never touches the corpus
+    "x_retrieval_rrf" -> ((s, d) => {
+      val lex = TextOps.bm25(Tables.documents(s, d), "doc_id",
+        Seq("spark", "query", "join"), topK = 20)
+      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      TextOps.rrfFuse(lex, sem, "doc_id", "bm25", "cosine", topK = 10)
+    }),
+
     // Gopher-style repetition signal: top-trigram fraction per document
     "x_text_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id")),
@@ -881,6 +892,37 @@ object OpsQueries {
          |          round(list_reduce(list(s ORDER BY token), (x, y) -> x + y), 4) AS bm25
          |        FROM s GROUP BY doc_id)
          |SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "x_retrieval_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE token IN ('spark', 'query', 'join') GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |        ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |          * tf.tf * (1.2 + 1.0)
+         |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |bm AS (SELECT doc_id,
+         |          round(list_reduce(list(s ORDER BY token), (x, y) -> x + y), 4) AS bm25
+         |        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_a
+         |        FROM bm),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |ann AS (SELECT vec_id AS doc_id, cosine FROM cs
+         |        ORDER BY cosine DESC, vec_id LIMIT 20),
+         |anr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rank_b
+         |        FROM ann),
+         |f AS (SELECT doc_id, rank_a, rank_b,
+         |        round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), 0) +
+         |              coalesce(CAST(1 AS DOUBLE) / (60 + rank_b), 0), 6) AS rrf
+         |      FROM bmr FULL OUTER JOIN anr USING (doc_id))
+         |SELECT doc_id, rank_a, rank_b, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "x_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
          |           WHERE vec_id % 100 = 0),

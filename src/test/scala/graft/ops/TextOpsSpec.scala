@@ -31,6 +31,18 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3L) === "apple")   // tie apple/cherry at tf 1 → token asc
   }
 
+  test("rrfFuse ranks dual-list members above single-list members") {
+    val lex = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "sa")
+    val sem = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "sb")
+    val out = TextOps.rrfFuse(lex, sem, "id", "sa", "sb", topK = 4)
+      .select("id", "rrf").as[(Long, Double)].collect()
+    // id 2 appears in both lists (ranks 2 and 1): 1/62 + 1/61 beats id 1's
+    // single 1/61; absent-list ranks contribute zero, not a null score
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 4L, 3L)) // 1/61 > 1/62 > 1/63
+    assert(math.abs(out.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(out.forall(_._2 > 0))
+  }
+
   test("normalize lowercases, collapses whitespace runs, and trims") {
     val docs = Seq((1L, "  Hello\t\tWorld \n"), (2L, "already normal"),
       (3L, "")).toDF("doc_id", "text")
