@@ -143,6 +143,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH top-k: probe the query's own bucket AND every bucket
+    * at Hamming distance 1 from its signature (one flipped hyperplane bit)
+    * — the standard multi-probe recall recovery (Lv et al., VLDB 2007):
+    * a near neighbour that lands on the wrong side of ONE hyperplane is
+    * still found. The probe set is nPlanes+1 buckets, materialised as
+    * nPlanes+1 broadcast rows, so the candidate scan stays a bucket
+    * equi-join — each candidate has exactly one bucket and the probe
+    * buckets are distinct, so no candidate duplicates. At scale (bucketed
+    * table written partitioned by bucket) a probe reads nPlanes+1
+    * partitions instead of 1 — recall buys a bounded, known read
+    * amplification, never a full scan. */
+  def lshTopKProbe(df: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int, nPlanes: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      .persist()
+    val flips = array((lit(0) +: (0 until nPlanes).map(p => lit(1 << p))): _*)
+    val probes = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket"),
+        explode(flips).as("flip"))
+      .select(col("q_vec"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(probes), "bucket")
+      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs cosine above a threshold within a blocking column — see
     * [[Dedup.embeddingNearDupPairs]]; exposed here for symmetric use as a
     * similarity operator. */

@@ -107,6 +107,11 @@ object OpsQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, nPlanes = 4)),
 
+    // multi-probe LSH: query bucket + every one-bit-flipped bucket
+    "x_ann_lsh_probe" -> ((s, d) =>
+      Similarity.lshTopKProbe(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, nPlanes = 4)),
+
     "x_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", queryId = 0L, k = 10)),
@@ -825,6 +830,15 @@ object OpsQueries {
          |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0),
          |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
          |      FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0)
+         |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_ann_lsh_probe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qv")}, 3) AS cosine
+         |      FROM b e, q
+         |      WHERE e.vec_id <> 0 AND xor(e.bucket, q.qb) IN (0, 1, 2, 4, 8))
          |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "x_ann_ivf" ->

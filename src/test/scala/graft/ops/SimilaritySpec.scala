@@ -82,6 +82,23 @@ class SimilaritySpec extends SparkSuite {
       "multi-probe candidates should be true near neighbours")
   }
 
+  test("multi-probe LSH recall dominates single-probe") {
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.lshTopKProbe(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val t10 = exactCosineTop(10)
+    info(s"lsh single: recall@10=${(single & t10).size / 10.0}; " +
+      s"probe=Hamming<=1: recall@10=${(multi & t10).size / 10.0}")
+    // the probe set strictly contains the single bucket, so the candidate
+    // pool is a superset and top-k recall can only grow
+    assert((multi & t10).size >= (single & t10).size,
+      "probing flipped-bit buckets must not lose recall")
+    assert(multi.size === 10, "probed pool must fill the full top-k")
+  }
+
   test("IVF knn join recall vs the exact knn join, per query") {
     val queries = emb.where(col("vec_id") % 500 === 0) // a 13-query batch at sf0.01
     val exact = Similarity.knnJoinExact(emb, "vec_id", "embedding",
