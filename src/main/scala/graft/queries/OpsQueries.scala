@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -284,6 +284,12 @@ object OpsQueries {
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
+
+    // count-min sketch error contract: per-source sketches merged into a
+    // global one (constant-size fold), probe estimates vs exact counts
+    "x_sketch_cms" -> ((s, d) =>
+      Sketches.cmsContract(Tables.documents(s, d), "text", "source",
+        Seq("join", "hash", "scan", "order", "zyzzyx"))),
 
     // log2-bucketed document-length histogram — the standard corpus size
     // profile (map-only bucket assignment, one narrow aggregation). The
@@ -1093,6 +1099,15 @@ object OpsQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
          |SELECT ngram, count(*) AS n FROM ex
          |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "x_sketch_cms" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t),
+         |probe(token) AS (VALUES ('join'), ('hash'), ('scan'), ('order'), ('zyzzyx')),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+         |SELECT p.token, CAST(coalesce(c.cnt, 0) AS BIGINT) AS exact_count,
+         |  TRUE AS within_bound
+         |FROM probe p LEFT JOIN c USING (token)""".stripMargin,
 
     "x_doc_length_hist" ->
       """SELECT CAST(floor(log2(greatest(n_chars, 1) + 0.5)) AS BIGINT) AS log2_chars,
