@@ -326,6 +326,30 @@ object OpsQueries {
       Sampling.capPerStratum(Tables.documents(s, d), "doc_id", "lang", cap = 20)
         .select("doc_id", "lang")),
 
+    // the curation pipeline END-TO-END: canonicalize → dedup (first copy
+    // per normalized text, window keyed on the 16-byte digest so the sort
+    // key is compact) → quality-gate at the survivor-corpus P25 → per-lang
+    // cap. One composed plan: Catalyst pipelines the whole chain — dedup
+    // shuffles the rows once, the gate is a broadcast threshold, the cap
+    // is one window over the (already small) kept set
+    "x_pipeline_curate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window
+        .partitionBy(md5(TextOps.normalize(col("text")).cast("binary")))
+        .orderBy(col("doc_id"))
+      val deduped = Tables.documents(s, d)
+        .withColumn("_rn", row_number().over(wd))
+        .where(col("_rn") === 1).drop("_rn")
+      val scored = TextOps.qualityScore(deduped)
+      val thr = scored.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)")
+          .as("_thr"))
+      val kept = scored.crossJoin(broadcast(thr))
+        .where(col("quality_score") >= col("_thr"))
+      Sampling.capPerStratum(kept, "doc_id", "lang", cap = 15)
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+    }),
+
     // temperature-scaled (alpha = 0.5) per-source mixture weights —
     // the multi-source sampling-rate table for training-mix assembly
     "x_mix_weights" -> ((s, d) =>
@@ -1131,6 +1155,35 @@ object OpsQueries {
         |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |             / 4294967296.0, doc_id) AS rn
         |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    "x_pipeline_curate" ->
+      s"""WITH dd AS (SELECT doc_id, lang, text FROM (
+         |  SELECT doc_id, lang, text, row_number() OVER (
+         |    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1),
+         |t AS (SELECT doc_id, lang, text, $Toks AS toks FROM dd),
+         |f AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |  FROM f),
+         |k AS (SELECT * FROM q WHERE quality_score >=
+         |        (SELECT quantile_disc(quality_score, 0.25) FROM q))
+         |SELECT doc_id, lang, quality_score FROM (
+         |  SELECT doc_id, lang, quality_score, row_number() OVER (PARTITION BY lang
+         |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |             / 4294967296.0, doc_id) AS rn
+         |  FROM k) WHERE rn <= 15""".stripMargin,
 
     "x_mix_weights" ->
       """WITH c AS (SELECT source, count(*) AS n_docs, sqrt(count(*)) AS pw

@@ -43,6 +43,32 @@ class TextOpsSpec extends SparkSuite {
     assert(out.forall(_._2 > 0))
   }
 
+  test("curation pipeline: one dedup shuffle on a digest key, broadcast gate") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("x_pipeline_curate")(spark, sf1)
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // two corpus passes (the threshold aggregate recomputes the dedup
+      // branch — qualityFilter's documented two-pass shape): digest window
+      // ×2 + the one-row threshold aggregate + the per-lang cap window.
+      // The gate itself must NOT add a corpus shuffle beyond these.
+      assert(shuffles.size == 4, s"expected 4 exchanges, got:\n$plan")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.nonEmpty, "threshold must broadcast, not join by shuffle")
+      // the dedup exchanges partition on a projected column (the md5
+      // digest computed map-side), never on the raw text value
+      assert(shuffles.forall(!_.outputPartitioning.toString.contains("text#")),
+        s"no exchange may key on raw text:\n$plan")
+      assert(plan.toString.contains("md5"),
+        s"dedup key must be the md5 digest:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("normalize lowercases, collapses whitespace runs, and trims") {
     val docs = Seq((1L, "  Hello\t\tWorld \n"), (2L, "already normal"),
       (3L, "")).toDF("doc_id", "text")
