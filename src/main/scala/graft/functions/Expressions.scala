@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * swapping them in changes no query result.
   *
   * All are deterministic scalar expressions: Catalyst can constant-fold,
-  * push filters across, and pipeline them inside whole-stage codegen spans
-  * (via CodegenFallback they evaluate as a single call — no per-element
-  * virtual dispatch).
+  * push filters across, and pipeline them inside whole-stage codegen spans.
+  * The hash kernels stay CodegenFallback (md5 dominates; one boxed call per
+  * row is noise), but the vector kernels — evaluated once per candidate
+  * PAIR in the ANN/k-NN scoring loops — implement `doGenCode` as a static
+  * [[VectorKernels]] call, so the scoring loop never leaves generated code.
   */
 object Hashes {
 
@@ -230,11 +232,60 @@ case class LshBucket(child: Expression, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Shared primitive loops for the vector expressions below — public
+  * static-forwarded methods so whole-stage-generated Java calls them
+  * directly (one static call per row, no boxing, no InternalRow
+  * re-wrapping). Summation is left to right: the oracle's order. */
+object VectorKernels {
+  def dot(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  def sumSq(x: ArrayData, xf: Boolean): Double = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  def sqDist(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Dot product of two double arrays, summed left to right (the oracle's
   * summation order); null when lengths differ — matching the
-  * `aggregate(zip_with(...))` formulation's null-propagation. */
+  * `aggregate(zip_with(...))` formulation's null-propagation. Unlike the
+  * hash kernels this one implements `doGenCode`: the scoring loops of the
+  * ANN/k-NN operators evaluate it once per candidate pair, so it stays
+  * inside the whole-stage span as a static call instead of a boxed
+  * `eval(InternalRow)` round-trip. */
 case class DotDouble(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -247,18 +298,17 @@ case class DotDouble(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
-      i += 1
-    }
-    acc
+    if (x.numElements() != y.numElements()) return null
+    VectorKernels.dot(x, y, leftFloat, rightFloat)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.dot($a, $b, $leftFloat, $rightFloat);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDouble =
     copy(left = newLeft, right = newRight)
@@ -268,7 +318,7 @@ case class DotDouble(left: Expression, right: Expression)
   * aggregate of an L2 norm (`sqrt` stays a built-in on top), equal to
   * `aggregate(dbl(a), 0.0, (acc, v) => acc + v*v)`. */
 case class SumSqDouble(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
@@ -276,18 +326,12 @@ case class SumSqDouble(child: Expression)
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      acc += x * x
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.sumSq(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.sumSq($a, $isFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): SumSqDouble =
     copy(child = newChild)
@@ -299,7 +343,7 @@ case class SumSqDouble(child: Expression)
   * null-padding poisons the HOF sum). The IVF/k-means hot kernel: cell
   * assignment evaluates this once per (row, centroid) pair. */
 case class SqDistDouble(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -312,19 +356,17 @@ case class SqDistDouble(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
-      val d = xv - yv
-      acc += d * d
-      i += 1
-    }
-    acc
+    if (x.numElements() != y.numElements()) return null
+    VectorKernels.sqDist(x, y, leftFloat, rightFloat)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.sqDist($a, $b, $leftFloat, $rightFloat);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistDouble =
     copy(left = newLeft, right = newRight)

@@ -111,6 +111,32 @@ class ExpressionsSpec extends SparkSuite {
     assert(mismatched.isEmpty)
   }
 
+  test("vector kernels stay inside generated code when fallback is forbidden") {
+    // spark.sql.codegen.fallback=false turns any doGenCode failure into a
+    // hard error instead of a silent interpreted re-plan, so this test
+    // fails if the generated Java for the three vector kernels ever stops
+    // compiling (null path included)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+        (Seq(0.5, -0.5), Seq(1.0, 1.0))).toDF("a", "b")
+      val got = df.select(
+        GraftFunctions.dotDouble($"a", $"b").as("dot"),
+        GraftFunctions.sqDistDouble($"a", $"b").as("sq"),
+        GraftFunctions.sumSqDouble($"a").as("ss"))
+        .as[(Double, Double, Double)].collect()
+      assert(got(0) === ((11.0, 8.0, 5.0)))
+      assert(got(1) === ((0.0, 2.5, 0.5)))
+      val mm = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+        .select(GraftFunctions.dotDouble($"a", $"b"),
+          GraftFunctions.sqDistDouble($"a", $"b"))
+        .collect().head
+      assert(mm.isNullAt(0) && mm.isNullAt(1))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("SumSqDouble matches the HOF l2norm inner aggregate on float vectors") {
     val df = Seq(Seq(3.0f, 4.0f), Seq(0.0f), Seq(-1.5f, 2.25f, 0.5f)).toDF("v")
     val rows = df.select(
