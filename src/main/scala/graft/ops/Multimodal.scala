@@ -57,6 +57,20 @@ object Multimodal {
       when(scale >= 1.0, h).otherwise(floor(h * scale)).cast("long").as("height"))
   }
 
+  /** STUB FEATURE EXTRACTION — deterministic fake: a `dim`-component
+    * embedding derived per component from an md5 of (payload, index),
+    * mapped to [-0.5, 0.5). A real deployment swaps this one expression
+    * for a batched encoder call (ONNX/JNI) with the identical column
+    * shape — everything downstream (near-dup, ANN, k-NN join over the
+    * produced `array<double>`) is unchanged. Identical payloads produce
+    * identical embeddings, so multimodal near-dup is exercisable without
+    * the codec libs. Map-only at any scale. */
+  def featureStub(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => conv(substring(md5(concat(payload.cast("string"), lit(":"),
+            j.cast("string"))), 1, 8), 16, 10).cast("double") /
+          lit(4294967296.0) - lit(0.5))
+
   /** Frame sampling: split the payload into fixed-size byte chunks and emit
     * one row per chunk with its fingerprint — the video-frame / audio-window
     * extraction shape. Pure expressions (sequence + substring over binary),

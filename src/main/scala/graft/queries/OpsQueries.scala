@@ -432,6 +432,22 @@ object OpsQueries {
         Multimodal.pack(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload", chunkBytes = 100)),
 
+    // the multimodal feature-extract chain end-to-end: payload → stub
+    // embedding → within-lang pairwise cosine → global top-10 pairs.
+    // The lang block bounds candidates exactly like x_embed_neardup; the
+    // cosine runs on the codegen'd vector kernels
+    "x_mm_embed_pairs" -> ((s, d) => {
+      val emb = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        Multimodal.featureStub(col("text").cast("binary"), 16).as("emb"))
+      val a = emb.select(col("lang"), col("doc_id").as("id_a"), col("emb").as("ea"))
+      val b = emb.select(col("lang"), col("doc_id").as("id_b"), col("emb").as("eb"))
+      a.join(b, Seq("lang")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("ea"), col("eb")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(10)
+    }),
+
     // as-of join: each order annotated with the customer's strictly
     // previous order (right side pre-reduced to one row per key/ts so the
     // carried payload is deterministic)
@@ -1349,6 +1365,16 @@ object OpsQueries {
          |SELECT doc_id, i AS frame_idx,
          |  md5(substring(text, CAST(i * 100 + 1 AS BIGINT), 100)) AS frame_md5
          |FROM e""".stripMargin,
+
+    "x_mm_embed_pairs" ->
+      s"""WITH e AS (SELECT doc_id, lang, list_transform(range(0, 16), j ->
+         |    CAST('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+         |      / 4294967296.0 - 0.5) AS emb
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(${cosineSql("a.emb", "b.emb")}, 6) AS cosine
+         |FROM e a JOIN e b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 10""".stripMargin,
 
     "x_asof_join" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_okey

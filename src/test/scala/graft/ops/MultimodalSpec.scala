@@ -27,6 +27,18 @@ class MultimodalSpec extends SparkSuite {
     assert(viaExpr.toSeq === viaBatch.toSeq)
   }
 
+  test("featureStub embeddings are deterministic per payload, in range") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      Multimodal.featureStub(col("text").cast("binary"), 8).as("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) === got(2L), "identical payloads must embed identically")
+    assert(got(1L) !== got(3L))
+    assert(got.values.forall(v => v.size == 8 && v.forall(x => x >= -0.5 && x < 0.5)))
+  }
+
   test("sampleFrames yields zero rows for an empty payload") {
     val df = Seq((1L, ""), (2L, "abcdef")).toDF("doc_id", "text")
       .withColumn("payload", $"text".cast("binary"))
