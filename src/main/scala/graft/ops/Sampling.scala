@@ -137,4 +137,67 @@ object Sampling {
       .limit(k)
       .drop("_skey")
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): pick the raw documents
+    * whose hashed-n-gram distribution looks most like a small target
+    * domain. Features are the bag of unigrams + bigrams hashed into
+    * `buckets` slots; both the target and raw bucket distributions get
+    * Laplace smoothing, each bucket carries the log-likelihood ratio
+    * ln p_target(b) − ln p_raw(b), and a raw document's importance
+    * log-weight is the count-weighted sum of its buckets' ratios.
+    * Selection is Gumbel top-k over (log-weight + g) — sampling without
+    * replacement ∝ the importance weight, per the paper — with the Gumbel
+    * draw g = −ln(−ln u) derived from the id hash, so the "random" sample
+    * is reproducible across retries, cluster layouts, and the oracle.
+    *
+    * Scale shape: the feature stream is map-generated and aggregated by
+    * bucket with map-side partial combine, so the distribution table is
+    * AT MOST `buckets` rows no matter the corpus size — a constant-size
+    * broadcast by construction (unlike a vocabulary table, which grows
+    * with the corpus and must never be broadcast). Per-document scoring
+    * is one shuffle on (id, bucket); the summation folds in bucket order
+    * so the double-precision result is deterministic and the oracle
+    * replays it exactly. Final top-k is a TakeOrderedAndProject. */
+  def dsirSelect(df: DataFrame, idCol: String, targetPred: Column,
+                 textCol: String = "text", buckets: Int = 4096,
+                 k: Int = 25): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.as("_t"),
+      TextOps.tokens(col(textCol)).as("_toks"))
+    // unigrams + bigrams, hashed into a fixed bucket space (element_at is
+    // 1-based, mirroring the oracle's 1-based list indexing)
+    val feats = toks.select(col(idCol), col("_t"),
+        explode(concat(col("_toks"),
+          // sequence(1, n) DESCENDS for n < 1, so short docs need the guard
+          expr("CASE WHEN size(_toks) < 2 THEN array() ELSE" +
+            " transform(sequence(1, size(_toks) - 1)," +
+            " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END")))
+          .as("_f"))
+      .withColumn("_b", Dedup.h32(col("_f")) % buckets)
+    // bucket log-likelihood ratios: ≤ `buckets` rows by construction
+    val dist = feats.groupBy(col("_b")).agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+      sum(when(col("_t"), 0L).otherwise(1L)).as("_cr"))
+    val tot = dist.agg(sum(col("_ct")).as("_nt"), sum(col("_cr")).as("_nr"))
+    val ratio = dist.crossJoin(broadcast(tot))
+      .select(col("_b"),
+        (log((col("_ct") + 1.0) / (col("_nt") + buckets.toDouble)) -
+          log((col("_cr") + 1.0) / (col("_nr") + buckets.toDouble))).as("_l"))
+    // raw docs only: count-weighted ratio sum, folded in bucket order
+    val logw = feats.where(!col("_t"))
+      .groupBy(col(idCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .join(broadcast(ratio), "_b")
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("_b"), (col("_c") * col("_l")).as("_s")))),
+          x => x.getField("_s")),
+        lit(0.0), (acc, v) => acc + v).as("_raw"))
+    val u = (Dedup.h32(col(idCol).cast("string")) + 1) / lit(4294967296.0)
+    logw.select(col(idCol),
+        round(col("_raw"), 4).as("dsir_logw"),
+        round(col("_raw") - log(-log(u)), 4).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -387,6 +387,13 @@ object OpsQueries {
         totalTokens = 12000L)
     }),
 
+    // DSIR importance resampling: src1 plays the curated target domain;
+    // every other document scores by hashed unigram+bigram log-likelihood
+    // ratio and the Gumbel top-k draws the selection ∝ importance weight
+    "x_mix_dsir" -> ((s, d) =>
+      Sampling.dsirSelect(Tables.documents(s, d), "doc_id",
+        col("source") === "src1", buckets = 4096, k = 25)),
+
     // Bloom-prefiltered incremental dedup: identical result to the plain
     // digest anti-join, but the definitely-new majority of the batch is
     // discarded map-side by a broadcast Bloom sketch of the index
@@ -1236,6 +1243,33 @@ object OpsQueries {
         |      FROM t)
         |SELECT r.doc_id, r.source, r.n_tokens
         |FROM r JOIN q USING (source) WHERE r.prior < q.budget""".stripMargin,
+
+    "x_mix_dsir" ->
+      s"""WITH t AS (SELECT doc_id, (source = 'src1') AS tgt, $Toks AS toks
+         |           FROM documents),
+         |f AS (SELECT doc_id, tgt,
+         |        unnest(toks || list_transform(range(1, len(toks)),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS f
+         |      FROM t),
+         |fb AS (SELECT doc_id, tgt,
+         |         CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 4096 AS b
+         |       FROM f),
+         |dist AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |                sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+         |         FROM fb GROUP BY b),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM dist),
+         |r AS (SELECT b, ln((ct + 1.0) / (nt + 4096.0))
+         |             - ln((cr + 1.0) / (nr + 4096.0)) AS l
+         |      FROM dist CROSS JOIN tot),
+         |c AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+         |      FROM fb WHERE NOT tgt GROUP BY 1, 2),
+         |s AS (SELECT doc_id,
+         |        list_reduce(list(c.c * r.l ORDER BY c.b), (x, y) -> x + y) AS raw
+         |      FROM c JOIN r USING (b) GROUP BY doc_id)
+         |SELECT doc_id, round(raw, 4) AS dsir_logw,
+         |  round(raw - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |    AS BIGINT) + 1) / 4294967296.0)), 4) AS gumbel_key
+         |FROM s ORDER BY gumbel_key DESC, doc_id LIMIT 25""".stripMargin,
 
     "x_dedup_soft" ->
       """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,

@@ -79,4 +79,28 @@ class SamplingSpec extends SparkSuite {
     assert(w("small")._2 > 0.10 && math.abs(w("small")._2 - 0.25) < 1e-3)
     assert(math.abs(w("big")._2 - 0.75) < 1e-3)
   }
+
+  test("dsirSelect ranks target-like raw docs above off-domain ones") {
+    // target domain talks about spark queries; raw pool has 5 docs that
+    // echo the domain and 45 about something else entirely
+    val target = (0L until 20L).map(i =>
+      (i, "tgt", s"spark query engine plan shuffle join number$i"))
+    val likeTarget = (100L until 105L).map(i =>
+      (i, "raw", s"spark query engine plan shuffle join number$i"))
+    val offDomain = (105L until 150L).map(i =>
+      (i, "raw", s"garden hose watering flowerbed lawn seed number$i"))
+    val docs = (target ++ likeTarget ++ offDomain)
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.dsirSelect(docs, "doc_id", col("source") === "tgt",
+      buckets = 512, k = 5)
+    // target docs never appear in the selection; the 5 winners are
+    // exactly the 5 domain-echoing raw docs (weights dominate the noise)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids === (100L until 105L).toSet)
+    // deterministic across layouts: same selection from repartitioned input
+    val again = Sampling.dsirSelect(docs.repartition(7), "doc_id",
+      col("source") === "tgt", buckets = 512, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+  }
 }
