@@ -598,4 +598,61 @@ object Dedup {
           col("l.vec"), col("l.norm"), col("r.vec"), col("r.norm")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------------------------------
+  // Exact-substring duplicated spans (token-level)
+  // ------------------------------------------------------------------
+
+  /** Token-position-level exact-substring duplication (the distributed
+    * shape of Lee et al. 2022's ExactSubstr suffix-array dedup): a token
+    * position is DUPLICATED when it lies inside a repeated substring of
+    * at least `k` tokens, and a repeated substring of length >= k is
+    * exactly a run of repeated k-grams — so marking every position covered
+    * by a sliding k-gram window whose (doc, pos) occurrence is not the
+    * corpus-wide first (first copy wins, ordered by (id, pos); within-doc
+    * repetition counts too) finds precisely the positions inside >= k
+    * duplicated spans, with no suffix array and no global sort.
+    *
+    * Scale shape: the gram stream is map-generated ((id, pos, xxhash64)
+    * triples — the 8-byte gram hash crosses the exchange, never the gram
+    * text; a 64-bit collision merges two gram classes, odds ~n²/2⁶⁵,
+    * acceptable for dedup and absent at oracle scale); first-occurrence
+    * resolution is one aggregation + an equi-join on that same hash, so
+    * both sides share one partitioning; coverage expansion is a bounded
+    * k× explode of integer positions followed by a per-doc distinct
+    * count. A boilerplate gram repeated across the corpus concentrates
+    * ONE aggregation key (compact: min-struct of two longs) — the join
+    * fan-back stays one row per occurrence, so there is no quadratic
+    * pair blowup anywhere (unlike candidate-pair dedup, this op never
+    * builds pairs).
+    *
+    * Returns one row per document: (idCol, n_tokens, dup_tokens,
+    * dup_frac), zero-rows included. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String = "text",
+                      k: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val grams = toks.select(col("id"),
+        explode(expr(
+          s"""CASE WHEN size(toks) < $k THEN array()
+             |ELSE transform(sequence(0, size(toks) - $k),
+             |  i -> struct(i AS pos,
+             |    xxhash64(concat_ws(' ', slice(toks, i + 1, $k))) AS g))
+             |END""".stripMargin)).as("e"))
+      .select(col("id"), col("e.pos").as("pos"), col("e.g").as("g"))
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val dupCounts = grams.join(firsts, "g")
+      .where(!(col("id") === col("first.id") && col("pos") === col("first.pos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("idx")).as("dup_tokens"))
+    toks.select(col("id"), size(col("toks")).as("n_tokens"))
+      .join(dupCounts, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)) /
+            col("n_tokens").cast("double"), 6)).as("dup_frac"))
+  }
 }

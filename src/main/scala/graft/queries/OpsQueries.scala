@@ -360,6 +360,15 @@ object OpsQueries {
     "x_dedup_soft" -> ((s, d) =>
       Dedup.softWeights(Tables.documents(s, d), "text", "doc_id")),
 
+    // exact-substring duplicated spans (Lee et al. 2022 ExactSubstr shape):
+    // per doc, the token positions lying inside a >= k-token substring
+    // whose first corpus-wide copy is elsewhere — k-gram coverage, no
+    // suffix array; only docs with some duplication kept (dup_frac > 0
+    // keeps the result row set meaningful at corpus scale)
+    "x_dedup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .where(col("dup_tokens") > 0)),
+
     // Matryoshka truncation: slice each embedding to its first 16 dims
     // and L2-renormalize — map-only, the MRL serving-dimension cut
     "x_embed_truncate" -> ((s, d) => {
@@ -1275,6 +1284,20 @@ object OpsQueries {
       """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,
         |  round(1.0 / count(*) OVER (PARTITION BY text), 6) AS weight
         |FROM documents""".stripMargin,
+
+    "x_dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         |        array_to_string(toks[u.i + 1 : u.i + 5], ' ') AS gram
+         |      FROM t, unnest(range(0, greatest(len(toks) - 4, 0))) AS u(i)),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |c AS (SELECT DISTINCT doc_id, pos + v.j AS idx
+         |      FROM m, unnest(range(0, 5)) AS v(j) WHERE rn > 1),
+         |s AS (SELECT doc_id, count(*) AS dup_tokens FROM c GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens, s.dup_tokens,
+         |  round(s.dup_tokens / CAST(len(t.toks) AS DOUBLE), 6) AS dup_frac
+         |FROM t JOIN s USING (doc_id) WHERE s.dup_tokens > 0""".stripMargin,
 
     "x_embed_truncate" ->
       """WITH v AS (SELECT vec_id,

@@ -142,4 +142,29 @@ class DedupSpec extends SparkSuite {
       .queryExecution.analyzed.toString
     assert(plan.contains("might_contain"), plan.take(2000))
   }
+
+  test("duplicatedSpans marks exactly the positions inside >= k-token repeats") {
+    // doc 1: 12 unique tokens. doc 2 copies tokens 3..8 of doc 1 (a 6-token
+    // run) into the middle of otherwise-unique text. doc 3 repeats its own
+    // 5-token opening once (within-doc repetition). doc 4 shares only a
+    // 4-token run with doc 1 — below k=5, must not be marked.
+    val d1 = "a b c d e f g h i j k l"
+    val d2 = "x1 x2 d e f g h i x3 x4"        // 6-token copied run -> 6 dup
+    val d3 = "p q r s t zz p q r s t"          // second 5-run dup -> 5 dup
+    val d4 = "y1 y2 a b c d y3 y4"             // 4-run only -> no dup
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 12, 0L, 0.0),
+      (2L, 10, 6L, 0.6),
+      (3L, 11, 5L, round6(5.0 / 11)),
+      (4L, 8, 0L, 0.0)))
+    // layout-independent: same answer from a scrambled partitioning
+    val again = Dedup.duplicatedSpans(docs.repartition(7), "doc_id", "text", k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }
