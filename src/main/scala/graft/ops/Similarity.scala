@@ -378,7 +378,18 @@ object Similarity {
     * two-operand IEEE addition is commutative), so the DuckDB oracle
     * replays it bit-for-bit. */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-             kNeighbors: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+             kNeighbors: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    pqAdcRaw(df, idCol, vecCol, queryId, m, subDim, k, iters)
+      .orderBy(col("adist_raw"), col(idCol))
+      .limit(kNeighbors)
+      .select(col(idCol), round(col("adist_raw"), 6).as("adist"))
+
+  /** The ADC scoring stage of [[pqTopK]]: every non-query vector's raw
+    * asymmetric distance to `queryId` through the per-subspace LUTs.
+    * Returns (idCol, adist_raw) — corpus-sized but two-columns narrow. */
+  private[ops] def pqAdcRaw(df: DataFrame, idCol: String, vecCol: String,
+                            queryId: Long, m: Int, subDim: Int, k: Int,
+                            iters: Int): DataFrame = {
     val scored = (0 until m).map { s =>
       val sub = df.select(col(idCol),
         slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
@@ -402,9 +413,54 @@ object Similarity {
     scored.where(col(idCol) =!= queryId)
       .groupBy(col(idCol))
       .agg(sum(col("qd")).as("adist_raw"))
+  }
+
+  /** The standard production ANN composition (the IVF-PQ serving shape,
+    * Jégou et al. 2011): multi-probe IVF confines the candidate set to the
+    * query's `probes` nearest cells, PQ asymmetric distance ranks those
+    * candidates through the m×k LUT (codes precomputed corpus-wide — the
+    * index build), and only the `shortlist` best ADC candidates pay an
+    * exact full-dimension cosine for the final top-k. The corpus is
+    * touched by (a) the one-off cell/code assignment and (b) the probed
+    * cells' narrow (id, adist) rows; the exact re-rank — the only
+    * full-vector stage — runs on `shortlist` rows regardless of corpus
+    * size. Every stage is deterministic, so the whole three-stage funnel
+    * replays in the DuckDB oracle. */
+  def annRerank(df: DataFrame, idCol: String, vecCol: String,
+                quantizerCol: String, queryId: Long, k: Int, probes: Int,
+                shortlist: Int, m: Int, subDim: Int, pqK: Int,
+                iters: Int): DataFrame = {
+    val cvecs = centroids(df, quantizerCol, vecCol)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+      .select(col("label").as("cell"),
+        transform(col("sm"), s => s.getField("mean")).as("cvec"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist"), col("cell"))
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+    val qvec = df.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    val probeCells = qvec.crossJoin(broadcast(cvecs))
+      .select(col("cell"), sqDist(col("q_vec"), col("cvec")).as("dist"))
+      .orderBy(col("dist"), col("cell"))
+      .limit(probes)
+      .select(col("cell"))
+    val cands = assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .select(col(idCol), col(vecCol))
+    val short = cands
+      .join(pqAdcRaw(df, idCol, vecCol, queryId, m, subDim, pqK, iters), idCol)
       .orderBy(col("adist_raw"), col(idCol))
-      .limit(kNeighbors)
-      .select(col(idCol), round(col("adist_raw"), 6).as("adist"))
+      .limit(shortlist)
+    short.crossJoin(broadcast(qvec))
+      .select(col(idCol), round(col("adist_raw"), 6).as("adist"),
+        round(cosine(col(vecCol), col("q_vec")), 3).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
   }
 
   /** Per-vector int8 scalar quantization: maps each component onto

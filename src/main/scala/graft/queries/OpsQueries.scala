@@ -160,6 +160,13 @@ object OpsQueries {
       Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, kNeighbors = 10, m = 2, subDim = 32, k = 4, iters = 2)),
 
+    // the production IVF-PQ serving funnel: multi-probe IVF candidates ->
+    // PQ-ADC shortlist -> exact cosine re-rank of the shortlist only
+    "x_ann_rerank" -> ((s, d) =>
+      Similarity.annRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", queryId = 0L, k = 10, probes = 3, shortlist = 50,
+        m = 2, subDim = 32, pqK = 4, iters = 2)),
+
     // int8 scalar quantization, verified per (vector, dimension) element.
     // lo/hi live in a project BELOW the Generate (multiply-referenced, so
     // CollapseProject can't inline them into the generator) — otherwise
@@ -864,6 +871,43 @@ object OpsQueries {
          |FROM d0 JOIN d1 ON d0.vec_id = d1.vec_id
          |WHERE d0.vec_id <> 0
          |ORDER BY d0.qd + d1.qd, d0.vec_id LIMIT 10""".stripMargin
+    },
+
+    "x_ann_rerank" -> {
+      def lut(s: Int): String =
+        s"""q$s AS (SELECT vec FROM v$s WHERE vec_id = 0),
+           |lut$s AS (SELECT c.cell, ${sqDistSql("q.vec", "c.cvec")} AS qd
+           |          FROM c2$s c, q$s q),
+           |d$s AS (SELECT a.vec_id, l.qd FROM asg$s a JOIN lut$s l ON a.cell = l.cell
+           |        WHERE a.rn = 1)""".stripMargin
+      s"""WITH ${PqChain(0)},
+         |${PqChain(1)},
+         |${lut(0)},
+         |${lut(1)},
+         |ad AS (SELECT d0.vec_id, d0.qd + d1.qd AS raw
+         |       FROM d0 JOIN d1 ON d0.vec_id = d1.vec_id WHERE d0.vec_id <> 0),
+         |c AS (SELECT label, CAST(t.dim AS INT) AS dim,
+         |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
+         |  FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT label AS cell, list(mean ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |a AS (SELECT e.vec_id, e.embedding, cv.cell,
+         |  ${sqDistSql("e.embedding", "cv.cvec")} AS dist
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, embedding, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |   FROM a) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT cv.cell FROM cv, q
+         |       ORDER BY ${sqDistSql("q.qv", "cv.cvec")}, cv.cell LIMIT 3),
+         |short AS (SELECT e.vec_id, e.embedding, ad.raw
+         |          FROM asg e JOIN pc ON e.cell = pc.cell
+         |          JOIN ad ON ad.vec_id = e.vec_id
+         |          WHERE e.vec_id <> 0
+         |          ORDER BY ad.raw, e.vec_id LIMIT 50)
+         |SELECT s.vec_id, round(s.raw, 6) AS adist,
+         |  round(${cosineSql("s.embedding", "q.qv")}, 3) AS cosine
+         |FROM short s, q ORDER BY cosine DESC, s.vec_id LIMIT 10""".stripMargin
     },
 
     "x_embed_lsh_pairs" ->

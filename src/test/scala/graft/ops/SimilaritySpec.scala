@@ -118,4 +118,27 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.3, f"mean recall collapsed: $mean%.2f")
     assert(ivf.values.forall(_.nonEmpty))
   }
+
+  test("IVF-PQ rerank funnel: exact rerank recovers what ADC ranking loses") {
+    // production-shaped funnel: 4/8 probed cells, PQ m=8 x k=16 shortlist
+    // of 100, exact cosine on the shortlist only
+    val funnel = Similarity.annRerank(emb, "vec_id", "embedding", "label",
+        queryId = 0L, k = 10, probes = 4, shortlist = 100,
+        m = 8, subDim = 8, pqK = 16, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // same candidate budget, but ranked by raw ADC with no exact re-rank:
+    // PQ top-10 restricted to nothing (corpus-wide) — the no-rerank baseline
+    val adcOnly = Similarity.pqTopK(emb, "vec_id", "embedding", queryId = 0L,
+        kNeighbors = 10, m = 8, subDim = 8, k = 16, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val t10 = exactCosineTop(10)
+    val funnelR = (funnel & t10).size / 10.0
+    val adcR = (adcOnly & t10).size / 10.0
+    info(f"funnel recall@10=$funnelR%.2f vs ADC-only $adcR%.2f")
+    assert(funnel.size === 10, "funnel must fill the full top-k")
+    // the exact re-rank stage must not LOSE cosine recall vs pure ADC
+    // ranking at the same index parameters
+    assert(funnelR >= adcR, f"re-rank regressed recall: $funnelR%.2f < $adcR%.2f")
+    assert(funnelR >= 0.4, f"funnel recall collapsed: $funnelR%.2f")
+  }
 }
