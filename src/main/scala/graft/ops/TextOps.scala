@@ -178,6 +178,45 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Top-k bigram collocations by pointwise mutual information:
+    * pmi(a b) = ln( (c(a b)/M) / ((c(a)/N) · (c(b)/N)) ) over adjacent
+    * token pairs, with a count floor to kill the low-count PMI explosion
+    * (a hapax pair maxes PMI by definition — the standard Church & Hanks
+    * caveat). All inputs are exact integer counts, so PMI is a pure
+    * per-row expression over them and the ranking is engine-portable.
+    *
+    * Scale shape: unigram and bigram counts are plain shuffle
+    * aggregations on compact keys with map-side combine; the
+    * bigram→unigram count joins go through token-keyed shuffle joins
+    * (vocabulary-sized — never broadcast, same rule as [[tfidfTop]]);
+    * the two one-row totals broadcast; final top-k is a
+    * TakeOrderedAndProject. */
+  def pmiTop(df: DataFrame, textCol: String = "text", minCount: Long = 5L,
+             topK: Int = 20): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+          |END""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nTok = uni.agg(sum(col("c")).as("n"))
+    val nBi = bi.agg(sum(col("c12")).as("m"))
+    bi.where(col("c12") >= minCount)
+      .join(uni.select(col("token").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") / col("m")) /
+          ((col("c1") / col("n")) * (col("c2") / col("n")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Unigram-LM document score: mean log probability of the document's
     * tokens under the corpus's own unigram distribution — the cheap,
     * exactly-computable stand-in for the KenLM-perplexity quality filter

@@ -298,6 +298,11 @@ object OpsQueries {
       Sketches.cmsContract(Tables.documents(s, d), "text", "source",
         Seq("join", "hash", "scan", "order", "zyzzyx"))),
 
+    // bigram collocations by pointwise mutual information with the
+    // standard low-count floor — corpus phrase mining
+    "x_text_pmi" -> ((s, d) =>
+      TextOps.pmiTop(Tables.documents(s, d), "text", minCount = 5L, topK = 20)),
+
     // log2-bucketed document-length histogram — the standard corpus size
     // profile (map-only bucket assignment, one narrow aggregation). The
     // +0.5 keeps the log argument off exact powers of two, where the two
@@ -1199,6 +1204,21 @@ object OpsQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
          |SELECT ngram, count(*) AS n FROM ex
          |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "x_text_pmi" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS token FROM t),
+         |uc AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+         |b0 AS (SELECT toks[r.i] AS w1, toks[r.i + 1] AS w2
+         |       FROM t, unnest(range(1, len(toks))) AS r(i)),
+         |b AS (SELECT w1, w2, count(*) AS c12 FROM b0 GROUP BY 1, 2),
+         |n AS (SELECT sum(c) AS n FROM uc),
+         |m AS (SELECT sum(c12) AS m FROM b)
+         |SELECT b.w1, b.w2, b.c12,
+         |  round(ln((b.c12 / m.m) / ((u1.c / n.n) * (u2.c / n.n))), 4) AS pmi
+         |FROM b JOIN uc u1 ON b.w1 = u1.token JOIN uc u2 ON b.w2 = u2.token, n, m
+         |WHERE b.c12 >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "x_sketch_cms" ->
       s"""WITH t AS (SELECT $Toks AS toks FROM documents),

@@ -144,4 +144,19 @@ class TextOpsSpec extends SparkSuite {
     // the ten 1000×-weighted rows should dominate the top-10
     assert((got & (1L to 10L).toSet).size >= 8)
   }
+
+  test("pmiTop ranks an exclusive collocation above independent co-occurrence") {
+    // "los angeles" only ever occur together; "the" pairs with everything
+    // (high count, no association); "rare pair" occurs once — below floor
+    val docs = (1 to 6).map(i =>
+        (i.toLong, s"the los angeles the city$i the river$i")) ++
+      Seq((7L, "rare pair the city0 the river0"))
+    val got = TextOps.pmiTop(docs.toDF("doc_id", "text"), "text",
+      minCount = 5L, topK = 3).as[(String, String, Long, Double)].collect()
+    assert(got.head._1 === "los" && got.head._2 === "angeles" && got.head._3 === 6L)
+    // the hapax "rare pair" is floored out entirely
+    assert(!got.exists(r => r._1 === "rare"))
+    // every surviving pair has positive support >= the floor
+    assert(got.forall(_._3 >= 5L))
+  }
 }
