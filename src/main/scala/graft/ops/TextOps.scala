@@ -266,6 +266,79 @@ object TextOps {
         col("n_tokens"),
         (col("wsum") >= 0).as("keep"))
 
+  /** In-engine training of the hashed-feature quality classifier
+    * ([[hashedLinearScore]]'s shape, but with LEARNED weights): logistic
+    * regression over hashed bag-of-words counts by full-batch gradient
+    * descent, in integer micro-unit fixed point so every step is
+    * deterministic and engine-portable — weights, per-doc scores, and
+    * gradients are exact long sums (order-independent, unlike double
+    * accumulation); the only float op per iteration is the sigmoid,
+    * immediately re-quantized to micro units. Mean gradient, lr = 1/lrInv.
+    *
+    * Scale shape: the (doc, bucket, cnt) design matrix is one exploded
+    * aggregation (compact keys); each iteration is one broadcast of the
+    * ≤dim-row weight table, one per-doc integer dot product (shuffle on
+    * doc id), one integer gradient aggregation (shuffle on bucket), and a
+    * ≤dim-row collect — like [[Similarity.kmeans]], only k×1 longs ever
+    * reach the driver, never the corpus. Gradient longs hold to ~10¹²
+    * token occurrences per bucket; beyond that, widen to DECIMAL.
+    *
+    * Returns one row per touched bucket: (bucket, w_micro, w). */
+  def trainHashedLogReg(df: DataFrame, idCol: String, labelPred: Column,
+                        textCol: String = "text", dim: Int = 64,
+                        iters: Int = 2, lrInv: Double = 100.0): DataFrame = {
+    val spark = df.sparkSession
+    val x = df.select(col(idCol).as("id"), labelPred.as("y"),
+        explode(tokens(col(textCol))).as("token"))
+      .withColumn("b", Dedup.h32(col("token")) % dim)
+      .groupBy(col("id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("yfp", when(col("y"), 1000000L).otherwise(0L))
+      .persist()
+    val nDocs = x.select(countDistinct(col("id"))).first().getLong(0)
+    var wfp = Map.empty[Long, Long] // bucket -> weight in micro units
+    for (_ <- 0 until iters) {
+      val wDf = spark.createDataFrame(
+        (0 until dim).map(b => (b.toLong, wfp.getOrElse(b.toLong, 0L))))
+        .toDF("b", "wcur")
+      val p = x.join(broadcast(wDf), Seq("b"), "left")
+        .groupBy(col("id"))
+        .agg(sum(col("cnt") * coalesce(col("wcur"), lit(0L))).as("sfp"))
+        .select(col("id"),
+          round(lit(1e6) / (lit(1.0) + exp(-(col("sfp") / 1e6))), 0)
+            .cast("long").as("pfp"))
+      val grad = x.join(p, Seq("id"))
+        .groupBy(col("b"))
+        .agg(sum(col("cnt") * (col("yfp") - col("pfp"))).as("gfp"))
+        .collect()
+      grad.foreach { r =>
+        val (b, g) = (r.getLong(0), r.getLong(1))
+        wfp = wfp.updated(b, wfp.getOrElse(b, 0L) +
+          math.floor(g / (lrInv * nDocs)).toLong)
+      }
+    }
+    x.unpersist()
+    spark.createDataFrame(wfp.toSeq.sortBy(_._1)).toDF("bucket", "w_micro")
+      .select(col("bucket").cast("int").as("bucket"), col("w_micro"),
+        round(col("w_micro") / 1e6, 6).as("w"))
+  }
+
+  /** Score documents with a trained [[trainHashedLogReg]] weight table:
+    * the integer dot product of each document's hashed bucket counts with
+    * `weights.w_micro` — map-only but for one doc-keyed aggregation; the
+    * weight table broadcasts (≤dim rows). `keep` = score >= 0, the binary
+    * quality verdict. */
+  def scoreWithWeights(df: DataFrame, idCol: String, weights: DataFrame,
+                       textCol: String = "text", dim: Int = 64): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .withColumn("b", Dedup.h32(col("token")) % dim)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(weights.select(col("bucket").cast("long").as("b"),
+        col("w_micro"))), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * coalesce(col("w_micro"), lit(0L))).as("s_micro"))
+      .select(col(idCol), col("s_micro"), (col("s_micro") >= 0L).as("keep"))
+
   /** Okapi BM25 relevance of every document against a literal query-term
     * set (k1/b defaults 1.2/0.75; Robertson `+1` idf so scores stay
     * positive) — the lexical-retrieval ranking primitive.

@@ -303,6 +303,13 @@ object OpsQueries {
     "x_text_pmi" -> ((s, d) =>
       TextOps.pmiTop(Tables.documents(s, d), "text", minCount = 5L, topK = 20)),
 
+    // train the hashed-feature quality classifier IN the engine:
+    // fixed-point logistic regression, 2 full-batch GD iterations —
+    // deterministic integer weights the oracle replays exactly
+    "x_text_train_lr" -> ((s, d) =>
+      TextOps.trainHashedLogReg(Tables.documents(s, d), "doc_id",
+        col("source") === "src1", dim = 64, iters = 2, lrInv = 100.0)),
+
     // log2-bucketed document-length histogram — the standard corpus size
     // profile (map-only bucket assignment, one narrow aggregation). The
     // +0.5 keeps the log argument off exact powers of two, where the two
@@ -1204,6 +1211,31 @@ object OpsQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
          |SELECT ngram, count(*) AS n FROM ex
          |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "x_text_train_lr" ->
+      s"""WITH t AS (SELECT doc_id, (source = 'src1') AS y, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id, y, unnest(toks) AS token FROM t),
+         |x AS (SELECT doc_id, y,
+         |        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS b,
+         |        count(*) AS cnt,
+         |        CASE WHEN y THEN 1000000 ELSE 0 END AS yfp
+         |      FROM f GROUP BY 1, 2, 3),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM x),
+         |g1 AS (SELECT b, sum(cnt * (yfp - 500000)) AS gfp FROM x GROUP BY b),
+         |w1 AS (SELECT b, CAST(floor(gfp / (100.0 * n.n)) AS BIGINT) AS wfp
+         |       FROM g1, n),
+         |s2 AS (SELECT x.doc_id, sum(x.cnt * w1.wfp) AS sfp
+         |       FROM x JOIN w1 USING (b) GROUP BY 1),
+         |p2 AS (SELECT doc_id,
+         |         CAST(round(1000000.0 / (1 + exp(-(sfp / 1000000.0)))) AS BIGINT) AS pfp
+         |       FROM s2),
+         |g2 AS (SELECT x.b, sum(x.cnt * (x.yfp - p2.pfp)) AS gfp
+         |       FROM x JOIN p2 USING (doc_id) GROUP BY 1),
+         |w2 AS (SELECT w1.b, w1.wfp + CAST(floor(g2.gfp / (100.0 * n.n)) AS BIGINT) AS wfp
+         |       FROM w1 JOIN g2 USING (b), n)
+         |SELECT CAST(b AS INT) AS bucket, wfp AS w_micro,
+         |  round(wfp / 1000000.0, 6) AS w
+         |FROM w2""".stripMargin,
 
     "x_text_pmi" ->
       s"""WITH t AS (SELECT $Toks AS toks FROM documents),

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 class TextOpsSpec extends SparkSuite {
@@ -143,6 +145,25 @@ class TextOpsSpec extends SparkSuite {
     assert(got === again)
     // the ten 1000×-weighted rows should dominate the top-10
     assert((got & (1L to 10L).toSet).size >= 8)
+  }
+
+  test("trainHashedLogReg separates a synthetic domain and is layout-stable") {
+    val good = (1L to 40L).map(i =>
+      (i, true, s"excellent prose clear structured informative item$i"))
+    val bad = (41L to 80L).map(i =>
+      (i, false, s"spam click buy casino pills item$i"))
+    val docs = (good ++ bad).toDF("id", "y", "text")
+    val w = TextOps.trainHashedLogReg(docs, "id", col("y"), "text",
+      dim = 256, iters = 5, lrInv = 10.0)
+    val scored = TextOps.scoreWithWeights(docs, "id", w, "text", dim = 256)
+      .join(docs.select(col("id"), col("y")), "id")
+    val acc = scored.where(col("keep") === col("y")).count() / 80.0
+    info(f"train accuracy after 5 iters = $acc%.2f")
+    assert(acc >= 0.95, f"classifier failed to fit a separable corpus: $acc%.2f")
+    // fixed-point arithmetic makes training layout-independent
+    val w2 = TextOps.trainHashedLogReg(docs.repartition(7), "id", col("y"),
+      "text", dim = 256, iters = 5, lrInv = 10.0)
+    assert(w2.collect().toSet === w.collect().toSet)
   }
 
   test("pmiTop ranks an exclusive collocation above independent co-occurrence") {
