@@ -101,4 +101,131 @@ object Sketches {
           col("est") <= col("exact_count") +
             ceil(lit(slack) * col("n") / lit(width))).as("within_bound"))
   }
+
+  // ------------------------------------------------------------------
+  // t-digest quantile sketch
+  // ------------------------------------------------------------------
+
+  /** Merging t-digest (Dunning & Ertl 2019) as a typed mergeable
+    * Aggregator — the quantile sibling of [[CountMinAgg]]. The buffer is a
+    * fixed-capacity flat double array (`(1 + 2·8·cap)` slots: a length
+    * marker + (mean, weight) pairs); values append until the scratch
+    * region fills, then one in-place compression pass sorts by mean and
+    * merges adjacent centroids under the uniform k0 weight ceiling
+    * `W/cap` — so map-side state is constant-size and the shuffle
+    * carries ≤ ~2·cap centroids per group (the q(1−q) tail-refined
+    * scale would grow log(W)-fold; the uniform ceiling trades tail VALUE
+    * resolution for a hard size bound, and the rank contract is what we
+    * assert). Input is (value, weight) pairs, which makes digests
+    * SELF-mergeable: feeding one digest's centroids into another digest
+    * IS the merge, enabling the two-level per-source → global rollup
+    * without rescanning raw data. Rank error of the
+    * percentile-disc-style estimate is bounded by the largest cluster
+    * share — ≤ ~2/cap. No RNG anywhere — the digest is a pure function
+    * of the input multiset and partition boundaries, and the error
+    * CONTRACT holds under any layout. */
+  case class TDigestAgg(cap: Int) extends Aggregator[(Double, Double), Array[Double], Array[Double]] {
+    private val scratch = 8 * cap
+    def zero: Array[Double] = new Array[Double](1 + 2 * scratch)
+    def reduce(b: Array[Double], in: (Double, Double)): Array[Double] = {
+      var n = b(0).toInt
+      if (n >= scratch) { compress(b); n = b(0).toInt }
+      b(1 + 2 * n) = in._1
+      b(2 + 2 * n) = in._2
+      b(0) = n + 1
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      val m = b(0).toInt
+      var i = 0
+      while (i < m) {
+        reduce(a, (b(1 + 2 * i), b(2 + 2 * i)))
+        i += 1
+      }
+      a
+    }
+    def finish(b: Array[Double]): Array[Double] = {
+      compress(b)
+      val n = b(0).toInt
+      val out = new Array[Double](2 * n)
+      System.arraycopy(b, 1, out, 0, 2 * n)
+      out
+    }
+    /** Sort pairs by mean and re-cluster under the k0 ceiling, in place. */
+    private def compress(b: Array[Double]): Unit = {
+      val n = b(0).toInt
+      if (n <= 1) return
+      val pairs = Array.tabulate(n)(i => (b(1 + 2 * i), b(2 + 2 * i)))
+        .sortBy(p => (p._1, p._2))
+      var total = 0.0
+      pairs.foreach(total += _._2)
+      val ceilW = math.max(1.0, total / cap)
+      var (m, w) = pairs(0)
+      var out = 0
+      var i = 1
+      while (i < n) {
+        val (m2, w2) = pairs(i)
+        if (w + w2 <= ceilW) {
+          m = (m * w + m2 * w2) / (w + w2)
+          w += w2
+        } else {
+          b(1 + 2 * out) = m; b(2 + 2 * out) = w; out += 1
+          m = m2; w = w2
+        }
+        i += 1
+      }
+      b(1 + 2 * out) = m; b(2 + 2 * out) = w
+      b(0) = out + 1
+    }
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** Explode a flattened-centroid sketch column into (m, w) rows. */
+  private def centroidRows(df: DataFrame, sk: String): DataFrame =
+    df.select(explode(expr(
+        s"transform(sequence(0, int(size($sk) / 2) - 1)," +
+          s" i -> struct(element_at($sk, i * 2 + 1) AS m," +
+          s" element_at($sk, i * 2 + 2) AS w))")).as("c"))
+      .select(col("c.m").as("m"), col("c.w").as("w"))
+
+  /** Two-level quantile error-contract check: per-group t-digests in one
+    * pass over the data, merged into a global digest by re-digesting the
+    * ≤cap-per-group centroid table (raw data is scanned exactly once for
+    * the sketch), each probe quantile estimated percentile-disc-style
+    * from the ≤cap-row global centroid table, and the estimate's TRUE
+    * rank (one filtered count over the raw values per probe — the audit
+    * pass) checked against q ± tol. The oracle pins the booleans TRUE:
+    * a broken append, compression, merge, or estimate hash-mismatches. */
+  def tdigestContract(df: DataFrame, valCol: String, groupCol: String,
+                      probes: Seq[Double], cap: Int = 100,
+                      tol: Double = 0.03): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val td = udaf(TDigestAgg(cap),
+      ExpressionEncoder[(Double, Double)]())
+    val vals = df.select(col(groupCol).as("g"),
+      col(valCol).cast("double").as("v"))
+    val perGroup = vals.groupBy(col("g"))
+      .agg(td(col("v"), lit(1.0)).as("sk"))
+    val globalSk = centroidRows(perGroup, "sk")
+      .agg(td(col("m"), col("w")).as("sk"))
+    // cumulative weight over the <= cap centroid rows (the one
+    // unpartitioned window is bounded by the sketch size, never the data)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"), col("w"))
+    val cum = centroidRows(globalSk, "sk")
+      .withColumn("cum", sum(col("w")).over(w))
+      .withColumn("total", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val ests = probes.toDF("q").crossJoin(cum)
+      .where(col("cum") >= col("q") * col("total"))
+      .groupBy(col("q")).agg(min(col("m")).as("est"))
+    val n = vals.count()
+    vals.crossJoin(broadcast(ests))
+      .groupBy(col("q"), col("est"))
+      .agg(count(when(col("v") <= col("est"), 1)).as("le"))
+      .select(col("q"),
+        (abs(col("le") / lit(n.toDouble) - col("q")) <= tol).as("within_bound"))
+  }
 }

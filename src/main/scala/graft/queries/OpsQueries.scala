@@ -298,6 +298,13 @@ object OpsQueries {
       Sketches.cmsContract(Tables.documents(s, d), "text", "source",
         Seq("join", "hash", "scan", "order", "zyzzyx"))),
 
+    // t-digest quantile contract: per-type digests re-digested into a
+    // global sketch (raw data scanned once), probe quantile estimates
+    // audited against their true ranks
+    "x_sketch_tdigest" -> ((s, d) =>
+      Sketches.tdigestContract(Tables.events(s, d), "value", "event_type",
+        Seq(0.1, 0.5, 0.9, 0.99))),
+
     // bigram collocations by pointwise mutual information with the
     // standard low-count floor — corpus phrase mining
     "x_text_pmi" -> ((s, d) =>
@@ -1211,6 +1218,10 @@ object OpsQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
          |SELECT ngram, count(*) AS n FROM ex
          |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "x_sketch_tdigest" ->
+      """SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound
+        |FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)""".stripMargin,
 
     "x_text_train_lr" ->
       s"""WITH t AS (SELECT doc_id, (source = 'src1') AS y, $Toks AS toks FROM documents),

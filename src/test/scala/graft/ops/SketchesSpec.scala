@@ -48,4 +48,20 @@ class SketchesSpec extends SparkSuite {
       .as[Array[Long]].head()
     assert(dist.toSeq === local.toSeq)
   }
+
+  test("t-digest quantiles stay within rank tolerance on a skewed stream") {
+    // log-skewed values (heavy head, long tail) stress the tail clusters
+    val rows = (1 to 20000).map(i => ((i % 7).toString, math.pow(1.0005, i)))
+    val df = rows.toDF("g", "v").repartition(13)
+    val got = Sketches.tdigestContract(df, "v", "g",
+        Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99), cap = 100, tol = 0.03)
+      .as[(Double, Boolean)].collect().toMap
+    assert(got.size === 7)
+    assert(got.values.forall(identity), s"rank bound violated: $got")
+    // the sketch is actually small: a whole-corpus digest at cap=100
+    // stays under the 2·cap centroid bound of the uniform k0 ceiling
+    val td = Sketches.TDigestAgg(100)
+    val local = rows.map(_._2).foldLeft(td.zero)((b, x) => td.reduce(b, (x, 1.0)))
+    assert(td.finish(local).length / 2 <= 2 * 100)
+  }
 }
