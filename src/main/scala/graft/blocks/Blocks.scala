@@ -446,6 +446,19 @@ object WriteBlocks {
       // defines the rows to remove); partition-pruned when PartitionBy set
       case "delete" =>
         table.delete(c.props.getString("Delete.Predicate"), partitionBy)
+      // deletion-vector DML: O(matched rows), zero data-file rewrites —
+      // the right mode for sparse deletes/updates on very large tables
+      // (GDPR erasure); OPTIMIZE materializes the vectors later
+      case "delete_vectorized" =>
+        table.deleteVectorized(c.props.getString("Delete.Predicate"))
+      case "update_vectorized" =>
+        table.updateVectorized(c.props.getString("Update.Predicate"),
+          c.props.getMap("Update.Set").map { case (k, v) =>
+            k -> String.valueOf(v) },
+          partitionBy)
+      case "upsert_vectorized" =>
+        table.mergeVectorized(df, c.props.getString("Upsert.MergeStatement"),
+          partitionBy)
       // RESTORE: roll back to a prior version as a new commit (input
       // DataFrame ignored; manifest-only, no data movement)
       case "restore" =>

@@ -331,6 +331,70 @@ object LiftQueries {
         .select("o_orderkey", "o_orderstatus", "price")
     }),
 
+    // deletion-vector DML chain: clean_write → delete_vectorized (sidecar,
+    // zero data-file rewrites) → update_vectorized (vector out + append
+    // images) → upsert_vectorized (vector matched + append batch) → read
+    // back. Exercises the O(matched-rows) row-level DML cost model end to
+    // end through the YAML surface; DeletionVectorSpec asserts the
+    // zero-rewrite property itself.
+    "l_table_dv" -> ((s, d) => {
+      val w = scratch(s, "l_table_dv")
+      Tables.orders(s, d).createOrReplaceTempView("orders_dv_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_dv_src WHERE o_orderkey % 3 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |  D:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: delete_vectorized
+           |      Delete:
+           |        Predicate: o_orderkey % 9 = 0
+           |  U:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: update_vectorized
+           |      Update:
+           |        Predicate: o_orderkey % 6 = 0
+           |        Set:
+           |          price: round(price + 5, 2)
+           |  Ups:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice - 1, 2) AS price
+           |        FROM orders_dv_src WHERE o_orderkey % 12 = 0
+           |  M:
+           |    Type: write::batch_delta
+           |    Input: Ups
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: upsert_vectorized
+           |      Upsert:
+           |        MergeStatement: source.o_orderkey = updates.o_orderkey
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderstatus", "price")
+    }),
+
     // time travel: clean_write (v0) then upsert-merge (v1), read BOTH
     // file-level data skipping: clean_write, OPTIMIZE ZORDER clusters the
     // files by o_orderdate, Stats collects per-file min/max (DataSkipping),
@@ -882,6 +946,24 @@ object LiftQueries {
     "l_table_delete" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
+    // base %3, dv-delete %9, dv-update %6 → +5, dv-upsert %12 → orig-1
+    // (the upsert also RE-INSERTS %36 keys the delete vectored out —
+    // mergeVectorized appends the whole batch, matched or not)
+    "l_table_dv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |afterdel AS (SELECT * FROM base WHERE o_orderkey % 9 <> 0),
+        |afterupd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 6 = 0 THEN round(price + 5, 2)
+        |              ELSE price END AS price
+        |  FROM afterdel)
+        |SELECT o_orderkey, o_orderstatus, price FROM afterupd
+        |WHERE o_orderkey % 12 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice - 1, 2) AS price
+        |FROM orders WHERE o_orderkey % 12 = 0""".stripMargin,
     "l_sql_native_fns" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),

@@ -64,7 +64,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             Option(e.get("base")).map(_.asText()))
         }
       }.getOrElse(Nil)
-      Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L), entries)
+      val dvs = Option(node.get("dv")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(Nil)
+      Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L),
+        entries, dvs)
     }
 
   /** Every manifest, parsed — O(versions) reads. Only the ops that truly
@@ -108,13 +112,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     manifests().filter(_.timestamp <= tsMillis).lastOption.map(_.version)
 
   def read(): DataFrame = lastManifest() match {
-    case Some(m) => readEntries(m.entries)
+    case Some(m) => readSnapshot(m)
     case None    => spark.emptyDataFrame
   }
 
   def readVersion(v: Long): DataFrame =
     manifestAt(v) match {
-      case Some(m) => readEntries(m.entries)
+      case Some(m) => readSnapshot(m)
       case None => throw new AnalysisException(
         "TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> s"$path@v$v"))
     }
@@ -124,6 +128,148 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     case es => es.map { e =>
       e.base.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(e.dir)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  // ------------------------------------------------------- deletion vectors
+  // Delta-style deletion vectors: a manifest may carry `dv` dirs of
+  // (__dv_file, __dv_pos) rows marking deleted positions inside otherwise
+  // untouched data files. Row-level DML then costs O(matched rows) — ONE
+  // sidecar write, ZERO data-file rewrites — and reads subtract the
+  // vectors with a (file, row_index) anti-join. The DV side holds only
+  // not-yet-compacted deletions, so AQE turns the anti-join into a
+  // broadcast at any realistic deletion rate; OPTIMIZE / any full rewrite
+  // materializes the vectors and clears them.
+
+  private val DvFile = "__dv_file"
+  private val DvPos  = "__dv_pos"
+
+  /** Entries scan carrying per-row file provenance (`_metadata.file_path`
+    * + `_metadata.row_index`) — the join key deletion vectors address. */
+  private def readEntriesWithMeta(entries: Seq[Entry]): DataFrame =
+    entries match {
+      case Nil => spark.emptyDataFrame
+      case es => es.map { e =>
+        e.base.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(e.dir)
+          .withColumn(DvFile, col("_metadata.file_path"))
+          .withColumn(DvPos, col("_metadata.row_index"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+  private def applyDv(withMeta: DataFrame, dvs: Seq[String]): DataFrame =
+    withMeta.join(spark.read.parquet(dvs: _*), Seq(DvFile, DvPos), "left_anti")
+
+  /** Snapshot read with `m`'s deletion vectors subtracted (plain
+    * [[readEntries]] when there are none — the common path stays a bare
+    * parquet scan with no provenance columns in the plan). */
+  private def readSnapshot(m: Manifest): DataFrame =
+    if (m.dvs.isEmpty) readEntries(m.entries)
+    else applyDv(readEntriesWithMeta(m.entries), m.dvs).drop(DvFile, DvPos)
+
+  /** Like [[readSnapshot]] but keeps the provenance columns — DML ops use
+    * it to derive NEW vectors from matched rows. */
+  private def readWithMeta(m: Manifest): DataFrame = {
+    val base = readEntriesWithMeta(m.entries)
+    if (m.dvs.isEmpty) base else applyDv(base, m.dvs)
+  }
+
+  /** Filtered snapshot read, DV-aware: the filter applies BEFORE the
+    * anti-join so scan-level pushdown/pruning is unaffected. The pruned
+    * DML paths route their slice reads through this — rewriting a slice
+    * from un-vectored data would resurrect deleted rows. */
+  private def readSnapshotWhere(m: Manifest,
+                                cond: org.apache.spark.sql.Column): DataFrame =
+    if (m.dvs.isEmpty) readEntries(m.entries).where(cond)
+    else applyDv(readEntriesWithMeta(m.entries).where(cond), m.dvs)
+      .drop(DvFile, DvPos)
+
+  /** DV sidecars live under `_graft_dv/` — outside the `d*` data-dir
+    * namespace, so data-dir globs (streamAppends) and the race-orphan
+    * sweep never confuse them with data; vacuum reaps them explicitly. */
+  private def writeDvData(matched: DataFrame): String = {
+    val v = currentVersion.map(_ + 1).getOrElse(0L)
+    val dir = s"$path/_graft_dv/dv$v-${java.util.UUID.randomUUID.toString.take(8)}"
+    matched.select(col(DvFile), col(DvPos)).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** (dv dir count, deleted-position rows) of the current snapshot — the
+    * observability hook specs assert against. */
+  def dvInfo(): (Int, Long) = lastManifest() match {
+    case Some(m) if m.dvs.nonEmpty =>
+      (m.dvs.size, spark.read.parquet(m.dvs: _*).count())
+    case _ => (0, 0L)
+  }
+
+  /** Row-level DELETE via deletion vectors: O(matched rows), no data-file
+    * rewrite — the cost model Delta's DV-enabled `DELETE` has. One scan
+    * finds matching positions (file-level data skipping applies: combine
+    * with [[collectStats]] and the scan is also planning-pruned), one
+    * sidecar write records them; every data dir carries over by reference.
+    * Prefer this over [[delete]] for sparse deletes (GDPR erasure of a few
+    * keys across a 100 TB table); prefer [[delete]]/[[optimize]] when a
+    * large fraction of the table leaves. */
+  def deleteVectorized(condition: String): Long = {
+    require(exists, s"deleteVectorized on absent table $path")
+    withCommitRetry("deleteVectorized") {
+      val cur = lastManifest().get
+      val matched = readWithMeta(cur).where(expr(condition))
+      if (matched.isEmpty)
+        commitAgainst(Some(cur.version), cur.entries, cur.dvs)
+      else
+        commitAgainst(Some(cur.version), cur.entries,
+          cur.dvs :+ writeDvData(matched))
+    }
+  }
+
+  /** Row-level UPDATE via deletion vectors: matched rows are vectored OUT
+    * of their files and their post-update images appended as a fresh dir —
+    * O(matched rows) total, no data-file rewrite (Delta's DV update path).
+    * `partitionBy` shapes the appended images so a partitioned table keeps
+    * its splittable layout. */
+  def updateVectorized(cond: String, set: Map[String, String],
+                       partitionBy: Seq[String] = Nil): Long = {
+    require(exists, s"updateVectorized on absent table $path")
+    withCommitRetry("updateVectorized") {
+      val cur = lastManifest().get
+      val matched = readWithMeta(cur).where(expr(cond))
+      if (matched.isEmpty)
+        commitAgainst(Some(cur.version), cur.entries, cur.dvs)
+      else {
+        val images = set.foldLeft(matched.drop(DvFile, DvPos)) {
+          case (d, (c, valueExpr)) => d.withColumn(c, expr(valueExpr))
+        }
+        validateBatch(images)
+        val dvDir = writeDvData(matched)
+        commitAgainst(Some(cur.version),
+          cur.entries :+ Entry(writeData(images, partitionBy), None),
+          cur.dvs :+ dvDir)
+      }
+    }
+  }
+
+  /** Upsert-merge via deletion vectors: matched target rows (one semi-join
+    * against the update batch) are vectored out and the WHOLE batch appends
+    * as a fresh dir — O(matched + batch), independent of table size AND of
+    * how many partitions the batch touches (beats [[merge]]'s pruned path
+    * when a small batch scatters across many partitions). Same contract as
+    * [[merge]] upsert: `condition` is `source.<k> = updates.<k>`-style raw
+    * SQL; the result is bit-identical to merge's. */
+  def mergeVectorized(updates: DataFrame, condition: String,
+                      partitionBy: Seq[String] = Nil): Long = {
+    validateBatch(updates)
+    withCommitRetry("mergeVectorized") {
+      lastManifest() match {
+        case None =>
+          commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
+        case Some(cur) =>
+          val matched = readWithMeta(cur).alias("source")
+            .join(updates.alias("updates"), expr(condition), "left_semi")
+          val dvs = if (matched.isEmpty) cur.dvs
+                    else cur.dvs :+ writeDvData(matched)
+          commitAgainst(Some(cur.version),
+            cur.entries :+ Entry(writeData(updates, partitionBy), None), dvs)
+      }
+    }
   }
 
   // ---------------------------------------------------------------- checks
@@ -234,7 +380,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     withCommitRetry("append") {
       val prev = lastManifest()
       commitAgainst(prev.map(_.version),
-        prev.map(_.entries).getOrElse(Nil) :+ Entry(dir, None))
+        prev.map(_.entries).getOrElse(Nil) :+ Entry(dir, None),
+        prev.map(_.dvs).getOrElse(Nil))
     }
   }
 
@@ -261,7 +408,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val pruned = if (upsert && partitionBy.nonEmpty)
           prunedMerge(updates, condition, partitionBy) else None
         pruned.getOrElse {
-          val target = readEntries(cur.entries)
+          val target = readSnapshot(cur)
           // no explicit broadcast hint on either side: updates batches and
           // the target both grow without bound at scale, and a forced
           // broadcast of the anti-join build side would OOM; AQE converts
@@ -277,7 +424,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             commitAgainst(Some(cur.version), cur.entries :+ Entry(writeData(
               updates.alias("updates")
                 .join(target.alias("source"), expr(condition), "left_anti"),
-              partitionBy), None))
+              partitionBy), None), cur.dvs)
         }
     }
   }
@@ -306,7 +453,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .limit(MaxPrunedPartitions + 1).collect()
     if (touchedRows.length > MaxPrunedPartitions) return None
     if (touchedRows.isEmpty)
-      return Some(commitAgainst(Some(cur.version), cur.entries))
+      return Some(commitAgainst(Some(cur.version), cur.entries, cur.dvs))
     val touchedVals = touchedRows.map(_.get(0))
     val nonNull = touchedVals.filter(_ != null)
     val hasNull = touchedVals.exists(_ == null)
@@ -317,7 +464,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // the rewritten slice: current rows of touched partitions, merged with
     // ALL updates — the anti-join reads only touched partitions (the isin
     // filter prunes the scan before the join)
-    val merged = readEntries(cur.entries).where(cond)
+    val merged = readSnapshotWhere(cur, cond)
       .alias("source")
       .join(updates.alias("updates"), expr(condition), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
@@ -337,7 +484,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
       }
     }
-    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None)))
+    // carried dirs may still have vectored rows → dvs carry over; a DV row
+    // addressing a file of a rewritten (dropped) partition matches nothing
+    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None),
+      cur.dvs))
   }
 
   /** Apply a CDC batch — rows tagged insert/update/delete in `opCol`
@@ -386,7 +536,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           else None
           pruned.getOrElse(
             commitAgainst(Some(cur.version), Seq(Entry(writeData(
-              readEntries(cur.entries).alias("source")
+              readSnapshot(cur).alias("source")
                 .join(allKeys.alias("updates"), expr(condition), "left_anti")
                 .unionByName(upserts, allowMissingColumns = true),
               partitionBy), None))))
@@ -448,7 +598,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         prunedDelete(condition, partitionBy) else None
       pruned.getOrElse( // not splittable / emptied partition → full rewrite
         commitAgainst(Some(cur.version), Seq(Entry(writeData(
-          readEntries(cur.entries).where(!expr(condition)), partitionBy), None))))
+          readSnapshot(cur).where(!expr(condition)), partitionBy), None))))
     }
   }
 
@@ -476,12 +626,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val cur = lastManifest().get
     if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
-    val touchedRows = readEntries(cur.entries).where(expr(condition))
+    val touchedRows = readSnapshotWhere(cur, expr(condition))
       .select(col(pcol)).distinct()
       .limit(MaxPrunedPartitions + 1).collect()
     if (touchedRows.length > MaxPrunedPartitions) return None
     if (touchedRows.isEmpty)
-      return Some(commitAgainst(Some(cur.version), cur.entries))
+      return Some(commitAgainst(Some(cur.version), cur.entries, cur.dvs))
     val touchedVals = touchedRows.map(_.get(0))
     val nonNull = touchedVals.filter(_ != null)
     val hasNull = touchedVals.exists(_ == null)
@@ -491,7 +641,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
     // the isin filter prunes the scan to touched partitions before the
     // per-row rewrite applies
-    val out = rewriteSlice(readEntries(cur.entries).where(cond))
+    val out = rewriteSlice(readSnapshotWhere(cur, cond))
     val newDir = writeData(out, partitionBy)
     val rewritten = FsUtils.listChildren(spark, newDir)._1
       .filter(_.startsWith(prefix)).toSet
@@ -506,7 +656,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
       }
     }
-    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None)))
+    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None),
+      cur.dvs))
   }
 
   /** Change-data-feed analogue (reference load/entrypoint.py:222-229):
@@ -519,7 +670,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (!exists) return spark.emptyDataFrame
     manifests().filter(_.timestamp < tsMillis).lastOption match {
       case None       => read() // no snapshot predates the start → full feed
-      case Some(base) => read().exceptAll(readEntries(base.entries))
+      case Some(base) => read().exceptAll(readSnapshot(base))
     }
   }
 
@@ -535,7 +686,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       case None => read().withColumn("_change_type", lit("insert"))
       case Some(base) =>
         val cur = read()
-        val old = readEntries(base.entries)
+        val old = readSnapshot(base)
         cur.exceptAll(old).withColumn("_change_type", lit("insert"))
           .unionByName(old.exceptAll(cur).withColumn("_change_type", lit("delete")))
     }
@@ -564,7 +715,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       else None
       pruned.getOrElse(
         commitAgainst(Some(cur.version), Seq(Entry(writeData(
-          apply(readEntries(cur.entries)), partitionBy), None))))
+          apply(readSnapshot(cur)), partitionBy), None))))
     }
   }
 
@@ -641,8 +792,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     case Some(m) =>
       val dfs = pruneEntries(m.entries, condition).map {
         case (e, files, _) if files.nonEmpty =>
-          spark.read.option("basePath", e.base.getOrElse(e.dir))
+          val scan = spark.read.option("basePath", e.base.getOrElse(e.dir))
             .parquet(files: _*)
+          if (m.dvs.isEmpty) scan
+          else scan.withColumn(DvFile, col("_metadata.file_path"))
+            .withColumn(DvPos, col("_metadata.row_index"))
         case (e, _, _) =>
           // fully-pruned entry: keep its SCHEMA as a zero-row slice —
           // under schema drift, dropping the entry entirely could lose
@@ -650,8 +804,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           // (limit 0 plans to an empty relation, nothing is scanned)
           readEntries(Seq(e)).limit(0)
       }
-      dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+      val unioned = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
         .where(expr(condition))
+      if (m.dvs.isEmpty) unioned
+      else applyDv(unioned, m.dvs).drop(DvFile, DvPos)
   }
 
   /** Structured-Streaming SOURCE over an APPEND-ONLY table: a parquet
@@ -671,6 +827,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * unpartitioned ingest tables (partition-shaping belongs downstream). */
   def streamAppends(): DataFrame = {
     require(exists, s"streamAppends on absent table $path")
+    require(lastManifest().forall(_.dvs.isEmpty),
+      s"streamAppends on $path: table has deletion vectors — a file-offset " +
+        "source cannot subtract them (and would also surface dv sidecar " +
+        "dirs); OPTIMIZE to materialize the vectors first")
     spark.readStream.schema(read().schema).parquet(s"$path/d*")
   }
 
@@ -683,7 +843,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
     withCommitRetry("optimize") {
       val curM = lastManifest().get
-      val cur = readEntries(curM.entries)
+      // readSnapshot: a full compaction MATERIALIZES the deletion vectors
+      // (vectored rows drop out of the rewrite) and the fresh manifest
+      // clears them — OPTIMIZE is the DV purge path, exactly like Delta
+      val cur = readSnapshot(curM)
       val n = if (targetPartitions > 0) targetPartitions
               else math.max(1, spark.sparkContext.defaultParallelism / 2)
       val compacted =
@@ -716,7 +879,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val m = manifestAt(v).getOrElse(
       throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND",
         Map("relationName" -> s"$path@v$v")))
-    commitEntries(m.entries)
+    commitEntries(m.entries, m.dvs)
   }
 
   /** Delta-style shallow CLONE: create a table at `targetPath` whose
@@ -732,10 +895,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def cloneTo(targetPath: String): ManagedTable = {
     val target = new ManagedTable(spark, targetPath)
     require(!target.exists, s"clone target already exists: $targetPath")
-    val entries = lastManifest().map(_.entries).getOrElse(Nil)
+    val m = lastManifest()
     // CAS at the target's version 0: of two racing clones to one path,
     // exactly one wins and the other fails loudly
-    target.commitAgainst(None, entries)
+    target.commitAgainst(None, m.map(_.entries).getOrElse(Nil),
+      m.map(_.dvs).getOrElse(Nil))
     target
   }
 
@@ -767,11 +931,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // single-file dir, or a just-compacted dir still under target) —
       // commit a no-op version rather than churn data
       if (small.isEmpty || small.map(_._2.length).sum <= n)
-        commitAgainst(Some(cur.version), cur.entries)
+        commitAgainst(Some(cur.version), cur.entries, cur.dvs)
       else {
-        val merged = readEntries(small.map(_._1)).repartition(n)
+        // subtract deletion vectors from the rewritten slice (rewriting
+        // from un-vectored files would resurrect deleted rows); carried
+        // healthy dirs may still have vectored rows so dvs carry over
+        val smallEntries = small.map(_._1)
+        val merged = (if (cur.dvs.isEmpty) readEntries(smallEntries)
+                      else applyDv(readEntriesWithMeta(smallEntries), cur.dvs)
+                        .drop(DvFile, DvPos))
+          .repartition(n)
         commitAgainst(Some(cur.version),
-          healthy.map(_._1) :+ Entry(writeData(merged, partitionBy), None))
+          healthy.map(_._1) :+ Entry(writeData(merged, partitionBy), None),
+          cur.dvs)
       }
     }
   }
@@ -818,8 +990,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val n = normPath(d)
         !allRefs.exists(r => r == n || r.startsWith(n + "/") || n.startsWith(r + "/"))
       }
+    // DV sidecars: reap `_graft_dv/` dirs no RETAINED manifest references
+    // (optimize/rewrite materialized them, or the manifest that introduced
+    // them dropped past the horizon). Same in-flight guard as race
+    // orphans — a sidecar younger than the horizon may belong to a commit
+    // that hasn't landed.
+    val retainedDvs = retained.flatMap(_.dvs).map(normPath).toSet
+    val dvOrphans = FsUtils.listChildDirsWithModTime(spark, s"$path/_graft_dv")
+      .filter { case (_, mod) => mod < horizon }
+      .map { case (name, _) => s"$path/_graft_dv/$name" }
+      .filter(d => !retainedDvs.contains(normPath(d)))
     FsUtils.deleteFiles(spark,
-      orphanDirs ++ raceOrphans ++ dropped.map(m => s"$logDir/${m.version}.json"))
+      orphanDirs ++ raceOrphans ++ dvOrphans ++
+        dropped.map(m => s"$logDir/${m.version}.json"))
   }
 
   /** Scheme-insensitive path form for containment checks (`file:/x` and
@@ -837,10 +1020,16 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * the partition column stays in the view's schema). */
   def registerAs(databaseName: String, tableName: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $databaseName")
-    val selects = lastManifest().map(_.entries).getOrElse(Nil) match {
-      case Nil => Seq(s"SELECT * FROM parquet.`$path`")
+    val m = lastManifest()
+    val dvs = m.map(_.dvs).getOrElse(Nil)
+    // under deletion vectors each scan must carry per-row provenance so
+    // the view can anti-join the vectored positions back out
+    val meta = if (dvs.isEmpty) ""
+      else s", _metadata.file_path AS $DvFile, _metadata.row_index AS $DvPos"
+    val selects = m.map(_.entries).getOrElse(Nil) match {
+      case Nil => Seq(s"SELECT *$meta FROM parquet.`$path`")
       case es => es.map {
-        case Entry(d, None) => s"SELECT * FROM parquet.`$d`"
+        case Entry(d, None) => s"SELECT *$meta FROM parquet.`$d`"
         case Entry(d, Some(b)) =>
           // decode `pcol=value` path segments below the base into predicates
           val rel = normPath(d).stripPrefix(normPath(b)).stripPrefix("/")
@@ -849,11 +1038,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
             if (v == "__HIVE_DEFAULT_PARTITION__") s"$c IS NULL"
             else s"CAST($c AS STRING) = '${unescapePathName(v)}'"
           }
-          s"SELECT * FROM parquet.`$b` WHERE ${preds.mkString(" AND ")}"
+          s"SELECT *$meta FROM parquet.`$b` WHERE ${preds.mkString(" AND ")}"
       }
     }
+    val unioned = selects.mkString(" UNION ALL ")
+    val body = if (dvs.isEmpty) unioned else {
+      val cols = read().schema.fieldNames.map(c => s"t.`$c`").mkString(", ")
+      val dvScan = dvs.map(d => s"SELECT * FROM parquet.`$d`")
+        .mkString(" UNION ALL ")
+      s"""SELECT $cols FROM ($unioned) t LEFT ANTI JOIN ($dvScan) dv
+         |ON t.$DvFile = dv.$DvFile AND t.$DvPos = dv.$DvPos""".stripMargin
+    }
     spark.sql(
-      s"CREATE OR REPLACE VIEW $databaseName.$tableName AS ${selects.mkString(" UNION ALL ")}")
+      s"CREATE OR REPLACE VIEW $databaseName.$tableName AS $body")
   }
 
   /** Inverse of Spark's partition-path escaping (`%xx` sequences only —
@@ -889,23 +1086,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * writer won the put-if-absent race for the manifest file (a manifest
     * still either exists completely or not at all; a crash mid-write can
     * never corrupt the log). */
-  private def tryCommit(v: Long, entries: Seq[Entry]): Boolean = {
+  private def tryCommit(v: Long, entries: Seq[Entry],
+                        dvs: Seq[String]): Boolean = {
     val dirsJson = entries.map {
       case Entry(d, None)    => "\"" + d + "\""
       case Entry(d, Some(b)) => s"""{"dir":"$d","base":"$b"}"""
     }.mkString("[", ",", "]")
+    val dvJson = if (dvs.isEmpty) ""
+      else dvs.map("\"" + _ + "\"").mkString(""","dv":[""", ",", "]")
     FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
-      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson}""")
+      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson}""")
   }
 
   /** Blind snapshot commit (clean_write / restore / append-rebase): the
     * entries do not derive from the snapshot they land on, so losing a
     * version-number race is harmless — take the next number and retry
     * until the manifest lands. */
-  private def commitEntries(entries: Seq[Entry]): Long = {
+  private def commitEntries(entries: Seq[Entry],
+                            dvs: Seq[String] = Nil): Long = {
     var tries = 0
     var v = currentVersion.map(_ + 1).getOrElse(0L)
-    while (!tryCommit(v, entries)) {
+    while (!tryCommit(v, entries, dvs)) {
       tries += 1
       if (tries > 1000) throw new java.io.IOException(
         s"commit contention on $path: gave up after $tries attempts")
@@ -923,9 +1124,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * Delta's optimistic-concurrency loop with recompute-on-conflict in
     * place of logical conflict classification — always serializable,
     * never a silent lost update. */
-  private def commitAgainst(base: Option[Long], entries: Seq[Entry]): Long = {
+  private def commitAgainst(base: Option[Long], entries: Seq[Entry],
+                            dvs: Seq[String] = Nil): Long = {
     val v = base.map(_ + 1).getOrElse(0L)
-    if (!tryCommit(v, entries))
+    if (!tryCommit(v, entries, dvs))
       throw new ManagedTable.ConcurrentWriteException(path, base)
     v
   }
@@ -948,7 +1150,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 object ManagedTable {
   private[table] case class Entry(dir: String, base: Option[String])
   private[table] case class Manifest(version: Long, timestamp: Long,
-                                     entries: Seq[Entry])
+                                     entries: Seq[Entry],
+                                     dvs: Seq[String] = Nil)
 
   /** Attempts a read-modify-write operation makes before giving up under
     * sustained commit contention. */
