@@ -509,6 +509,13 @@ object WriteBlocks {
         if (c.props.exists("Stats.Columns"))
           c.props.getStringSeq("Stats.Columns")
         else Nil)
+    // `Blooms.Columns: a,b` → per-file bloom filters for equality/IN file
+    // skipping on unclustered high-cardinality columns (DataSkipping)
+    if (c.props.exists("Blooms"))
+      table.collectBlooms(
+        c.props.getStringSeq("Blooms.Columns"),
+        c.props.getOrElse("Blooms.ItemsPerFile", 1000000L.toString).toString.toLong,
+        c.props.getOrElse("Blooms.Fpp", "0.01").toString.toDouble)
     df
   }
 

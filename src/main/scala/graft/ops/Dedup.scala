@@ -360,11 +360,17 @@ object Dedup {
       .withColumn("pos", row_number().over(byRarity))
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("sz"), col("shingle"))
       .persist() // both sides of the candidate self-join read it
+    // length filter (lossless): J >= t forces t*|a| <= |b| <= |a|/t, so
+    // size-incompatible matches drop BEFORE the array-verify join — the
+    // shingle sets (the wide payload) are only shipped for pairs that can
+    // still pass
     val cand = prefix.alias("l")
       .join(prefix.alias("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id") &&
+          col("r.sz") >= ceil(lit(threshold) * col("l.sz")) &&
+          col("l.sz") >= ceil(lit(threshold) * col("r.sz")))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     cand

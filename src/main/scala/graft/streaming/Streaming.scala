@@ -82,23 +82,37 @@ object Streaming {
     * activate the table's partition-pruned merge: each micro-batch then
     * rewrites only the partitions its keys touch (O(touched partitions)
     * per batch), instead of rewriting the whole snapshot.
+    *
+    * `vectorized = true` switches to deletion-vector merges: each batch
+    * costs O(matched + batch) with ZERO data rewrites — independent of
+    * table size AND of how many partitions the batch scatters across,
+    * which is the steady-state cost model a high-rate CDC stream needs.
+    * Sidecars and per-batch dirs accumulate, so every `compactEvery`
+    * batches (0 = never) the sink compacts small dirs and materializes
+    * the vectors — Delta's auto-compaction cadence.
     */
   def streamUpsert(events: DataFrame, table: graft.table.ManagedTable,
                    keyCols: Seq[String], orderCol: String,
-                   mergeCondition: String, partitionBy: Seq[String] = Nil): Unit = {
+                   mergeCondition: String, partitionBy: Seq[String] = Nil,
+                   vectorized: Boolean = false, compactEvery: Int = 0): Unit = {
     import org.apache.spark.sql.expressions.Window
     events.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("update")
       .option("checkpointLocation", s"${table.path}/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(orderCol).desc)
         val deduped = batch
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
-        table.merge(deduped, mergeCondition, upsert = true,
-          partitionBy = partitionBy)
+        if (vectorized) {
+          table.mergeVectorized(deduped, mergeCondition, partitionBy)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            table.optimize(partitionBy = partitionBy)
+        } else
+          table.merge(deduped, mergeCondition, upsert = true,
+            partitionBy = partitionBy)
         ()
       }
       .start()

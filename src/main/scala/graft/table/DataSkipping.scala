@@ -163,6 +163,90 @@ object DataSkipping {
     go(spark.sessionState.sqlParser.parseExpression(condition))
   }
 
+  // ------------------------------------------------------- bloom skipping
+  // Min/max stats cannot prune point lookups on high-cardinality columns
+  // that aren't clustered (a doc_id equality hits every file's [min,max]
+  // range once files interleave ids). Per-file BLOOM FILTERS prune those:
+  // Delta's bloom filter index, rebuilt over plain parquet. Collection is
+  // one distributed pass using Spark's own BloomFilterAggregate (the
+  // runtime-filter aggregate — sketch-native, codegen-fed); pruning
+  // deserializes ONE filter per file per predicate, distributed over the
+  // stats rows, and only surviving paths reach the driver.
+
+  def bloomCol(c: String) = s"bloom_$c"
+
+  /** Per-file bloom filters for `cols` of one data dir: `__path` + one
+    * serialized `BloomFilter` binary per column, hashed via
+    * `xxhash64(col)`. `itemsPerFile`/`fpp` size the filter (1M items at
+    * 1% fpp ≈ 1.2 MB per file per column). */
+  def fileBlooms(spark: SparkSession, dir: String, basePath: Option[String],
+                 cols: Seq[String], itemsPerFile: Long,
+                 fpp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val df = basePath.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(dir)
+    val picked = df.schema.fields.filter(f =>
+      atomic(f.dataType) && cols.exists(_.equalsIgnoreCase(f.name)))
+    require(picked.nonEmpty, s"no bloom-eligible columns among $cols in $dir")
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(itemsPerFile, fpp)
+    val aggs = picked.toSeq.map { f =>
+      GraftShim.bloomAgg(col(f.name), itemsPerFile, bits).as(bloomCol(f.name))
+    }
+    df.withColumn(PathCol, input_file_name())
+      .groupBy(PathCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** xxhash64 of `l` cast to the bloomed column's type `dt` — MUST match
+    * the hash fed to [[fileBlooms]]'s aggregate (`id = 5` parses an INT
+    * literal but a LongType column hashed longs; hashing the raw literal
+    * would never match). Catalyst-evaluated, so coercion is Spark's own. */
+  private def hashLiteral(l: Literal, dt: org.apache.spark.sql.types.DataType): Option[Long] =
+    try {
+      val cast = Cast(l, dt, Option("UTC"))
+      if (cast.eval(null) == null) None // un-castable literal → no pruning
+      else Some(new XxHash64(Seq(cast)).eval(null).asInstanceOf[Long])
+    } catch { case _: Exception => None }
+
+  /** Bloom file-pruning predicate over a blooms DataFrame for `condition`:
+    * keeps a file unless some top-level equality/IN conjunct on a bloomed
+    * column proves it can't match. Non-equality conjuncts (and anything
+    * under OR/NOT) conservatively keep — range pruning is min/max stats'
+    * job. A null bloom cell (file added after collection) keeps. */
+  def bloomKeep(spark: SparkSession, condition: String,
+                bloomed: Map[String, org.apache.spark.sql.types.DataType]): Option[org.apache.spark.sql.Column] = {
+    val might = udf { (bloom: Array[Byte], hashes: Seq[Long]) =>
+      bloom == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bloom)
+        hashes.exists(bf.mightContainLong)
+      }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head.toLowerCase)
+      case _ => None
+    }
+    val tests = conjuncts(
+      spark.sessionState.sqlParser.parseExpression(condition)).flatMap {
+      case EqualTo(a, l: Literal) => attrName(a).map(_ -> Seq(l))
+      case EqualTo(l: Literal, a) => attrName(a).map(_ -> Seq(l))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).map(_ -> vs.map(_.asInstanceOf[Literal]))
+      case _ => None
+    }.flatMap { case (name, lits) =>
+      bloomed.collectFirst { case (c, dt) if c.toLowerCase == name =>
+        // a literal that can't hash (un-castable) disables THIS conjunct
+        val hashes = lits.map(hashLiteral(_, dt))
+        if (hashes.exists(_.isEmpty)) lit(true)
+        else might(col(bloomCol(c)), typedLit(hashes.flatten))
+      }
+    }
+    if (tests.isEmpty) None else Some(tests.reduce(_ && _))
+  }
+
   /** Canonical filesystem path of a raw `input_file_name()` URI (or any
     * path string) for prefix matching and hand-off to the reader. */
   def canonPath(s: String): String = {

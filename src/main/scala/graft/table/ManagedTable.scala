@@ -722,6 +722,28 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def statsDirFor(e: Entry): String =
     s"$path/_graft_stats/${new Path(e.base.getOrElse(e.dir)).getName}"
 
+  private def bloomDirFor(e: Entry): String =
+    s"$path/_graft_blooms/${new Path(e.base.getOrElse(e.dir)).getName}"
+
+  /** Collect per-file bloom filters (see [[DataSkipping]] bloom skipping)
+    * on `cols` for every data dir of the current snapshot that lacks them
+    * — Delta's bloom filter index. Size via `itemsPerFile` (distinct keys
+    * a file may hold) and `fpp`; both trade sidecar bytes for skip rate.
+    * Like stats, blooms are keyed by data dir, so carried dirs are
+    * aggregated once, ever. */
+  def collectBlooms(cols: Seq[String], itemsPerFile: Long = 1000000L,
+                    fpp: Double = 0.01): Unit = {
+    require(exists, s"collectBlooms on absent table $path")
+    lastManifest().get.entries
+      .map(e => (bloomDirFor(e), e.base.getOrElse(e.dir)))
+      .distinct
+      .filterNot { case (bd, _) => FsUtils.exists(spark, bd) }
+      .foreach { case (bd, dataDir) =>
+        DataSkipping.fileBlooms(spark, dataDir, None, cols, itemsPerFile, fpp)
+          .write.mode("overwrite").parquet(bd)
+      }
+  }
+
   /** Collect per-file data-skipping stats (see [[DataSkipping]]) for every
     * data dir of the current snapshot that doesn't have them yet. Stats are
     * keyed by the dir they describe (`_graft_stats/d<N>`), so a dir carried
@@ -746,7 +768,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * paths, files before pruning). Entries without collected stats keep
     * all their files (pruning never affects correctness). The stats
     * filter runs distributed; only surviving paths reach the driver —
-    * the same driver-side file list Spark's scan planning needs anyway. */
+    * the same driver-side file list Spark's scan planning needs anyway.
+    * When bloom sidecars exist ([[collectBlooms]]), equality/IN conjuncts
+    * additionally drop files whose filters prove the key absent — the
+    * point-lookup case min/max can't prune on unclustered data. */
   private def pruneEntries(entries: Seq[Entry],
                            condition: String): Seq[(Entry, Seq[String], Long)] =
     entries.map { e =>
@@ -754,7 +779,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val prefix = DataSkipping.canonPath(e.dir)
       def underEntry(p: String) =
         e.base.isEmpty || p == prefix || p.startsWith(prefix + "/")
-      if (FsUtils.exists(spark, sd)) {
+      val (afterStats, total) = if (FsUtils.exists(spark, sd)) {
         val stats = spark.read.parquet(sd)
         val statCols = stats.schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
@@ -764,15 +789,40 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
         val kept = stats.where(mm).select(DataSkipping.PathCol).collect()
           .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
-        (e, kept.toSeq, all.length.toLong)
+        (kept.toSeq, all.length.toLong)
       } else {
         val files = FsUtils.listFiles(spark, e.dir)
           .filterNot { f =>
             val n = new Path(f).getName
             n.startsWith("_") || n.startsWith(".")
           }
-        (e, files, files.length.toLong)
+        (files, files.length.toLong)
       }
+      val bd = bloomDirFor(e)
+      val kept =
+        if (afterStats.isEmpty || !FsUtils.exists(spark, bd)) afterStats
+        else {
+          val blooms = spark.read.parquet(bd)
+          val bloomedTypes = {
+            val schema = e.base.fold(spark.read)(b =>
+              spark.read.option("basePath", b)).parquet(e.dir).schema
+            blooms.schema.fieldNames.filter(_.startsWith("bloom_"))
+              .map(_.stripPrefix("bloom_")).flatMap(c =>
+                schema.fields.find(_.name.equalsIgnoreCase(c))
+                  .map(f => f.name -> f.dataType)).toMap
+          }
+          DataSkipping.bloomKeep(spark, condition, bloomedTypes) match {
+            case None => afterStats // no equality conjunct on a bloomed col
+            case Some(keep) =>
+              // files the filters DISPROVE; absent rows (files written
+              // after collection) never land here, so they survive
+              val pruned = blooms.where(org.apache.spark.sql.functions.not(keep))
+                .select(DataSkipping.PathCol).collect()
+                .map(r => DataSkipping.canonPath(r.getString(0))).toSet
+              afterStats.filterNot(pruned.contains)
+          }
+        }
+      (e, kept, total)
     }
 
   /** (files read, files in snapshot) for `condition` — the observability

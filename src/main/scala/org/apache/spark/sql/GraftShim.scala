@@ -12,6 +12,19 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Spark's native bloom-filter aggregate (the one runtime filtering
+    * injects), exposed as a groupBy-able Column: builds one
+    * `org.apache.spark.util.sketch.BloomFilter` per group over
+    * `xxhash64(c)` and returns its serialized bytes. TypedImperative +
+    * sketch-native — each input row is one `putLong`, no per-row
+    * (de)serialization. */
+  def bloomAgg(c: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    column(new BloomFilterAggregate(new XxHash64(Seq(expression(c))),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
+
   /** Register a function on a LIVE session's registry (extensions only
     * apply at session build time). */
   def registerFunction(

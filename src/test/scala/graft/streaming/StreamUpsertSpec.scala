@@ -62,6 +62,31 @@ class StreamUpsertSpec extends SparkSuite {
       .listFiles(spark, s"${dataDirOf(s"$w/table", 0)}/part=b").sorted == beforeB)
   }
 
+  test("vectorized streamUpsert never rewrites seed files, matches merge") {
+    val w = graft.common.Scratch.dir("test", "stream_upsert_dv")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val table = ManagedTable(spark, s"$w/table")
+    table.write(Seq((1L, 0L, "seed1"), (2L, 0L, "seed2")).toDF("id", "ver", "payload"))
+    val seedFiles = graft.common.FsUtils
+      .listFiles(spark, dataDirOf(s"$w/table", 0)).sorted
+
+    Seq((2L, 1L, "old2"), (2L, 2L, "new2"), (3L, 1L, "new3"))
+      .toDF("id", "ver", "payload").write.json(s"$w/in")
+    val schema = StructType.fromDDL("id BIGINT, ver BIGINT, payload STRING")
+    Streaming.streamUpsert(
+      spark.readStream.schema(schema).json(s"$w/in"),
+      table, Seq("id"), "ver", "source.id == updates.id",
+      vectorized = true)
+
+    // identical result to the merge path...
+    assert(table.read().as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      == Seq((1L, 0L, "seed1"), (2L, 2L, "new2"), (3L, 1L, "new3")))
+    // ...but the seed data dir was only vectored, never rewritten
+    assert(graft.common.FsUtils
+      .listFiles(spark, dataDirOf(s"$w/table", 0)).sorted == seedFiles)
+    assert(table.dvInfo()._2 === 1L) // the matched key-2 row
+  }
+
   test("streamApplyChanges mirrors an I/U/D change stream onto the table") {
     val w = graft.common.Scratch.dir("test", "stream_cdc")
     graft.common.FsUtils.deleteFiles(spark, Seq(w))
