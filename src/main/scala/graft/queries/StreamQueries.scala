@@ -348,6 +348,36 @@ object StreamQueries {
       s.read.parquet(s"$w/out")
     }),
 
+    // incremental materialized view: two ingestion waves maintain a
+    // per-event-type aggregate table without recomputing history; the
+    // oracle is the plain batch GROUP BY over ALL events — equality IS
+    // the incremental-maintenance correctness statement. Integer-cents
+    // sum keeps the two-wave combine bit-equal to the one-pass oracle
+    // (double summation would associate differently).
+    "s_stream_mv" -> ((s, d) => {
+      val w = scratch(s, "s_stream_mv")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val target = graft.table.ManagedTable(s, s"$w/mv")
+      val schema = StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, cents BIGINT")
+      def drain(): Unit = Streaming.streamIncrementalAgg(
+        s.readStream.schema(schema).json(s"$w/in"), target,
+        keyCols = Seq("event_type"),
+        aggSpecs = Seq(
+          ("n", "count", "event_id"),
+          ("sum_cents", "sum", "cents"),
+          ("min_cents", "min", "cents"),
+          ("max_cents", "max", "cents")),
+        checkpoint = s"$w/checkpoint")
+      ev.where(col("event_id") % 2 === 0).write.json(s"$w/in")
+      drain()
+      ev.where(col("event_id") % 2 === 1).write.mode("append").json(s"$w/in")
+      drain()
+      target.read().select("event_type", "n", "sum_cents", "min_cents", "max_cents")
+    }),
+
     "s_stream_cdc" -> ((s, d) => {
       val w = scratch(s, "s_stream_cdc")
       val orders = Tables.orders(s, d)
@@ -462,6 +492,12 @@ object StreamQueries {
         |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR""".stripMargin,
+    "s_stream_mv" ->
+      """SELECT event_type, count(event_id) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(round(value * 100, 0) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY event_type""".stripMargin,
     "s_stream_cdc" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 22 = 0 AND o_orderkey % 33 <> 0

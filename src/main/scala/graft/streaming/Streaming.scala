@@ -268,6 +268,89 @@ object Streaming {
     * The Delta `.writeStream` + CDC-merge recipe; with
     * Trigger.AvailableNow it drains a change-log backlog incrementally
     * with exactly-once-per-batch checkpointing (replays are no-ops). */
+  /** Incremental materialized-view maintenance: keeps `target` equal to
+    * `SELECT keyCols, aggs FROM <all events ever seen> GROUP BY keyCols`
+    * without ever recomputing history. Each micro-batch partial-aggregates
+    * ONLY its own rows, combines them with the target's current per-group
+    * values (sum+sum / count+count / least / greatest — the distributive
+    * and algebraic aggregates; express avg as sum & count and divide at
+    * read time), and upserts the combined groups via a deletion-vector
+    * merge: per batch the cost is one batch-sized aggregation, one
+    * target-side join that AQE broadcasts the (small) partial against,
+    * and an O(matched groups) vectorized write — independent of event
+    * history length. This is the streaming analogue of an OLAP cube
+    * refresh: the view stays queryable (and versioned, time-travelable)
+    * between batches. Compact on your own cadence via `optimize()`.
+    *
+    * `aggSpecs` maps output column → ("sum"|"count"|"min"|"max", input
+    * expression). `count` counts rows where the expression is non-null
+    * (use `lit(1)` semantics via a non-null literal expression for
+    * COUNT(*)).
+    */
+  def streamIncrementalAgg(events: DataFrame,
+                           target: graft.table.ManagedTable,
+                           keyCols: Seq[String],
+                           aggSpecs: Seq[(String, String, String)],
+                           checkpoint: String): Unit = {
+    aggSpecs.map(_._2).find(k => !Set("sum", "count", "min", "max")(k))
+      .foreach(other => throw new IllegalArgumentException(
+        s"streamIncrementalAgg: non-decomposable aggregate '$other' — " +
+          "only distributive sum/count/min/max combine incrementally; " +
+          "express avg as sum+count"))
+    def aggFor(kind: String, e: String) = kind match {
+      case "sum"   => sum(expr(e))
+      case "count" => count(expr(e))
+      case "min"   => min(expr(e))
+      case "max"   => max(expr(e))
+    }
+    def combineFor(kind: String, cur: org.apache.spark.sql.Column,
+                   add: org.apache.spark.sql.Column) = kind match {
+      case "sum" | "count" =>
+        // null-safe: a group absent from one side contributes nothing
+        coalesce(cur, lit(0L)) + coalesce(add, lit(0L))
+      case "min" => least(cur, add)    // least/greatest skip nulls
+      case "max" => greatest(cur, add)
+    }
+    events.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val partial = batch.groupBy(keyCols.map(col): _*)
+            .agg(aggFor(aggSpecs.head._2, aggSpecs.head._3).as(aggSpecs.head._1),
+              aggSpecs.tail.map(s => aggFor(s._2, s._3).as(s._1)): _*)
+          if (!target.exists) target.write(partial)
+          else {
+            val cur = target.read()
+            // FULL OUTER on the keys: combined rows for matched groups,
+            // pass-through for groups seen only on one side. The partial
+            // is micro-batch-sized, so AQE broadcasts it; the target scan
+            // is read-only (the DV merge below rewrites nothing).
+            // presence marker (never-null) rather than key-null tests:
+            // a legitimately-NULL grouping key must not look "absent"
+            val marked = partial.withColumn("__in_batch", lit(1))
+            val joinCond = keyCols.map(k => cur(k) <=> marked(k)).reduce(_ && _)
+            val upserts = cur.join(marked, joinCond, "full_outer")
+              // groups the batch never touched are already correct in the
+              // target — only matched-or-new groups need to move
+              .where(marked("__in_batch").isNotNull)
+              .select(
+                keyCols.map(k => coalesce(cur(k), marked(k)).as(k)) ++
+                  aggSpecs.map { case (name, kind, _) =>
+                    combineFor(kind, cur(name), marked(name)).as(name)
+                  }: _*)
+            val cond = keyCols
+              .map(k => s"source.`$k` <=> updates.`$k`").mkString(" AND ")
+            target.mergeVectorized(upserts, cond)
+          }
+        }
+        ()
+      }
+      .start()
+      .awaitTermination()
+  }
+
   def streamApplyChanges(changes: DataFrame, table: graft.table.ManagedTable,
                          mergeCondition: String, opCol: String,
                          orderCol: String,

@@ -87,6 +87,45 @@ class StreamUpsertSpec extends SparkSuite {
     assert(table.dvInfo()._2 === 1L) // the matched key-2 row
   }
 
+  test("streamIncrementalAgg maintains the batch GROUP BY across waves") {
+    val w = graft.common.Scratch.dir("test", "stream_mv")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val target = ManagedTable(spark, s"$w/mv")
+    val schema = StructType.fromDDL("k STRING, v BIGINT")
+    def drain(): Unit = Streaming.streamIncrementalAgg(
+      spark.readStream.schema(schema).json(s"$w/in"), target,
+      keyCols = Seq("k"),
+      aggSpecs = Seq(("n", "count", "v"), ("s", "sum", "v"),
+        ("lo", "min", "v"), ("hi", "max", "v")),
+      checkpoint = s"$w/checkpoint")
+
+    // wave 1: groups a, b and a NULL key group; one null value (count
+    // skips it, sum ignores it)
+    Seq(("a", Some(1L)), ("a", Some(5L)), ("b", Some(10L)),
+      (null, Some(7L)), ("a", None))
+      .toDF("k", "v").write.json(s"$w/in")
+    drain()
+    // wave 2: touches a (combine), c (new), NULL again; b untouched
+    Seq(("a", Some(2L)), ("c", Some(100L)), (null, Some(3L)))
+      .toDF("k", "v").write.mode("append").json(s"$w/in")
+    drain()
+
+    val got = target.read().as[(String, Long, Long, Long, Long)]
+      .collect().map(r => Option(r._1).getOrElse("∅") -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 8L, 1L, 5L)),  // null v never counted; min over both waves
+      "b" -> ((1L, 10L, 10L, 10L)),
+      "c" -> ((1L, 100L, 100L, 100L)),
+      "∅" -> ((2L, 10L, 3L, 7L)))) // NULL key is one group, combined across waves
+    // a non-decomposable aggregate is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Streaming.streamIncrementalAgg(
+        spark.readStream.schema(schema).json(s"$w/in"), target,
+        Seq("k"), Seq(("p50", "percentile", "v")), s"$w/cp2")
+    }
+    assert(e.getMessage.contains("non-decomposable"))
+  }
+
   test("streamApplyChanges mirrors an I/U/D change stream onto the table") {
     val w = graft.common.Scratch.dir("test", "stream_cdc")
     graft.common.FsUtils.deleteFiles(spark, Seq(w))
