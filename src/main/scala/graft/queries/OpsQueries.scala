@@ -539,6 +539,26 @@ object OpsQueries {
           col("qty"))
     }),
 
+    // same interval join written the NAIVE way — a plain inequality join
+    // that Spark alone plans as BroadcastNestedLoopJoin — relying on the
+    // RangeJoinRewrite optimizer rule to recover the bucketed equi-join
+    // plan automatically (plans/RangeJoinRewrite.scala; asserted BNLJ-free
+    // in RangeJoinRewriteSpec)
+    "x_range_join_auto" -> ((s, d) => {
+      graft.plans.RangeJoinRewrite.install(s, 7L * 86400L)
+      val iv = Tables.orders(s, d)
+        .where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("iv_id"),
+          col("o_orderdate").cast("timestamp").as("w_start"),
+          (col("o_orderdate") + expr("make_interval(0,0,0, 1 + o_orderkey % 28)"))
+            .cast("timestamp").as("w_end"))
+      val pt = Tables.lineitem(s, d).select(col("l_quantity"),
+        col("l_shipdate").cast("timestamp").as("ship_ts"))
+      iv.join(pt, col("ship_ts") >= col("w_start") && col("ship_ts") < col("w_end"))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_ship"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+
     // skewed aggregation via salting: events concentrate on few
     // event_types (hot reducer keys); the salted two-phase plan spreads
     // each key over 16 reducers and must agree exactly with a plain GROUP BY
@@ -1563,6 +1583,18 @@ object OpsQueries {
         |SELECT iv_id, count(l_orderkey) AS n_ship,
         |  round(sum(l_quantity), 2) AS qty
         |FROM iv LEFT JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
+        |GROUP BY iv_id""".stripMargin,
+
+    "x_range_join_auto" ->
+      """WITH iv AS (SELECT o_orderkey AS iv_id,
+        |              CAST(o_orderdate AS TIMESTAMP) AS w_start,
+        |              CAST(o_orderdate + INTERVAL (1 + o_orderkey % 28) DAY
+        |                   AS TIMESTAMP) AS w_end
+        |            FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT iv_id, count(*) AS n_ship, round(sum(l_quantity), 2) AS qty
+        |FROM iv JOIN lineitem
+        |  ON CAST(l_shipdate AS TIMESTAMP) >= w_start
+        | AND CAST(l_shipdate AS TIMESTAMP) < w_end
         |GROUP BY iv_id""".stripMargin,
 
     "x_skew_agg" ->
