@@ -228,4 +228,96 @@ object Sketches {
       .select(col("q"),
         (abs(col("le") / lit(n.toDouble) - col("q")) <= tol).as("within_bound"))
   }
+
+  // ------------------------------------------------------------------
+  // KMV (bottom-k) distinct-count sketch
+  // ------------------------------------------------------------------
+
+  /** 60-bit hash both engines compute bit-identically: the first 15 hex
+    * chars of md5 of the value's decimal/string form, parsed base-16
+    * (DuckDB: `CAST(concat('0x', substr(md5(v),1,15)) AS BIGINT)`). 60
+    * bits keeps the value positive in a signed long on both sides. */
+  def kmvHash(v: Column): Column =
+    conv(substring(md5(v.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Bottom-k sketch of DISTINCT hash values (Bar-Yossef et al. 2002) as
+    * a typed mergeable Aggregator — the distinct-count sibling of
+    * [[CountMinAgg]]. Buffer = sorted array of the k smallest distinct
+    * hashes seen; constant size, order-insensitive, so map-side partial
+    * aggregation applies and the shuffle carries ≤ k longs per group.
+    * Estimator: k < sketch capacity ⇒ the sketch IS the distinct set
+    * (exact); else (k−1)·2^60 / h_(k) with relative std error ≈ 1/√(k−2).
+    * Unlike HLL the sketch is a pure function of the input SET — no RNG,
+    * no bias correction tables — so an oracle can replay the estimate to
+    * the last bit. */
+  case class BottomKAgg(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // distinct-set semantics: duplicates are no-ops
+      else {
+        val ins = -pos - 1
+        if (ins >= k) b // beyond the current kth smallest: never in sketch
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+    def zero: Array[Long] = Array.empty
+    def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var r = a; var i = 0
+      while (i < b.length) { r = insert(r, b(i)); i += 1 }
+      r
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** KMV estimate from a sorted sketch COLUMN (2^60 and (k−1)·2^60 are
+    * exact doubles, so the one rounded division is engine-portable). */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          try_element_at(sk, lit(k)).cast("double"), 2))
+
+  /** Two-level distinct-count contract: per-group bottom-k sketches in one
+    * aggregation pass, merged into a global sketch with pure array SQL
+    * (`slice(array_sort(array_distinct(flatten(...))))` — the k smallest
+    * of a union of bottom-k sets IS the union's bottom-k), each estimate
+    * emitted beside the exact distinct count, its kth hash, and the
+    * 3σ-bound boolean. The oracle replays hash, kth-order statistic,
+    * estimate arithmetic, and bound — a broken insert, merge, or
+    * estimator hash-mismatches on `kth`/`est` directly. */
+  def kmvContract(df: DataFrame, valCol: String, groupCol: String,
+                  k: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kmv = udaf(BottomKAgg(k), Encoders.scalaLong)
+    val hashed = df.select(col(groupCol).cast("string").as("grp"),
+      col(valCol).as("v"), kmvHash(col(valCol)).as("hv"))
+    val perGroup = hashed.groupBy(col("grp"))
+      .agg(kmv(col("hv")).as("sk"), count_distinct(col("v")).as("n_exact"))
+    val merged = perGroup.agg(
+      slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+        1, k).as("sk"))
+    val globalRow = merged.crossJoin(
+        hashed.agg(count_distinct(col("v")).as("n_exact")))
+      .select(lit("__all__").as("grp"), col("sk"), col("n_exact"))
+    perGroup.select(col("grp"), col("sk"), col("n_exact"))
+      .unionByName(globalRow)
+      .select(col("grp"), col("n_exact"),
+        try_element_at(col("sk"), lit(k)).as("kth"),
+        kmvEstimate(col("sk"), k).as("est"))
+      .withColumn("within_bound",
+        abs(col("est") / col("n_exact") - 1.0) <= 3.0 / math.sqrt(k - 2.0))
+  }
 }

@@ -305,6 +305,13 @@ object OpsQueries {
       Sketches.tdigestContract(Tables.events(s, d), "value", "event_type",
         Seq(0.1, 0.5, 0.9, 0.99))),
 
+    // KMV bottom-k distinct-count contract: per-returnflag sketches of
+    // distinct part keys, merged globally; the oracle replays the hash,
+    // the kth-order statistic, and the estimate bit-for-bit
+    "x_sketch_kmv" -> ((s, d) =>
+      Sketches.kmvContract(Tables.lineitem(s, d), "l_partkey",
+        "l_returnflag", k = 128)),
+
     // bigram collocations by pointwise mutual information with the
     // standard low-count floor — corpus phrase mining
     "x_text_pmi" -> ((s, d) =>
@@ -1242,6 +1249,41 @@ object OpsQueries {
     "x_sketch_tdigest" ->
       """SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound
         |FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)""".stripMargin,
+
+    // full bit-level replay of the KMV sketch: same 60-bit md5 hash, same
+    // kth-order statistic per group and globally, same estimate arithmetic
+    // ((k-1)*2^60/h_k in doubles), same 3-sigma bound boolean
+    "x_sketch_kmv" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
+        |             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |                  AS BIGINT) AS hv
+        |           FROM lineitem),
+        |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS n_exact
+        |       FROM lineitem GROUP BY 1),
+        |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY grp) AS sz FROM h),
+        |kth AS (SELECT grp, max(CASE WHEN rn = 128 THEN hv END) AS kth,
+        |          max(sz) AS sz FROM r GROUP BY grp),
+        |gr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |         count(*) OVER () AS sz FROM (SELECT DISTINCT hv FROM h)),
+        |gkth AS (SELECT max(CASE WHEN rn = 128 THEN hv END) AS kth,
+        |           max(sz) AS sz FROM gr),
+        |gex AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem),
+        |per AS (
+        |  SELECT k.grp, e.n_exact, k.kth,
+        |    CASE WHEN k.sz < 128 THEN CAST(k.sz AS DOUBLE)
+        |         ELSE round(127.0 * CAST(1152921504606846976 AS DOUBLE)
+        |                    / CAST(k.kth AS DOUBLE), 2) END AS est
+        |  FROM kth k JOIN ex e USING (grp)
+        |  UNION ALL
+        |  SELECT '__all__', g.n_exact, gk.kth,
+        |    CASE WHEN gk.sz < 128 THEN CAST(gk.sz AS DOUBLE)
+        |         ELSE round(127.0 * CAST(1152921504606846976 AS DOUBLE)
+        |                    / CAST(gk.kth AS DOUBLE), 2) END
+        |  FROM gkth gk CROSS JOIN gex g)
+        |SELECT grp, n_exact, kth, est,
+        |  (abs(est / n_exact - 1.0) <= 3.0 / sqrt(126.0)) AS within_bound
+        |FROM per""".stripMargin,
 
     "x_text_train_lr" ->
       s"""WITH t AS (SELECT doc_id, (source = 'src1') AS y, $Toks AS toks FROM documents),

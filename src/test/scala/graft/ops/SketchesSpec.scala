@@ -64,4 +64,33 @@ class SketchesSpec extends SparkSuite {
     val local = rows.map(_._2).foldLeft(td.zero)((b, x) => td.reduce(b, (x, 1.0)))
     assert(td.finish(local).length / 2 <= 2 * 100)
   }
+
+  test("bottom-k sketch equals the k smallest distinct values, any split") {
+    val rng = new scala.util.Random(7)
+    val k = 32
+    val data = Seq.fill(5000)(rng.nextLong(1L << 60)) ++
+      Seq.fill(500)(rng.nextLong(40)) // force duplicates
+    val expected = data.distinct.sorted.take(k)
+    val agg = Sketches.BottomKAgg(k)
+    val whole = data.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.toSeq === expected)
+    // arbitrary merge tree gives the identical sketch
+    val parts = data.grouped(613).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    assert(parts.reduce(agg.merge).toSeq === expected)
+    // distributed udaf path with duplicates across partitions
+    val dist = data.toDF("h").repartition(11)
+      .agg(udaf(agg, Encoders.scalaLong)(col("h")).as("sk"))
+      .as[Array[Long]].head()
+    assert(dist.toSeq === expected)
+  }
+
+  test("kmvContract estimates within the 3-sigma bound on uniform keys") {
+    val df = (1 to 9000).map(i => (s"g${i % 3}", i * 37L)).toDF("g", "v")
+    val out = Sketches.kmvContract(df, "v", "g", k = 128)
+      .as[(String, Long, Option[Long], Double, Boolean)].collect()
+    assert(out.length === 4) // 3 groups + __all__
+    assert(out.forall(_._5), s"bound violated: ${out.mkString(", ")}")
+    val all = out.find(_._1 == "__all__").get
+    assert(all._2 === 9000L)
+  }
 }
