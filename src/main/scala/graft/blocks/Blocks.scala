@@ -442,6 +442,12 @@ object WriteBlocks {
           upsert = true, partitionBy = partitionBy)
       case "clean_write" | "overwrite" => table.write(df, partitionBy)
       case "append" => table.append(df, partitionBy)
+      // predicate-scoped overwrite (Delta replaceWhere): rows matching the
+      // predicate leave, the input batch takes their place, one version —
+      // the idempotent backfill; partition-pruned when PartitionBy set
+      case "replace_where" =>
+        table.replaceWhere(df, c.props.getString("ReplaceWhere.Predicate"),
+          partitionBy)
       // row-level DELETE: the input DataFrame is ignored (the predicate
       // defines the rows to remove); partition-pruned when PartitionBy set
       case "delete" =>

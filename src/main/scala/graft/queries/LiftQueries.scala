@@ -293,6 +293,53 @@ object LiftQueries {
         .select("o_orderkey", "o_orderstatus", "price")
     }),
 
+    // predicate-scoped overwrite through Mode: replace_where — the
+    // idempotent backfill: every 'O' row leaves, a recomputed (smaller,
+    // re-priced) 'O' batch takes its place, one version, pruned to the
+    // o_orderstatus=O partition
+    "l_table_replace" -> ((s, d) => {
+      val w = scratch(s, "l_table_replace")
+      Tables.orders(s, d).createOrReplaceTempView("orders_rw_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_rw_src WHERE o_orderkey % 7 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      PartitionBy: o_orderstatus
+           |  Refill:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) - 1.0 AS price
+           |        FROM orders_rw_src
+           |        WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'O' AND o_orderkey % 2 = 0
+           |  R:
+           |    Type: write::batch_delta
+           |    Input: Refill
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: replace_where
+           |      PartitionBy: o_orderstatus
+           |      ReplaceWhere:
+           |        Predicate: o_orderstatus = 'O'
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderstatus", "price")
+    }),
+
     // row-level DELETE through write::batch_delta Mode: delete — the
     // GDPR/right-to-erasure path, partition-pruned on o_orderstatus
     "l_table_delete" -> ((s, d) => {
@@ -995,6 +1042,13 @@ object LiftQueries {
         |       THEN round(round(o_totalprice, 2) + 100, 2)
         |       ELSE round(o_totalprice, 2) END AS price
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "l_table_replace" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) - 1.0 AS price
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'O' AND o_orderkey % 2 = 0""".stripMargin,
     "l_table_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""".stripMargin,

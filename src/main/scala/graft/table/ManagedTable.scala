@@ -613,21 +613,65 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // dir would be silently carried (wrong). Detect and fall back.
       requireAllRewritten = true)
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`): rows matching
+    * `condition` leave the snapshot and the batch takes their place, in
+    * ONE new version — the idempotent backfill primitive ("recompute this
+    * day/source and swap it in"). The batch must itself satisfy the
+    * predicate (checked, like Delta's constraint — otherwise the swap
+    * silently grows out of scope). With `partitionBy` set the rewrite is
+    * pruned to partitions holding matching rows PLUS the batch's own
+    * partitions (either side alone is wrong: an existing partition the
+    * batch doesn't refill must still drop its matches; a partition only
+    * the batch names must merge with its untouched rows), untouched dirs
+    * carried by manifest reference — O(touched partitions). A replace
+    * that empties a partition falls back to the full rewrite. */
+  def replaceWhere(df: DataFrame, condition: String,
+                   partitionBy: Seq[String] = Nil): Long = {
+    validateBatch(df)
+    val stray = df.where(!expr(condition)).limit(1).count()
+    require(stray == 0L,
+      s"replaceWhere batch contains rows violating the predicate $condition")
+    withCommitRetry("replaceWhere") {
+      lastManifest() match {
+        case None =>
+          commitAgainst(None, Seq(Entry(writeData(df, partitionBy), None)))
+        case Some(cur) =>
+          val pruned = if (partitionBy.nonEmpty &&
+              df.columns.contains(partitionBy.head))
+            prunedRewrite(condition, partitionBy,
+              slice => slice.where(!expr(condition))
+                .unionByName(df, allowMissingColumns = true),
+              requireAllRewritten = true,
+              extraTouched = Some(df.select(col(partitionBy.head))))
+          else None
+          pruned.getOrElse(
+            commitAgainst(Some(cur.version), Seq(Entry(writeData(
+              readSnapshot(cur).where(!expr(condition))
+                .unionByName(df, allowMissingColumns = true),
+              partitionBy), None))))
+      }
+    }
+  }
+
   /** Shared pruned-rewrite engine for DML on the FIRST partition column:
     * discover partitions holding rows matching `condition` (column-pruned
-    * scan, bounded driver-side value list), run `rewriteSlice` over ONLY
-    * those partitions into a fresh dir, and carry every other partition
-    * dir by manifest reference. `requireAllRewritten` guards ops (delete)
-    * where a touched partition can vanish from the output. */
+    * scan, bounded driver-side value list) plus any `extraTouched` key
+    * rows (replaceWhere: the incoming batch's partitions), run
+    * `rewriteSlice` over ONLY those partitions into a fresh dir, and
+    * carry every other partition dir by manifest reference.
+    * `requireAllRewritten` guards ops (delete) where a touched partition
+    * can vanish from the output. */
   private def prunedRewrite(condition: String, partitionBy: Seq[String],
                             rewriteSlice: DataFrame => DataFrame,
-                            requireAllRewritten: Boolean): Option[Long] = {
+                            requireAllRewritten: Boolean,
+                            extraTouched: Option[DataFrame] = None): Option[Long] = {
     val pcol = partitionBy.head
     val cur = lastManifest().get
     if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
-    val touchedRows = readSnapshotWhere(cur, expr(condition))
-      .select(col(pcol)).distinct()
+    val matchKeys = readSnapshotWhere(cur, expr(condition)).select(col(pcol))
+    val touchedRows = extraTouched.fold(matchKeys)(matchKeys.union)
+      .distinct()
       .limit(MaxPrunedPartitions + 1).collect()
     if (touchedRows.length > MaxPrunedPartitions) return None
     if (touchedRows.isEmpty)

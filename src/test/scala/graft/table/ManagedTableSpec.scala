@@ -94,6 +94,61 @@ class ManagedTableSpec extends SparkSuite {
     assert(d1dirs === Seq("part=p0"))
   }
 
+  test("replaceWhere swaps matching rows for the batch, partition-pruned") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(30)(i => (s"p${i % 3}", i, "old")).toDF("part", "id", "v"),
+      partitionBy = Seq("part"))
+    val d0 = dataDirOf(root, 0)
+    val untouchedBefore = Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p"))
+    // backfill p0 with a SMALLER recomputed batch (old p0 rows all leave)
+    t.replaceWhere(Seq(("p0", 100, "new"), ("p0", 101, "new")).toDF("part", "id", "v"),
+      "part = 'p0'", partitionBy = Seq("part"))
+    val rows = t.read().select("part", "id", "v").as[(String, Int, String)].collect()
+    assert(rows.count(_._1 == "p0") === 2)
+    assert(rows.filter(_._1 == "p0").forall(_._3 == "new"))
+    assert(rows.count(_._1 != "p0") === 20)
+    assert(rows.filter(_._1 != "p0").forall(_._3 == "old"))
+    // untouched partitions carried byte-identical; only p0 rewritten
+    assert(Seq("p1", "p2").map(p => fileMap(s"$d0/part=$p")) === untouchedBefore)
+    val (d1dirs, _) = graft.common.FsUtils.listChildren(spark, dataDirOf(root, 1))
+    assert(d1dirs === Seq("part=p0"))
+    // a batch that reaches into a partition the predicate doesn't cover
+    // is rejected before anything commits
+    intercept[IllegalArgumentException] {
+      t.replaceWhere(Seq(("p1", 7, "x")).toDF("part", "id", "v"),
+        "part = 'p0'", partitionBy = Seq("part"))
+    }
+    assert(t.currentVersion === Some(1L))
+  }
+
+  test("replaceWhere into a batch-only partition keeps its existing rows") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq(("p0", 1, "old"), ("p1", 2, "old")).toDF("part", "id", "v"),
+      partitionBy = Seq("part"))
+    // predicate matches nothing in p1, but the batch writes there: p1's
+    // existing rows must survive next to the new row (touched-set must
+    // include the batch's partitions, not just the predicate's)
+    t.replaceWhere(Seq(("p1", 3, "new")).toDF("part", "id", "v"),
+      "id >= 3", partitionBy = Seq("part"))
+    val rows = t.read().select("part", "id", "v").as[(String, Int, String)]
+      .collect().toSet
+    assert(rows === Set(("p0", 1, "old"), ("p1", 2, "old"), ("p1", 3, "new")))
+  }
+
+  test("replaceWhere that empties a partition falls back and stays correct") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq(("p0", 1), ("p0", 2), ("p1", 3)).toDF("part", "id"),
+      partitionBy = Seq("part"))
+    // wipe p0, refill nothing there (empty batch) → full-rewrite fallback
+    t.replaceWhere(Seq.empty[(String, Int)].toDF("part", "id"),
+      "part = 'p0'", partitionBy = Seq("part"))
+    assert(t.read().select("part", "id").as[(String, Int)].collect().toSet
+      === Set(("p1", 3)))
+  }
+
   test("updateWhere assigning the partition column takes the full rewrite") {
     val root = tmp() + "/t"
     val t = ManagedTable(spark, root)
