@@ -636,6 +636,24 @@ object Dedup {
     * dup_frac), zero-rows included. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String = "text",
                       k: Int = 8): DataFrame = {
+    val (toks, grams) = gramStream(df, idCol, textCol, k)
+    val dupCounts = nonFirstOccurrences(grams, k)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("idx")).as("dup_tokens"))
+    toks.select(col("id"), size(col("toks")).as("n_tokens"))
+      .join(dupCounts, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)) /
+            col("n_tokens").cast("double"), 6)).as("dup_frac"))
+  }
+
+  /** (tokens, k-gram stream) shared by [[duplicatedSpans]] and
+    * [[exciseDuplicatedSpans]]: one (id, pos, hash) triple per sliding
+    * window — the 8-byte gram hash crosses the exchange, never the text. */
+  private def gramStream(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): (DataFrame, DataFrame) = {
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("toks"))
     val grams = toks.select(col("id"),
@@ -646,19 +664,43 @@ object Dedup {
              |    xxhash64(concat_ws(' ', slice(toks, i + 1, $k))) AS g))
              |END""".stripMargin)).as("e"))
       .select(col("id"), col("e.pos").as("pos"), col("e.g").as("g"))
+    (toks, grams)
+  }
+
+  /** Every (id, idx) token position covered by a k-gram window whose
+    * corpus-wide occurrence is not the first (first copy wins by
+    * (id, pos)). */
+  private def nonFirstOccurrences(grams: DataFrame, k: Int): DataFrame = {
     val firsts = grams.groupBy(col("g"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
-    val dupCounts = grams.join(firsts, "g")
+    grams.join(firsts, "g")
       .where(!(col("id") === col("first.id") && col("pos") === col("first.pos")))
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
-      .groupBy(col("id"))
-      .agg(countDistinct(col("idx")).as("dup_tokens"))
-    toks.select(col("id"), size(col("toks")).as("n_tokens"))
-      .join(dupCounts, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        when(col("n_tokens") === 0, 0.0)
-          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)) /
-            col("n_tokens").cast("double"), 6)).as("dup_frac"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+  }
+
+  /** ExactSubstr REMOVAL (the second half of Lee et al. 2022): rebuild
+    * each document with every duplicated-span token position excised,
+    * keeping the corpus-wide first copy of every span intact. Returns
+    * (idCol, n_tokens, n_kept, fp_clean) — the md5 fingerprint stands in
+    * for the cleaned text so result rows stay sketch-sized.
+    *
+    * Scale shape: identical gram/first-occurrence plan as
+    * [[duplicatedSpans]] (no pair blowup); the per-doc covered-position
+    * set rides one `collect_set` whose size is bounded by the document's
+    * own token count — per-row state proportional to the row itself, the
+    * same bound the text column already imposes — and the excision is a
+    * pure per-row lambda over (token, index). */
+  def exciseDuplicatedSpans(df: DataFrame, idCol: String,
+                            textCol: String = "text", k: Int = 8): DataFrame = {
+    val (toks, grams) = gramStream(df, idCol, textCol, k)
+    val covered = nonFirstOccurrences(grams, k)
+      .groupBy(col("id")).agg(collect_set(col("idx")).as("cov"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), size(col("toks")).as("n_tokens"),
+        expr("filter(toks, (t, i) -> NOT array_contains(" +
+          "coalesce(cov, cast(array() as array<int>)), i))").as("kept"))
+      .select(col(idCol), col("n_tokens"), size(col("kept")).as("n_kept"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("fp_clean"))
   }
 }

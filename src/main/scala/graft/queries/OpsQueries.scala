@@ -402,6 +402,13 @@ object OpsQueries {
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 5)
         .where(col("dup_tokens") > 0)),
 
+    // the removal half of ExactSubstr: every doc rebuilt with duplicated
+    // spans excised (first corpus copy kept); fingerprint stands in for
+    // the cleaned text
+    "x_text_excise" -> ((s, d) =>
+      Dedup.exciseDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 5)),
+
     // Matryoshka truncation: slice each embedding to its first 16 dims
     // and L2-renormalize — map-only, the MRL serving-dimension cut
     "x_embed_truncate" -> ((s, d) => {
@@ -1467,6 +1474,31 @@ object OpsQueries {
          |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens, s.dup_tokens,
          |  round(s.dup_tokens / CAST(len(t.toks) AS DOUBLE), 6) AS dup_frac
          |FROM t JOIN s USING (doc_id) WHERE s.dup_tokens > 0""".stripMargin,
+
+    // replay of the excision: same first-copy-wins span coverage (gram
+    // text in place of the 64-bit gram hash — collision-free at oracle
+    // scale), kept tokens re-joined in position order, empty docs -> ''
+    "x_text_excise" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         |        array_to_string(toks[u.i + 1 : u.i + 5], ' ') AS gram
+         |      FROM t, unnest(range(0, greatest(len(toks) - 4, 0))) AS u(i)),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |c AS (SELECT DISTINCT doc_id, pos + v.j AS idx
+         |      FROM m, unnest(range(0, 5)) AS v(j) WHERE rn > 1),
+         |p AS (SELECT doc_id, CAST(u.i AS INTEGER) AS idx, toks[u.i + 1] AS tok
+         |      FROM t, unnest(range(0, len(toks))) AS u(i)),
+         |kept AS (SELECT p.doc_id, p.idx, p.tok
+         |         FROM p LEFT JOIN c ON c.doc_id = p.doc_id AND c.idx = p.idx
+         |         WHERE c.idx IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY idx) AS clean
+         |        FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+         |  md5(coalesce(a.clean, '')) AS fp_clean
+         |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "x_embed_truncate" ->
       """WITH v AS (SELECT vec_id,

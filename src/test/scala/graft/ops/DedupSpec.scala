@@ -166,5 +166,25 @@ class DedupSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("exciseDuplicatedSpans removes marked positions, keeps first copies") {
+    val d1 = "a b c d e f g h i j k l"
+    val d2 = "x1 x2 d e f g h i x3 x4"
+    val d3 = "p q r s t zz p q r s t"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.exciseDuplicatedSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    def fp(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Seq(
+      (1L, 12, 12, fp(d1)),                       // first copies stay whole
+      (2L, 10, 4, fp("x1 x2 x3 x4")),             // copied 6-run excised
+      (3L, 11, 6, fp("p q r s t zz"))))           // own second 5-run excised
+    // n_tokens - n_kept agrees with duplicatedSpans' dup_tokens
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (id, n, kept, _) => assert(n - kept === spans(id)) }
+  }
+
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }
