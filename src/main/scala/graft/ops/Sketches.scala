@@ -320,4 +320,49 @@ object Sketches {
       .withColumn("within_bound",
         abs(col("est") / col("n_exact") - 1.0) <= 3.0 / math.sqrt(k - 2.0))
   }
+
+  /** Pairwise distinct-set OVERLAP estimation from the same bottom-k
+    * sketches (the theta-sketch intersection recipe on KMV state): for
+    * each group pair, the union sketch is the k smallest of the two
+    * sketch sets combined, θ its kth value; the fraction ρ of the
+    * combined sketch's sub-θ hashes present in BOTH sketches estimates
+    * |A∩B| as ρ·est(|A∪B|). Below capacity the sketches ARE the distinct
+    * sets and the result is exact. Everything — sketch, θ, ρ, estimate
+    * arithmetic, bound — is a pure function of the input sets, so the
+    * oracle replays it bit-for-bit. Sketch pairing is a join over
+    * |groups| sketch rows, never over data. */
+  def kmvOverlapContract(df: DataFrame, valCol: String, groupCol: String,
+                         k: Int = 128): DataFrame = {
+    val kmv = udaf(BottomKAgg(k), Encoders.scalaLong)
+    val hashed = df.select(col(groupCol).cast("string").as("grp"),
+      col(valCol).as("v"), kmvHash(col(valCol)).as("hv"))
+    val perGroup = hashed.groupBy(col("grp")).agg(kmv(col("hv")).as("sk"))
+    val dv = hashed.select(col("grp"), col("v")).distinct()
+    val exact = dv.as("a").join(dv.as("b"),
+        col("a.v") === col("b.v") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = perGroup.as("x").join(perGroup.as("y"),
+        col("x.grp") < col("y.grp"))
+      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"),
+        col("x.sk").as("ska"), col("y.sk").as("skb"))
+      .withColumn("u", slice(array_sort(array_distinct(
+        concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("common", array_intersect(col("ska"), col("skb")))
+    val theta = try_element_at(col("u"), lit(k))
+    val estU = lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+      theta.cast("double")
+    val cnt = size(filter(col("common"), h => h <= theta))
+    pairs
+      .join(exact, Seq("grp_a", "grp_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("est_inter",
+        when(size(col("u")) < k, size(col("common")).cast("double"))
+          .otherwise(round(cnt.cast("double") / lit(k.toDouble) * estU, 2)))
+      .withColumn("within_bound",
+        when(size(col("u")) < k, col("est_inter") === col("n_inter").cast("double"))
+          .otherwise(abs(col("est_inter") - col("n_inter")) <=
+            lit(3.0 / math.sqrt(k.toDouble)) * estU))
+      .select("grp_a", "grp_b", "n_inter", "est_inter", "within_bound")
+  }
 }

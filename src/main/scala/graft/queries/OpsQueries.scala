@@ -312,6 +312,13 @@ object OpsQueries {
       Sketches.kmvContract(Tables.lineitem(s, d), "l_partkey",
         "l_returnflag", k = 128)),
 
+    // pairwise distinct-customer overlap between order statuses from the
+    // same bottom-k state (theta-sketch intersection on KMV sketches);
+    // sub-capacity pairs are exact by construction
+    "x_sketch_kmv_overlap" -> ((s, d) =>
+      Sketches.kmvOverlapContract(Tables.orders(s, d), "o_custkey",
+        "o_orderstatus", k = 128)),
+
     // bigram collocations by pointwise mutual information with the
     // standard low-count floor — corpus phrase mining
     "x_text_pmi" -> ((s, d) =>
@@ -1291,6 +1298,39 @@ object OpsQueries {
         |SELECT grp, n_exact, kth, est,
         |  (abs(est / n_exact - 1.0) <= 3.0 / sqrt(126.0)) AS within_bound
         |FROM per""".stripMargin,
+
+    // bit-level replay of the KMV overlap: same sketches, same union
+    // sketch + theta, same rho-scaled estimate and 3-sigma bound
+    "x_sketch_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT o_orderstatus AS grp,
+        |             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |                  AS BIGINT) AS hv
+        |           FROM orders),
+        |r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+        |      FROM h),
+        |sk AS (SELECT grp, list(hv ORDER BY hv) AS sk FROM r WHERE rn <= 128 GROUP BY grp),
+        |dv AS (SELECT DISTINCT o_orderstatus AS grp, o_custkey AS v FROM orders),
+        |ex AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_inter
+        |       FROM dv a JOIN dv b ON a.v = b.v AND a.grp < b.grp GROUP BY 1, 2),
+        |c AS (SELECT x.grp AS grp_a, y.grp AS grp_b,
+        |        list_sort(list_distinct(list_concat(x.sk, y.sk)))[1:128] AS u,
+        |        list_intersect(x.sk, y.sk) AS common
+        |      FROM sk x JOIN sk y ON x.grp < y.grp),
+        |s AS (SELECT grp_a, grp_b, u, common,
+        |        CASE WHEN len(u) < 128 THEN CAST(len(common) AS DOUBLE)
+        |             ELSE round((CAST(len(list_filter(common, h -> h <= u[128])) AS DOUBLE) / 128.0)
+        |                        * ((127.0 * CAST(1152921504606846976 AS DOUBLE))
+        |                           / CAST(u[128] AS DOUBLE)), 2)
+        |        END AS est_inter
+        |      FROM c)
+        |SELECT s.grp_a, s.grp_b, coalesce(e.n_inter, 0) AS n_inter, s.est_inter,
+        |  CASE WHEN len(s.u) < 128
+        |       THEN s.est_inter = CAST(coalesce(e.n_inter, 0) AS DOUBLE)
+        |       ELSE abs(s.est_inter - coalesce(e.n_inter, 0)) <=
+        |            (3.0 / sqrt(128.0)) * ((127.0 * CAST(1152921504606846976 AS DOUBLE))
+        |                                   / CAST(s.u[128] AS DOUBLE))
+        |  END AS within_bound
+        |FROM s LEFT JOIN ex e USING (grp_a, grp_b)""".stripMargin,
 
     "x_text_train_lr" ->
       s"""WITH t AS (SELECT doc_id, (source = 'src1') AS y, $Toks AS toks FROM documents),

@@ -87,6 +87,22 @@ class RangeJoinRewriteSpec extends SparkSuite {
     }
   }
 
+  test("null bounds and null points drop out exactly like the naive join") {
+    import spark.implicits._
+    val ranges = Seq((1L, Some(0L), Some(100L)), (2L, None, Some(50L)),
+      (3L, Some(10L), None)).toDF("rid", "lo", "hi")
+    val vals = (Seq[Option[Long]](Some(5L), Some(20L), None)).toDF("v")
+    val cond = col("v") >= col("lo") && col("v") < col("hi")
+    val expected = ranges.join(vals, cond).select("rid", "v")
+      .as[(Long, Long)].collect().toSet
+    withRule(16L) {
+      val got = ranges.join(vals, cond).select("rid", "v")
+      assert(!hasBnlj(got))
+      assert(got.as[(Long, Long)].collect().toSet === expected)
+      assert(expected === Set((1L, 5L), (1L, 20L))) // sanity: nulls dropped
+    }
+  }
+
   test("conservative: equi conjunct present, extra filters, or rule off") {
     val iv = intervals(); val pt = points()
     // rule off → untouched
