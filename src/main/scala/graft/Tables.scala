@@ -18,14 +18,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read it as long nanos (legacy conf) and truncate to a
-    * microsecond timestamp — same truncation DuckDB applies on ns→us.
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) (older
+    * testdata drops — Spark's reader rejects it, so read as long nanos via
+    * the legacy conf and truncate to micros, same as DuckDB's ns→us) or
+    * TIMESTAMP(MICROS) (current drops — reads natively as TIMESTAMP_NTZ).
+    * Branch on the resolved schema so both generations work.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TimestampType (sessions run in UTC, so the instant
+        // is unchanged): NTZ refuses numeric casts and surfaces as
+        // LocalDateTime, which breaks the epoch-arithmetic and typed
+        // collect paths downstream
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

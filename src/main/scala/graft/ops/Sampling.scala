@@ -174,6 +174,10 @@ object Sampling {
             " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END")))
           .as("_f"))
       .withColumn("_b", Dedup.h32(col("_f")) % buckets)
+      // the hashed-feature stream feeds three plan branches (target dist,
+      // raw dist, per-raw-doc fold) — without persist each branch re-pays
+      // the tokenize + explode + hash of the whole corpus
+      .persist()
     // bucket log-likelihood ratios: ≤ `buckets` rows by construction
     val dist = feats.groupBy(col("_b")).agg(
       sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),

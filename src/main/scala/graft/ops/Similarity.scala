@@ -179,6 +179,49 @@ object Similarity {
                    blockCol: String, threshold: Double): DataFrame =
     Dedup.embeddingNearDupPairs(df, idCol, vecCol, blockCol, threshold)
 
+  /** EXACT all-pairs cosine within a grouping column, parallelised by
+    * triangle block-decomposition. A plain self-join on the group key puts
+    * every pair of one group into a single task — with a dominant group
+    * (e.g. 40% of a corpus sharing one language) that task computes
+    * O(n_g²) cosines serially while the rest of the cluster idles. Here
+    * each row hashes into one of `blocks` sub-blocks; a row in block i
+    * fans out as the LEFT of block-pairs (i, i..B-1) and as the RIGHT of
+    * (0..i, i); the equi-join on (group, i, j) then spreads the B(B+1)/2
+    * block-pairs of each group across the shuffle, so per-task work drops
+    * to (n_g/B)² and scales out with the partition count. Replication
+    * cost is (B+1)/2 copies per side — bounded and tunable; work (the
+    * pair count) is identical to the naive join. Norms are computed once
+    * per replicated row BEFORE pairing, so each pair pays one fused dot
+    * (native expression), not two array re-scans.
+    *
+    * Pairs are canonicalised to id_a < id_b (cosine is symmetric); the
+    * i == j diagonal block keeps the ordered half only, so every
+    * unordered pair appears exactly once. */
+  def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
+                     grpCols: Seq[String], blocks: Int): DataFrame = {
+    val base = df.select(
+        struct(grpCols.map(col): _*).as("__g"),
+        col(idCol).as("__id"), dbl(col(vecCol)).as("__v"))
+      .withColumn("__n", l2norm(col("__v")))
+      .withColumn("__b",
+        pmod(xxhash64(col("__id").cast("string")), lit(blocks)).cast("int"))
+    val lhs = base
+      .withColumn("__j", explode(expr(s"sequence(__b, ${blocks - 1})")))
+      .select(col("__g"), col("__b").as("__i"), col("__j"),
+        col("__id").as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+    val rhs = base
+      .withColumn("__i", explode(expr("sequence(0, __b)")))
+      .select(col("__g"), col("__i"), col("__b").as("__j"),
+        col("__id").as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    lhs.join(rhs, Seq("__g", "__i", "__j"))
+      .where(col("__i") =!= col("__j") || col("__ida") < col("__idb"))
+      .select(
+        least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        cosinePrenormed(col("__va"), col("__na"), col("__vb"), col("__nb"))
+          .as("cosine"))
+  }
+
   /** Per-label centroid of an embedding column, one output row per
     * (label, dimension): posexplode → partial per-dimension sums map-side →
     * one shuffle of (label, dim) pairs. The IVF coarse-quantizer build

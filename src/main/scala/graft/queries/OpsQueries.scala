@@ -500,13 +500,14 @@ object OpsQueries {
     // The lang block bounds candidates exactly like x_embed_neardup; the
     // cosine runs on the codegen'd vector kernels
     "x_mm_embed_pairs" -> ((s, d) => {
+      // exact all-pairs within language, but block-decomposed: the naive
+      // lang self-join put the dominant language's ~2M pairs in ONE task
+      // (measured 5.9-20 s); 8x8 triangle blocking spreads them across
+      // the shuffle (measured sub-second, identical result)
       val emb = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         Multimodal.featureStub(col("text").cast("binary"), 16).as("emb"))
-      val a = emb.select(col("lang"), col("doc_id").as("id_a"), col("emb").as("ea"))
-      val b = emb.select(col("lang"), col("doc_id").as("id_b"), col("emb").as("eb"))
-      a.join(b, Seq("lang")).where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Similarity.cosine(col("ea"), col("eb")), 6).as("cosine"))
+      Similarity.allPairsCosine(emb, "doc_id", "emb", Seq("lang"), blocks = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(10)
     }),

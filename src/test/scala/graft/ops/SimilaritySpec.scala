@@ -141,4 +141,38 @@ class SimilaritySpec extends SparkSuite {
     assert(funnelR >= adcR, f"re-rank regressed recall: $funnelR%.2f < $adcR%.2f")
     assert(funnelR >= 0.4, f"funnel recall collapsed: $funnelR%.2f")
   }
+
+  test("allPairsCosine equals the naive group self-join exactly") {
+    val docs = Tables.documents(spark, sf1).limit(120)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Multimodal.featureStub(col("text").cast("binary"), 8).as("v"))
+    val naive = {
+      val a = docs.select(col("lang"), col("doc_id").as("id_a"), col("v").as("va"))
+      val b = docs.select(col("lang"), col("doc_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("lang")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 9).as("c"))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity
+      .allPairsCosine(docs, "doc_id", "v", Seq("lang"), blocks = 5)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // triangle block decomposition must emit exactly the same canonical
+    // pair set — every unordered pair once, bitwise-equal cosine (dot and
+    // norm products are commutative, so the swapped orientation is safe)
+    assert(blocked === naive)
+    assert(blocked.nonEmpty)
+  }
+
+  test("allPairsCosine diagonal blocks drop self-pairs and duplicates") {
+    val tiny = Seq((1L, "x", Array(1.0, 0.0)), (2L, "x", Array(1.0, 0.0)),
+      (3L, "x", Array(0.0, 1.0)), (4L, "y", Array(1.0, 1.0)))
+      .toDF("id", "g", "v")
+    val got = Similarity.allPairsCosine(tiny, "id", "v", Seq("g"), blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(p => (p._1, p._2))
+    // group x: pairs (1,2)=1.0, (1,3)=0.0, (2,3)=0.0; group y: no pair
+    assert(got.map(p => (p._1, p._2)) === List((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.head._3 === 1.0)
+  }
 }
