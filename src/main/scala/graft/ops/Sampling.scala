@@ -33,6 +33,29 @@ object Sampling {
     df.where(hashUnit(col(idCol)) < rate)
   }
 
+  /** Leakage-safe train/val/test assignment: the split is decided by the
+    * hash of a SPLIT UNIT — a dedup-cluster id, a URL domain, a content
+    * digest — rather than the row id, so near-duplicate documents sharing
+    * a unit can never straddle a split boundary and leak held-out content
+    * into the training set (the classic eval-contamination failure when
+    * splitting a deduplicated-but-not-clustered corpus uniformly).
+    * Map-only: one hash and a boundary when-chain per row, no shuffle, no
+    * state; weights are normalized, boundaries tested in declared order. */
+  def leakageSafeSplit(df: DataFrame, unitCol: String,
+                       splits: Seq[(String, Double)],
+                       outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val u = hashUnit(col(unitCol))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), hi), acc) => when(u < hi / total, name).otherwise(acc)
+      }
+    df.withColumn(outCol, assign)
+  }
+
   /** Cap each stratum at `cap` rows, chosen deterministically by id hash
     * (row_number over the per-stratum hash order). The standard "no
     * language/source may exceed N documents" rebalancing step before

@@ -213,7 +213,12 @@ object Similarity {
       .withColumn("__i", explode(expr("sequence(0, __b)")))
       .select(col("__g"), col("__i"), col("__b").as("__j"),
         col("__id").as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
-    lhs.join(rhs, Seq("__g", "__i", "__j"))
+    // pair GENERATION parallelism = probe-side partition count: if AQE
+    // broadcasts one side the probe keeps the scan's partitioning (a few
+    // tasks for a small file) and the blocks re-serialize — pin the probe
+    // to a hash partitioning on the block-pair key
+    lhs.repartition(col("__g"), col("__i"), col("__j"))
+      .join(rhs, Seq("__g", "__i", "__j"))
       .where(col("__i") =!= col("__j") || col("__ida") < col("__idb"))
       .select(
         least(col("__ida"), col("__idb")).as("id_a"),

@@ -251,6 +251,15 @@ object OpsQueries {
           Map("en" -> 0.25, "de" -> 0.5), defaultRate = 1.0)
         .select("doc_id", "lang")),
 
+    // leakage-safe splitting: train/val/test decided by the hash of the
+    // content digest (the exact-dup unit), so byte-identical copies can
+    // never straddle a split and leak eval text into training — map-only
+    "x_split_safe" -> ((s, d) =>
+      Sampling.leakageSafeSplit(
+          Tables.documents(s, d).withColumn("unit", md5(col("text"))),
+          "unit", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+
     // A-Res weighted sampling: longest documents most likely, but every
     // document has a nonzero chance — the standard quality-weighted
     // corpus subsampling step
@@ -1230,6 +1239,15 @@ object OpsQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0
         |  < (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.5 ELSE 1.0 END)""".stripMargin,
+
+    "x_split_safe" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5(md5(text)), 1, 8) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM documents)""".stripMargin,
 
     "x_dedup_incremental" ->
       """SELECT min(f.doc_id) AS doc_id, count(*) AS n_copies

@@ -103,4 +103,33 @@ class SamplingSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again === ids)
   }
+
+  test("leakageSafeSplit never splits a unit and tracks its weights") {
+    // 300 units, 2-3 duplicate docs each — duplicates share the unit
+    val docs = (0L until 900L).map(i => (i, s"unit${i % 300}"))
+      .toDF("doc_id", "unit")
+    val got = Sampling.leakageSafeSplit(docs, "unit",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // a unit maps to exactly one split — the no-leak property
+    val perUnit = got.groupBy("unit")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(perUnit === 1L)
+    // fractions approximate the weights (hash-uniform over 300 units)
+    val frac = got.groupBy("split").count().as[(String, Long)].collect().toMap
+      .view.mapValues(_ / 900.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac)
+    assert(frac("val") > 0.03 && frac("val") < 0.2, frac)
+    assert(frac("test") > 0.03 && frac("test") < 0.2, frac)
+    // deterministic across layouts
+    val again = Sampling.leakageSafeSplit(docs.repartition(7), "unit",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(got.orderBy("doc_id").select("split").as[String].collect().toSeq ===
+      again.orderBy("doc_id").select("split").as[String].collect().toSeq)
+    // weights normalize: same assignment when scaled by a constant
+    val scaled = Sampling.leakageSafeSplit(docs, "unit",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(scaled.orderBy("doc_id").select("split").as[String].collect().toSeq ===
+      got.orderBy("doc_id").select("split").as[String].collect().toSeq)
+  }
 }
