@@ -587,23 +587,17 @@ object Dedup {
   }
 
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            blockCol: String, threshold: Double): DataFrame = {
-    // double-cast and L2 norm are per-VECTOR quantities: computing them
-    // inside the pair expression would redo both once per pair (a vector in
-    // m pairs pays m norm scans). Precompute per row, persist, and the
-    // per-pair work drops to a single dot product — same arithmetic, same
-    // oracle.
-    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-        Similarity.asDouble(col(vecCol)).as("vec"))
-      .withColumn("norm", Similarity.l2norm(col("vec")))
-      .persist()
-    v.alias("l").join(v.alias("r"),
-        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(Similarity.cosinePrenormed(
-          col("l.vec"), col("l.norm"), col("r.vec"), col("r.norm")), 4).as("cosine"))
+                            blockCol: String, threshold: Double): DataFrame =
+    // delegates to the triangle-blocked all-pairs join: a plain block
+    // equi-join generates the whole O(m²) pair set of one block inside a
+    // single task, and LSH/cluster blocks are exactly the kind of key
+    // that skews (one hot bucket can hold a large corpus fraction). The
+    // block decomposition keeps the same pair set and arithmetic (dot and
+    // norm products commute, so the canonical orientation is bit-stable)
+    // while spreading each block's pairs across the shuffle.
+    Similarity.allPairsCosine(df, idCol, vecCol, Seq(blockCol), blocks = 8)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .where(col("cosine") >= threshold)
-  }
 
   // ------------------------------------------------------------------
   // Exact-substring duplicated spans (token-level)

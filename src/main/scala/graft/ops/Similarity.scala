@@ -205,6 +205,10 @@ object Similarity {
       .withColumn("__n", l2norm(col("__v")))
       .withColumn("__b",
         pmod(xxhash64(col("__id").cast("string")), lit(blocks)).cast("int"))
+      // feeds both join sides: without persist the upstream projection
+      // (vector cast + norm — and any caller-side feature extraction)
+      // runs twice
+      .persist()
     val lhs = base
       .withColumn("__j", explode(expr(s"sequence(__b, ${blocks - 1})")))
       .select(col("__g"), col("__b").as("__i"), col("__j"),

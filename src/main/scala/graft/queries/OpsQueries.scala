@@ -641,6 +641,22 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // the split-quality audit closing the loop on x_split_safe: every
+    // held-out (val/test) document reports the fraction of its 3-gram
+    // shingles that ALSO appear in the training split — the residual
+    // cross-split leakage the unit-hash split cannot remove (shared
+    // boilerplate across non-identical docs). Same inverted-index
+    // semi-join shape as x_contamination: train side shuffles 64-bit
+    // shingle hashes only, holdout side is the small side
+    "x_split_leakage" -> ((s, d) => {
+      val split = Sampling.leakageSafeSplit(
+        Tables.documents(s, d).withColumn("unit", md5(col("text"))),
+        "unit", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      TextOps.contaminationScreen(
+        split.where(col("split") =!= "train"), "doc_id",
+        split.where(col("split") === "train"), n = 3)
+    }),
+
     // PII scrub: synthetic emails/phones appended per doc (the corpus has
     // none), then counted and redacted with RE2-portable patterns
     "x_text_pii" -> ((s, d) => {
@@ -1763,6 +1779,31 @@ object OpsQueries {
          |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
          |        greatest(len(sh.sh), 1), 4) AS contamination
          |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "x_split_leakage" ->
+      s"""WITH spl AS (SELECT doc_id, text,
+         |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          CAST('0x' || substr(md5(md5(text)), 1, 8) AS BIGINT)
+         |            / 4294967296.0 AS u
+         |        FROM documents)),
+         |t AS (SELECT doc_id, split, $Toks AS toks FROM spl),
+         |sh AS (SELECT doc_id, split,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+         |  FROM t),
+         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE split = 'train'),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE split <> 'train'),
+         |hit AS (SELECT doc_id, count(*) AS n_hit FROM ex
+         |        WHERE s IN (SELECT s FROM tr) GROUP BY doc_id)
+         |SELECT sh.doc_id, CAST(len(sh.sh) AS INT) AS n_shingles,
+         |  coalesce(hit.n_hit, 0) AS n_contaminated,
+         |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
+         |        greatest(len(sh.sh), 1), 4) AS contamination
+         |FROM sh LEFT JOIN hit USING (doc_id)
+         |WHERE sh.split <> 'train'""".stripMargin,
 
     "x_text_pii" ->
       """WITH e AS (SELECT doc_id,
