@@ -65,6 +65,31 @@ object TextOps {
       .withColumnRenamed("col", "para")
   }
 
+  /** Overlapping token-window chunks — the retrieval-indexing (RAG)
+    * chunking step: a window of `window` tokens starts every `stride`
+    * tokens, so consecutive chunks overlap by `window - stride` and no
+    * boundary sentence is lost to a hard cut. Start positions run
+    * through the last one that still begins new content
+    * (ceil((len - window) / stride) + 1 windows; one window for docs
+    * shorter than `window`). Pure expression + Generate like
+    * [[passages]] — map-only at any scale, one output row per chunk. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = col("_toks")
+    val lastStart =
+      greatest(ceil((size(toks) - window).cast("double") / stride), lit(0.0))
+        .cast("int")
+    df.withColumn("_toks", tokens(col(textCol)))
+      .where(size(toks) > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lastStart),
+          i => array_join(slice(toks, i * stride + 1, lit(window)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+  }
+
   /** English-ish stopword list used by quality scoring and language ID. */
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -117,6 +142,26 @@ object TextOps {
     scored.crossJoin(broadcast(thr))
       .where(col("quality_score") >= col("_thr"))
       .select(col(idCol), col("quality_score"))
+  }
+
+  /** Per-SOURCE percentile quality gate: each source cuts its own worst
+    * X% by [[qualityScore]]. A single global threshold lets one
+    * high-quality source crowd out every document of a noisier domain —
+    * per-domain gating is the standard fix. The threshold table is
+    * source-count-sized (a `percentile_disc` per group, so the cut is an
+    * observed score both engines agree on exactly) and broadcast back
+    * onto the scored corpus: two passes, map-side filter, no windows —
+    * unlike a percent_rank gate this never sorts a dominant source's
+    * rows in one task. */
+  def qualityFilterBySource(df: DataFrame, idCol: String, sourceCol: String,
+                            quantile: Double): DataFrame = {
+    val scored = qualityScore(df)
+    val thr = scored.groupBy(col(sourceCol)).agg(
+      expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY quality_score)")
+        .as("_thr"))
+    scored.join(broadcast(thr), sourceCol)
+      .where(col("quality_score") >= col("_thr"))
+      .select(col(idCol), col(sourceCol), col("quality_score"))
   }
 
   /** Per-language marker-word profiles for the n-gram/stopword language-ID

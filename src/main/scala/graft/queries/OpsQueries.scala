@@ -641,6 +641,21 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // RAG chunking: overlapping 32-token windows every 24 tokens — the
+    // retrieval-indexing substrate; map-only Generate, one row per chunk
+    "x_chunk_windows" -> ((s, d) =>
+      TextOps.chunkWindows(Tables.documents(s, d), "doc_id", "text",
+          window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))),
+
+    // per-source quality gate: every source cuts its own worst quartile,
+    // so a noisy domain is filtered against itself, not against the
+    // corpus's best source
+    "x_text_quality_by_source" -> ((s, d) =>
+      TextOps.qualityFilterBySource(Tables.documents(s, d), "doc_id",
+        "source", quantile = 0.25)),
+
     // the split-quality audit closing the loop on x_split_safe: every
     // held-out (val/test) document reports the fraction of its 3-gram
     // shingles that ALSO appear in the training split — the residual
@@ -1779,6 +1794,39 @@ object OpsQueries {
          |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
          |        greatest(len(sh.sh), 1), 4) AS contamination
          |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "x_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |w AS (SELECT doc_id, toks,
+         |        CAST(greatest(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24), 0) AS BIGINT) AS last_i
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  md5(array_to_string(
+         |    list_slice(toks, CAST(i AS INT) * 24 + 1, CAST(i AS INT) * 24 + 32),
+         |    ' ')) AS chunk_md5
+         |FROM w, unnest(range(last_i + 1)) AS u(i)""".stripMargin,
+
+    "x_text_quality_by_source" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id, source,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |  FROM f)
+         |SELECT doc_id, source, quality_score FROM (
+         |  SELECT doc_id, source, quality_score,
+         |    quantile_disc(quality_score, 0.25) OVER (PARTITION BY source) AS thr
+         |  FROM q)
+         |WHERE quality_score >= thr""".stripMargin,
 
     "x_split_leakage" ->
       s"""WITH spl AS (SELECT doc_id, text,
