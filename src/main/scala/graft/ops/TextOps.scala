@@ -90,6 +90,33 @@ object TextOps {
       .withColumnRenamed("col", "chunk")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * SIGMOD — the MOSS algorithm): hash every k-token gram, slide a
+    * w-hash window over the sequence, and keep the MINIMUM hash of each
+    * window. The selected set is position-robust — any shared substring
+    * of at least w + k - 1 tokens is guaranteed to contribute one common
+    * fingerprint — at ~1/w the density of full k-gram shingling, which
+    * is what makes fingerprint-join dedup affordable at corpus scale.
+    * Pure expressions (transform + array_min over HOF slices) — map-only;
+    * one (id, fingerprint) row per distinct selected hash. Ties inside a
+    * window need no tie-break here because equal hashes select the same
+    * VALUE either way and the output is the distinct value set. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val toks = col("_toks")
+    val grams = col("_grams")
+    df.withColumn("_toks", tokens(col(textCol)))
+      .where(size(toks) >= k)
+      // 60-bit md5 hash per k-gram (engine-portable, same as Dedup.h60)
+      .withColumn("_grams",
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => Dedup.h60(array_join(slice(toks, i, lit(k)), " "))))
+      .select(col(idCol),
+        explode(array_distinct(
+          transform(sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+            j => array_min(slice(grams, j, lit(w)))))).as("fp"))
+  }
+
   /** English-ish stopword list used by quality scoring and language ID. */
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

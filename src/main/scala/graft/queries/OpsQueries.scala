@@ -641,6 +641,18 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // MOSS winnowing: per-doc fingerprints at ~1/w shingle density, then
+    // the cross-doc shared-fingerprint counts (the plagiarism/near-dup
+    // candidate signal); any shared run of >= w+k-1 tokens must share a
+    // fingerprint
+    "x_text_winnow" -> ((s, d) =>
+      TextOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 5, w = 4)
+        .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("fp"))
+        .limit(20)),
+
     // RAG chunking: overlapping 32-token windows every 24 tokens — the
     // retrieval-indexing substrate; map-only Generate, one row per chunk
     "x_chunk_windows" -> ((s, d) =>
@@ -1794,6 +1806,21 @@ object OpsQueries {
          |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
          |        greatest(len(sh.sh), 1), 4) AS contamination
          |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "x_text_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(1, len(toks) - 3), i ->
+         |          CAST('0x' || substr(md5(array_to_string(
+         |            list_slice(toks, i, i + 4), ' ')), 1, 15) AS BIGINT)) AS grams
+         |      FROM t WHERE len(toks) >= 5),
+         |f AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+         |        list_transform(range(1, greatest(len(grams) - 3, 1) + 1), j ->
+         |          list_min(list_slice(grams, j, j + 3))))) AS fp
+         |      FROM g)
+         |SELECT fp, count(DISTINCT doc_id) AS n_docs FROM f GROUP BY fp
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, fp LIMIT 20""".stripMargin,
 
     "x_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

@@ -180,4 +180,27 @@ class TextOpsSpec extends SparkSuite {
     // every surviving pair has positive support >= the floor
     assert(got.forall(_._3 >= 5L))
   }
+
+  test("winnowFingerprints guarantees a shared fingerprint for long shared runs") {
+    val (k, w) = (3, 4)
+    // docs 1 and 2 share a w+k-1 = 6-token run inside unrelated prose;
+    // doc 3 shares nothing with either
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"red green blue $shared purple orange"),
+      (2L, s"one two three four $shared nine ten eleven twelve"),
+      (3L, "completely different words with zero overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // the winnowing guarantee: any shared substring of >= w+k-1 tokens
+    // contributes at least one common selected hash
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert((fps(2L) & fps(3L)).isEmpty)
+    // density: winnowing selects far fewer fingerprints than grams
+    val grams1 = 11 - k + 1 // doc 1 has 11 tokens
+    assert(fps(1L).size < grams1)
+  }
 }
