@@ -33,6 +33,25 @@ object Sampling {
     df.where(hashUnit(col(idCol)) < rate)
   }
 
+  /** Inverse-density sampling over embedding-space LSH cells: dense
+    * regions (boilerplate clusters, templated pages) are thinned to an
+    * expected ~`cap` kept rows per cell while sparse regions keep
+    * everything — diversity-preserving corpus selection, the
+    * cheap-and-distributed stand-in for semantic-dedup-then-sample. Cell
+    * counts are one aggregate (a cell-count-sized table, broadcast); the
+    * keep decision is the deterministic id-hash coin at rate
+    * min(1, cap / n_cell). Two passes + map filter, no windows. */
+  def densitySample(df: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int, cap: Long): DataFrame = {
+    val cells = df.select(col(idCol),
+      Similarity.lshBucket(col(vecCol), nPlanes).cast("int").as("bucket"))
+    val counts = cells.groupBy(col("bucket")).agg(count(lit(1)).as("n_cell"))
+    cells.join(broadcast(counts), "bucket")
+      .where(hashUnit(col(idCol)) <
+        least(lit(1.0), lit(cap.toDouble) / col("n_cell")))
+      .select(col(idCol), col("bucket"), col("n_cell"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split is decided by the
     * hash of a SPLIT UNIT — a dedup-cluster id, a URL domain, a content
     * digest — rather than the row id, so near-duplicate documents sharing

@@ -641,6 +641,13 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // inverse-density sampling: dense LSH cells of embedding space thin
+    // to ~16 expected keeps, sparse cells keep everything — diversity-
+    // preserving selection without a full semantic-dedup pass
+    "x_embed_density_sample" -> ((s, d) =>
+      Sampling.densitySample(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 4, cap = 16L)),
+
     // MOSS winnowing: per-doc fingerprints at ~1/w shingle density, then
     // the cross-doc shared-fingerprint counts (the plagiarism/near-dup
     // candidate signal); any shared run of >= w+k-1 tokens must share a
@@ -1806,6 +1813,16 @@ object OpsQueries {
          |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
          |        greatest(len(sh.sh), 1), 4) AS contamination
          |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "x_embed_density_sample" ->
+      s"""WITH b AS (SELECT vec_id, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |c AS (SELECT bucket, count(*) AS n_cell FROM b GROUP BY bucket)
+         |SELECT b.vec_id, b.bucket, c.n_cell
+         |FROM b JOIN c USING (bucket)
+         |WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |        / 4294967296.0
+         |      < least(1.0, CAST(16 AS DOUBLE) / n_cell)""".stripMargin,
 
     "x_text_winnow" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
