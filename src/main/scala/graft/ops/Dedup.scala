@@ -45,6 +45,26 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Exact dedup keeping the BEST copy per key instead of the smallest
+    * id: real pipelines keep the highest-ranked duplicate (longest
+    * variant, best quality score, freshest crawl) — min-id keeps
+    * whichever happened to be crawled first. Selection is
+    * `max(struct(rank, -id, payload))`: struct ordering compares rank
+    * first, then the negated id (ties go to the SMALLEST id), and the
+    * payload rides along without ever being compared because (rank, -id)
+    * is already unique per row. The struct max combines map-side exactly
+    * like [[exact]]'s min — one narrow shuffle keyed by 16-byte digest,
+    * no per-group window sort. */
+  def keepBest(df: DataFrame, keyCol: Column, rankCol: Column,
+               idCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(md5(keyCol.cast("binary")))
+      .agg(max(struct(rankCol.as("__r"), (-col(idCol)).as("__nid"),
+          payload.as("__p"))).as("__best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__best.__p.*"), col("n_copies"))
+  }
+
   /** Soft dedup: keep EVERY copy but weight each row 1/n_copies, so a
     * document family contributes one unit of training mass total (the
     * dedup-by-downweighting alternative studied in the LLM-data

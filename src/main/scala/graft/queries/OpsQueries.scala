@@ -641,6 +641,14 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // keep-best dedup: whitespace/case-normalized duplicates collapse to
+    // the LONGEST raw variant (ties to the smallest id) instead of the
+    // first-crawled copy — map-side-combining struct max, no window
+    "x_dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d),
+          TextOps.normalize(col("text")), col("n_chars"), "doc_id")
+        .select("doc_id", "n_chars", "n_copies")),
+
     // inverse-density sampling: dense LSH cells of embedding space thin
     // to ~16 expected keeps, sparse cells keep everything — diversity-
     // preserving selection without a full semantic-dedup pass
@@ -1813,6 +1821,17 @@ object OpsQueries {
          |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
          |        greatest(len(sh.sh), 1), 4) AS contamination
          |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "x_dedup_keep_best" ->
+      """SELECT doc_id, n_chars, n_copies FROM (
+        |  SELECT doc_id, n_chars,
+        |    count(*) OVER (PARTITION BY k) AS n_copies,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM (SELECT doc_id, n_chars,
+        |          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+        |        FROM documents))
+        |WHERE rn = 1""".stripMargin,
 
     "x_embed_density_sample" ->
       s"""WITH b AS (SELECT vec_id, ${bucketSql("embedding")} AS bucket

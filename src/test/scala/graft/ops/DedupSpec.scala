@@ -186,5 +186,25 @@ class DedupSpec extends SparkSuite {
     got.foreach { case (id, n, kept, _) => assert(n - kept === spans(id)) }
   }
 
+  test("keepBest keeps the highest rank and breaks ties to the smallest id") {
+    val docs = Seq(
+      (1L, "same text", 10L), // family A, shorter
+      (2L, "same  TEXT ", 12L), // family A after normalization, longest -> kept
+      (3L, "same text", 12L), // family A, ties rank 12 with id 2 -> id 2 wins
+      (4L, "unique document", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepBest(docs,
+        TextOps.normalize(col("text")), col("n_chars"), "doc_id")
+      .select("doc_id", "n_chars", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 12L, 3L), (4L, 7L, 1L)))
+    // layout-independent: repartitioned input selects the same rows
+    val again = Dedup.keepBest(docs.repartition(5),
+        TextOps.normalize(col("text")), col("n_chars"), "doc_id")
+      .select("doc_id", "n_chars", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }
