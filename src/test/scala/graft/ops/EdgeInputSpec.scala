@@ -90,4 +90,34 @@ class EdgeInputSpec extends SparkSuite {
     assert(shuffled.select("shuffle_pos").as[Long].collect().sorted.toSeq ===
       (0L until 5L).toSeq)
   }
+
+  test("chunking, winnowing, splitting and keep-best survive edge docs") {
+    // null/empty/whitespace docs have no tokens → zero chunk rows; the
+    // normal docs chunk (7 tokens, window 4 stride 3 → 2 chunks each)
+    val chunks = TextOps.chunkWindows(docs, "doc_id", "text", 4, 3)
+    assert(chunks.select("doc_id").as[Long].collect().toSet === Set(1L, 5L))
+    assert(chunks.count() === 4)
+    // docs shorter than k have no grams → no fingerprints, no crash;
+    // the two identical docs share their whole fingerprint set
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(fps.keySet === Set(1L, 5L))
+    assert(fps(1L) === fps(5L))
+    // null unit hashes like any value: every row still gets exactly one
+    // split and the assignment stays total
+    val split = Sampling.leakageSafeSplit(
+      docs.withColumn("unit", col("text")), "unit",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    assert(split.where(col("split").isNull).count() === 0)
+    assert(split.count() === 5)
+    // keep-best: null text normalizes to null (its own family), the two
+    // identical docs collapse to the smaller id on rank tie
+    val best = Dedup.keepBest(docs,
+        TextOps.normalize(col("text")), org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.coalesce(col("text"),
+            org.apache.spark.sql.functions.lit(""))), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(best.contains(1L) && !best.contains(5L))
+  }
 }
