@@ -567,6 +567,49 @@ object TextOps {
           greatest(col("n_shingles"), lit(1)), 4).as("contamination"))
   }
 
+  /** HTML/markup stripping — the crawl-to-text step: script and style
+    * elements drop with their CONTENT, remaining tags drop keeping their
+    * text, the handful of entities that survive real-world extraction are
+    * decoded, and whitespace collapses. Pure per-row regex chain (every
+    * pattern is RE2/Java-portable, no capture-group replacements) —
+    * map-only at any scale. */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** URL canonicalization — the web-dedup key derivation: fragments and
+    * tracking parameters (utm_*, gclid, fbclid) drop, default ports
+    * drop, scheme+host lowercase (path stays case-sensitive per RFC
+    * 3986), and a trailing slash drops. Every rewrite is a literal or
+    * group-free regex so the identical chain runs on any engine; pure
+    * per-row expressions, map-only. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[^&=]*|gclid|fbclid)=[^&]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]$", "")
+    val noPort = Seq(":80/", ":443/").foldLeft(
+        regexp_replace(regexp_replace(noDangle, ":80$", ""), ":443$", "")) {
+      (c, p) => regexp_replace(c, p, "/")
+    }
+    val schemeHost =
+      lower(regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))
+    val rebuilt =
+      concat(schemeHost, noPort.substr(length(schemeHost) + 1, lit(1000000)))
+    regexp_replace(rebuilt, "/$", "")
+  }
+
+  /** Registrable host of a canonicalized URL — the unit for domain-level
+    * splits, caps, and per-site statistics. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "://([^/:?#]*)", 1)
+
   /** Canonical text normalization for web corpora: lowercase, collapse
     * every whitespace run to a single space, trim the ends. Pure per-row
     * expression — map-only at any scale. The `\s+` class is identical in

@@ -641,6 +641,35 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // crawl-to-text extraction: script/style content dropped, tags
+    // stripped keeping text, entities decoded, whitespace collapsed —
+    // synthetic markup wrapped around each document (corpus has none)
+    "x_text_strip_html" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>T</title><style>body{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+          "<body><p class=\"main\">"),
+        col("text"),
+        lit("</p><div>footer &amp; nav &lt;3</div></body></html>"))
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(TextOps.stripMarkup(html).cast("binary")).as("stripped_md5"),
+        length(TextOps.stripMarkup(html)).as("n_chars_stripped"))
+    }),
+
+    // URL canonicalization: fragment + tracking params + default port
+    // dropped, scheme/host lowercased, trailing slash removed — the
+    // web-dedup key derivation (synthetic per-doc URLs)
+    "x_url_canonical" -> ((s, d) => {
+      val url = concat(lit("HTTP://WWW.Example"),
+        (col("doc_id") % 20).cast("string"),
+        lit(".COM:80/Dir/Page"), col("doc_id").cast("string"),
+        lit("?utm_source=news&id="), col("doc_id").cast("string"),
+        lit("&gclid=9#top"))
+      val canon = TextOps.canonicalizeUrl(url)
+      Tables.documents(s, d).select(col("doc_id"), canon.as("url_canon"),
+        TextOps.urlDomain(canon).as("domain"))
+    }),
+
     // keep-best dedup: whitespace/case-normalized duplicates collapse to
     // the LONGEST raw variant (ties to the smallest id) instead of the
     // first-crawled copy — map-side-combining struct max, no window
@@ -1821,6 +1850,58 @@ object OpsQueries {
          |  round(CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
          |        greatest(len(sh.sh), 1), 4) AS contamination
          |FROM sh LEFT JOIN hit USING (doc_id)""".stripMargin,
+
+    "x_text_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>T</title><style>body{color:red}</style>' ||
+        |  '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+        |  '<body><p class="main">' || text ||
+        |  '</p><div>footer &amp; nav &lt;3</div></body></html>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(html,
+        |    '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |    '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |    '<[^>]*>', ' ', 'gs'),
+        |    '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'),
+        |  '\s+', ' ', 'g')) AS t
+        |  FROM h)
+        |SELECT doc_id, md5(t) AS stripped_md5,
+        |  CAST(len(t) AS INT) AS n_chars_stripped FROM s""".stripMargin,
+
+    "x_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTP://WWW.Example' || (doc_id % 20) || '.COM:80/Dir/Page' ||
+        |  doc_id || '?utm_source=news&id=' || doc_id || '&gclid=9#top' AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(url,
+        |    '#.*', '', 'g'),
+        |    '(utm_[^&=]*|gclid|fbclid)=[^&]*&?', '', 'g'),
+        |    '[?&]$', '', 'g'),
+        |    ':80$', '', 'g'),
+        |    ':443$', '', 'g'),
+        |    ':80/', '/', 'g'),
+        |    ':443/', '/', 'g') AS s
+        |  FROM u),
+        |r AS (SELECT doc_id,
+        |  lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
+        |    substr(s, len(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1,
+        |           1000000) AS rebuilt
+        |  FROM p)
+        |SELECT doc_id,
+        |  regexp_replace(rebuilt, '/$', '', 'g') AS url_canon,
+        |  regexp_extract(regexp_replace(rebuilt, '/$', '', 'g'),
+        |    '://([^/:?#]*)', 1) AS domain
+        |FROM r""".stripMargin,
 
     "x_dedup_keep_best" ->
       """SELECT doc_id, n_chars, n_copies FROM (
