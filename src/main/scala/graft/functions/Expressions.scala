@@ -371,3 +371,38 @@ case class SqDistDouble(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistDouble =
     copy(left = newLeft, right = newRight)
 }
+
+/** zlib compression ratio of a string: deflated bytes / raw UTF-8 bytes.
+  * The classic cheap boilerplate/repetition detector (used by the Gopher
+  * quality rules): templated or repetitive pages compress far below
+  * natural prose, so a low ratio flags machine-generated filler without
+  * any tokenization. Level-6 single-shot deflate — deterministic for a
+  * given zlib, evaluated once per row. Empty strings define ratio 1.0
+  * (nothing to compress, nothing saved). */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](64 + raw.length + raw.length / 1000)
+      var total = 0L
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        total += n
+        if (n == 0 && !d.finished()) return null // cannot make progress
+      }
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}

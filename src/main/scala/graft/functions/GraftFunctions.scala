@@ -31,6 +31,9 @@ object GraftFunctions {
 
   def sumSqDouble(a: Column): Column =
     col(SumSqDouble(expr(a)))
+
+  def deflateRatio(text: Column): Column =
+    col(DeflateRatio(expr(text)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -77,7 +80,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => LshBucket(args(0), intArg(args(1), "nPlanes"))),
     (FunctionIdentifier("sq_dist"),
       new ExpressionInfo(classOf[SqDistDouble].getName, "sq_dist"),
-      (args: Seq[Expression]) => SqDistDouble(args(0), args(1))))
+      (args: Seq[Expression]) => SqDistDouble(args(0), args(1))),
+    (FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => DeflateRatio(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -621,6 +621,15 @@ object TextOps {
   /** Exact content fingerprint: md5 of the raw text. */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  /** zlib compression ratio (deflated/raw bytes) — the Gopher-style
+    * boilerplate detector: templated or repetitive pages compress far
+    * below natural prose. Native [[graft.functions.DeflateRatio]]
+    * expression, one deflate per row, map-only. Not oracle-checkable
+    * (no SQL zlib), so its query carries the weaker rows-only contract
+    * and the signal properties are pinned in ExpressionsSpec. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.GraftFunctions.deflateRatio(text)
+
   /** Canonical fingerprint: md5 over the sorted distinct token set —
     * invariant to word order and repetition, the standard cheap
     * near-dup-robust document key. */

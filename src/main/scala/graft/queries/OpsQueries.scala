@@ -641,6 +641,12 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
+    // compression-ratio boilerplate signal (no DuckDB zlib → rows-only
+    // contract; the discrimination property is pinned in ExpressionsSpec)
+    "x_text_compress_ratio" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        round(TextOps.compressionRatio(col("text")), 4).as("compress_ratio"))),
+
     // crawl-to-text extraction: script/style content dropped, tags
     // stripped keeping text, entities decoded, whitespace collapsed —
     // synthetic markup wrapped around each document (corpus has none)

@@ -161,4 +161,29 @@ class ExpressionsSpec extends SparkSuite {
       assert(r.getDouble(3) === 11.0)
     }
   }
+
+  test("DeflateRatio separates repetition from prose and handles edges") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spam " * 400), // highly repetitive
+      (2L, (1 to 400).map(i => s"w${i * 7919 % 2003}").mkString(" ")), // varied
+      (3L, ""), // empty -> defined 1.0
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.deflateRatio($"text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val rep = rows(1L).asInstanceOf[Double]
+    val varied = rows(2L).asInstanceOf[Double]
+    // the boilerplate signal: repetition compresses far below varied text
+    assert(rep < 0.1, s"repetitive ratio $rep")
+    assert(varied > 2 * rep, s"varied $varied vs repetitive $rep")
+    assert(rows(3L) === 1.0)
+    assert(rows(4L) === null)
+    // SQL registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT deflate_ratio('aaaaaaaaaaaaaaaa') AS r")
+      .head().getDouble(0)
+    assert(viaSql > 0.0 && viaSql < 1.5)
+  }
 }
