@@ -163,6 +163,27 @@ object Sampling {
       .drop("__prior", "__budget")
   }
 
+  /** Per-source EPOCH factors under a total token budget — the
+    * data-constrained-scaling bookkeeping (Muennighoff et al. 2023):
+    * when a source's temperature-scaled budget exceeds its token stock
+    * the source repeats (`epochs` > 1, upsampled); abundant sources
+    * subsample (`epochs` < 1). Same exact-integer budget arithmetic as
+    * [[tokenBudgetMix]]; the token stock is one aggregate over the
+    * corpus, everything else is source-count-sized. */
+  def mixEpochs(df: DataFrame, sourceCol: String, tokensCol: String,
+                totalTokens: Long): DataFrame = {
+    val budgets = mixtureWeights(df, sourceCol)
+      .withColumn("__w6", round(col("mix_weight") * 1000000).cast("long"))
+      .select(col(sourceCol),
+        expr(s"(__w6 * $totalTokens + 500000) div 1000000").as("token_budget"))
+    val stock = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("long").as("token_stock"))
+    stock.join(budgets, sourceCol)
+      .select(col(sourceCol), col("token_stock"), col("token_budget"),
+        round(col("token_budget").cast("double") /
+          greatest(col("token_stock"), lit(1L)), 4).as("epochs"))
+  }
+
   /** Efraimidis–Spirakis A-Res weighted sampling without replacement:
     * each row draws u ∈ (0,1] from its id hash (the +1 keeps ln defined)
     * and scores ln(u)/weight — a monotone transform of the classic

@@ -452,6 +452,15 @@ object OpsQueries {
         totalTokens = 12000L)
     }),
 
+    // per-source epoch factors under a 5M-token budget: scarce sources
+    // upsample (epochs > 1), abundant ones subsample — the data-
+    // constrained scaling bookkeeping on top of the temperature weights
+    "x_mix_epochs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.mixEpochs(docs, "source", "n_tokens", totalTokens = 5000000L)
+    }),
+
     // DSIR importance resampling: src1 plays the curated target domain;
     // every other document scores by hashed unigram+bigram log-likelihood
     // ratio and the Gumbel top-k draws the selection ∝ importance weight
@@ -1563,6 +1572,19 @@ object OpsQueries {
         |                 / 4294967296.0, doc_id) AS rn
         |      FROM documents)
         |SELECT doc_id, source FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin,
+
+    "x_mix_epochs" ->
+      """WITH c AS (SELECT source, sqrt(count(*)) AS pw FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |        CAST(round(round(pw / (SELECT sum(pw) FROM c), 6) * 1000000) AS BIGINT) AS w6
+        |      FROM c),
+        |b AS (SELECT source, (w6 * 5000000 + 500000) // 1000000 AS token_budget FROM w),
+        |t AS (SELECT source,
+        |        CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS token_stock
+        |      FROM documents GROUP BY 1)
+        |SELECT t.source, t.token_stock, b.token_budget,
+        |  round(CAST(b.token_budget AS DOUBLE) / greatest(t.token_stock, 1), 4) AS epochs
+        |FROM t JOIN b USING (source)""".stripMargin,
 
     "x_mix_tokens" ->
       """WITH c AS (SELECT source, sqrt(count(*)) AS pw FROM documents GROUP BY 1),
