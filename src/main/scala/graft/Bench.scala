@@ -61,8 +61,12 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
-      try w.println(fullJson) finally w.close()
+      // Files.writeString THROWS on I/O failure (PrintWriter only sets a
+      // silent error flag — a full disk would leave a truncated artifact
+      // with no warning)
+      val out = java.nio.file.Path.of(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_FULL.json")
+      java.nio.file.Files.writeString(out, fullJson + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     // Shutdown + gate warnings all print BEFORE the summary line so the

@@ -388,21 +388,35 @@ case class DeflateRatio(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(6, false)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](64 + raw.length + raw.length / 1000)
-      var total = 0L
-      while (!d.finished()) {
-        val n = d.deflate(buf)
-        total += n
-        if (n == 0 && !d.finished()) return null // cannot make progress
-      }
-      total.toDouble / raw.length
-    } finally d.end()
+    // one zlib stream + scratch buffer per executor thread, reset per
+    // row: per-row `new Deflater` would pay a JNI stream init/teardown
+    // and a document-sized allocation for every document in the corpus.
+    // Only the deflated byte COUNT is needed, so a fixed buffer drained
+    // in a loop suffices at any document size.
+    val d = DeflateRatio.deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = DeflateRatio.scratch.get()
+    var total = 0L
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      total += n
+      // finish() + setInput guarantee progress until finished; a zero
+      // return with an unfinished stream cannot happen for this usage
+      // (kept as a defensive exit so a zlib anomaly can't spin forever)
+      if (n == 0 && !d.finished()) return 1.0
+    }
+    total.toDouble / raw.length
   }
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
+}
+
+object DeflateRatio {
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, false))
+  private val scratch: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
 }

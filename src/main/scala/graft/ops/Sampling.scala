@@ -66,7 +66,12 @@ object Sampling {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits must be non-empty with positive weights")
     val total = splits.map(_._2).sum
-    val u = hashUnit(col(unitCol))
+    // a null unit is a unit: coalesce to a sentinel so the null family
+    // lands wherever the sentinel hashes (honoring the weights) instead
+    // of every comparison failing and silently defaulting to the LAST
+    // declared split
+    val u = hashUnit(coalesce(col(unitCol).cast("string"),
+      lit("__null_unit__")))
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val assign = splits.init.zip(cum.init)
       .foldRight(lit(splits.last._1): Column) {

@@ -199,6 +199,12 @@ object Similarity {
     * unordered pair appears exactly once. */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
                      grpCols: Seq[String], blocks: Int): DataFrame = {
+    // blocks = 0 would make pmod null under non-ANSI eval and silently
+    // return an EMPTY pair set — fail loud instead
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    // NOTE: the persisted base below lives until the caller (or the
+    // session) clears the cache — Bench/Verify clearCache() per query;
+    // long-lived sessions should do the same between invocations
     val base = df.select(
         struct(grpCols.map(col): _*).as("__g"),
         col(idCol).as("__id"), dbl(col(vecCol)).as("__v"))

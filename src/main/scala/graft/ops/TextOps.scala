@@ -53,17 +53,13 @@ object TextOps {
     * Generate — map-only, no shuffle. The passage table is the substrate
     * for passage-level dedup and the duplicated-passage quality signal. */
   def passages(df: DataFrame, idCol: String, textCol: String,
-               k: Int): DataFrame = {
-    val toks = col("_toks")
-    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
-    df.withColumn("_toks", tokens(col(textCol)))
-      .where(size(toks) > 0)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * k + 1, lit(k)), " "))))
-      .withColumnRenamed("pos", "para_idx")
-      .withColumnRenamed("col", "para")
-  }
+               k: Int): DataFrame =
+    // exactly [[chunkWindows]] with stride == window (for n > 0 tokens,
+    // ceil((n-k)/k) + 1 == ceil(n/k) window starts) — one Generate
+    // pipeline to maintain instead of two
+    chunkWindows(df, idCol, textCol, window = k, stride = k)
+      .withColumnRenamed("chunk_idx", "para_idx")
+      .withColumnRenamed("chunk", "para")
 
   /** Overlapping token-window chunks — the retrieval-indexing (RAG)
     * chunking step: a window of `window` tokens starts every `stride`
@@ -577,8 +573,11 @@ object TextOps {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
-    val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    // &amp; decodes LAST: doing it first turns an escaped '&amp;lt;'
+    // (literal text "&lt;") into '&lt;' which the next pass would
+    // wrongly decode to '<'
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(ent, "\\s+", " "))
   }
@@ -590,14 +589,29 @@ object TextOps {
     * group-free regex so the identical chain runs on any engine; pure
     * per-row expressions, map-only. */
   def canonicalizeUrl(url: Column): Column = {
+    val track = "(utm_[^&=]*|gclid|fbclid)"
     val noFrag = regexp_replace(url, "#.*", "")
-    val noTrack = regexp_replace(noFrag,
-      "(utm_[^&=]*|gclid|fbclid)=[^&]*&?", "")
-    val noDangle = regexp_replace(noTrack, "[?&]$", "")
-    val noPort = Seq(":80/", ":443/").foldLeft(
-        regexp_replace(regexp_replace(noDangle, ":80$", ""), ":443$", "")) {
-      (c, p) => regexp_replace(c, p, "/")
-    }
+    // tracking params must be [?&]-anchored or 'xgclid=5' would be
+    // mangled too. No capture-group replacements (Java $1 vs RE2 \1
+    // dialect split), so three anchored passes instead: strip every
+    // &-prefixed tracking param, then a leading '?track=v&' keeping the
+    // '?' for the promoted successor, then a lone '?track=v' tail.
+    val noMid = regexp_replace(noFrag, s"&$track=[^&]*", "")
+    val noLead = regexp_replace(noMid, s"\\?$track=[^&]*&", "?")
+    val noTrack = regexp_replace(noLead, s"\\?$track=[^&]*$$", "")
+    // default ports are scheme-specific: 80 is NOT default for https.
+    // The three positions a port ends at: before '/', before '?', or
+    // end-of-string. (A scheme-relative caveat: the replace is global,
+    // so a default port inside an embedded URL parameter would also be
+    // rewritten — acceptable for a dedup key.)
+    def stripPort(c: Column, port: String): Column =
+      Seq(s":$port/" -> "/", s":$port\\?" -> "?", s":$port$$" -> "")
+        .foldLeft(c) { case (cc, (p, r)) => regexp_replace(cc, p, r) }
+    val isHttp = lower(url).startsWith("http://")
+    val isHttps = lower(url).startsWith("https://")
+    val noPort = when(isHttp, stripPort(noTrack, "80"))
+      .when(isHttps, stripPort(noTrack, "443"))
+      .otherwise(noTrack)
     val schemeHost =
       lower(regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))
     val rebuilt =

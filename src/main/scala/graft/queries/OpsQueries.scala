@@ -1347,7 +1347,7 @@ object OpsQueries {
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |        CAST('0x' || substr(md5(md5(text)), 1, 8) AS BIGINT)
+        |        CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8) AS BIGINT)
         |          / 4294967296.0 AS u
         |      FROM documents)""".stripMargin,
 
@@ -1894,11 +1894,11 @@ object OpsQueries {
         |    '<style[^>]*>.*?</style>', ' ', 'gis'),
         |    '<[^>]*>', ' ', 'gs'),
         |    '&nbsp;', ' ', 'g'),
-        |    '&amp;', '&', 'g'),
         |    '&lt;', '<', 'g'),
         |    '&gt;', '>', 'g'),
         |    '&quot;', '"', 'g'),
         |    '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g'),
         |  '\s+', ' ', 'g')) AS t
         |  FROM h)
         |SELECT doc_id, md5(t) AS stripped_md5,
@@ -1910,16 +1910,20 @@ object OpsQueries {
         |  doc_id || '?utm_source=news&id=' || doc_id || '&gclid=9#top' AS url
         |  FROM documents),
         |p AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(regexp_replace(regexp_replace(url,
-        |    '#.*', '', 'g'),
-        |    '(utm_[^&=]*|gclid|fbclid)=[^&]*&?', '', 'g'),
-        |    '[?&]$', '', 'g'),
-        |    ':80$', '', 'g'),
-        |    ':443$', '', 'g'),
-        |    ':80/', '/', 'g'),
-        |    ':443/', '/', 'g') AS s
-        |  FROM u),
+        |  CASE WHEN lower(url) LIKE 'http://%' THEN
+        |    regexp_replace(regexp_replace(regexp_replace(t4,
+        |      ':80/', '/', 'g'), ':80\?', '?', 'g'), ':80$', '', 'g')
+        |  WHEN lower(url) LIKE 'https://%' THEN
+        |    regexp_replace(regexp_replace(regexp_replace(t4,
+        |      ':443/', '/', 'g'), ':443\?', '?', 'g'), ':443$', '', 'g')
+        |  ELSE t4 END AS s
+        |  FROM (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+        |      '#.*', '', 'g'),
+        |      '&(utm_[^&=]*|gclid|fbclid)=[^&]*', '', 'g'),
+        |      '\?(utm_[^&=]*|gclid|fbclid)=[^&]*&', '?', 'g'),
+        |      '\?(utm_[^&=]*|gclid|fbclid)=[^&]*$', '', 'g') AS t4
+        |    FROM u)),
         |r AS (SELECT doc_id,
         |  lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
         |    substr(s, len(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1,
@@ -2005,7 +2009,7 @@ object OpsQueries {
          |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
          |         ELSE 'test' END AS split
          |  FROM (SELECT doc_id, text,
-         |          CAST('0x' || substr(md5(md5(text)), 1, 8) AS BIGINT)
+         |          CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8) AS BIGINT)
          |            / 4294967296.0 AS u
          |        FROM documents)),
          |t AS (SELECT doc_id, split, $Toks AS toks FROM spl),

@@ -181,6 +181,39 @@ class TextOpsSpec extends SparkSuite {
     assert(got.forall(_._3 >= 5L))
   }
 
+  test("canonicalizeUrl anchors tracking params and is scheme-aware on ports") {
+    val cases = Seq(
+      // embedded 'gclid' inside a longer param name must NOT be stripped
+      "http://x.com/p?xgclid=5&id=2" -> "http://x.com/p?xgclid=5&id=2",
+      // :80 is NOT the https default port — preserved
+      "https://h.com:80/x" -> "https://h.com:80/x",
+      // port directly before the query string
+      "http://h.com:80?q=1" -> "http://h.com?q=1",
+      "https://H.com:443?q=1" -> "https://h.com?q=1",
+      // leading tracking param promotes its successor onto '?'
+      "http://a.com/p?utm_source=n&id=7&gclid=9#f" -> "http://a.com/p?id=7",
+      // tracking-only query drops entirely, then the trailing slash
+      "HTTP://A.com/p/?utm_a=1&utm_b=2" -> "http://a.com/p",
+      // non-URL strings pass through un-mangled
+      "not a url" -> "not a url")
+    val got = cases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }.toDF("id", "u")
+      .select($"id", TextOps.canonicalizeUrl($"u").as("c"))
+      .as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) === want, s"for $in")
+    }
+  }
+
+  test("stripMarkup decodes &amp; last so escaped entities stay escaped") {
+    val got = Seq((1L,
+      "<p>a &amp;lt; b</p><script>ignore < this</script> c &lt; d"))
+      .toDF("id", "h")
+      .select(TextOps.stripMarkup($"h")).as[String].head()
+    // '&amp;lt;' is the literal text '&lt;' — NOT '<'
+    assert(got === "a &lt; b c < d")
+  }
+
   test("winnowFingerprints guarantees a shared fingerprint for long shared runs") {
     val (k, w) = (3, 4)
     // docs 1 and 2 share a w+k-1 = 6-token run inside unrelated prose;
