@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tails sbt's output and parses the last JSON line. Two
+// things used to break that anchor: the logger's "[info] " prefix on forked
+// stdout, and the trailing "[success] Total time..." line. StdoutOutput
+// passes the forked process's stdout through unprefixed; showSuccess drops
+// the success banner so the bench summary JSON is the true last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

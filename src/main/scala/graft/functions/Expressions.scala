@@ -275,6 +275,59 @@ object VectorKernels {
     }
     acc
   }
+
+  /** Index of the centroid (array<array<double>>) nearest to x by squared
+    * L2, first-wins on exact ties — callers order centroids by ascending
+    * cell id so this equals the (dist, cell) lexicographic argmin the
+    * crossJoin + row_number formulation produced. Length-mismatched or
+    * null centroid rows are skipped; -1 when nothing is comparable. */
+  def argMin(x: ArrayData, cents: ArrayData, xf: Boolean): Int = {
+    val k = cents.numElements()
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < k) {
+      if (!cents.isNullAt(i)) {
+        val c = cents.getArray(i)
+        if (c.numElements() == x.numElements()) {
+          val d = sqDist(x, c, xf, yf = false)
+          if (d < bestD) { bestD = d; best = i }
+        }
+      }
+      i += 1
+    }
+    best
+  }
+}
+
+/** 0-based index of the nearest centroid to a float/double vector by
+  * squared L2 (left-to-right summation, first-wins ties — centroids are
+  * passed ordered by ascending cell id, making this the exact (dist, cell)
+  * argmin). Replaces the k-means / IVF crossJoin + row_number assignment:
+  * one generated-code call per row against the literal centroid table —
+  * map-only, no k-fold row blowup, no per-id window shuffle. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val i = VectorKernels.argMin(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat)
+    if (i < 0) null else i
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VectorKernels.argMin($a, $b, $leftFloat);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Dot product of two double arrays, summed left to right (the oracle's
@@ -414,7 +467,91 @@ case class DeflateRatio(child: Expression)
     copy(child = newChild)
 }
 
+/** Image-header metadata parsed from raw payload bytes — pure-JVM byte
+  * inspection, no codec library: a PNG's dimensions live in the IHDR chunk
+  * that the spec requires first after the 8-byte signature, and a JPEG's in
+  * its SOFn frame header (markers C0–CF minus C4/C8/CC), so width, height
+  * and channel count are readable from a few header bytes without ever
+  * decoding pixel data. Returns struct(format, width, height, channels);
+  * null for any byte stream that is neither (audio payloads, truncated or
+  * corrupt headers) — decode of NON-header content (pixels, audio samples)
+  * still requires a codec and stays stubbed in [[graft.ops.Multimodal]].
+  *
+  * Scale shape: per-row, map-only, reads at most the first few hundred
+  * bytes of each payload (JPEG marker scan stops at the first SOF). */
+case class ImageHeaderMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("channels", IntegerType)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeaderMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): ImageHeaderMeta =
+    copy(child = newChild)
+}
+
+object ImageHeaderMeta {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def row(fmt: String, w: Long, h: Long, c: Int): GenericInternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h, c))
+
+  /** Null (not an exception) for anything unparseable: the operator runs
+    * over crawled corpora where truncated files are data, not errors. */
+  def parse(b: Array[Byte]): GenericInternalRow = {
+    if (b.length >= 29 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      // IHDR data: width(4 BE) height(4 BE) bitdepth(1) colortype(1) ...
+      val channels = u8(b, 25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return null
+      }
+      return row("png", be32(b, 16), be32(b, 20), channels)
+    }
+    if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return null
+        val m = u8(b, i + 1)
+        if (m == 0xff) { i += 1 }                          // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) { i += 2 } // standalone
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return null
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            // SOFn: len(2) precision(1) height(2 BE) width(2 BE) ncomp(1)
+            if (i + 9 >= b.length) return null
+            return row("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong, u8(b, i + 9))
+          }
+          i += 2 + len
+        }
+      }
+      return null
+    }
+    null
+  }
+}
+
 object DeflateRatio {
+  // LIFETIME: each thread's Deflater holds a native zlib stream that is
+  // never end()'d — it lives for the life of the thread. Spark executor
+  // task threads come from a fixed pool, so the steady state is one
+  // stream per pool thread (bounded, intended). Do NOT call this
+  // expression from short-lived ad-hoc threads in a loop; that pattern
+  // would leak one native stream per dead thread until GC finalization.
   private val deflater: ThreadLocal[java.util.zip.Deflater] =
     ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, false))
   private val scratch: ThreadLocal[Array[Byte]] =

@@ -34,6 +34,12 @@ object GraftFunctions {
 
   def deflateRatio(text: Column): Column =
     col(DeflateRatio(expr(text)))
+
+  def nearestCentroid(vec: Column, centroids: Column): Column =
+    col(NearestCentroid(expr(vec), expr(centroids)))
+
+  def imageHeaderMeta(payload: Column): Column =
+    col(ImageHeaderMeta(expr(payload)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -83,7 +89,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => SqDistDouble(args(0), args(1))),
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
-      (args: Seq[Expression]) => DeflateRatio(args(0))))
+      (args: Seq[Expression]) => DeflateRatio(args(0))),
+    (FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => NearestCentroid(args(0), args(1))),
+    (FunctionIdentifier("image_header_meta"),
+      new ExpressionInfo(classOf[ImageHeaderMeta].getName, "image_header_meta"),
+      (args: Seq[Expression]) => ImageHeaderMeta(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -54,9 +54,21 @@ object Dedup {
     * payload rides along without ever being compared because (rank, -id)
     * is already unique per row. The struct max combines map-side exactly
     * like [[exact]]'s min — one narrow shuffle keyed by 16-byte digest,
-    * no per-group window sort. */
+    * no per-group window sort.
+    *
+    * Contract (checked where possible): `idCol` must be NUMERIC (the
+    * tie-break negates it — enforced with a require) and must not be
+    * Long.MinValue (negation overflows; no real id generator emits it);
+    * every column of `df` must be an ORDERABLE type — `max(struct(...))`
+    * demands whole-struct orderability at analysis time even though the
+    * payload is never actually compared, so a MapType column fails the
+    * analyzer. Project un-orderable columns away (or json-encode them)
+    * before calling. */
   def keepBest(df: DataFrame, keyCol: Column, rankCol: Column,
                idCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest tie-breaks on -$idCol, which needs a numeric id; got $idType")
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(md5(keyCol.cast("binary")))
       .agg(max(struct(rankCol.as("__r"), (-col(idCol)).as("__nid"),
@@ -638,9 +650,11 @@ object Dedup {
     * text; a 64-bit collision merges two gram classes, odds ~n²/2⁶⁵,
     * acceptable for dedup and absent at oracle scale); first-occurrence
     * resolution is one aggregation + an equi-join on that same hash, so
-    * both sides share one partitioning; coverage expansion is a bounded
-    * k× explode of integer positions followed by a per-doc distinct
-    * count. A boilerplate gram repeated across the corpus concentrates
+    * both sides share one partitioning; covered-token counting is a
+    * per-doc interval-union fold over the sorted duplicated-window start
+    * positions (one integer per window crosses the shuffle — never the
+    * k-fold position expansion). A boilerplate gram repeated across the
+    * corpus concentrates
     * ONE aggregation key (compact: min-struct of two longs) — the join
     * fan-back stays one row per occurrence, so there is no quadratic
     * pair blowup anywhere (unlike candidate-pair dedup, this op never
@@ -651,9 +665,22 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String = "text",
                       k: Int = 8): DataFrame = {
     val (toks, grams) = gramStream(df, idCol, textCol, k)
-    val dupCounts = nonFirstOccurrences(grams, k)
+    // union length of the per-doc interval set [pos, pos+k-1]: sort the
+    // duplicated-window start positions (each ≤ the doc's own token count,
+    // the same per-row bound the text column already imposes) and fold —
+    // a window starting within k of its predecessor adds only the gap.
+    // This replaces a k-fold position explode + countDistinct: the shuffle
+    // now carries one integer per duplicated window instead of k rows.
+    val dupCounts = nonFirstStarts(grams)
       .groupBy(col("id"))
-      .agg(countDistinct(col("idx")).as("dup_tokens"))
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("id"),
+        expr(s"""aggregate(ps,
+               |  named_struct('tot', CAST(0 AS LONG), 'prev', CAST(${-k} AS LONG)),
+               |  (acc, p) -> named_struct(
+               |    'tot', acc.tot + LEAST(CAST($k AS LONG), CAST(p AS LONG) - acc.prev),
+               |    'prev', CAST(p AS LONG)),
+               |  acc -> acc.tot)""".stripMargin).as("dup_tokens"))
     toks.select(col("id"), size(col("toks")).as("n_tokens"))
       .join(dupCounts, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
@@ -681,16 +708,16 @@ object Dedup {
     (toks, grams)
   }
 
-  /** Every (id, idx) token position covered by a k-gram window whose
-    * corpus-wide occurrence is not the first (first copy wins by
-    * (id, pos)). */
-  private def nonFirstOccurrences(grams: DataFrame, k: Int): DataFrame = {
+  /** Every (id, pos) k-gram window start whose corpus-wide occurrence is
+    * not the first (first copy wins by (id, pos)). One row per duplicated
+    * window — covered positions are derived per-doc by the callers, so the
+    * exchange never carries the k-fold position expansion. */
+  private def nonFirstStarts(grams: DataFrame): DataFrame = {
     val firsts = grams.groupBy(col("g"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
     grams.join(firsts, "g")
       .where(!(col("id") === col("first.id") && col("pos") === col("first.pos")))
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .select(col("id"), col("pos"))
   }
 
   /** ExactSubstr REMOVAL (the second half of Lee et al. 2022): rebuild
@@ -708,8 +735,14 @@ object Dedup {
   def exciseDuplicatedSpans(df: DataFrame, idCol: String,
                             textCol: String = "text", k: Int = 8): DataFrame = {
     val (toks, grams) = gramStream(df, idCol, textCol, k)
-    val covered = nonFirstOccurrences(grams, k)
-      .groupBy(col("id")).agg(collect_set(col("idx")).as("cov"))
+    // shuffle carries one start position per duplicated window; the k-fold
+    // coverage expansion happens per-doc AFTER the aggregation, inside one
+    // expression (bounded by the doc's own token count)
+    val covered = nonFirstStarts(grams)
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("ps"))
+      .select(col("id"), expr(
+        s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${k - 1}))))")
+        .as("cov"))
     toks.join(covered, Seq("id"), "left")
       .select(col("id").as(idCol), size(col("toks")).as("n_tokens"),
         expr("filter(toks, (t, i) -> NOT array_contains(" +

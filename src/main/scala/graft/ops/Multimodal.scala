@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * (decode, feature-extract, resize, frame-sample) runs as expressions or
   * batched partition functions over those bytes.
   *
-  * The container has no image/audio codecs, so the DECODE step itself is a
-  * clearly-marked deterministic stub (md5-derived fake dimensions); the
-  * Spark-side plumbing — binary schema, chunked frame sampling, batch
-  * iterator shape, partitioning — is real and oracle-tested.
+  * IMAGE HEADER DECODE IS REAL: [[graft.functions.ImageHeaderMeta]] parses
+  * PNG IHDR chunks and JPEG SOFn frame headers byte-level (pure JVM, no
+  * codec library needed — dimensions and channel count live in the first
+  * few header bytes), and [[packMedia]] synthesizes payloads carrying
+  * spec-valid headers so the oracle replays width/height/channels. Pixel
+  * and AUDIO decode still need codecs the container lacks, so those stay
+  * clearly-marked deterministic stubs; the Spark-side plumbing — binary
+  * schema, chunked frame sampling, batch iterator shape, partitioning — is
+  * real and oracle-tested throughout.
   *
   * Scale notes: payload bytes never hit the driver; every operator is a
   * per-row expression or a `mapPartitions` over the payload column, so the
@@ -34,10 +39,60 @@ object Multimodal {
         .when(pmod(col(idCol), lit(3)) === 1, "image/jpeg")
         .otherwise("audio/wav").as("content_type"))
 
+  /** Pack a text column as a binary payload carrying a SPEC-VALID image
+    * header: PNG rows get a real 8-byte signature + IHDR chunk, JPEG rows
+    * a real SOI + SOF0 frame header (dimensions/channels derived from the
+    * id by fixed arithmetic so the DuckDB oracle can replay them without
+    * parsing bytes), audio rows stay raw. [[imageMeta]] then reads the
+    * dimensions back OUT of the bytes — if the parser misreads an offset
+    * or endianness, the oracle hash mismatches. Header synthesis is plain
+    * hex-string expressions (`unhex(concat(...))`) — map-only. */
+  def packMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = pmod(id, lit(512)) + 64
+    val h = pmod(id * 7, lit(512)) + 64
+    def hex8(c: Column) = lpad(hex(c), 8, "0")
+    def hex4(c: Column) = lpad(hex(c), 4, "0")
+    // PNG: sig(8) len=13(4) "IHDR"(4) w(4) h(4) depth=8(1) colortype(1)
+    //      compression/filter/interlace(3) crc(4, unchecked) = 33 bytes
+    val pngColor = when(pmod(id, lit(2)) === 0, "02").otherwise("06") // rgb / rgba
+    val pngHdr = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      hex8(w), hex8(h), lit("08"), pngColor, lit("00000000000000"))
+    // JPEG: SOI(2) SOF0 marker(2) len=8+3n(2) precision(1) h(2) w(2)
+    //       ncomp(1) 3 bytes per component = 12+3n bytes
+    val nComp = when(pmod(id, lit(2)) === 0, lit(1)).otherwise(lit(3))
+    val jpgHdr = concat(lit("FFD8FFC0"), hex4(nComp * 3 + 8), lit("08"),
+      hex4(h), hex4(w), lpad(hex(nComp), 2, "0"),
+      when(pmod(id, lit(2)) === 0, lit("000000")).otherwise(lit("000000000000000000")))
+    val hdr = when(pmod(id, lit(3)) === 0, pngHdr)
+      .when(pmod(id, lit(3)) === 1, jpgHdr)
+      .otherwise(lit(""))
+    df.select(
+      id,
+      concat(unhex(hdr), col(textCol).cast("binary")).as("payload"),
+      when(pmod(id, lit(3)) === 0, "image/png")
+        .when(pmod(id, lit(3)) === 1, "image/jpeg")
+        .otherwise("audio/wav").as("content_type"))
+      .withColumn("byte_len", length(col("payload")))
+  }
+
+  /** REAL image-header decode: struct(format, width, height, channels)
+    * parsed from PNG/JPEG header bytes, null for anything else — see
+    * [[graft.functions.ImageHeaderMeta]]. */
+  def imageMeta(payload: Column): Column =
+    graft.functions.GraftFunctions.imageHeaderMeta(payload)
+
+  /** STUB AUDIO DECODE — deterministic fake, clearly labeled: pretends the
+    * payload is 16 kB/s PCM and reports seconds. A real deployment swaps
+    * this for a WAV/FLAC header parse + codec call; only this expression
+    * changes. */
+  def audioSecsStub(byteLen: Column, contentType: Column): Column =
+    when(contentType === "audio/wav", round(byteLen / 16000.0, 6))
+
   /** STUB DECODE — deterministic fake: derives "decoded" image dimensions
-    * from an md5 hash of the payload bytes. A real deployment swaps this
-    * single expression for a codec call (e.g. a batched native decoder);
-    * everything around it (schema, pruning, partition shape) is unchanged. */
+    * from an md5 hash of the payload bytes. Kept for the batch-iterator
+    * path and as the no-header fallback; the image queries use the REAL
+    * [[imageMeta]] parser. */
   def decodeImageMetaStub(payload: Column): Column = {
     val h = Dedup.h32(payload)
     struct(

@@ -237,6 +237,26 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Driver-side centroid table of a (cell, cvec) frame, ordered by
+    * ascending cell id — bounded k×dim doubles, the same bound every
+    * IVF / k-means stage here already obeys (each one ends in a
+    * centroid-sized collect by design). */
+  private def collectCents(cvecs: DataFrame): Seq[(Long, Seq[Double])] =
+    cvecs.select(col("cell").cast("long"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq.sortBy(_._1)
+
+  /** Map-only nearest-cell assignment: one native argmin
+    * ([[graft.functions.NearestCentroid]]) per row against the literal
+    * centroid table. First-wins ties over the ascending-cell-ordered
+    * literal equal the (dist, cell) lexicographic ordering the former
+    * crossJoin + row_number formulation produced — but with no k-fold row
+    * blowup and no per-id window shuffle: assignment stays inside the
+    * scan's whole-stage codegen span. */
+  private def cellOf(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    element_at(typedLit(cents.map(_._1)),
+      graft.functions.GraftFunctions.nearestCentroid(vec, typedLit(cents.map(_._2))) + 1)
+
   /** Per-label centroid of an embedding column, one output row per
     * (label, dimension): posexplode → partial per-dimension sums map-side →
     * one shuffle of (label, dim) pairs. The IVF coarse-quantizer build
@@ -269,14 +289,8 @@ object Similarity {
       .select(col("label").as("cell"),
         transform(col("sm"), s => s.getField("mean")).as("cvec"))
 
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist"), col("cell"))
     val assigned = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cvecs))
-      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
       .persist()
 
     val q = assigned.filter(col(idCol) === queryId)
@@ -308,14 +322,8 @@ object Similarity {
       .select(col("label").as("cell"),
         transform(col("sm"), s => s.getField("mean")).as("cvec"))
 
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist"), col("cell"))
     val assigned = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cvecs))
-      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
       .persist()
 
     // probe list: the query vector against the tiny centroid table —
@@ -366,12 +374,10 @@ object Similarity {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
+      // map-only argmin against the literal centroid table (sorted by
+      // cell so first-wins ties == the (dist, cell) ordering)
       cents = df.select(col(idCol), col(vecCol))
-        .crossJoin(broadcast(centsDf(cents)))
-        .withColumn("dist", sqDist(col(vecCol), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+        .withColumn("cell", cellOf(col(vecCol), cents.sortBy(_._1)))
         .select(col("cell"), posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         // 6-dp rounding between iterations: distributed summation order
@@ -418,12 +424,8 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
         .select(col("cell"), transform(col("sm"), x => x.getField("mean")).as("cvec"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
-      sub.crossJoin(broadcast(cb))
-        .withColumn("dist", sqDist(col("subvec"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col(idCol), lit(s).as("sub"), col("cell").as("code"))
+      sub.select(col(idCol), lit(s).as("sub"),
+        cellOf(col("subvec"), collectCents(cb)).as("code"))
     }.reduce(_.unionByName(_))
 
   /** PQ asymmetric-distance top-k (ADC): score the query against PQ codes
@@ -455,12 +457,8 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
         .select(col("cell"), transform(col("sm"), x => x.getField("mean")).as("cvec"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
-      val codes = sub.crossJoin(broadcast(cb))
-        .withColumn("dist", sqDist(col("subvec"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col(idCol), col("cell"))
+      val codes = sub.select(col(idCol),
+        cellOf(col("subvec"), collectCents(cb)).as("cell"))
       // the query's distance to every codebook entry of this subspace
       val lut = sub.filter(col(idCol) === queryId)
         .select(col("subvec").as("q_sub"))
@@ -493,14 +491,8 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
       .select(col("label").as("cell"),
         transform(col("sm"), s => s.getField("mean")).as("cvec"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist"), col("cell"))
     val assigned = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cvecs))
-      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
     val qvec = df.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
     val probeCells = qvec.crossJoin(broadcast(cvecs))
       .select(col("cell"), sqDist(col("q_vec"), col("cvec")).as("dist"))
@@ -557,13 +549,8 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
       .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
     val assigned = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cvecs))
-      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
       .persist()
     val q = assigned.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("cell"))
@@ -592,13 +579,8 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
       .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
-    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(cvecs))
-      .withColumn("dist", sqDist(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cell"))
+      .withColumn("cell", cellOf(col("vec"), collectCents(cvecs)))
       .persist() // feeds both sides of the in-cell pair join
     val drops = assigned.alias("l")
       .join(assigned.alias("r"), expr("l.cell = r.cell AND r.id < l.id"))
@@ -649,13 +631,8 @@ object Similarity {
       .select(col("label").as("cell"),
         transform(col("sm"), s => s.getField("mean")).as("cvec"))
 
-    val wa = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("cell"))
     val assigned = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cvecs))
-      .withColumn("dist", sqDist(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(wa))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
 
     val qs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
     val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))

@@ -154,11 +154,19 @@ object TextOps {
     * one-row `percentile_disc` aggregate broadcast back onto the scored
     * corpus, so the gate is two passes over the data and no driver-side
     * value handling; `percentile_disc` (not the interpolating
-    * `percentile`) keeps the threshold an actual observed score, which
-    * both engines agree on exactly. */
+    * `percentile`) keeps the threshold an actual observed score. NOTE:
+    * Spark's `percentile_disc` and DuckDB's `quantile_disc` agree at the
+    * quantiles the oracle actually exercises (q = 0.25); their
+    * discrete-index conventions are NOT guaranteed to coincide at every
+    * (q, n) — verify before reusing other quantiles cross-engine. */
   def qualityFilter(df: DataFrame, idCol: String,
                     quantile: Double): DataFrame = {
+    // persisted because both the threshold aggregate and the gate read it:
+    // one corpus scan + a cached re-read instead of scoring twice (lives
+    // until the session clears its cache — Bench/Verify clearCache per
+    // query; long-lived sessions should do the same between invocations)
     val scored = qualityScore(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.agg(
       expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY quality_score)")
         .as("_thr"))
@@ -172,13 +180,16 @@ object TextOps {
     * high-quality source crowd out every document of a noisier domain —
     * per-domain gating is the standard fix. The threshold table is
     * source-count-sized (a `percentile_disc` per group, so the cut is an
-    * observed score both engines agree on exactly) and broadcast back
+    * observed score — same cross-engine quantile caveat as
+    * [[qualityFilter]]) and broadcast back
     * onto the scored corpus: two passes, map-side filter, no windows —
     * unlike a percent_rank gate this never sorts a dominant source's
     * rows in one task. */
   def qualityFilterBySource(df: DataFrame, idCol: String, sourceCol: String,
                             quantile: Double): DataFrame = {
+    // same cached-re-read shape as [[qualityFilter]]
     val scored = qualityScore(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.groupBy(col(sourceCol)).agg(
       expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY quality_score)")
         .as("_thr"))

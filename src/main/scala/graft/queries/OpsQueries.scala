@@ -389,7 +389,12 @@ object OpsQueries {
       val deduped = Tables.documents(s, d)
         .withColumn("_rn", row_number().over(wd))
         .where(col("_rn") === 1).drop("_rn")
+      // persist the scored stage: the threshold aggregate AND the gate both
+      // read it, so the corpus is scanned + deduped + scored ONCE and the
+      // second pass is a cached re-read (at 100 TB this stage persists to
+      // disk-backed storage; without it the whole dedup window runs twice)
       val scored = TextOps.qualityScore(deduped)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = scored.agg(
         expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)")
           .as("_thr"))
@@ -500,12 +505,19 @@ object OpsQueries {
           round(avg("quality_score"), 4).as("avg_quality"),
           countDistinct(col("lang")).as("n_langs"))),
 
+    // REAL header decode: packMedia writes spec-valid PNG IHDR / JPEG SOF0
+    // headers; imageMeta parses width/height/channels back OUT of the
+    // bytes. The oracle recomputes the dims from the synthesis arithmetic
+    // — any parser offset/endianness bug hash-mismatches. Audio stays a
+    // labeled stub (no codec in the container).
     "x_mm_decode" -> ((s, d) => {
-      val packed = Multimodal.pack(Tables.documents(s, d), "doc_id", "text")
+      val packed = Multimodal.packMedia(Tables.documents(s, d), "doc_id", "text")
       packed
-        .withColumn("m", Multimodal.decodeImageMetaStub(col("payload")))
+        .withColumn("m", Multimodal.imageMeta(col("payload")))
         .select(col("doc_id"), col("byte_len"), col("content_type"),
-          col("m.width"), col("m.height"), col("m.channels"))
+          col("m.format"), col("m.width"), col("m.height"), col("m.channels"),
+          Multimodal.audioSecsStub(col("byte_len"), col("content_type"))
+            .as("audio_secs"))
     }),
 
     "x_mm_frames" -> ((s, d) =>
@@ -1778,17 +1790,26 @@ object OpsQueries {
          |  count(DISTINCT lang) AS n_langs
          |FROM q GROUP BY 1""".stripMargin,
 
+    // replays packMedia's header-synthesis arithmetic (never parses bytes):
+    // png header 33 B, jpeg 12+3n B; dims w=id%512+64, h=id*7%512+64;
+    // png channels rgb/rgba by id parity, jpeg 1 or 3 components
     "x_mm_decode" ->
-      s"""WITH h AS (SELECT doc_id, CAST(len(text) AS INT) AS byte_len,
-         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-         |       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+      s"""WITH m AS (SELECT doc_id, len(text) AS tlen, doc_id % 3 AS k,
+         |    doc_id % 2 AS p FROM documents)
+         |SELECT doc_id,
+         |  CAST(tlen + CASE WHEN k = 0 THEN 33
+         |                   WHEN k = 1 THEN 12 + 3 * (CASE WHEN p = 0 THEN 1 ELSE 3 END)
+         |                   ELSE 0 END AS INT) AS byte_len,
+         |  CASE WHEN k = 0 THEN 'image/png' WHEN k = 1 THEN 'image/jpeg'
          |       ELSE 'audio/wav' END AS content_type,
-         |  CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h32
-         |  FROM documents)
-         |SELECT doc_id, byte_len, content_type,
-         |  h32 % 512 + 64 AS width, ((h32 >> 9) % 512) + 64 AS height,
-         |  h32 % 3 + 1 AS channels
-         |FROM h""".stripMargin,
+         |  CASE WHEN k = 0 THEN 'png' WHEN k = 1 THEN 'jpeg' END AS format,
+         |  CASE WHEN k <= 1 THEN CAST(doc_id % 512 + 64 AS BIGINT) END AS width,
+         |  CASE WHEN k <= 1 THEN CAST((doc_id * 7) % 512 + 64 AS BIGINT) END AS height,
+         |  CASE WHEN k = 0 THEN CAST(CASE WHEN p = 0 THEN 3 ELSE 4 END AS INT)
+         |       WHEN k = 1 THEN CAST(CASE WHEN p = 0 THEN 1 ELSE 3 END AS INT)
+         |  END AS channels,
+         |  CASE WHEN k = 2 THEN round(tlen / 16000.0, 6) END AS audio_secs
+         |FROM m""".stripMargin,
 
     "x_mm_frames" ->
       s"""WITH f AS (SELECT doc_id, text,

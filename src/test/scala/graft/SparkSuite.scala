@@ -7,8 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * reference's test session (reference tests/conftest.py:36-60): UTC,
   * small shuffle partition count, legacy time parser.
   */
-trait SparkSuite extends AnyFunSuite {
+trait SparkSuite extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSuite.session
+
+  /** Several operators persist an intermediate that both of their output
+    * subplans read (allPairsCosine's base, DSIR's tokenized corpus, the
+    * quality gates' scored stage) and document cache lifetime as
+    * caller-managed — Bench/Verify clearCache per query. The suites are
+    * such a caller: drain the cache per suite so runs don't accumulate
+    * one entry per invocation across 30+ suites on one shared session. */
+  override protected def afterAll(): Unit = {
+    try spark.catalog.clearCache() finally super.afterAll()
+  }
   val sf0: String = "/root/testdata/sf0.001"
   val sf1: String = "/root/testdata/sf0.01"
 

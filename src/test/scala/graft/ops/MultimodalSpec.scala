@@ -27,6 +27,72 @@ class MultimodalSpec extends SparkSuite {
     assert(viaExpr.toSeq === viaBatch.toSeq)
   }
 
+  test("imageMeta parses a REAL 1x1 RGBA PNG (the canonical tiny fixture)") {
+    // hand-assembled spec-conformant PNG: signature + IHDR(w=1, h=1,
+    // depth=8, colorType=6 → 4 channels) with its true CRC — the same
+    // bytes every png codec test suite uses
+    val png: Array[Byte] = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52, // len=13 "IHDR"
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, // w=1 h=1
+      0x08, 0x06, 0x00, 0x00, 0x00,                   // depth color comp filt inter
+      0x1f, 0x15, 0xc4, 0x89                          // IHDR CRC
+    ).map(_.toByte)
+    val got = Seq(Tuple1(png)).toDF("payload")
+      .select(Multimodal.imageMeta($"payload").as("m"))
+      .select($"m.format", $"m.width", $"m.height", $"m.channels")
+      .as[(String, Long, Long, Int)].head()
+    assert(got === ("png", 1L, 1L, 4))
+  }
+
+  test("imageMeta scans past APP0/DQT markers to a real JPEG SOF0") {
+    // minimal marker stream a real camera JPEG starts with: SOI, APP0
+    // (JFIF), a quant table, then SOF0 with h=8, w=16, 3 components
+    val jpg: Array[Byte] = (Array(0xff, 0xd8) ++                    // SOI
+      Array(0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0x4a) ++      // APP0 len 16
+      Array(0xff, 0xdb, 0x00, 0x43) ++ Array.fill(0x41)(0x01) ++    // DQT len 67
+      Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x08, 0x00, 0x10,  // SOF0 h=8 w=16
+        0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+      .map(_.toByte)
+    val got = Seq(Tuple1(jpg)).toDF("payload")
+      .select(Multimodal.imageMeta($"payload").as("m"))
+      .select($"m.format", $"m.width", $"m.height", $"m.channels")
+      .as[(String, Long, Long, Int)].head()
+    assert(got === ("jpeg", 16L, 8L, 3))
+  }
+
+  test("imageMeta is null for non-image bytes and truncated headers") {
+    val raw = Seq(
+      (1L, "just some text".getBytes("UTF-8")),
+      (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G')), // truncated png
+      (3L, Array[Byte](0xff.toByte, 0xd8.toByte)))   // bare SOI, no SOF
+      .toDF("id", "payload")
+    val nulls = raw.select(Multimodal.imageMeta($"payload").as("m"))
+      .filter($"m".isNull).count()
+    assert(nulls === 3L)
+  }
+
+  test("packMedia payloads round-trip through the byte-level parser") {
+    val docs = (1L to 12L).map(i => (i, s"payload body $i")).toDF("doc_id", "text")
+    val got = Multimodal.packMedia(docs, "doc_id", "text")
+      .withColumn("m", Multimodal.imageMeta($"payload"))
+      .select($"doc_id", $"content_type", $"m.format", $"m.width", $"m.height", $"m.channels")
+      .as[(Long, String, Option[String], Option[Long], Option[Long], Option[Int])]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, ct, fmt, w, h, c) =>
+      if (id % 3 == 2) { // audio rows carry no image header
+        assert(fmt.isEmpty && w.isEmpty)
+      } else {
+        assert(fmt.contains(if (id % 3 == 0) "png" else "jpeg"), s"id=$id")
+        assert(w.contains(id % 512 + 64) && h.contains(id * 7 % 512 + 64), s"id=$id")
+        val expC =
+          if (id % 3 == 0) { if (id % 2 == 0) 3 else 4 } // rgb / rgba
+          else { if (id % 2 == 0) 1 else 3 }             // jpeg components
+        assert(c.contains(expC), s"id=$id got $c")
+      }
+    }
+  }
+
   test("featureStub embeddings are deterministic per payload, in range") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other"))

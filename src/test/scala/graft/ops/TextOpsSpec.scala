@@ -45,29 +45,45 @@ class TextOpsSpec extends SparkSuite {
     assert(out.forall(_._2 > 0))
   }
 
-  test("curation pipeline: one dedup shuffle on a digest key, broadcast gate") {
+  test("curation pipeline: ONE corpus scan, cached threshold pass, broadcast gate") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = graft.SparkEntry.queries("x_pipeline_curate")(spark, sf1)
       val plan = df.queryExecution.executedPlan
-      val shuffles = plan.collect {
+      // the scored stage is persisted: the threshold aggregate AND the
+      // gate both read the cache, so the scan+dedup+score chain plans
+      // exactly once and the second pass is a cached re-read
+      val cacheReads = plan.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(cacheReads.size == 2, s"expected 2 cache reads, got:\n$plan")
+      assert(plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty, s"the corpus scan must live inside the cached stage:\n$plan")
+      val cached = cacheReads.head.relation.cachedPlan
+      assert(cached.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.size == 1, s"cached stage must scan the corpus exactly once:\n$cached")
+      // dedup shuffle: exactly one corpus exchange, keyed on the map-side
+      // md5 digest, never on the raw text value
+      val cachedShuffles = cached.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      // two corpus passes (the threshold aggregate recomputes the dedup
-      // branch — qualityFilter's documented two-pass shape): digest window
-      // ×2 + the one-row threshold aggregate + the per-lang cap window.
-      // The gate itself must NOT add a corpus shuffle beyond these.
-      assert(shuffles.size == 4, s"expected 4 exchanges, got:\n$plan")
+      assert(cachedShuffles.size == 1, s"expected the one digest window exchange:\n$cached")
+      assert(cachedShuffles.forall(!_.outputPartitioning.toString.contains("text#")),
+        s"no exchange may key on raw text:\n$cached")
+      assert(cached.toString.contains("md5"),
+        s"dedup key must be the md5 digest:\n$cached")
+      // beyond the cached stage: only the one-row threshold aggregate and
+      // the per-lang cap window may shuffle, and the gate must broadcast
+      val outer = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(outer.size == 2, s"expected threshold agg + lang cap only:\n$plan")
       assert(plan.collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
       }.nonEmpty, "threshold must broadcast, not join by shuffle")
-      // the dedup exchanges partition on a projected column (the md5
-      // digest computed map-side), never on the raw text value
-      assert(shuffles.forall(!_.outputPartitioning.toString.contains("text#")),
-        s"no exchange may key on raw text:\n$plan")
-      assert(plan.toString.contains("md5"),
-        s"dedup key must be the md5 digest:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 

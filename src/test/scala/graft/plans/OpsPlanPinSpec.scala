@@ -15,7 +15,10 @@ class OpsPlanPinSpec extends SparkSuite {
   import spark.implicits._
 
   private def planOf(df: DataFrame): String = {
-    df.count() // materialize so AQE finalizes the plan
+    // collect() drives THIS QueryExecution (count() would spawn a separate
+    // one and leave df.queryExecution un-executed), so the string below is
+    // the AQE-FINALIZED plan, not the initial adaptive sketch
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 
