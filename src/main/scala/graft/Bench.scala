@@ -25,19 +25,21 @@ object Bench {
     spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional filter regex (first arg) for timing individual queries
+    val nameFilter = args.headOption.map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      nameFilter.forall(_.findFirstIn(n).isDefined)
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // warm only the SELECTED queries: an isolation run (filter given)
+      // must not pay — or sit behind — the full-suite warmup sweep
+      selected.foreach { case (name, fn) =>
         try fn(spark, warmDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
         spark.catalog.clearCache()
       }
-    }
-    // optional filter regex (first arg) for timing individual queries
-    val nameFilter = args.headOption.map(_.r)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      nameFilter.forall(_.findFirstIn(n).isDefined)
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
