@@ -199,17 +199,24 @@ object AnalyticsQueries {
     // closure over cyclic graphs is not supported yet, so the cluster
     // closure stays on the distributed label-propagation path)
     "q_recursive" -> ((s, d) => {
-      // the walked relation is cached OUTSIDE the recursion: each
+      // the walked relation is materialized OUTSIDE the recursion: each
       // UNION ALL step joins against `o`, and an inline CTE would
       // re-run the window + scan once per recursion depth (~30x at
-      // sf0.1 — measured 4s -> sub-second with the cached base)
+      // sf0.1 — measured 4s -> sub-second with the cached base).
+      // localCheckpoint (not persist): the recursion re-plans the base
+      // once per depth, and a checkpointed LogicalRDD keeps each step's
+      // plan a constant-size scan instead of the full window lineage —
+      // the per-step analyze/optimize cost is what made depth-30 runs
+      // swing under GC pressure. The walked relation is filter-pruned
+      // tiny (1/50th of customers), so few partitions suffice.
       Tables.orders(s, d).where(col("o_custkey") % 50 === 0)
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
-        .persist()
+        .coalesce(4)
+        .localCheckpoint()
         .createOrReplaceTempView("orders_rec_ranked")
       s.sql("""WITH RECURSIVE
         chain(o_custkey, o_orderkey, depth) AS (
