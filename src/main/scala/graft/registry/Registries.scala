@@ -26,14 +26,44 @@ private[registry] abstract class PathRegistry(bconf: BlockConfig) extends FileRe
   protected val basePath: String = bconf.props.getString("BasePath")
   protected val table = ManagedTable(spark, basePath)
 
+  /** Driver-memory bound (`PathBatchSize`, optional): the reference
+    * semantics hand EVERY pending path to `spark.read.load(paths: _*)`,
+    * which means the path list must sit on the driver — at 100 TB with
+    * millions of unprocessed files that list alone is a driver-heap
+    * hazard (10⁷ paths × ~100 B ≈ 1 GB before read-path bookkeeping).
+    * With `PathBatchSize: N` set, `load` hands out at most N pending
+    * paths per lift (ordered by `file_path`, so draining is deterministic
+    * and resumable) and `update()` marks ONLY the handed-out batch as
+    * lifted — the remainder stays pending and the next scheduled lift
+    * drains the next batch. Without the prop, behavior is the reference's
+    * all-pending hand-out (`RegistriesSpec` pins a 100k-path listing
+    * through that path inside the suite's fixed heap). */
+  private val batchSize: Option[Int] =
+    if (bconf.props.exists("PathBatchSize"))
+      Some(bconf.props.getInt("PathBatchSize")) else None
+
+  /** Full rows of the last handed-out batch (bounded by `batchSize`),
+    * retained so `update()` can target exactly these paths. */
+  private var handedOut: Option[Seq[org.apache.spark.sql.Row]] = None
+
   protected def emptySchema: StructType
 
   /** Rows handed out but not yet marked lifted (`date_lifted IS NULL`). */
   protected def pendingPaths(): Seq[String] = {
     val cur = if (table.exists) table.read() else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    cur.filter(col("date_lifted").isNull)
-      .select("file_path").collect().map(_.getString(0)).toSeq
+    val pending = cur.filter(col("date_lifted").isNull)
+    batchSize match {
+      case None =>
+        pending.select("file_path").collect().map(_.getString(0)).toSeq
+      case Some(n) =>
+        // orderBy + limit is a TakeOrdered top-k: per-partition heads
+        // merge on the driver, so even the listing stage never collects
+        // more than n rows
+        val rows = pending.orderBy(col("file_path")).limit(n).collect().toSeq
+        handedOut = Some(rows)
+        rows.map(_.getAs[String]("file_path"))
+    }
   }
 
   /** Insert rows for paths not already present (reference
@@ -42,12 +72,26 @@ private[registry] abstract class PathRegistry(bconf: BlockConfig) extends FileRe
     if (!table.exists) { table.write(rows); () }
     else { table.merge(rows, "source.file_path == updates.file_path", upsert = false); () }
 
-  /** Mark everything pending as lifted now (reference s3_full_scan.py
-    * `update()` → Delta UPDATE date_lifted = now()). */
+  /** Mark the handed-out paths as lifted now (reference s3_full_scan.py
+    * `update()` → Delta UPDATE date_lifted = now()). Unbatched, that is
+    * everything pending; with `PathBatchSize` set, ONLY the batch the
+    * last `load` returned — the rest stays pending for the next lift. */
   override def update(): Unit =
     if (table.exists) {
-      table.updateWhere("date_lifted IS NULL",
-        Map("date_lifted" -> "current_timestamp()"))
+      handedOut match {
+        case Some(rows) =>
+          if (rows.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            val upd = spark
+              .createDataFrame(rows.asJava, rows.head.schema)
+              .withColumn("date_lifted", current_timestamp())
+            table.merge(upd, "source.file_path == updates.file_path")
+          }
+          handedOut = None
+        case None =>
+          table.updateWhere("date_lifted IS NULL",
+            Map("date_lifted" -> "current_timestamp()"))
+      }
       ()
     }
 }
