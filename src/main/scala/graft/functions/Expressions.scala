@@ -557,3 +557,80 @@ object DeflateRatio {
   private val scratch: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
 }
+
+/** Audio-header metadata parsed from raw WAV (RIFF/WAVE) payload bytes —
+  * pure-JVM byte inspection like [[ImageHeaderMeta]], no codec library:
+  * the `fmt ` chunk carries channels/sample-rate/byte-rate/bit-depth and
+  * the `data` chunk's declared size divided by the byte rate IS the clip
+  * duration, so everything but the samples themselves reads straight off
+  * the header. Returns struct(format, channels, sample_rate, bits,
+  * data_bytes, seconds); null for anything that is not a parseable WAV
+  * (crawled corpora carry truncated files as data, not errors). Decoding
+  * SAMPLES (waveforms, spectrograms) still needs a codec and stays stubbed
+  * in [[graft.ops.Multimodal]].
+  *
+  * Scale shape: per-row, map-only, walks only the chunk headers (stops at
+  * the `data` chunk — for a standard 44-byte header that is one hop). */
+case class AudioHeaderMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", LongType),
+    StructField("bits", IntegerType),
+    StructField("data_bytes", LongType),
+    StructField("seconds", DoubleType)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioHeaderMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHeaderMeta =
+    copy(child = newChild)
+}
+
+object AudioHeaderMeta {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
+      b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
+
+  def parse(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var channels = -1; var sampleRate = -1L; var byteRate = -1L; var bits = -1
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        // PCM fmt: audioFormat(2) channels(2) sampleRate(4) byteRate(4)
+        // blockAlign(2) bitsPerSample(2) — all little-endian
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        if (channels <= 0 || sampleRate <= 0 || byteRate <= 0) return null
+        // the data chunk may legally be truncated in a crawled file; the
+        // DECLARED size is the ground truth the header asserts. Seconds
+        // stay UNROUNDED — callers round, and Spark's round() (HALF_UP)
+        // then agrees with other engines where rint's half-to-even breaks
+        // ties differently (e.g. 0.0045625 s)
+        return new GenericInternalRow(Array[Any](
+          UTF8String.fromString("wav"), channels, sampleRate, bits, size,
+          size.toDouble / byteRate))
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || size > Int.MaxValue - 16) return null
+    }
+    null
+  }
+}

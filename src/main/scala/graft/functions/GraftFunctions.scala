@@ -40,6 +40,9 @@ object GraftFunctions {
 
   def imageHeaderMeta(payload: Column): Column =
     col(ImageHeaderMeta(expr(payload)))
+
+  def audioHeaderMeta(payload: Column): Column =
+    col(AudioHeaderMeta(expr(payload)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -95,7 +98,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => NearestCentroid(args(0), args(1))),
     (FunctionIdentifier("image_header_meta"),
       new ExpressionInfo(classOf[ImageHeaderMeta].getName, "image_header_meta"),
-      (args: Seq[Expression]) => ImageHeaderMeta(args(0))))
+      (args: Seq[Expression]) => ImageHeaderMeta(args(0))),
+    (FunctionIdentifier("audio_header_meta"),
+      new ExpressionInfo(classOf[AudioHeaderMeta].getName, "audio_header_meta"),
+      (args: Seq[Expression]) => AudioHeaderMeta(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * (decode, feature-extract, resize, frame-sample) runs as expressions or
   * batched partition functions over those bytes.
   *
-  * IMAGE HEADER DECODE IS REAL: [[graft.functions.ImageHeaderMeta]] parses
-  * PNG IHDR chunks and JPEG SOFn frame headers byte-level (pure JVM, no
-  * codec library needed — dimensions and channel count live in the first
-  * few header bytes), and [[packMedia]] synthesizes payloads carrying
-  * spec-valid headers so the oracle replays width/height/channels. Pixel
-  * and AUDIO decode still need codecs the container lacks, so those stay
-  * clearly-marked deterministic stubs; the Spark-side plumbing — binary
-  * schema, chunked frame sampling, batch iterator shape, partitioning — is
-  * real and oracle-tested throughout.
+  * HEADER DECODE IS REAL for both images and audio:
+  * [[graft.functions.ImageHeaderMeta]] parses PNG IHDR chunks and JPEG
+  * SOFn frame headers, [[graft.functions.AudioHeaderMeta]] walks RIFF/WAVE
+  * chunks for channels/sample-rate/bit-depth/duration — all byte-level,
+  * pure JVM, no codec library needed — and [[packMedia]] synthesizes
+  * payloads carrying spec-valid headers so the oracle replays every parsed
+  * field. Only content BEYOND the headers (pixel data, audio samples,
+  * learned feature embeddings) needs codecs/models the container lacks;
+  * those stay clearly-marked deterministic stubs, while the Spark-side
+  * plumbing — binary schema, chunked frame sampling, batch iterator shape,
+  * partitioning — is real and oracle-tested throughout.
   *
   * Scale notes: payload bytes never hit the driver; every operator is a
   * per-row expression or a `mapPartitions` over the payload column, so the
@@ -64,9 +66,29 @@ object Multimodal {
     val jpgHdr = concat(lit("FFD8FFC0"), hex4(nComp * 3 + 8), lit("08"),
       hex4(h), hex4(w), lpad(hex(nComp), 2, "0"),
       when(pmod(id, lit(2)) === 0, lit("000000")).otherwise(lit("000000000000000000")))
+    // WAV: full 44-byte RIFF/WAVE PCM header (all multi-byte fields
+    // LITTLE-endian, so each is emitted byte-reversed). sample rate
+    // 8000/16000 and channels 1/2 by id parity; 16-bit samples; the data
+    // chunk declares the text length, so duration = tlen / byte_rate.
+    def hexb(c: Column) = lpad(hex(pmod(c, lit(256))), 2, "0")
+    def le16h(c: Column) = concat(hexb(c), hexb(floor(c / 256)))
+    def le32h(c: Column) =
+      concat(hexb(c), hexb(floor(c / 256)), hexb(floor(c / 65536)),
+        hexb(floor(c / 16777216)))
+    val par = pmod(id, lit(2))
+    val sr = (par + 1) * 8000
+    val ch = par + 1
+    val byteRate = sr * ch * 2
+    val dataLen = length(col(textCol).cast("binary"))
+    val wavHdr = concat(
+      lit("52494646"), le32h(dataLen + 36), lit("57415645"),   // RIFF size WAVE
+      lit("666D7420"), le32h(lit(16)), le16h(lit(1)),          // fmt_ 16 pcm
+      le16h(ch), le32h(sr), le32h(byteRate),
+      le16h(ch * 2), le16h(lit(16)),                           // align bits
+      lit("64617461"), le32h(dataLen))                         // data size
     val hdr = when(pmod(id, lit(3)) === 0, pngHdr)
       .when(pmod(id, lit(3)) === 1, jpgHdr)
-      .otherwise(lit(""))
+      .otherwise(wavHdr)
     df.select(
       id,
       concat(unhex(hdr), col(textCol).cast("binary")).as("payload"),
@@ -82,12 +104,13 @@ object Multimodal {
   def imageMeta(payload: Column): Column =
     graft.functions.GraftFunctions.imageHeaderMeta(payload)
 
-  /** STUB AUDIO DECODE — deterministic fake, clearly labeled: pretends the
-    * payload is 16 kB/s PCM and reports seconds. A real deployment swaps
-    * this for a WAV/FLAC header parse + codec call; only this expression
-    * changes. */
-  def audioSecsStub(byteLen: Column, contentType: Column): Column =
-    when(contentType === "audio/wav", round(byteLen / 16000.0, 6))
+  /** REAL audio-header decode: struct(format, channels, sample_rate, bits,
+    * data_bytes, seconds) parsed from RIFF/WAVE header bytes, null for
+    * anything else — see [[graft.functions.AudioHeaderMeta]]. Duration is
+    * header-declared (`data` size / byte rate); decoding SAMPLES still
+    * needs a codec and remains out of scope. */
+  def audioMeta(payload: Column): Column =
+    graft.functions.GraftFunctions.audioHeaderMeta(payload)
 
   /** STUB DECODE — deterministic fake: derives "decoded" image dimensions
     * from an md5 hash of the payload bytes. Kept for the batch-iterator

@@ -514,10 +514,12 @@ object OpsQueries {
       val packed = Multimodal.packMedia(Tables.documents(s, d), "doc_id", "text")
       packed
         .withColumn("m", Multimodal.imageMeta(col("payload")))
+        .withColumn("a", Multimodal.audioMeta(col("payload")))
         .select(col("doc_id"), col("byte_len"), col("content_type"),
           col("m.format"), col("m.width"), col("m.height"), col("m.channels"),
-          Multimodal.audioSecsStub(col("byte_len"), col("content_type"))
-            .as("audio_secs"))
+          col("a.sample_rate").as("audio_sr"),
+          col("a.channels").as("audio_ch"),
+          round(col("a.seconds"), 6).as("audio_secs"))
     }),
 
     "x_mm_frames" -> ((s, d) =>
@@ -1791,15 +1793,17 @@ object OpsQueries {
          |FROM q GROUP BY 1""".stripMargin,
 
     // replays packMedia's header-synthesis arithmetic (never parses bytes):
-    // png header 33 B, jpeg 12+3n B; dims w=id%512+64, h=id*7%512+64;
-    // png channels rgb/rgba by id parity, jpeg 1 or 3 components
+    // png header 33 B, jpeg 12+3n B, wav 44 B; dims w=id%512+64,
+    // h=id*7%512+64; png channels rgb/rgba by id parity, jpeg 1 or 3
+    // components; wav sr 8000/16000 and 1/2 channels by parity, 16-bit —
+    // byte rate sr*ch*2, seconds = tlen / byte_rate off the data chunk
     "x_mm_decode" ->
       s"""WITH m AS (SELECT doc_id, len(text) AS tlen, doc_id % 3 AS k,
          |    doc_id % 2 AS p FROM documents)
          |SELECT doc_id,
          |  CAST(tlen + CASE WHEN k = 0 THEN 33
          |                   WHEN k = 1 THEN 12 + 3 * (CASE WHEN p = 0 THEN 1 ELSE 3 END)
-         |                   ELSE 0 END AS INT) AS byte_len,
+         |                   ELSE 44 END AS INT) AS byte_len,
          |  CASE WHEN k = 0 THEN 'image/png' WHEN k = 1 THEN 'image/jpeg'
          |       ELSE 'audio/wav' END AS content_type,
          |  CASE WHEN k = 0 THEN 'png' WHEN k = 1 THEN 'jpeg' END AS format,
@@ -1808,7 +1812,11 @@ object OpsQueries {
          |  CASE WHEN k = 0 THEN CAST(CASE WHEN p = 0 THEN 3 ELSE 4 END AS INT)
          |       WHEN k = 1 THEN CAST(CASE WHEN p = 0 THEN 1 ELSE 3 END AS INT)
          |  END AS channels,
-         |  CASE WHEN k = 2 THEN round(tlen / 16000.0, 6) END AS audio_secs
+         |  CASE WHEN k = 2 THEN CAST((p + 1) * 8000 AS BIGINT) END AS audio_sr,
+         |  CASE WHEN k = 2 THEN CAST(p + 1 AS INT) END AS audio_ch,
+         |  CASE WHEN k = 2
+         |       THEN round(tlen / ((p + 1) * 8000.0 * (p + 1) * 2), 6)
+         |  END AS audio_secs
          |FROM m""".stripMargin,
 
     "x_mm_frames" ->

@@ -93,6 +93,69 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audioMeta parses a hand-assembled canonical 44-byte WAV header") {
+    // 16 kHz stereo 16-bit PCM with 8 data bytes → byte rate 64000,
+    // duration 8/64000 = 0.000125 s; every field little-endian
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val wav: Array[Byte] = ("RIFF".getBytes ++ le32(44).map(_.toByte) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16).map(_.toByte) ++ le16(1).map(_.toByte) ++
+      le16(2).map(_.toByte) ++ le32(16000).map(_.toByte) ++ le32(64000).map(_.toByte) ++
+      le16(4).map(_.toByte) ++ le16(16).map(_.toByte) ++
+      "data".getBytes ++ le32(8).map(_.toByte) ++ Array.fill(8)(0x7f.toByte))
+    val got = Seq(Tuple1(wav)).toDF("payload")
+      .select(Multimodal.audioMeta($"payload").as("a"))
+      .select($"a.format", $"a.channels", $"a.sample_rate", $"a.bits",
+        $"a.data_bytes", $"a.seconds")
+      .as[(String, Int, Long, Int, Long, Double)].head()
+    assert(got === (("wav", 2, 16000L, 16, 8L, 0.000125)))
+  }
+
+  test("audioMeta walks past a LIST chunk (with odd-size padding) to fmt/data") {
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    // LIST chunk of declared size 5 → 1 pad byte before the next chunk
+    val wav: Array[Byte] = ("RIFF".getBytes ++ le32(60) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(5) ++ Array.fill(6)(0x20.toByte) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(16000))
+    val got = Seq(Tuple1(wav)).toDF("payload")
+      .select(Multimodal.audioMeta($"payload").as("a"))
+      .select($"a.channels", $"a.sample_rate", $"a.seconds")
+      .as[(Int, Long, Double)].head()
+    assert(got === ((1, 8000L, 1.0)))
+  }
+
+  test("audioMeta is null for non-wav bytes, truncated headers, and data-before-fmt") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    val raw = Seq(
+      (1L, "not audio at all, just text bytes padded to length".getBytes("UTF-8")),
+      (2L, "RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes),          // no chunks
+      (3L, "RIFF".getBytes ++ le32(52) ++ "WAVE".getBytes ++       // data with no fmt
+        "data".getBytes ++ le32(32) ++ Array.fill(32)(0.toByte)))
+      .toDF("id", "payload")
+    val nulls = raw.select(Multimodal.audioMeta($"payload").as("a"))
+      .filter($"a".isNull).count()
+    assert(nulls === 3L)
+  }
+
+  test("packMedia audio payloads round-trip through the wav parser") {
+    val docs = (1L to 12L).map(i => (i, s"payload body $i")).toDF("doc_id", "text")
+    val got = Multimodal.packMedia(docs, "doc_id", "text")
+      .withColumn("a", Multimodal.audioMeta($"payload"))
+      .select($"doc_id", $"a.channels", $"a.sample_rate", $"a.data_bytes")
+      .as[(Long, Option[Int], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, ch, sr, db) =>
+      if (id % 3 == 2) {
+        val p = (id % 2).toInt
+        assert(ch.contains(p + 1) && sr.contains((p + 1) * 8000L), s"id=$id")
+        assert(db.contains(s"payload body $id".getBytes("UTF-8").length.toLong), s"id=$id")
+      } else assert(ch.isEmpty, s"image row $id must not parse as wav")
+    }
+  }
+
   test("featureStub embeddings are deterministic per payload, in range") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other"))
