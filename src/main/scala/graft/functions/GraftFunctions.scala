@@ -43,6 +43,12 @@ object GraftFunctions {
 
   def audioHeaderMeta(payload: Column): Column =
     col(AudioHeaderMeta(expr(payload)))
+
+  def pcmFrameStats(payload: Column, frameSamples: Int): Column =
+    col(PcmFrameStats(expr(payload), frameSamples))
+
+  def ppmPixelStats(payload: Column): Column =
+    col(PpmPixelStats(expr(payload)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -101,7 +107,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => ImageHeaderMeta(args(0))),
     (FunctionIdentifier("audio_header_meta"),
       new ExpressionInfo(classOf[AudioHeaderMeta].getName, "audio_header_meta"),
-      (args: Seq[Expression]) => AudioHeaderMeta(args(0))))
+      (args: Seq[Expression]) => AudioHeaderMeta(args(0))),
+    (FunctionIdentifier("pcm_frame_stats"),
+      new ExpressionInfo(classOf[PcmFrameStats].getName, "pcm_frame_stats"),
+      (args: Seq[Expression]) => PcmFrameStats(args(0), intArg(args(1), "frameSamples"))),
+    (FunctionIdentifier("ppm_pixel_stats"),
+      new ExpressionInfo(classOf[PpmPixelStats].getName, "ppm_pixel_stats"),
+      (args: Seq[Expression]) => PpmPixelStats(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

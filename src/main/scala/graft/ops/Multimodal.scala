@@ -8,16 +8,20 @@ import org.apache.spark.sql.functions._
   * (decode, feature-extract, resize, frame-sample) runs as expressions or
   * batched partition functions over those bytes.
   *
-  * HEADER DECODE IS REAL for both images and audio:
+  * DECODE IS REAL wherever the format needs no codec library:
   * [[graft.functions.ImageHeaderMeta]] parses PNG IHDR chunks and JPEG
   * SOFn frame headers, [[graft.functions.AudioHeaderMeta]] walks RIFF/WAVE
-  * chunks for channels/sample-rate/bit-depth/duration — all byte-level,
-  * pure JVM, no codec library needed — and [[packMedia]] synthesizes
-  * payloads carrying spec-valid headers so the oracle replays every parsed
-  * field. Only content BEYOND the headers (pixel data, audio samples,
-  * learned feature embeddings) needs codecs/models the container lacks;
-  * those stay clearly-marked deterministic stubs, while the Spark-side
-  * plumbing — binary schema, chunked frame sampling, batch iterator shape,
+  * chunks for channels/sample-rate/bit-depth/duration,
+  * [[graft.functions.PcmFrameStats]] decodes the WAV `data` chunk's raw
+  * int16 samples into frame RMS / zero-crossing / peak signals, and
+  * [[graft.functions.PpmPixelStats]] decodes P6 PPM rasters to per-channel
+  * pixel means — all byte-level, pure JVM. [[packMedia]]/[[packPpm]]
+  * synthesize payloads carrying spec-valid headers so the oracle replays
+  * every parsed field AND every decoded sample/pixel statistic. Only
+  * ENTROPY-CODED content (JPEG pixel data, compressed audio) and learned
+  * feature embeddings need codecs/models the container lacks; those stay
+  * clearly-marked deterministic stubs, while the Spark-side plumbing —
+  * binary schema, chunked frame sampling, batch iterator shape,
   * partitioning — is real and oracle-tested throughout.
   *
   * Scale notes: payload bytes never hit the driver; every operator is a
@@ -111,6 +115,52 @@ object Multimodal {
     * needs a codec and remains out of scope. */
   def audioMeta(payload: Column): Column =
     graft.functions.GraftFunctions.audioHeaderMeta(payload)
+
+  /** REAL PCM sample decode: one row per fixed-width audio frame with
+    * (frame_idx, n_samples, rms, zero_crossings, peak) computed from the
+    * WAV payload's raw 16-bit LE samples — see
+    * [[graft.functions.PcmFrameStats]]. Rows whose payload is not a
+    * parseable WAV produce nothing. Map-only: explode of a per-row
+    * expression, no shuffle at any corpus size. */
+  def pcmFrames(df: DataFrame, idCol: String, payloadCol: String,
+                frameSamples: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.GraftFunctions
+          .pcmFrameStats(col(payloadCol), frameSamples)).as("f"))
+      .select(col(idCol), col("f.frame_idx"), col("f.n_samples"),
+        round(col("f.rms"), 4).as("rms"),
+        col("f.zero_crossings"), col("f.peak"))
+
+  /** Pack a text column as a REAL P6 PPM payload: spec-valid ASCII header
+    * (dimensions by fixed id arithmetic, maxval 255) followed by the text
+    * bytes as the raster. Width is small and height is derived from the
+    * text length so most payloads carry a truncated raster — exactly what
+    * crawled image corpora look like — and the decoder's
+    * available-bytes clamp is exercised on every row. Map-only. */
+  def packPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = pmod(id, lit(16)) + 4
+    val h = pmod(id * 3, lit(16)) + 4
+    df.select(id,
+      concat(
+        lit("P6\n").cast("binary"),
+        concat(w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+          .cast("binary"),
+        col(textCol).cast("binary")).as("payload"),
+      lit("image/x-portable-pixmap").as("content_type"))
+  }
+
+  /** REAL pixel decode for P6 PPM payloads: per-channel means over the
+    * complete pixels actually present — see
+    * [[graft.functions.PpmPixelStats]]. */
+  def ppmPixels(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.ppmPixelStats(col(payloadCol)).as("px"))
+      .where(col("px").isNotNull)
+      .select(col(idCol), col("px.width"), col("px.height"), col("px.n_pixels"),
+        round(col("px.mean_r"), 4).as("mean_r"),
+        round(col("px.mean_g"), 4).as("mean_g"),
+        round(col("px.mean_b"), 4).as("mean_b"))
 
   /** STUB DECODE — deterministic fake: derives "decoded" image dimensions
     * from an md5 hash of the payload bytes. Kept for the batch-iterator

@@ -527,6 +527,26 @@ object OpsQueries {
         Multimodal.pack(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload", chunkBytes = 100)),
 
+    // REAL sample decode: the WAV rows' PCM data chunk decoded to
+    // per-frame RMS / zero-crossing / peak gating signals (silence and
+    // clipping filters). The oracle re-decodes the identical int16-LE
+    // stream from the text bytes in SQL — any offset, sign-extension, or
+    // framing bug in the JVM decoder hash-mismatches
+    "x_mm_audio_energy" -> ((s, d) => {
+      val media = Multimodal.packMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.pcmFrames(
+        media.where(col("content_type") === "audio/wav"),
+        "doc_id", "payload", frameSamples = 256)
+    }),
+
+    // REAL pixel decode: P6 PPM payloads (spec-valid ASCII header, text
+    // bytes as a deliberately-truncated raster) averaged per channel over
+    // the complete pixels actually present
+    "x_mm_pixels" -> ((s, d) =>
+      Multimodal.ppmPixels(
+        Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload")),
+
     // the multimodal feature-extract chain end-to-end: payload → stub
     // embedding → within-lang pairwise cosine → global top-10 pairs.
     // The lang block bounds candidates exactly like x_embed_neardup; the
@@ -664,8 +684,10 @@ object OpsQueries {
         docs.where(col("doc_id") % 97 === 0), n = 3)
     }),
 
-    // compression-ratio boilerplate signal (no DuckDB zlib → rows-only
-    // contract; the discrimination property is pinned in ExpressionsSpec)
+    // compression-ratio boilerplate signal. DuckDB has no deflate, so the
+    // oracle joins a committed golden parquet (md5(text) → ratio) computed
+    // by CPython's zlib (tools/make_compress_golden.py) — a genuine
+    // cross-implementation check of the JVM Deflater expression
     "x_text_compress_ratio" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         round(TextOps.compressionRatio(col("text")), 4).as("compress_ratio"))),
@@ -1827,6 +1849,59 @@ object OpsQueries {
          |  md5(substring(text, CAST(i * 100 + 1 AS BIGINT), 100)) AS frame_md5
          |FROM e""".stripMargin,
 
+    // re-decode the WAV data chunk (= the utf-8 text bytes after the
+    // 44-byte header) as int16-LE samples via the hex trick: byte j is hex
+    // chars 2j+1..2j+2, sample i = bytes (2i, 2i+1) little-endian,
+    // sign-extended. Frame = sidx // 256; zero crossings pair each sample
+    // with its predecessor WITHIN the frame (sidx % 256 <> 0). The frame
+    // sum-of-squares is exact in double (<= 256 * 32767^2 << 2^53) so
+    // summation order cannot diverge between engines
+    "x_mm_audio_energy" ->
+      """WITH a AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |e AS (SELECT doc_id, hx, unnest(range(n)) AS i FROM a),
+        |s AS (SELECT doc_id, i AS sidx,
+        |    CAST('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)
+        |              || substr(hx, CAST(4*i + 1 AS INT), 2) AS INT) AS u
+        |  FROM e),
+        |v AS (SELECT doc_id, sidx,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s),
+        |w AS (SELECT doc_id, sidx, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY sidx) AS pv FROM v)
+        |SELECT doc_id,
+        |  CAST(sidx // 256 AS INT) AS frame_idx,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 4) AS rms,
+        |  CAST(coalesce(sum(CASE WHEN sidx % 256 <> 0
+        |      AND (v < 0) <> (pv < 0) THEN 1 END), 0) AS INT) AS zero_crossings,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM w GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // re-decode the P6 raster: header "P6\n<w> <h>\n255\n" then the text
+    // bytes; pixel i channels at raster bytes 3i/3i+1/3i+2 -> hex chars
+    // 6i+1 / 6i+3 / 6i+5; complete pixels only, means 0.0 for an empty
+    // raster (mirrors the decoder's 0-pixel convention)
+    "x_mm_pixels" ->
+      """WITH p AS (SELECT doc_id, doc_id % 16 + 4 AS w,
+        |    (doc_id * 3) % 16 + 4 AS h, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, h, hx, least(w * h, t // 3) AS npix FROM p),
+        |e AS (SELECT doc_id, hx, unnest(range(npix)) AS i FROM n),
+        |px AS (SELECT doc_id, i,
+        |    CAST('0x' || substr(hx, CAST(6*i + 1 AS INT), 2) AS INT) AS r,
+        |    CAST('0x' || substr(hx, CAST(6*i + 3 AS INT), 2) AS INT) AS g,
+        |    CAST('0x' || substr(hx, CAST(6*i + 5 AS INT), 2) AS INT) AS b
+        |  FROM e)
+        |SELECT n.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(npix AS BIGINT) AS n_pixels,
+        |  round(coalesce(avg(CAST(r AS DOUBLE)), 0.0), 4) AS mean_r,
+        |  round(coalesce(avg(CAST(g AS DOUBLE)), 0.0), 4) AS mean_g,
+        |  round(coalesce(avg(CAST(b AS DOUBLE)), 0.0), 4) AS mean_b
+        |FROM n LEFT JOIN px USING (doc_id)
+        |GROUP BY n.doc_id, w, h, npix""".stripMargin,
+
     "x_mm_embed_pairs" ->
       s"""WITH e AS (SELECT doc_id, lang, list_transform(range(0, 16), j ->
          |    CAST('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
@@ -1890,6 +1965,17 @@ object OpsQueries {
         |round(sum(l_extendedprice), 2) AS rev
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // golden-file oracle: expected ratios precomputed by CPython zlib
+    // (level 6, the same public zlib the JVM Deflater wraps) and committed
+    // keyed by md5(text) — regenerate with tools/make_compress_golden.py
+    // whenever the testdata corpus changes. An inner join fails loud
+    // (rows_match) if a text is missing from the golden.
+    "x_text_compress_ratio" ->
+      """SELECT d.doc_id, g.expected_ratio AS compress_ratio
+        |FROM documents d
+        |JOIN '/root/repo/oracle/compress_ratio_golden.parquet' g
+        |  ON md5(d.text) = g.text_md5""".stripMargin,
 
     "x_contamination" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

@@ -177,6 +177,64 @@ class MultimodalSpec extends SparkSuite {
     assert(perDoc == Map(2L -> 2L)) // doc 1 absent, doc 2 has ceil(6/4)=2
   }
 
+  test("pcmFrames decodes hand-built int16-LE samples: rms/zcr/peak per frame") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    val samples = Seq(1000, -1000, 0, 500, -500, 30000, -30000, 2)
+    val data = samples.flatMap(le16).toArray
+    val wav: Array[Byte] = "RIFF".getBytes ++ le32(36 + data.length) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val got = Seq((1L, wav)).toDF("doc_id", "payload")
+    val rows = Multimodal.pcmFrames(got, "doc_id", "payload", frameSamples = 4)
+      .orderBy("frame_idx")
+      .select("frame_idx", "n_samples", "rms", "zero_crossings", "peak")
+      .as[(Int, Int, Double, Int, Int)].collect().toSeq
+    // expected values recomputed independently (tools: python math.sqrt of
+    // the per-frame mean square, sign-change count, abs max)
+    assert(rows === Seq((0, 4, 750.0, 2, 1000), (1, 4, 21214.6765, 3, 30000)))
+  }
+
+  test("pcmFrames: truncated data chunk decodes available whole samples; non-wav null") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    // declares 100 bytes of data but carries 5 (2 whole samples + 1 stray)
+    val wav: Array[Byte] = "RIFF".getBytes ++ le32(136) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(100) ++ le16(7) ++ le16(-7 & 0xffff) ++ Array(9.toByte)
+    val df = Seq((1L, wav), (2L, "not a wav".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.pcmFrames(df, "doc_id", "payload", frameSamples = 8)
+      .select("doc_id", "n_samples", "zero_crossings", "peak")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(rows === Seq((1L, 2, 1, 7))) // doc 2 contributes nothing
+  }
+
+  test("ppmPixels decodes a P6 raster (comments, truncation, non-ppm null)") {
+    val raster = Array.tabulate(15)(_.toByte) // 5 complete px of declared 6
+    val ppm: Array[Byte] =
+      "P6\n# a comment\n3 2\n255\n".getBytes("US-ASCII") ++ raster
+    val df = Seq((1L, ppm), (2L, "P5 is not P6".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.ppmPixels(df, "doc_id", "payload")
+      .select("doc_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b")
+      .as[(Long, Int, Int, Long, Double, Double, Double)].collect().toSeq
+    assert(rows === Seq((1L, 3, 2, 5L, 6.0, 7.0, 8.0)))
+  }
+
+  test("packPpm round-trips through the pixel decoder with the id arithmetic dims") {
+    val docs = (1L to 8L).map(i => (i, "x" * (i.toInt * 7))).toDF("doc_id", "text")
+    val got = Multimodal.ppmPixels(
+        Multimodal.packPpm(docs, "doc_id", "text"), "doc_id", "payload")
+      .select("doc_id", "width", "height", "n_pixels", "mean_r")
+      .as[(Long, Int, Int, Long, Double)].collect().sortBy(_._1)
+    got.foreach { case (id, w, h, n, mr) =>
+      assert(w === (id % 16 + 4).toInt && h === ((id * 3) % 16 + 4).toInt, s"id=$id")
+      assert(n === math.min(w.toLong * h, id * 7 / 3), s"id=$id")
+      if (n > 0) assert(mr === 120.0, s"id=$id: raster is all 'x' (0x78)")
+    }
+  }
+
   test("resizeStub caps the long side and preserves aspect ratio direction") {
     val df = Seq((1L, 400L, 200L)).toDF("id", "width", "height")
       .withColumn("m", org.apache.spark.sql.functions.struct($"width", $"height"))
