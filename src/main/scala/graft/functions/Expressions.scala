@@ -817,3 +817,39 @@ object PpmPixelStats {
       sr / d, sg / d, sb / d))
   }
 }
+
+/** Shannon entropy (bits/byte) of the utf-8 byte distribution of a string
+  * — the classic complementary signal to [[DeflateRatio]] for boilerplate
+  * and gibberish detection (low entropy = repetitive/templated, ~8 bits =
+  * random/binary-ish). One 256-bucket histogram per row, map-only.
+  *
+  * Computed as log2(n) − (Σ_b cnt_b·log2(cnt_b))/n with the sum taken in
+  * ASCENDING byte order — the algebraic form and summation order the
+  * DuckDB oracle replays term-for-term (`list(cnt ORDER BY byte)` +
+  * left-to-right `list_sum`), so the doubles agree to the last bit before
+  * rounding. Empty string → 0.0. Returned UNROUNDED — callers round. */
+case class ByteEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    if (b.length == 0) return 0.0d
+    val cnt = new Array[Int](256)
+    var i = 0
+    while (i < b.length) { cnt(b(i) & 0xff) += 1; i += 1 }
+    val ln2 = math.log(2)
+    var s = 0.0
+    var c = 0
+    while (c < 256) {
+      if (cnt(c) > 0) s += cnt(c) * (math.log(cnt(c)) / ln2)
+      c += 1
+    }
+    math.log(b.length) / ln2 - s / b.length
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropy =
+    copy(child = newChild)
+}

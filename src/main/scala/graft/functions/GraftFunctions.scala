@@ -49,6 +49,9 @@ object GraftFunctions {
 
   def ppmPixelStats(payload: Column): Column =
     col(PpmPixelStats(expr(payload)))
+
+  def byteEntropy(text: Column): Column =
+    col(ByteEntropy(expr(text)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -113,7 +116,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PcmFrameStats(args(0), intArg(args(1), "frameSamples"))),
     (FunctionIdentifier("ppm_pixel_stats"),
       new ExpressionInfo(classOf[PpmPixelStats].getName, "ppm_pixel_stats"),
-      (args: Seq[Expression]) => PpmPixelStats(args(0))))
+      (args: Seq[Expression]) => PpmPixelStats(args(0))),
+    (FunctionIdentifier("byte_entropy"),
+      new ExpressionInfo(classOf[ByteEntropy].getName, "byte_entropy"),
+      (args: Seq[Expression]) => ByteEntropy(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -692,6 +692,16 @@ object OpsQueries {
       Tables.documents(s, d).select(col("doc_id"),
         round(TextOps.compressionRatio(col("text")), 4).as("compress_ratio"))),
 
+    // byte-entropy gibberish/boilerplate signal, the complement of the
+    // compression ratio (low = templated/repetitive, ~8 bits = random
+    // bytes). Exact oracle: DuckDB replays the identical ln(x)/ln(2)
+    // algebra with the identical ascending-byte summation order
+    "x_text_entropy" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        round(graft.functions.GraftFunctions.byteEntropy(col("text")), 4)
+          .as("entropy"))),
+
     // crawl-to-text extraction: script/style content dropped, tags
     // stripped keeping text, entities decoded, whitespace collapsed —
     // synthetic markup wrapped around each document (corpus has none)
@@ -1965,6 +1975,27 @@ object OpsQueries {
         |round(sum(l_extendedprice), 2) AS rev
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // per-byte histogram via the hex trick (fixed-width uppercase hex
+    // sorts identically to the byte value, so ORDER BY the hex pair IS
+    // ascending-byte order); entropy = ln(n)/ln(2) − Σ cnt·(ln cnt/ln 2)/n
+    // with list_sum over the byte-ordered list matching the expression's
+    // ascending-byte loop term for term
+    "x_text_entropy" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |e AS (SELECT doc_id, n, unnest(range(n)) AS i, hx FROM b),
+        |c AS (SELECT doc_id, substr(hx, CAST(2*i + 1 AS INT), 2) AS byte,
+        |    count(*) AS cnt FROM e GROUP BY doc_id, byte),
+        |l AS (SELECT doc_id,
+        |    list(CAST(cnt AS DOUBLE) ORDER BY byte) AS cs
+        |  FROM c GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
+        |  CASE WHEN b.n = 0 THEN 0.0 ELSE
+        |    round(ln(CAST(b.n AS DOUBLE)) / ln(2.0) -
+        |      list_sum(list_transform(l.cs, x -> x * (ln(x) / ln(2.0)))) / b.n, 4)
+        |  END AS entropy
+        |FROM b LEFT JOIN l USING (doc_id)""".stripMargin,
 
     // golden-file oracle: expected ratios precomputed by CPython zlib
     // (level 6, the same public zlib the JVM Deflater wraps) and committed

@@ -186,4 +186,29 @@ class ExpressionsSpec extends SparkSuite {
       .head().getDouble(0)
     assert(viaSql > 0.0 && viaSql < 1.5)
   }
+
+  test("ByteEntropy: exact values for known distributions, edges, SQL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aaaa"),          // one symbol -> 0 bits
+      (2L, "abab"),          // two equiprobable -> 1 bit
+      (3L, "abcdabcd"),      // four equiprobable -> 2 bits
+      (4L, ""),              // empty -> defined 0.0
+      (5L, null.asInstanceOf[String]),
+      (6L, "héhé"))          // utf-8 multibyte: 6 bytes, h/c3/a9 twice each
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.byteEntropy($"text").as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows(1L) === 0.0)
+    assert(rows(2L) === 1.0)
+    assert(rows(3L) === 2.0)
+    assert(rows(4L) === 0.0)
+    assert(rows(5L) === null)
+    val tri = rows(6L).asInstanceOf[Double] // 3 symbols x2 -> log2(3)
+    assert(math.abs(tri - math.log(3) / math.log(2)) < 1e-12, s"got $tri")
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT byte_entropy('abab') AS e").head().getDouble(0)
+    assert(viaSql === 1.0)
+  }
 }
