@@ -131,6 +131,23 @@ object Multimodal {
         round(col("f.rms"), 4).as("rms"),
         col("f.zero_crossings"), col("f.peak"))
 
+  /** Doc-level audio gating over the decoded PCM frames: a clip's
+    * "active" fraction is the share of frames whose (4-dp-rounded) RMS
+    * clears `rmsFloor`; clips below `minActive` drop — the silence /
+    * dead-air filter of an audio training pipeline. One map-only decode +
+    * one per-id aggregation; the gate compares the ROUNDED rms so the
+    * oracle replays each keep/drop decision exactly. */
+  def audioActivityGate(df: DataFrame, idCol: String, payloadCol: String,
+                        frameSamples: Int, rmsFloor: Double,
+                        minActive: Double): DataFrame =
+    pcmFrames(df, idCol, payloadCol, frameSamples)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("rms") >= rmsFloor, 1L).otherwise(0L)).as("active_frames"))
+      .withColumn("active_frac",
+        round(col("active_frames").cast("double") / col("n_frames"), 4))
+      .where(col("active_frac") >= minActive)
+
   /** Pack a text column as a REAL P6 PPM payload: spec-valid ASCII header
     * (dimensions by fixed id arithmetic, maxval 255) followed by the text
     * bytes as the raster. Width is small and height is derived from the

@@ -539,6 +539,19 @@ object OpsQueries {
         "doc_id", "payload", frameSamples = 256)
     }),
 
+    // the audio-gating pipeline end-to-end: decode PCM frames, score
+    // activity per clip, drop mostly-quiet clips. The 26000 RMS floor
+    // sits inside the ASCII-payload RMS range so the gate genuinely
+    // discriminates — both the per-frame decisions and the doc-level
+    // keep/drop replay in the oracle
+    "x_mm_audio_gate" -> ((s, d) => {
+      val media = Multimodal.packMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.audioActivityGate(
+        media.where(col("content_type") === "audio/wav"),
+        "doc_id", "payload", frameSamples = 64,
+        rmsFloor = 26000.0, minActive = 0.5)
+    }),
+
     // REAL pixel decode: P6 PPM payloads (spec-valid ASCII header, text
     // bytes as a deliberately-truncated raster) averaged per channel over
     // the complete pixels actually present
@@ -1887,6 +1900,31 @@ object OpsQueries {
         |      AND (v < 0) <> (pv < 0) THEN 1 END), 0) AS INT) AS zero_crossings,
         |  CAST(max(abs(v)) AS INT) AS peak
         |FROM w GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // frame RMS exactly as in x_mm_audio_energy (frame = 64 samples),
+    // then the doc-level activity gate on the ROUNDED rms
+    "x_mm_audio_gate" ->
+      """WITH a AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |e AS (SELECT doc_id, hx, unnest(range(n)) AS i FROM a),
+        |s AS (SELECT doc_id, i AS sidx,
+        |    CAST('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)
+        |              || substr(hx, CAST(4*i + 1 AS INT), 2) AS INT) AS u
+        |  FROM e),
+        |v AS (SELECT doc_id, sidx,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s),
+        |f AS (SELECT doc_id, sidx // 64 AS frame_idx,
+        |    round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 4) AS rms
+        |  FROM v GROUP BY doc_id, frame_idx),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN rms >= 26000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS active_frames
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_frames, active_frames,
+        |  round(CAST(active_frames AS DOUBLE) / n_frames, 4) AS active_frac
+        |FROM g
+        |WHERE round(CAST(active_frames AS DOUBLE) / n_frames, 4) >= 0.5""".stripMargin,
 
     // re-decode the P6 raster: header "P6\n<w> <h>\n255\n" then the text
     // bytes; pixel i channels at raster bytes 3i/3i+1/3i+2 -> hex chars

@@ -235,6 +235,27 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audioActivityGate keeps loud clips, drops quiet ones") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    val loud = wav(Seq.tabulate(16)(i => if (i % 2 == 0) 30000 else -30000))
+    val quiet = wav(Seq.fill(16)(5))
+    val mixed = wav(Seq.fill(8)(30000) ++ Seq.fill(8)(1)) // 1 of 2 frames active
+    val df = Seq((1L, loud), (2L, quiet), (3L, mixed)).toDF("doc_id", "payload")
+    val kept = Multimodal.audioActivityGate(df, "doc_id", "payload",
+        frameSamples = 8, rmsFloor = 1000.0, minActive = 0.5)
+      .select("doc_id", "n_frames", "active_frames", "active_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(kept === Seq((1L, 2L, 2L, 1.0), (3L, 2L, 1L, 0.5)))
+  }
+
   test("resizeStub caps the long side and preserves aspect ratio direction") {
     val df = Seq((1L, 400L, 200L)).toDF("id", "width", "height")
       .withColumn("m", org.apache.spark.sql.functions.struct($"width", $"height"))
