@@ -792,7 +792,8 @@ object PpmPixelStats {
     null
   }
 
-  def parse(b: Array[Byte]): GenericInternalRow = {
+  /** (width, height, rasterOffset) of a P6 header, or null. */
+  private[functions] def header(b: Array[Byte]): Array[Int] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return null
     val w = int(b, 2); if (w == null) return null
     val h = int(b, w(1).toInt); if (h == null) return null
@@ -800,8 +801,13 @@ object PpmPixelStats {
     // spec: exactly ONE whitespace byte separates maxval from the raster
     val off = mx(1).toInt + 1
     if (off > b.length) return null
-    val width = w(0).toInt
-    val height = h(0).toInt
+    Array(w(0).toInt, h(0).toInt, off)
+  }
+
+  def parse(b: Array[Byte]): GenericInternalRow = {
+    val hd = header(b)
+    if (hd == null) return null
+    val width = hd(0); val height = hd(1); val off = hd(2)
     val declared = width.toLong * height
     val nPix = math.min(declared, ((b.length - off) / 3).toLong)
     if (nPix < 0) return null
@@ -851,5 +857,49 @@ case class ByteEntropy(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ByteEntropy =
+    copy(child = newChild)
+}
+
+/** REAL image resize for P6 PPM payloads: a `side`×`side` nearest-neighbor
+  * thumbnail of the raster rows actually present (the standard cheap
+  * perceptual fingerprint / preview step — and the pre-hash normalization
+  * of image near-dup). Source pixel for thumbnail cell (r, c) is
+  * (⌊r·hEff/side⌋, ⌊c·w/side⌋) over the hEff = min(h, available/3/w)
+  * COMPLETE rows, so truncated crawl payloads resize over their valid
+  * prefix. Returns the 3·side·side RGB bytes; null when the payload is
+  * not a P6 PPM or carries no complete row. Per-row, map-only. */
+case class PpmThumbnail(child: Expression, side: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(side >= 1, s"side must be >= 1, got $side")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val hd = PpmPixelStats.header(b)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val off = hd(2)
+    if (w <= 0) return null
+    val hEff = math.min(h.toLong, ((b.length - off) / 3) / w).toInt
+    if (hEff <= 0) return null
+    val out = new Array[Byte](3 * side * side)
+    var r = 0
+    while (r < side) {
+      val srcR = (r.toLong * hEff / side).toInt
+      var c = 0
+      while (c < side) {
+        val srcC = (c.toLong * w / side).toInt
+        val p = off + (srcR * w + srcC) * 3
+        val o = (r * side + c) * 3
+        out(o) = b(p); out(o + 1) = b(p + 1); out(o + 2) = b(p + 2)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmThumbnail =
     copy(child = newChild)
 }

@@ -52,6 +52,9 @@ object GraftFunctions {
 
   def byteEntropy(text: Column): Column =
     col(ByteEntropy(expr(text)))
+
+  def ppmThumbnail(payload: Column, side: Int): Column =
+    col(PpmThumbnail(expr(payload), side))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -119,7 +122,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PpmPixelStats(args(0))),
     (FunctionIdentifier("byte_entropy"),
       new ExpressionInfo(classOf[ByteEntropy].getName, "byte_entropy"),
-      (args: Seq[Expression]) => ByteEntropy(args(0))))
+      (args: Seq[Expression]) => ByteEntropy(args(0))),
+    (FunctionIdentifier("ppm_thumbnail"),
+      new ExpressionInfo(classOf[PpmThumbnail].getName, "ppm_thumbnail"),
+      (args: Seq[Expression]) => PpmThumbnail(args(0), intArg(args(1), "side"))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

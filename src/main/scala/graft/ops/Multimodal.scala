@@ -167,6 +167,23 @@ object Multimodal {
       lit("image/x-portable-pixmap").as("content_type"))
   }
 
+  /** REAL nearest-neighbor resize for P6 PPM payloads: `side`×`side` RGB
+    * thumbnail bytes sampled from the complete raster rows present — the
+    * cheap perceptual-fingerprint / preview step, and the normalization
+    * that feeds image near-dup hashing. Emits the thumbnail hex plus its
+    * md5 fingerprint; rows that carry no complete raster row drop. */
+  def ppmThumbnails(df: DataFrame, idCol: String, payloadCol: String,
+                    side: Int): DataFrame =
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.ppmThumbnail(col(payloadCol), side)
+          .as("thumb"))
+      .where(col("thumb").isNotNull)
+      // fingerprint the HEX rendering (not the raw bytes): DuckDB's md5 is
+      // varchar-only, and hashing the same uppercase-hex text keeps the
+      // oracle replay exact
+      .select(col(idCol), hex(col("thumb")).as("thumb_hex"))
+      .withColumn("thumb_md5", md5(col("thumb_hex")))
+
   /** REAL pixel decode for P6 PPM payloads: per-channel means over the
     * complete pixels actually present — see
     * [[graft.functions.PpmPixelStats]]. */

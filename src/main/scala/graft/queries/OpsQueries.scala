@@ -560,6 +560,14 @@ object OpsQueries {
         Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload")),
 
+    // REAL resize: 4x4 nearest-neighbor thumbnails of the P6 rasters —
+    // the oracle rebuilds every thumbnail byte-for-byte from the same
+    // source-pixel arithmetic, so a single mis-sampled pixel mismatches
+    "x_mm_thumbnail" -> ((s, d) =>
+      Multimodal.ppmThumbnails(
+        Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload", side = 4)),
+
     // the multimodal feature-extract chain end-to-end: payload → stub
     // embedding → within-lang pairwise cosine → global top-10 pairs.
     // The lang block bounds candidates exactly like x_embed_neardup; the
@@ -1925,6 +1933,25 @@ object OpsQueries {
         |  round(CAST(active_frames AS DOUBLE) / n_frames, 4) AS active_frac
         |FROM g
         |WHERE round(CAST(active_frames AS DOUBLE) / n_frames, 4) >= 0.5""".stripMargin,
+
+    // rebuild each 4x4 thumbnail: source pixel for cell (r, c) is
+    // (r*heff // 4, c*w // 4) over the heff complete rows, pixel p's three
+    // channels = hex chars 6p+1..6p+6, concatenated row-major
+    "x_mm_thumbnail" ->
+      """WITH p AS (SELECT doc_id, doc_id % 16 + 4 AS w,
+        |    (doc_id * 3) % 16 + 4 AS h, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, hx,
+        |    least(h, (t // 3) // w) AS heff FROM p WHERE least(h, (t // 3) // w) >= 1),
+        |r1 AS (SELECT doc_id, w, hx, heff, unnest(range(4)) AS r FROM n),
+        |r2 AS (SELECT doc_id, w, hx, heff, r, unnest(range(4)) AS c FROM r1),
+        |px AS (SELECT doc_id, r, c,
+        |    substr(hx, CAST(6 * (((r * heff) // 4) * w + ((c * w) // 4)) + 1 AS INT), 6) AS hex6
+        |  FROM r2),
+        |th AS (SELECT doc_id, string_agg(hex6, '' ORDER BY r, c) AS thumb_hex
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, thumb_hex, md5(thumb_hex) AS thumb_md5 FROM th""".stripMargin,
 
     // re-decode the P6 raster: header "P6\n<w> <h>\n255\n" then the text
     // bytes; pixel i channels at raster bytes 3i/3i+1/3i+2 -> hex chars

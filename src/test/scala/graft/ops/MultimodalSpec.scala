@@ -235,6 +235,22 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("ppmThumbnails nearest-neighbor samples the expected source pixels") {
+    val full = "P6\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(24)(_.toByte) // complete 4x2 raster
+    val trunc = "P6\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(15)(_.toByte) // one complete row (heff = 1)
+    val df = Seq((1L, full), (2L, trunc), (3L, "nope".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.ppmThumbnails(df, "doc_id", "payload", side = 2)
+      .select("doc_id", "thumb_hex").as[(Long, String)].collect().toMap
+    def hx(bs: Int*) = bs.map("%02X".format(_)).mkString
+    // (r,c) -> src (r*heff/2, c*4/2): full keeps rows 0,1 cols 0,2
+    assert(got(1L) === hx(0, 1, 2, 6, 7, 8, 12, 13, 14, 18, 19, 20))
+    // truncated: only row 0 exists, both thumb rows sample it
+    assert(got(2L) === hx(0, 1, 2, 6, 7, 8, 0, 1, 2, 6, 7, 8))
+    assert(!got.contains(3L))
+  }
+
   test("audioActivityGate keeps loud clips, drops quiet ones") {
     def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
     def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
