@@ -903,3 +903,55 @@ case class PpmThumbnail(child: Expression, side: Int)
   override protected def withNewChildInternal(newChild: Expression): PpmThumbnail =
     copy(child = newChild)
 }
+
+/** Perceptual difference-hash (dHash) of a P6 PPM payload: nearest-neighbor
+  * sample a 9-wide × 7-tall integer-grayscale grid over the complete raster
+  * rows present (same sampling arithmetic as [[PpmThumbnail]]), then set
+  * bit r·8+c when gray(r,c) < gray(r,c+1) — 56 bits, always positive, the
+  * classic near-dup fingerprint for images (near-identical images differ
+  * in a few bits; hamming distance is the similarity). Gray is the integer
+  * mean (R+G+B)/3 so the DuckDB oracle replays every bit. Null when the
+  * payload is not a P6 PPM or carries no complete row. Per-row, map-only. */
+case class PpmDHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val hd = PpmPixelStats.header(b)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val off = hd(2)
+    if (w <= 0) return null
+    val hEff = math.min(h.toLong, ((b.length - off) / 3) / w).toInt
+    if (hEff <= 0) return null
+    val gray = Array.ofDim[Int](7, 9)
+    var r = 0
+    while (r < 7) {
+      val srcR = (r.toLong * hEff / 7).toInt
+      var c = 0
+      while (c < 9) {
+        val srcC = (c.toLong * w / 9).toInt
+        val p = off + (srcR * w + srcC) * 3
+        gray(r)(c) = ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    var sig = 0L
+    r = 0
+    while (r < 7) {
+      var c = 0
+      while (c < 8) {
+        if (gray(r)(c) < gray(r)(c + 1)) sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmDHash =
+    copy(child = newChild)
+}

@@ -55,6 +55,9 @@ object GraftFunctions {
 
   def ppmThumbnail(payload: Column, side: Int): Column =
     col(PpmThumbnail(expr(payload), side))
+
+  def ppmDHash(payload: Column): Column =
+    col(PpmDHash(expr(payload)))
 }
 
 /** SQL registration of the custom expressions, either at session build
@@ -125,7 +128,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ByteEntropy(args(0))),
     (FunctionIdentifier("ppm_thumbnail"),
       new ExpressionInfo(classOf[PpmThumbnail].getName, "ppm_thumbnail"),
-      (args: Seq[Expression]) => PpmThumbnail(args(0), intArg(args(1), "side"))))
+      (args: Seq[Expression]) => PpmThumbnail(args(0), intArg(args(1), "side"))),
+    (FunctionIdentifier("ppm_dhash"),
+      new ExpressionInfo(classOf[PpmDHash].getName, "ppm_dhash"),
+      (args: Seq[Expression]) => PpmDHash(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

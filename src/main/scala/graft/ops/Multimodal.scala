@@ -184,6 +184,40 @@ object Multimodal {
       .select(col(idCol), hex(col("thumb")).as("thumb_hex"))
       .withColumn("thumb_md5", md5(col("thumb_hex")))
 
+  /** Image near-dup over P6 PPM payloads: perceptual dHash (9×7 grayscale
+    * grid, 56 bits — [[graft.functions.PpmDHash]]) banded into 4×14-bit
+    * equi-join keys, candidate pairs verified by hamming distance. The
+    * pigeonhole guarantee is exact: any pair within `maxHamming` ≤ 3 bits
+    * shares at least one unchanged band, so banding loses nothing while
+    * the join stays an equi-join on a compact (band, key) — the same
+    * blocked shape as the SimHash text near-dup, never all-pairs. Only
+    * (id, 56-bit hash) tuples cross the shuffle; payload bytes never do. */
+  def imageNearDup(df: DataFrame, idCol: String, payloadCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4 bands of 14 bits are exact only to distance 3+1-1=3, got $maxHamming")
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        graft.functions.GraftFunctions.ppmDHash(col(payloadCol)).as("__dh"))
+      .where(col("__dh").isNotNull)
+    val banded = sigs.select(col("__id"), col("__dh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("__b"),
+          shiftright(col("__dh"), 14 * b).bitwiseAND(lit(0x3fffL)).as("__k"))): _*))
+        .as("__band"))
+      .select(col("__id"), col("__dh"),
+        col("__band.__b").as("__b"), col("__band.__k").as("__k"))
+    val lhs = banded.select(col("__b"), col("__k"),
+      col("__id").as("id_a"), col("__dh").as("__dha"))
+    val rhs = banded.select(col("__b"), col("__k"),
+      col("__id").as("id_b"), col("__dh").as("__dhb"))
+    lhs.join(rhs, Seq("__b", "__k"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__dha ^ __dhb)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a close pair can share several bands
+  }
+
   /** REAL pixel decode for P6 PPM payloads: per-channel means over the
     * complete pixels actually present — see
     * [[graft.functions.PpmPixelStats]]. */

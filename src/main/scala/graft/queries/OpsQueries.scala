@@ -560,6 +560,16 @@ object OpsQueries {
         Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload")),
 
+    // image near-dup end-to-end over the decoded rasters: perceptual
+    // dHash -> 4x14-bit pigeonhole bands -> equi-join -> hamming verify.
+    // The oracle recomputes every grayscale sample, every hash bit, and
+    // the full exact pair set (banding is provably lossless at distance
+    // <= 3, so SQL can skip the bands and brute-force the small result)
+    "x_mm_image_neardup" -> ((s, d) =>
+      Multimodal.imageNearDup(
+        Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload", maxHamming = 3)),
+
     // REAL resize: 4x4 nearest-neighbor thumbnails of the P6 rasters —
     // the oracle rebuilds every thumbnail byte-for-byte from the same
     // source-pixel arithmetic, so a single mis-sampled pixel mismatches
@@ -1933,6 +1943,35 @@ object OpsQueries {
         |  round(CAST(active_frames AS DOUBLE) / n_frames, 4) AS active_frac
         |FROM g
         |WHERE round(CAST(active_frames AS DOUBLE) / n_frames, 4) >= 0.5""".stripMargin,
+
+    // replay the dHash bit-for-bit (9x7 integer-grayscale grid over the
+    // heff complete rows, bit r*8+c when gray(r,c) < gray(r,c+1)), then
+    // brute-force the exact hamming<=3 pair set — the banding the Spark
+    // side uses is provably lossless at that distance, so the oracle can
+    // skip it
+    "x_mm_image_neardup" ->
+      """WITH p AS (SELECT doc_id, doc_id % 16 + 4 AS w,
+        |    (doc_id * 3) % 16 + 4 AS h, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, hx, least(h, (t // 3) // w) AS heff FROM p
+        |  WHERE least(h, (t // 3) // w) >= 1),
+        |r1 AS (SELECT doc_id, w, hx, heff, unnest(range(7)) AS r FROM n),
+        |r2 AS (SELECT doc_id, w, hx, heff, r, unnest(range(9)) AS c FROM r1),
+        |g AS (SELECT doc_id, r, c,
+        |   (CAST('0x' || substr(hx, CAST(6*(((r*heff) // 7)*w + ((c*w) // 9)) + 1 AS INT), 2) AS INT)
+        |  + CAST('0x' || substr(hx, CAST(6*(((r*heff) // 7)*w + ((c*w) // 9)) + 3 AS INT), 2) AS INT)
+        |  + CAST('0x' || substr(hx, CAST(6*(((r*heff) // 7)*w + ((c*w) // 9)) + 5 AS INT), 2) AS INT)) // 3 AS gray
+        |  FROM r2),
+        |bb AS (SELECT doc_id, r, c, gray,
+        |    lead(gray) OVER (PARTITION BY doc_id, r ORDER BY c) AS nxt FROM g),
+        |dh AS (SELECT doc_id, CAST(sum(CASE WHEN c < 8 AND gray < nxt
+        |      THEN CAST(power(2, r*8 + c) AS BIGINT) ELSE 0 END) AS BIGINT) AS dh
+        |  FROM bb GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b2.dh)) AS INT) AS hamming
+        |FROM dh a JOIN dh b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.dh, b2.dh)) <= 3""".stripMargin,
 
     // rebuild each 4x4 thumbnail: source pixel for cell (r, c) is
     // (r*heff // 4, c*w // 4) over the heff complete rows, pixel p's three

@@ -251,6 +251,35 @@ class MultimodalSpec extends SparkSuite {
     assert(!got.contains(3L))
   }
 
+  test("imageNearDup equals the brute-force hamming pair set (banding lossless)") {
+    import org.apache.spark.sql.functions._
+    val hdr = "P6\n8 8\n255\n".getBytes("US-ASCII")
+    def raster(seed: Int): Array[Byte] =
+      Array.tabulate(192)(i => ((i * 37 + seed * 101) % 251).toByte)
+    // 20 distinct images + near-identical copies of two of them
+    val payloads = (0 until 20).map(s => (s.toLong, hdr ++ raster(s))) ++ Seq(
+      (100L, { val b = hdr ++ raster(3); b(30) = (b(30) + 80).toByte; b },
+      ), (101L, hdr ++ raster(7)))
+      .map { case (id, b) => (id, b) }
+    val df = payloads.toDF("doc_id", "payload")
+    val got = Multimodal.imageNearDup(df, "doc_id", "payload", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the same dhash expression
+    val sigs = df.select($"doc_id",
+      graft.functions.GraftFunctions.ppmDHash($"payload").as("dh"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        expr("bit_count(a.dh ^ b.dh)").cast("int").as("hamming"))
+      .where($"hamming" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    assert(got.contains((7L, 101L, 0)), "identical raster must pair at distance 0")
+    assert(brute.exists { case (a, b, h) => a == 3L && b == 100L && h <= 3 } ==
+      got.exists { case (a, b, h) => a == 3L && b == 100L })
+  }
+
   test("audioActivityGate keeps loud clips, drops quiet ones") {
     def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
     def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
