@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis over a document corpus — the web-graph signals a
+  * training-data pipeline derives before/alongside text quality (link-based
+  * spam scoring, crawl prioritization, host authority weighting).
+  *
+  * The corpus tables carry no explicit link column, so the graph is
+  * DERIVED deterministically: each document emits `outDeg` links whose
+  * targets are md5-derived from (id, link index) — the same
+  * hash-everything-into-position discipline the sampling/split operators
+  * use, so the oracle replays every edge exactly.
+  *
+  * Scale design: edges are a map-only projection of the corpus (never
+  * materialized wider than (src, dst) longs). Each PageRank iteration is
+  * two compact shuffles — the rank table keyed by src into the edge join,
+  * then (dst, contribution) pairs into the per-dst aggregation. Rank mass
+  * is integer FIXED POINT (micro-units of 1e-12 of total mass): integer
+  * sums are order- and partitioning-independent, so the result is
+  * bit-deterministic across engines and cluster layouts — the same
+  * discipline as [[TextOps]]'s fixed-point classifier training. The edge
+  * table is persisted once and reused by all iterations.
+  */
+object Graph {
+
+  /** Total rank mass in fixed-point units (1e12 = 1.0). */
+  val T: Long = 1000000000000L
+
+  /** Deterministic derived edge list: src -> h32(src ":" j) mod n for
+    * j in 1..outDeg. Self-loops and duplicate targets are kept (they are
+    * well-defined under PageRank and keep every out-degree exactly
+    * `outDeg`, which in turn keeps the per-edge contribution an exact
+    * integer division). */
+  def deriveEdges(docs: DataFrame, idCol: String, outDeg: Int, n: Long): DataFrame =
+    docs.select(col(idCol).cast("long").as("src"))
+      .withColumn("j", explode(sequence(lit(1), lit(outDeg))))
+      .select(col("src"),
+        pmod(Dedup.h32(concat(col("src").cast("string"), lit(":"),
+          col("j").cast("string"))), lit(n)).as("dst"))
+
+  /** Fixed-point PageRank with damping 0.85 over the derived link graph.
+    *
+    * r_{t+1}(v) = (15·T)/(100·n)  +  (85 · Σ_{u→v} r_t(u) div outDeg) div 100
+    *
+    * All arithmetic is integer (div = truncating division on non-negative
+    * longs, identical to DuckDB's `//`), so distributed summation order
+    * cannot perturb a single bit. Rank mass is conserved up to the
+    * truncation loss of the integer divisions (bounded by n·(outDeg+1)
+    * units per iteration — asserted in GraphSpec).
+    *
+    * Per iteration: one shuffle of the n-row rank table into the edge
+    * join (edges pre-partitioned by src, so only ranks move), one shuffle
+    * of (dst, contrib) longs into the aggregation. The corpus text never
+    * enters the plan. n reaches the driver as one scalar (bounded
+    * metadata). */
+  def pagerank(docs: DataFrame, idCol: String, outDeg: Int = 3,
+               iters: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val n = ids.count()
+    require(n > 0, "pagerank needs a non-empty corpus")
+    val edges = deriveEdges(docs, idCol, outDeg, n)
+      .repartition(col("src")).persist()
+    val base = (15L * T) / (100L * n)
+    var ranks = ids.withColumn("r", lit(T / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), expr(s"r DIV $outDeg").as("c"))
+      val incoming = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = ids.join(incoming, ids("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+    }
+    // no round(): r < 2^53 is exact as a double and 1e12 is a power-of-ten
+    // double, so the single IEEE division is bit-identical cross-engine —
+    // rounding would only reintroduce a half-way-convention risk
+    ranks.select(col("id").as(idCol), col("r").as("rank_micro"),
+      (col("r") / lit(T.toDouble)).as("pagerank"))
+  }
+
+  /** Degree profile of the derived graph: per-node out/in degree and the
+    * share of total rank-relevant mass arriving by edge count — one
+    * aggregation over the (src, dst) pairs, joined back to the id spine
+    * so zero-in-degree nodes keep a row. */
+  def degrees(docs: DataFrame, idCol: String, outDeg: Int = 3): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val n = ids.count()
+    val edges = deriveEdges(docs, idCol, outDeg, n)
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    ids.join(inDeg, ids("id") === inDeg("dst"), "left")
+      .select(col("id").as(idCol), lit(outDeg).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (coalesce(col("in_deg"), lit(0L)) === 0).as("is_orphan"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -830,7 +830,21 @@ object OpsQueries {
       TextOps.redactPii(enriched)
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           md5(col("redacted").cast("binary")).as("redacted_md5"))
-    })
+    }),
+
+    // link-graph authority over a DERIVED deterministic web graph (each
+    // doc emits 3 md5-derived outlinks): 5 damped PageRank iterations in
+    // integer fixed point — every edge, every truncating division, and
+    // every sum replays bit-exactly in the oracle's unrolled SQL. Per
+    // iteration the exchanges carry (id, rank) / (dst, contrib) longs
+    // only; the corpus text never enters the plan
+    "x_graph_pagerank" -> ((s, d) =>
+      Graph.pagerank(Tables.documents(s, d), "doc_id", outDeg = 3, iters = 5)),
+
+    // degree profile of the same derived graph (in-degree skew is the
+    // first spam/hub signal a crawl-prioritization pass reads)
+    "x_graph_degree" -> ((s, d) =>
+      Graph.degrees(Tables.documents(s, d), "doc_id", outDeg = 3))
   )
 
   /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
@@ -2290,6 +2304,49 @@ object OpsQueries {
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones,
         |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "x_graph_pagerank" ->
+      s"""WITH $GraphCtes,
+         |r0 AS (SELECT id, CAST((SELECT 1000000000000 // n FROM n) AS BIGINT) AS r FROM ids),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")},
+         |${prIter("r3", "r4")},
+         |${prIter("r4", "r5")}
+         |SELECT id AS doc_id, r AS rank_micro,
+         |  r / 1000000000000.0 AS pagerank
+         |FROM r5""".stripMargin,
+
+    "x_graph_degree" ->
+      s"""WITH $GraphCtes
+         |SELECT i.id AS doc_id, CAST(3 AS INT) AS out_deg,
+         |  coalesce(c.in_deg, 0) AS in_deg,
+         |  coalesce(c.in_deg, 0) = 0 AS is_orphan
+         |FROM ids i LEFT JOIN
+         |  (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst) c
+         |  ON i.id = c.dst""".stripMargin
   )
+
+  /** Shared CTEs deriving the deterministic link graph ([[Graph.deriveEdges]]):
+    * 3 outlinks per doc, target = h32(src ":" j) mod n. (A `def`, not a
+    * `val` — it is referenced from `oracleSql`, which initializes first.) */
+  private def GraphCtes: String =
+    """n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |ids AS (SELECT doc_id AS id FROM documents),
+      |edges AS (SELECT id AS src,
+      |  CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+      |    % (SELECT n FROM n) AS dst
+      |  FROM ids, (SELECT unnest([1, 2, 3]) AS j) js)""".stripMargin
+
+  /** One unrolled fixed-point PageRank iteration — DuckDB's `//` equals
+    * Spark's `DIV` on the non-negative longs involved. */
+  private def prIter(prev: String, cur: String): String =
+    s"""$cur AS (SELECT i.id,
+       |  CAST((SELECT (15 * 1000000000000) // (100 * n) FROM n)
+       |    + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+       |  FROM ids i LEFT JOIN (
+       |    SELECT e.dst AS id, sum(r.r // 3) AS s
+       |    FROM edges e JOIN $prev r ON e.src = r.id GROUP BY e.dst) c
+       |    ON i.id = c.id)""".stripMargin
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class GraphSpec extends SparkSuite {
+
+  private def docs = spark.read.parquet(s"$sf0/documents.parquet")
+
+  test("pagerank matches an exact in-memory fixed-point reference") {
+    val n = docs.count()
+    val edges = Graph.deriveEdges(docs, "doc_id", 3, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical integer arithmetic, sequential: the distributed result
+    // must be BIT-equal (fixed point leaves no room for sum-order drift)
+    var r = Array.fill(n.toInt)(Graph.T / n)
+    val base = 15L * Graph.T / (100L * n)
+    for (_ <- 1 to 5) {
+      val in = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s, d) => in(d.toInt) += r(s.toInt) / 3 }
+      r = in.map(s => base + 85L * s / 100L)
+    }
+    val got = Graph.pagerank(docs, "doc_id", 3, 5)
+      .select("doc_id", "rank_micro").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got.size == n)
+    r.zipWithIndex.foreach { case (exp, id) => assert(got(id.toLong) == exp, s"id=$id") }
+  }
+
+  test("pagerank conserves mass up to integer truncation loss") {
+    val n = docs.count()
+    val total = Graph.pagerank(docs, "doc_id", 3, 5)
+      .agg(sum("rank_micro")).head.getLong(0)
+    // each iteration truncates < 3 units per edge (DIV 3), < 1 per node
+    // (DIV 100) and < 1 per node in the base term
+    assert(total <= Graph.T)
+    assert(total >= Graph.T - 5 * (3 * 3 * n + 2 * n), s"total=$total")
+  }
+
+  test("pagerank is independent of physical layout") {
+    val a = Graph.pagerank(docs, "doc_id", 3, 3)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val b = Graph.pagerank(docs.repartition(7), "doc_id", 3, 3)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(a == b)
+  }
+
+  test("degrees: in-degree sums to the edge count, spine keeps orphans") {
+    val n = docs.count()
+    val deg = Graph.degrees(docs, "doc_id", 3)
+    assert(deg.count() == n)
+    assert(deg.agg(sum("in_deg")).head.getLong(0) == 3 * n)
+    assert(deg.where(col("out_deg") =!= 3).count() == 0)
+    val orphans = deg.where(col("is_orphan")).count()
+    assert(orphans == deg.where(col("in_deg") === 0).count())
+  }
+}
