@@ -97,4 +97,73 @@ object AsofJoin {
       .where(col("__lrow").isNotNull)
       .select(outCols: _*)
   }
+
+  /** Nearest-in-either-direction as-of join (the pandas
+    * `merge_asof(direction='nearest')` shape): each left row takes the
+    * right row minimizing |left.ts − right.ts| within the key; equal
+    * distances break BACKWARD (the at-or-before candidate wins).
+    *
+    * Both timestamp columns must be NUMERIC (convert dates with
+    * `unix_date` first) so the distance compare is exact integer
+    * arithmetic — bit-deterministic cross-engine.
+    *
+    * Same union-merge scale shape as [[asofJoin]], walked from both ends:
+    * ONE exchange on the key feeds two running windows (ascending
+    * carries the latest prior right row, descending the earliest later
+    * one) and the winner is a per-row compare — no candidate pair
+    * blowup, cost O(shuffle + two per-key sorts) regardless of density.
+    *
+    * @param strict true → exclude equal-timestamp right rows from BOTH
+    *               directions (nearest OTHER event). */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTs: String, rightTs: String,
+                  payload: Map[String, String],
+                  strict: Boolean = false): DataFrame = {
+    val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
+    val paySorted = payload.toSeq.sortBy(_._1)
+
+    val rightTagged = right
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(rightOrd).as("__ord"),
+          struct(col(rightTs).as("__rts") +:
+            paySorted.map { case (src, dst) => col(src).as(dst) }: _*).as("__pay")): _*)
+      .withColumn("__lrow", lit(null).cast(
+        org.apache.spark.sql.types.StructType(left.schema.fields)))
+
+    val leftTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(leftOrd).as("__ord"),
+        lit(null).cast(rightTagged.schema("__pay").dataType).as("__pay"),
+        struct(left.columns.map(col): _*).as("__lrow")): _*)
+
+    // the (rightOrd, leftOrd) assignment keeps equal-ts right rows on the
+    // correct side of left rows in BOTH sort directions: ascending for the
+    // backward walk, descending for the forward one — so one exchange
+    // serves both windows (Spark re-sorts within the same partitioning)
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").desc, col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val merged = rightTagged.unionByName(leftTagged)
+      .withColumn("__prev", last(col("__pay"), ignoreNulls = true).over(wB))
+      .withColumn("__next", last(col("__pay"), ignoreNulls = true).over(wF))
+      .where(col("__lrow").isNotNull)
+
+    val dPrev = col("__ts") - col("__prev.__rts")
+    val dNext = col("__next.__rts") - col("__ts")
+    val pickPrev = col("__next").isNull ||
+      (col("__prev").isNotNull && dPrev <= dNext)
+
+    val outCols =
+      left.columns.map(c => col(s"__lrow.$c").as(c)) ++
+        paySorted.map { case (_, dst) =>
+          when(pickPrev, col(s"__prev.$dst"))
+            .otherwise(col(s"__next.$dst")).as(dst) }
+    merged.select(outCols: _*)
+  }
 }

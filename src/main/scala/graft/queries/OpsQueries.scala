@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Graph, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Graph, Intervals, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -844,7 +844,37 @@ object OpsQueries {
     // degree profile of the same derived graph (in-degree skew is the
     // first spam/hub signal a crawl-prioritization pass reads)
     "x_graph_degree" -> ((s, d) =>
-      Graph.degrees(Tables.documents(s, d), "doc_id", outDeg = 3))
+      Graph.degrees(Tables.documents(s, d), "doc_id", outDeg = 3)),
+
+    // nearest-in-either-direction as-of (pandas merge_asof
+    // direction='nearest'): each order takes the customer's closest OTHER
+    // order day, backward winning ties — one key exchange, two running
+    // windows, integer day arithmetic
+    "x_asof_nearest" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("unix_date(CAST(o_orderdate AS DATE))").as("od"))
+      val g = orders.groupBy(col("o_custkey"), col("od"))
+        .agg(max("o_orderkey").as("near_okey"))
+      AsofJoin.nearestJoin(orders, g, Seq("o_custkey"), "od", "od",
+        Map("near_okey" -> "near_okey", "od" -> "near_od"), strict = true)
+        .select(col("o_orderkey"), col("near_okey"),
+          (col("near_od") - col("od")).as("gap_days"))
+    }),
+
+    // per-supplier shipment-window union: how many distinct days each
+    // supplier had stock in transit, vs the span — gaps-and-islands, one
+    // key-partitioned sort, integer day arithmetic end to end. The
+    // in-transit window is [shipdate, shipdate + linenumber % 7] (the
+    // testdata carries no receiptdate, so transit time derives
+    // deterministically from the row itself)
+    "x_interval_coverage" -> ((s, d) =>
+      Intervals.coverage(
+        Tables.lineitem(s, d).select(col("l_suppkey"),
+          expr("unix_date(CAST(l_shipdate AS DATE))").as("s_day"),
+          expr("unix_date(CAST(l_shipdate AS DATE)) + CAST(l_linenumber % 7 AS INT)")
+            .as("e_day")),
+        Seq("l_suppkey"), "s_day", "e_day"))
   )
 
   /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
@@ -2325,7 +2355,58 @@ object OpsQueries {
          |  coalesce(c.in_deg, 0) = 0 AS is_orphan
          |FROM ids i LEFT JOIN
          |  (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst) c
-         |  ON i.id = c.dst""".stripMargin
+         |  ON i.id = c.dst""".stripMargin,
+
+    "x_asof_nearest" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS od
+        |  FROM orders),
+        |g AS (SELECT o_custkey, od, max(o_orderkey) AS near_okey
+        |      FROM o GROUP BY 1, 2),
+        |p AS (SELECT o.o_orderkey, max(g.od) AS pod
+        |      FROM o JOIN g ON g.o_custkey = o.o_custkey AND g.od < o.od
+        |      GROUP BY 1),
+        |nx AS (SELECT o.o_orderkey, min(g.od) AS nod
+        |       FROM o JOIN g ON g.o_custkey = o.o_custkey AND g.od > o.od
+        |       GROUP BY 1),
+        |sel AS (SELECT o.o_orderkey, o.o_custkey, o.od, p.pod, nx.nod,
+        |    (nx.nod IS NULL OR (p.pod IS NOT NULL
+        |      AND (o.od - p.pod) <= (nx.nod - o.od))) AS pick
+        |  FROM o LEFT JOIN p ON p.o_orderkey = o.o_orderkey
+        |         LEFT JOIN nx ON nx.o_orderkey = o.o_orderkey)
+        |SELECT s.o_orderkey,
+        |  CASE WHEN s.pick THEN gp.near_okey ELSE gn.near_okey END AS near_okey,
+        |  CAST(CASE WHEN s.pick THEN s.pod - s.od ELSE s.nod - s.od END AS INT)
+        |    AS gap_days
+        |FROM sel s
+        |LEFT JOIN g gp ON gp.o_custkey = s.o_custkey AND gp.od = s.pod
+        |LEFT JOIN g gn ON gn.o_custkey = s.o_custkey AND gn.od = s.nod""".stripMargin,
+
+    "x_interval_coverage" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS s_day,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      + l_linenumber % 7 AS INT) AS e_day
+        |  FROM lineitem),
+        |f AS (SELECT l_suppkey, s_day, e_day,
+        |    max(e_day) OVER (PARTITION BY l_suppkey ORDER BY s_day, e_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (SELECT *,
+        |    sum(CASE WHEN pmax IS NULL OR s_day > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY s_day, e_day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM f),
+        |isles AS (SELECT l_suppkey, isl, min(s_day) AS s, max(e_day) AS e,
+        |    count(*) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS covered,
+        |  CAST(max(e) - min(s) + 1 AS INT) AS span,
+        |  CAST(sum(e - s + 1) AS BIGINT) / (max(e) - min(s) + 1)
+        |    AS coverage_ratio
+        |FROM isles GROUP BY l_suppkey""".stripMargin
   )
 
   /** Shared CTEs deriving the deterministic link graph ([[Graph.deriveEdges]]):

@@ -69,6 +69,44 @@ class AsofPropertySpec extends SparkSuite {
       }
     }
 
+  private def bruteNearest(left: List[(Long, Long)], right: List[(Long, Long, Long)],
+                           strict: Boolean): Map[(Long, Long), Option[Long]] =
+    left.map { case (k, t) =>
+      val cands = right.filter(r => r._1 == k)
+      val prev = cands.filter(r => if (strict) r._2 < t else r._2 <= t)
+        .sortBy(_._2).lastOption
+      val next = cands.filter(r => if (strict) r._2 > t else r._2 >= t)
+        .sortBy(_._2).headOption
+      val best = (prev, next) match {
+        case (None, n) => n
+        case (p, None) => p
+        case (Some(p), Some(n)) =>
+          if (t - p._2 <= n._2 - t) Some(p) else Some(n)
+      }
+      (k, t) -> best.map(_._3)
+    }.toMap
+
+  for (strict <- Seq(false, true))
+    test(s"nearestJoin strict=$strict equals brute force on 25 random inputs") {
+      val cases = Gen.listOfN(25, genRows)
+        .apply(Gen.Parameters.default, Seed(99L + (if (strict) 1 else 0))).get
+      cases.zipWithIndex.foreach { case ((left, rightRaw), ci) =>
+        val right = rightRaw.groupBy(r => (r._1, r._2))
+          .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toList
+        val lDf = left.toDF("k", "lts")
+        val rDf = right.toDF("k", "rts", "pay")
+        val got = AsofJoin.nearestJoin(lDf, rDf, Seq("k"), "lts", "rts",
+            Map("pay" -> "pay"), strict)
+          .select("k", "lts", "pay")
+          .as[(Long, Long, Option[Long])].collect()
+        val want = bruteNearest(left, right, strict)
+        got.foreach { case (k, t, pay) =>
+          assert(pay == want((k, t)), s"case $ci key=$k ts=$t")
+        }
+        assert(got.length == left.length, s"case $ci row count")
+      }
+    }
+
   for (strict <- Seq(false, true))
     test(s"asofJoin strict=$strict equals brute force on 25 random inputs") {
       val cases = Gen.listOfN(25, genRows)
