@@ -336,6 +336,49 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("c")).cast("double"), 4).as("jaccard"))
   }
 
+  /** Directed shingle-containment pairs: C(src→dst) = |src ∩ dst| / |src|
+    * ≥ threshold — the asymmetric signal symmetric Jaccard under-scores
+    * when a short document is wholly embedded in a long one (quoted
+    * reposts, boilerplate-wrapped copies). Same inverted-index candidate
+    * shape and df-cap economics as [[ngramJaccardPairs]]: one undirected
+    * intersection aggregation, then each surviving pair fans into its two
+    * orientations (no second join). `minShingles` floors the src size so
+    * trivially tiny shingle sets can't claim full containment. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       minShingles: Int = 3,
+                       maxShingleDf: Long = 1000L): DataFrame = {
+    val withSh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .persist() // feeds the inverted index once; Bench/Verify clearCache
+    val inverted0 = withSh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val inverted =
+      if (maxShingleDf <= 0) inverted0
+      else {
+        val hot = inverted0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf)
+          .select(col("shingle"))
+        inverted0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val pairs = inverted.alias("l")
+      .join(inverted.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("l.sz")).as("sz_a"), first(col("r.sz")).as("sz_b"))
+    val ab = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+      round(col("c").cast("double") / col("sz_a").cast("double"), 4)
+        .as("containment"), col("sz_a").as("n_shingles"))
+    val ba = pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+      round(col("c").cast("double") / col("sz_b").cast("double"), 4)
+        .as("containment"), col("sz_b").as("n_shingles"))
+    ab.unionByName(ba)
+      .where(col("containment") >= threshold && col("n_shingles") >= minShingles)
+  }
+
   // ------------------------------------------------------------------
   // n-gram Jaccard (exact ground truth)
   // ------------------------------------------------------------------

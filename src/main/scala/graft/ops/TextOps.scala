@@ -198,6 +198,75 @@ object TextOps {
       .select(col(idCol), col(sourceCol), col("quality_score"))
   }
 
+  /** Top adjacent character-pair counts over the corpus vocabulary — ONE
+    * BPE training iteration (the merge candidates a byte-pair-encoding
+    * tokenizer trainer would fuse next), each adjacent occurrence inside a
+    * word weighted by the word's corpus frequency.
+    *
+    * Scale shape: the corpus collapses to (word, count) FIRST — one
+    * narrow aggregation — and the pair explode runs over the vocabulary,
+    * not the corpus, so a 100 TB corpus costs one token-count shuffle
+    * plus vocabulary-sized work. Top-k is (count desc, pair asc) — a
+    * total order, so `TakeOrderedAndProject` ships k rows per task. */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+                    k: Int = 20): DataFrame = {
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wc.select(explode(expr(
+        "CASE WHEN length(w) < 2 THEN array()" +
+          " ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) END"))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Per-source distribution drift: the two-sample Kolmogorov–Smirnov
+    * statistic between each source's quality-score distribution and the
+    * REST of the corpus, evaluated on a `buckets`-point quantized grid —
+    * the monitoring signal that flags a domain whose quality profile
+    * diverges (a broken crawler, a spammy feed) before it poisons a mix.
+    *
+    * Quantizing first makes the statistic exact-on-the-grid and
+    * bit-deterministic: the only floating math is one division per grid
+    * cell from exact integer cumulative counts (grid-KS lower-bounds true
+    * KS, converging at grid resolution — the standard histogram-sketch
+    * approximation). Scale shape: one (source, bucket) count aggregation
+    * over the corpus, then EVERYTHING downstream is grid-sized — the
+    * per-source windows see ≤ `buckets` rows, the global cumulative is a
+    * grid-keyed aggregation of per-source cumulatives (no unpartitioned
+    * window), and the corpus total is a one-row broadcast. */
+  def qualityDrift(df: DataFrame, sourceCol: String,
+                   buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = qualityScore(df)
+      .select(col(sourceCol).as("source"),
+        least(floor(col("quality_score") * buckets).cast("int"),
+          lit(buckets - 1)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+    // dense source × bucket grid so every cumulative sees every boundary
+    val dense = counts.select(col("source")).distinct()
+      .withColumn("b", explode(sequence(lit(0), lit(buckets - 1))))
+      .join(counts, Seq("source", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense.withColumn("cum", sum(col("n")).over(w))
+    val glob = cum.groupBy(col("b")).agg(sum(col("cum")).as("gcum"))
+    val tot = counts.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val nAll = tot.agg(sum(col("ns")).as("ntot"))
+    cum.join(glob, "b").join(tot, "source")
+      .crossJoin(broadcast(nAll))
+      // a single-source corpus has an empty "rest": guard the division
+      // (ANSI mode makes /0 an error, not NaN) — d stays null and the max
+      // below reports null for that source
+      .withColumn("d", when(col("ntot") > col("ns"), abs(
+        col("cum") / col("ns") -
+          (col("gcum") - col("cum")) / (col("ntot") - col("ns")))))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_docs"), max(col("d")).as("ks_stat"))
+  }
+
   /** Per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: broadcast as literals into codegen. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

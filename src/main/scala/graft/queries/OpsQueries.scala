@@ -846,6 +846,25 @@ object OpsQueries {
     "x_graph_degree" -> ((s, d) =>
       Graph.degrees(Tables.documents(s, d), "doc_id", outDeg = 3)),
 
+    // one BPE-trainer iteration: the top adjacent character pairs a
+    // byte-pair tokenizer would merge next — corpus collapses to
+    // (word, count) first, the pair explode runs over the VOCABULARY
+    "x_text_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCounts(Tables.documents(s, d), "text", k = 20)),
+
+    // per-source distribution drift: grid-quantized two-sample KS between
+    // each source's quality profile and the rest of the corpus — integer
+    // cumulative counts on a 256-point grid, one division per cell
+    "x_quality_ks" -> ((s, d) =>
+      TextOps.qualityDrift(Tables.documents(s, d), "source", buckets = 256)),
+
+    // directed sub-document duplication: fraction of a doc's 3-gram
+    // shingles contained in another — the asymmetric twin of
+    // x_dedup_ngram, catching short docs embedded in long ones
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6, minShingles = 3)),
+
     // nearest-in-either-direction as-of (pandas merge_asof
     // direction='nearest'): each order takes the customer's closest OTHER
     // order day, backward winning ties — one key exchange, two running
@@ -2356,6 +2375,72 @@ object OpsQueries {
          |FROM ids i LEFT JOIN
          |  (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst) c
          |  ON i.id = c.dst""".stripMargin,
+
+    "x_text_bpe_pairs" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS w FROM t),
+         |wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+         |p AS (SELECT substr(wc.w, CAST(u.i AS INT), 2) AS pair, wc.c
+         |      FROM wc, UNNEST(range(1, len(wc.w))) AS u(i))
+         |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "x_quality_ks" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id, source,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |  FROM f),
+         |cb AS (SELECT source,
+         |    least(CAST(floor(quality_score * 256) AS INT), 255) AS b,
+         |    count(*) AS n
+         |  FROM q GROUP BY 1, 2),
+         |grid AS (SELECT s.source, g.b
+         |  FROM (SELECT DISTINCT source FROM cb) s,
+         |       (SELECT unnest(range(0, 256)) AS b) g),
+         |dense AS (SELECT g.source, g.b, coalesce(cb.n, 0) AS n
+         |  FROM grid g LEFT JOIN cb ON cb.source = g.source AND cb.b = g.b),
+         |cum AS (SELECT source, b,
+         |    sum(n) OVER (PARTITION BY source ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM dense),
+         |gl AS (SELECT b, sum(cum) AS gcum FROM cum GROUP BY b),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cb GROUP BY 1),
+         |nn AS (SELECT CAST(sum(ns) AS BIGINT) AS ntot FROM tot)
+         |SELECT c.source, t.ns AS n_docs,
+         |  CASE WHEN nn.ntot > t.ns THEN
+         |    max(abs(CAST(c.cum AS DOUBLE) / t.ns -
+         |            CAST(g.gcum - c.cum AS DOUBLE) / (nn.ntot - t.ns)))
+         |  END AS ks_stat
+         |FROM cum c JOIN gl g USING (b) JOIN tot t ON t.source = c.source, nn
+         |GROUP BY c.source, t.ns, nn.ntot""".stripMargin,
+
+    "x_dedup_containment" ->
+      s"""WITH $ShingleCtes,
+         |cc AS (SELECT id_a, id_b,
+         |    len(list_intersect(x.sh, y.sh)) AS c,
+         |    len(x.sh) AS sa, len(y.sh) AS sb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+         |            JOIN sh y ON y.doc_id = cand.id_b)
+         |SELECT src, dst, containment, n_shingles FROM (
+         |  SELECT id_a AS src, id_b AS dst,
+         |    round(CAST(c AS DOUBLE) / sa, 4) AS containment,
+         |    CAST(sa AS INT) AS n_shingles FROM cc
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst,
+         |    round(CAST(c AS DOUBLE) / sb, 4) AS containment,
+         |    CAST(sb AS INT) AS n_shingles FROM cc)
+         |WHERE containment >= 0.6 AND n_shingles >= 3""".stripMargin,
 
     "x_asof_nearest" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,

@@ -97,6 +97,39 @@ class DedupSpec extends SparkSuite {
     assert(uncappedAll >= (14L * 13L) / 2L)
   }
 
+  test("containmentPairs equals brute force and is direction-correct") {
+    // doc 1 is wholly contained in doc 0; doc 2 overlaps both partially
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "beta gamma delta epsilon zeta"),
+      (2L, "gamma delta epsilon zeta unrelated words here"),
+      (3L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "beta gamma delta epsilon zeta",
+      2L -> "gamma delta epsilon zeta unrelated words here",
+      3L -> "completely different content with no overlap at all")
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a != b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      c = (sa & sb).size if sa.nonEmpty
+      cont = BigDecimal(c.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= 0.5 && sa.size >= 3
+    } yield (a, b, cont, sa.size)).toSet
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, minShingles = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    // doc1 ⊂ doc0: the directed scores are asymmetric — full containment
+    // one way (3/3), partial the other (3/6)
+    assert(got.exists { case (s, d, c, _) => s == 1L && d == 0L && c == 1.0 })
+    assert(got.exists { case (s, d, c, _) => s == 0L && d == 1L && c == 0.5 })
+  }
+
   test("prefixJaccardPairs is lossless and drops boilerplate from the index") {
     // two true near-dups + a 12-doc family sharing ONLY a boilerplate
     // trailer: the df-cap test's adversarial corpus. Prefix filtering must

@@ -252,4 +252,52 @@ class TextOpsSpec extends SparkSuite {
     val grams1 = 11 - k + 1 // doc 1 has 11 tokens
     assert(fps(1L).size < grams1)
   }
+
+  test("bpePairCounts weights pairs by word frequency, counts repeats in-word") {
+    // "aaa" has pairs aa,aa (twice in one word); corpus has "aaa" x3, "ab" x2
+    val docs = Seq((1L, "aaa ab aaa"), (2L, "aaa ab x")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(docs, "text", k = 5)
+      .as[(String, Long)].collect().toSeq
+    // aa: 2 per "aaa" x 3 occurrences = 6; ab: 1 per "ab" x 2 = 2
+    assert(got == Seq("aa" -> 6L, "ab" -> 2L))
+  }
+
+  test("qualityDrift equals a brute-force grid KS and nulls a lone source") {
+    val docs = ((0 until 30).map(i => (i.toLong, "the quick brown fox " * (i % 5 + 1), "a")) ++
+      (30 until 50).map(i => (i.toLong, "zzz $$$ ### !!! ??? " * (i % 3 + 1), "b")) ++
+      (50 until 60).map(i => (i.toLong, "balanced text with the usual words " + i, "c")))
+      .toDF("doc_id", "text", "source")
+    val buckets = 64
+    val got = TextOps.qualityDrift(docs, "source", buckets)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // brute force from the SAME scored rows (qualityScore is oracle-pinned
+    // elsewhere): quantize, then exact ECDF compare per grid point
+    val scored = TextOps.qualityScore(docs)
+      .select(col("source"), col("quality_score"))
+      .as[(String, Double)].collect()
+    val byB = scored.map { case (s, q) =>
+      (s, math.min(math.floor(q * buckets).toInt, buckets - 1)) }
+    val srcs = byB.map(_._1).distinct
+    val nAll = byB.length
+    srcs.foreach { s =>
+      val mine = byB.filter(_._1 == s).map(_._2)
+      val rest = byB.filter(_._1 != s).map(_._2)
+      val want = (0 until buckets).map { b =>
+        math.abs(mine.count(_ <= b).toDouble / mine.length -
+          rest.count(_ <= b).toDouble / rest.length)
+      }.max
+      assert(got(s)._1 == mine.length.toLong, s"n_docs $s")
+      assert(got(s)._2.contains(want), s"ks $s: got ${got(s)._2} want $want")
+    }
+    // a/b separate strongly, c is small — a vs rest should show real drift
+    assert(got("a")._2.get > 0.5)
+
+    // single-source corpus: the "rest" sample is empty → null statistic
+    val lone = TextOps.qualityDrift(
+      docs.where(col("source") === "a"), "source", buckets)
+      .as[(String, Long, Option[Double])].collect()
+    assert(lone.length == 1 && lone.head._3.isEmpty)
+  }
 }

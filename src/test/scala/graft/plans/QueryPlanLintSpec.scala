@@ -58,7 +58,9 @@ class QueryPlanLintSpec extends SparkSuite {
     // one-row corpus totals (N docs, avgdl, quantile threshold) fanned out
     // to per-doc scoring
     "x_pipeline_curate", "x_retrieval_rrf", "x_text_bm25", "x_text_logprob",
-    "x_text_pmi", "x_text_quality_filter", "x_text_tfidf")
+    "x_text_pmi", "x_text_quality_filter", "x_text_tfidf",
+    // one-row corpus-total broadcast fanned onto the ≤|sources|×buckets grid
+    "x_quality_ks")
 
   /** Unpartitioned windows over bounded frames only: two-level prefix sums
     * see bucket/block COUNTS (≤ shuffle-partition-count rows), top-k sees
