@@ -80,6 +80,34 @@ object Graph {
       (col("r") / lit(T.toDouble)).as("pagerank"))
   }
 
+  /** Link-spam composite: each document scored by the mean quality of its
+    * IN-neighbors (who links to you matters more than what you say — the
+    * neighborhood signal link-spam classifiers lean on).
+    *
+    * Determinism: quality scores are 4-dp-rounded doubles, so they lift
+    * EXACTLY into 1e-4 integer units; the per-target mean is an integer
+    * sum divided once at the end — order-independent, oracle-replayable.
+    * Scale: one (src → quality) join shuffling the n-row score table into
+    * the src-partitioned edges, one (dst, micro-units) aggregation. */
+  def neighborQuality(scored: DataFrame, idCol: String,
+                      scoreCol: String, outDeg: Int = 3): DataFrame = {
+    val ids = scored.select(col(idCol).cast("long").as("id"),
+      round(col(scoreCol) * 10000).cast("long").as("q4"))
+    val n = ids.count()
+    val edges = deriveEdges(scored, idCol, outDeg, n)
+    val inQ = edges.join(ids, edges("src") === ids("id"))
+      .groupBy(col("dst"))
+      .agg(sum(col("q4")).as("sq"), count(lit(1)).as("nin"))
+    ids.join(inQ, ids("id") === inQ("dst"), "left")
+      .select(col("id").as(idCol),
+        (col("q4") / 10000.0).as("own_quality"),
+        coalesce(col("nin"), lit(0L)).as("in_deg"),
+        // the sum is an exact long; the two IEEE divisions after it are
+        // replayed verbatim by the oracle
+        when(col("nin").isNotNull,
+          col("sq") / col("nin") / lit(10000.0)).as("neighbor_quality"))
+  }
+
   /** Degree profile of the derived graph: per-node out/in degree and the
     * share of total rank-relevant mass arriving by edge count — one
     * aggregation over the (src, dst) pairs, joined back to the id spine

@@ -652,6 +652,75 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Top principal component of an embedding column by power iteration,
+    * in fixed point — the deterministic distributed-linear-algebra core a
+    * PCA-whitening / dominant-direction-removal stage needs.
+    *
+    * Every corpus-level summation is an exact integer sum, so the result
+    * is bit-identical at any partitioning and the oracle replays it in
+    * SQL:
+    *   1. embeddings quantize to 1e-6 units (`round(x·1e6)` longs);
+    *   2. the per-dim mean is the integer dim-sum divided once, re-rounded
+    *      to the same grid; centering stays integer;
+    *   3. each power step scores rows s_i = c_i·v (a per-row left-fold in
+    *      index order — deterministic doubles), accumulates
+    *      u_j = Σ_i round(c_ij·s_i) as LONGS, and renormalizes v on the
+    *      driver from the 64 collected u_j (the bounded k×dim collect
+    *      pattern every k-means stage here uses);
+    *   4. the published per-vector projection is one fold + one division.
+    *
+    * Magnitude contract: |c_ij| ≤ 1e6·max|x|, |s_i| ≤ dim·max|c·v| — with
+    * unit-scale embeddings the per-row contribution is ~1e11..1e12, so the
+    * long accumulator holds ~1e6 rows per partial before overflow could
+    * matter at extreme corpus sizes; rescale the quantization grid (1e-4)
+    * for >1e9-row corpora.
+    *
+    * @return (vec_id, pc1) — the centered projection on the unit
+    *         component, rounded to 6 dp in the embedding's original scale. */
+  def topComponentProjection(df: DataFrame, idCol: String, vecCol: String,
+                             iters: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).as("id"),
+        transform(dbl(col(vecCol)), x => round(x * 1e6).cast("long")).as("xq"))
+      .persist() // feeds the mean pass + every power step; caller clearCache
+    val n = q.count()
+    require(n > 0, "topComponentProjection needs a non-empty corpus")
+    val dimSums = q.select(posexplode(col("xq")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val dim = dimSums.length
+    // HALF_UP (away from zero), NOT math.round (toward +inf): this is the
+    // convention Spark's round() and DuckDB's round() share, so the oracle
+    // replays the mean bit-for-bit
+    val meanq = dimSums.map { case (_, s) =>
+      BigDecimal(s.toDouble / n)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+    val centered = q.select(col("id"),
+      zip_with(col("xq"), typedLit(meanq.toSeq), (x, m) => x - m).as("c"))
+
+    // v0: the unit all-ones direction on the 6-dp grid (deterministic and
+    // generically non-orthogonal to the top component)
+    var v: Seq[Double] = Seq.fill(dim)(
+      BigDecimal(1.0 / math.sqrt(dim.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    for (_ <- 1 to iters) {
+      val s = aggregate(zip_with(col("c"), typedLit(v),
+        (c, vj) => c.cast("double") * vj), lit(0.0), (acc, x) => acc + x)
+      val u = centered.select(posexplode(col("c")).as(Seq("dim", "cj")), s.as("s"))
+        .select(col("dim"), round(col("cj").cast("double") * col("s")).cast("long").as("w"))
+        .groupBy(col("dim")).agg(sum(col("w")).as("u"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      // norm in fixed index order — 64 terms, deterministic double fold
+      val norm = math.sqrt(u.foldLeft(0.0)((acc, uj) => acc + uj.toDouble * uj.toDouble))
+      v = u.map(uj => BigDecimal(uj.toDouble / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+    }
+    val proj = aggregate(zip_with(col("c"), typedLit(v),
+      (c, vj) => c.cast("double") * vj), lit(0.0), (acc, x) => acc + x)
+    centered.select(col("id").as(idCol),
+      round(proj / 1e6, 6).as("pc1"))
+  }
+
   /** Per-query-group ranked neighbours (window form): given a candidates
     * DataFrame of (queryId, candId, score), keep the top-k per query. The
     * window partitions by query so the sort is per-group, not global. */

@@ -846,6 +846,21 @@ object OpsQueries {
     "x_graph_degree" -> ((s, d) =>
       Graph.degrees(Tables.documents(s, d), "doc_id", outDeg = 3)),
 
+    // top principal component by fixed-point power iteration: every
+    // corpus-level sum is an exact long, per-row folds run in index
+    // order, and the driver sees only 64-long vectors per step — the
+    // distributed PCA core, bit-replayed by the unrolled oracle
+    "x_embed_pca" -> ((s, d) =>
+      Similarity.topComponentProjection(
+        Tables.embeddings(s, d), "vec_id", "embedding", iters = 4)),
+
+    // link-spam composite: mean in-neighbor quality per document over the
+    // derived graph — 1e-4 fixed-point sums, two IEEE divisions at the end
+    "x_graph_neighbor_quality" -> ((s, d) =>
+      Graph.neighborQuality(
+        TextOps.qualityScore(Tables.documents(s, d)), "doc_id",
+        "quality_score", outDeg = 3)),
+
     // one BPE-trainer iteration: the top adjacent character pairs a
     // byte-pair tokenizer would merge next — corpus collapses to
     // (word, count) first, the pair explode runs over the VOCABULARY
@@ -2376,6 +2391,47 @@ object OpsQueries {
          |  (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst) c
          |  ON i.id = c.dst""".stripMargin,
 
+    "x_embed_pca" ->
+      s"""WITH pq AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |pn AS (SELECT count(*) AS n FROM pq),
+         |pds AS (SELECT CAST(u.i - 1 AS INT) AS dim, CAST(sum(pq.xq[CAST(u.i AS INT)]) AS BIGINT) AS s
+         |  FROM pq, UNNEST(range(1, len(pq.xq) + 1)) AS u(i) GROUP BY 1),
+         |pm AS (SELECT list(CAST(round(CAST(s AS DOUBLE) / (SELECT n FROM pn)) AS BIGINT)
+         |    ORDER BY dim) AS m FROM pds),
+         |pc AS (SELECT vec_id,
+         |    list_transform(range(1, len(xq) + 1),
+         |      i -> xq[CAST(i AS INT)] - m[CAST(i AS INT)]) AS c
+         |  FROM pq, pm),
+         |pv0 AS (SELECT list_transform(range(1, 65),
+         |    i -> CAST(0.125 AS DOUBLE)) AS v),
+         |${pcaIter(0)},
+         |${pcaIter(1)},
+         |${pcaIter(2)},
+         |${pcaIter(3)},
+         |pf AS (SELECT pc.vec_id,
+         |    list_reduce(list_transform(range(1, len(pc.c) + 1),
+         |      i -> CAST(pc.c[CAST(i AS INT)] AS DOUBLE) * pv4.v[CAST(i AS INT)]),
+         |      (a, b) -> a + b) AS s
+         |  FROM pc, pv4)
+         |SELECT vec_id, round(s / 1000000.0, 6) AS pc1 FROM pf""".stripMargin,
+
+    "x_graph_neighbor_quality" ->
+      s"""WITH $GraphCtes,
+         |$QualityCte,
+         |qq AS (SELECT doc_id AS id,
+         |    CAST(round(quality_score * 10000) AS BIGINT) AS q4 FROM q),
+         |inq AS (SELECT e.dst, CAST(sum(qq.q4) AS BIGINT) AS sq,
+         |    count(*) AS nin
+         |  FROM edges e JOIN qq ON e.src = qq.id GROUP BY e.dst)
+         |SELECT qq.id AS doc_id,
+         |  qq.q4 / 10000.0 AS own_quality,
+         |  coalesce(inq.nin, 0) AS in_deg,
+         |  CAST(inq.sq AS DOUBLE) / inq.nin / 10000.0 AS neighbor_quality
+         |FROM qq LEFT JOIN inq ON qq.id = inq.dst""".stripMargin,
+
     "x_text_bpe_pairs" ->
       s"""WITH t AS (SELECT $Toks AS toks FROM documents),
          |w AS (SELECT unnest(toks) AS w FROM t),
@@ -2504,6 +2560,48 @@ object OpsQueries {
       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
       |    % (SELECT n FROM n) AS dst
       |  FROM ids, (SELECT unnest([1, 2, 3]) AS j) js)""".stripMargin
+
+  /** CTE chain `t → f → q` computing [[graft.ops.TextOps.qualityScore]]'s
+    * composite (doc_id, source, quality_score) — the same arithmetic the
+    * x_text_quality oracle pins field by field. */
+  private def QualityCte: String =
+    s"""t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+       |f AS (SELECT doc_id, source,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+       |        greatest(len(text), 1), 4) AS punct_ratio,
+       |  round(CAST(len(list_filter(toks, w -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+       |        greatest(len(toks), 1), 4) AS stopword_ratio
+       |  FROM t),
+       |q AS (SELECT doc_id, source,
+       |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+       |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+       |    4) AS quality_score
+       |  FROM f)""".stripMargin
+
+  /** One unrolled fixed-point power-iteration step for the x_embed_pca
+    * oracle: score rows against v{k} (index-order fold), accumulate
+    * per-dim integer contributions, renormalize onto the 6-dp grid.
+    * Mirrors [[graft.ops.Similarity.topComponentProjection]] exactly —
+    * list_reduce's initial-less left fold equals Spark's aggregate with a
+    * 0.0 seed because 0.0 + x == x in IEEE. */
+  private def pcaIter(k: Int): String =
+    s"""ps${k + 1} AS (SELECT pc.vec_id, pc.c,
+       |    list_reduce(list_transform(range(1, len(pc.c) + 1),
+       |      i -> CAST(pc.c[CAST(i AS INT)] AS DOUBLE) * pv$k.v[CAST(i AS INT)]),
+       |      (a, b) -> a + b) AS s
+       |  FROM pc, pv$k),
+       |pu${k + 1} AS (SELECT CAST(u.i - 1 AS INT) AS dim,
+       |    CAST(sum(CAST(round(CAST(r.c[CAST(u.i AS INT)] AS DOUBLE) * r.s) AS BIGINT)) AS BIGINT) AS u
+       |  FROM ps${k + 1} r, UNNEST(range(1, len(r.c) + 1)) AS u(i) GROUP BY 1),
+       |pn${k + 1} AS (SELECT list(u ORDER BY dim) AS ul,
+       |    sqrt(list_reduce(list_transform(list(CAST(u AS DOUBLE) ORDER BY dim),
+       |      x -> x * x), (a, b) -> a + b)) AS norm
+       |  FROM pu${k + 1}),
+       |pv${k + 1} AS (SELECT list_transform(ul,
+       |    x -> round(CAST(x AS DOUBLE) / norm, 6)) AS v FROM pn${k + 1})""".stripMargin
 
   /** One unrolled fixed-point PageRank iteration — DuckDB's `//` equals
     * Spark's `DIV` on the non-negative longs involved. */

@@ -46,6 +46,34 @@ class GraphSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("neighborQuality: exact fixed-point means, orphans stay null") {
+    val scored = TextOps.qualityScore(docs)
+    val nq = Graph.neighborQuality(scored, "doc_id", "quality_score", 3)
+    val n = docs.count()
+    assert(nq.count() == n)
+    assert(nq.agg(sum("in_deg")).head.getLong(0) == 3 * n)
+    val rows = nq.collect()
+    rows.foreach { r =>
+      val inDeg = r.getLong(2)
+      if (inDeg == 0) assert(r.isNullAt(3), s"orphan ${r.getLong(0)}")
+      else {
+        val v = r.getDouble(3)
+        assert(v >= 0.0 && v <= 1.0, s"range ${r.getLong(0)}")
+      }
+    }
+    // brute-force check on collected edges + scores
+    val q4 = scored.select(col("doc_id"),
+        round(col("quality_score") * 10000).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Graph.deriveEdges(docs, "doc_id", 3, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = edges.groupBy(_._2).map { case (dst, es) =>
+      dst -> es.map(e => q4(e._1)).sum.toDouble / es.size / 10000.0 }
+    rows.filter(_.getLong(2) > 0).foreach { r =>
+      assert(r.getDouble(3) == want(r.getLong(0)), s"mean ${r.getLong(0)}")
+    }
+  }
+
   test("degrees: in-degree sums to the edge count, spine keeps orphans") {
     val n = docs.count()
     val deg = Graph.degrees(docs, "doc_id", 3)

@@ -16,6 +16,57 @@ import graft.{SparkSuite, Tables}
   * with cluster structure.
   */
 class SimilaritySpec extends SparkSuite {
+
+  test("topComponentProjection matches an exact in-memory fixed-point reference") {
+    val df = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val vecs = df.select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    val dim = vecs.head._2.length
+    def half(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xq = vecs.map { case (id, v) =>
+      id -> v.map(x => half(x * 1e6, 0).toLong) }
+    val meanq = (0 until dim).map { j =>
+      val s = xq.map(_._2(j)).sum
+      BigDecimal(s.toDouble / n).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val c = xq.map { case (id, v) =>
+      id -> v.zipWithIndex.map { case (x, j) => x - meanq(j) } }
+    var v = Array.fill(dim)(half(1.0 / math.sqrt(dim.toDouble), 6))
+    for (_ <- 1 to 4) {
+      val u = Array.fill(dim)(0L)
+      c.foreach { case (_, ci) =>
+        val s = ci.zipWithIndex.foldLeft(0.0) { case (acc, (cj, j)) =>
+          acc + cj.toDouble * v(j) }
+        (0 until dim).foreach { j => u(j) += half(ci(j).toDouble * s, 0).toLong }
+      }
+      val norm = math.sqrt(u.foldLeft(0.0)((a, uj) => a + uj.toDouble * uj.toDouble))
+      v = u.map(uj => half(uj.toDouble / norm, 6))
+    }
+    val want = c.map { case (id, ci) =>
+      val s = ci.zipWithIndex.foldLeft(0.0) { case (acc, (cj, j)) =>
+        acc + cj.toDouble * v(j) }
+      id -> half(s / 1e6, 6)
+    }.toMap
+    val got = Similarity.topComponentProjection(df, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n)
+    want.foreach { case (id, exp) => assert(got(id) == exp, s"vec $id") }
+    // and the projection genuinely varies (a degenerate all-equal output
+    // would also "match" a broken reference)
+    assert(got.values.toSet.size > 10)
+  }
+
+  test("topComponentProjection is independent of physical layout") {
+    val df = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val a = Similarity.topComponentProjection(df, "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    val b = Similarity.topComponentProjection(df.repartition(11), "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    assert(a == b)
+  }
   import spark.implicits._
 
   private lazy val emb = Tables.embeddings(spark, sf1)
