@@ -289,6 +289,34 @@ object Multimodal {
       .select(col(idCol), col("frame.frame_idx"), col("frame.frame_md5"))
   }
 
+  /** Exact-cut scene segmentation over the sampled frame stream: a scene
+    * boundary wherever a frame's content hash differs from its
+    * predecessor — the identical-frame-collapse pass a video pipeline
+    * runs before any perceptual pass (static scenes are the overwhelming
+    * frame mass in screen recordings / slides; the dHash near-dup path is
+    * the perceptual complement). Every window partitions by the clip id,
+    * so per-clip work is one sort inside one exchange and the payload
+    * bytes never cross it — only (id, frame_idx, 16-byte md5) rows do.
+    *
+    * @return per clip: n_frames, n_scenes, longest same-content run. */
+  def sceneCuts(df: DataFrame, idCol: String, payloadCol: String,
+                chunkBytes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byIdx = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    val run = byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampleFrames(df, idCol, payloadCol, chunkBytes)
+      .withColumn("__cut",
+        (lag(col("frame_md5"), 1).over(byIdx).isNull ||
+          col("frame_md5") =!= lag(col("frame_md5"), 1).over(byIdx)).cast("int"))
+      .withColumn("__scene", sum(col("__cut")).over(run))
+      .groupBy(col(idCol), col("__scene"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__len")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max(col("__len")).as("max_static_run"))
+  }
+
   /** One decoded-media record for the typed batch-decoder path. */
   case class Media(id: Long, payload: Array[Byte], contentType: String)
 

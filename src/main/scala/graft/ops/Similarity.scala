@@ -710,10 +710,14 @@ object Similarity {
         .select(col("dim"), round(col("cj").cast("double") * col("s")).cast("long").as("w"))
         .groupBy(col("dim")).agg(sum(col("w")).as("u"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
-      // norm in fixed index order — 64 terms, deterministic double fold
+      // norm in fixed index order — 64 terms, deterministic double fold.
+      // A zero-variance corpus (or a v exactly orthogonal to the data)
+      // yields u = 0: keep the previous direction instead of dividing by
+      // zero — the projection is identically 0 either way.
       val norm = math.sqrt(u.foldLeft(0.0)((acc, uj) => acc + uj.toDouble * uj.toDouble))
-      v = u.map(uj => BigDecimal(uj.toDouble / norm)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+      if (norm > 0.0)
+        v = u.map(uj => BigDecimal(uj.toDouble / norm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
     }
     val proj = aggregate(zip_with(col("c"), typedLit(v),
       (c, vj) => c.cast("double") * vj), lit(0.0), (acc, x) => acc + x)

@@ -578,6 +578,21 @@ object OpsQueries {
         Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload", side = 4)),
 
+    // exact-cut scene segmentation over a synthesized frame stream: each
+    // 100-byte source frame is "held on screen" doc_id%3+1 frames, so
+    // static runs are real; only (id, idx, md5) rows cross the exchange
+    "x_mm_scenes" -> ((s, d) => {
+      val video = Tables.documents(s, d).select(col("doc_id"),
+        expr("""array_join(transform(
+            CASE WHEN length(text) < 100 THEN array()
+                 ELSE sequence(1, CAST(length(text) DIV 100 AS INT)) END,
+            i -> repeat(substring(text, (i - 1) * 100 + 1, 100),
+                        CAST(doc_id % 3 + 1 AS INT))), '')""").as("vid"))
+        .where(length(col("vid")) > 0)
+        .select(col("doc_id"), col("vid").cast("binary").as("payload"))
+      Multimodal.sceneCuts(video, "doc_id", "payload", chunkBytes = 100)
+    }),
+
     // the multimodal feature-extract chain end-to-end: payload → stub
     // embedding → within-lang pairwise cosine → global top-10 pairs.
     // The lang block bounds candidates exactly like x_embed_neardup; the
@@ -1959,6 +1974,31 @@ object OpsQueries {
          |       THEN round(tlen / ((p + 1) * 8000.0 * (p + 1) * 2), 6)
          |  END AS audio_secs
          |FROM m""".stripMargin,
+
+    "x_mm_scenes" ->
+      """WITH v AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(1, len(text) // 100 + 1),
+        |      i -> repeat(substr(text, CAST((i - 1) * 100 + 1 AS BIGINT), 100),
+        |                  CAST(doc_id % 3 + 1 AS INT))), '') AS vid
+        |  FROM documents WHERE len(text) >= 100),
+        |f AS (SELECT doc_id, vid,
+        |    CAST(ceil(CAST(len(vid) AS DOUBLE) / 100) AS BIGINT) AS n FROM v),
+        |e AS (SELECT doc_id, i,
+        |    md5(substring(vid, CAST(i * 100 + 1 AS BIGINT), 100)) AS h
+        |  FROM f, UNNEST(range(0, n)) AS u(i)),
+        |w AS (SELECT doc_id, i,
+        |    CASE WHEN lag(h) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |           OR h <> lag(h) OVER (PARTITION BY doc_id ORDER BY i)
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM e),
+        |sc AS (SELECT doc_id, i,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+        |  FROM w),
+        |g AS (SELECT doc_id, scene, count(*) AS len FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        |  count(*) AS n_scenes, CAST(max(len) AS BIGINT) AS max_static_run
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "x_mm_frames" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -120,4 +120,52 @@ class EdgeInputSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(best.contains(1L) && !best.contains(5L))
   }
+
+  test("round-5 operators survive null/empty/degenerate input") {
+    // graph ops: id spine is the doc table — null/empty text irrelevant;
+    // a 1-node graph self-links and keeps all mass
+    val one = Seq((0L, "only")).toDF("doc_id", "text")
+    val pr1 = Graph.pagerank(one, "doc_id", 3, 2).collect()
+    assert(pr1.length === 1 && pr1.head.getLong(1) > 0)
+    assert(Graph.degrees(docs, "doc_id", 3).count() === 5)
+    // neighborQuality over docs incl. null text: quality scores exist for
+    // every row (qualityScore is null-safe), means stay in range
+    val nq = Graph.neighborQuality(
+      TextOps.qualityScore(docs), "doc_id", "quality_score", 3)
+    assert(nq.count() === 5)
+    // containment: null/empty/whitespace docs have no shingles → no pairs
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.1, minShingles = 1)
+    assert(cont.as[(Long, Long, Double, Int)].collect()
+      .forall(p => Set(1L, 5L)(p._1) && Set(1L, 5L)(p._2)))
+    // KS drift: a source whose docs are all null/empty still gets a row
+    // (its scores quantize to a bucket, the ECDF is well-defined)
+    val bySrc = docs.withColumn("source",
+      org.apache.spark.sql.functions.when(col("doc_id") <= 3, "a").otherwise("b"))
+    assert(TextOps.qualityDrift(bySrc, "source", 64).count() === 2)
+    // BPE pairs: null/empty docs contribute nothing; single-char words drop
+    assert(TextOps.bpePairCounts(
+      Seq((1L, "a b c"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "text", 5).count() === 0)
+    // interval coverage: empty input → empty output, no crash
+    assert(Intervals.coverage(
+      Seq.empty[(Long, Int, Int)].toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .count() === 0)
+    // nearest join: left rows with no right rows at all → null payload
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "pay")
+    val nj = AsofJoin.nearestJoin(l, r, Seq("k"), "ts", "ts", Map("pay" -> "pay"))
+      .as[(Long, Long, Option[Long])].collect()
+    assert(nj.toSeq === Seq((1L, 10L, None)))
+    // scene cuts: empty payload → zero rows
+    val mm = Seq((1L, "")).toDF("id", "t")
+      .select(col("id"), col("t").cast("binary").as("payload"))
+    assert(Multimodal.sceneCuts(mm, "id", "payload", 4).count() === 0)
+    // PCA: constant embeddings → centered zeros; projection must be 0.0
+    val const = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pca = Similarity.topComponentProjection(const, "vec_id", "embedding", 2)
+      .as[(Long, Double)].collect().toMap
+    assert(pca.values.forall(_ == 0.0))
+  }
 }

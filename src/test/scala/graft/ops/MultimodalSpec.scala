@@ -308,4 +308,15 @@ class MultimodalSpec extends SparkSuite {
     val (w, h) = df.select($"r.width", $"r.height").as[(Long, Long)].head()
     assert(w === 100L && h === 50L)
   }
+
+  test("sceneCuts segments exact-duplicate frame runs") {
+    // frames of 4 bytes: AAAA AAAA BBBB AAAA CCCC CCCC CCCC + short tail
+    val payload = "AAAA" * 2 + "BBBB" + "AAAA" + "CCCC" * 3 + "ZZ"
+    val df = Seq((1L, payload), (2L, "")).toDF("id", "txt")
+      .select($"id", $"txt".cast("binary").as("payload"))
+    // 8 frames (7 full + the 2-byte tail), scenes: AA|B|A|CCC|Z = 5
+    val r = Multimodal.sceneCuts(df, "id", "payload", 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 8L, 5L, 3L)))
+  }
 }
