@@ -685,14 +685,19 @@ object Similarity {
       .persist() // feeds the mean pass + every power step; caller clearCache
     val n = q.count()
     require(n > 0, "topComponentProjection needs a non-empty corpus")
-    val dimSums = q.select(posexplode(col("xq")).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(sum(col("x")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val dim = dimSums.length
+    val dim = q.select(size(col("xq"))).head().getInt(0)
+    // dim partial-sum COLUMNS instead of a posexplode + dim-keyed shuffle:
+    // map-side combine reduces every partition to one dim-long row, so the
+    // exchange carries partitions×dim longs (the MinHash partial-agg trick)
+    val dimSums = {
+      val r = q.select((0 until dim).map(j =>
+        sum(element_at(col("xq"), j + 1)).as(s"s$j")): _*).head()
+      (0 until dim).map(j => r.getLong(j))
+    }
     // HALF_UP (away from zero), NOT math.round (toward +inf): this is the
     // convention Spark's round() and DuckDB's round() share, so the oracle
     // replays the mean bit-for-bit
-    val meanq = dimSums.map { case (_, s) =>
+    val meanq = dimSums.map { s =>
       BigDecimal(s.toDouble / n)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
     val centered = q.select(col("id"),
@@ -706,10 +711,17 @@ object Similarity {
     for (_ <- 1 to iters) {
       val s = aggregate(zip_with(col("c"), typedLit(v),
         (c, vj) => c.cast("double") * vj), lit(0.0), (acc, x) => acc + x)
-      val u = centered.select(posexplode(col("c")).as(Seq("dim", "cj")), s.as("s"))
-        .select(col("dim"), round(col("cj").cast("double") * col("s")).cast("long").as("w"))
-        .groupBy(col("dim")).agg(sum(col("w")).as("u"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      // s lives in a real column so the dim accumulator columns reference
+      // it without re-evaluating the fold (CollapseProject keeps
+      // multiply-referenced aliases materialized); one aggregation row
+      // comes back — no explode, no dim-keyed exchange
+      val u = {
+        val r = centered.withColumn("s", s)
+          .select((0 until dim).map(j =>
+            sum(round(element_at(col("c"), j + 1).cast("double") * col("s"))
+              .cast("long")).as(s"u$j")): _*).head()
+        (0 until dim).map(j => r.getLong(j))
+      }
       // norm in fixed index order — 64 terms, deterministic double fold.
       // A zero-variance corpus (or a v exactly orthogonal to the data)
       // yields u = 0: keep the previous direction instead of dividing by
