@@ -237,13 +237,24 @@ object TextOps {
     * grid-keyed aggregation of per-source cumulatives (no unpartitioned
     * window), and the corpus total is a one-row broadcast. */
   def qualityDrift(df: DataFrame, sourceCol: String,
-                   buckets: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = qualityScore(df)
+                   buckets: Int = 256): DataFrame =
+    ksFromCounts(qualityScore(df)
       .select(col(sourceCol).as("source"),
-        least(floor(col("quality_score") * buckets).cast("int"),
-          lit(buckets - 1)).as("b"))
-      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n"))
+        scoreBucket(col("quality_score"), buckets).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("n")), buckets)
+
+  /** Grid cell of a [0, 1] score — shared by the batch and streaming
+    * drift paths so their histograms are identical. */
+  def scoreBucket(score: Column, buckets: Int): Column =
+    least(floor(score * buckets).cast("int"), lit(buckets - 1))
+
+  /** [[qualityDrift]]'s statistic stage, starting from an already-built
+    * (source, b, n) histogram — the entry point for INCREMENTAL drift
+    * monitoring, where the histogram is maintained by a streaming
+    * aggregation (constant-size state per source) and the KS evaluation
+    * runs over grid-sized data only. */
+  def ksFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // dense source × bucket grid so every cumulative sees every boundary
     val dense = counts.select(col("source")).distinct()
       .withColumn("b", explode(sequence(lit(0), lit(buckets - 1))))

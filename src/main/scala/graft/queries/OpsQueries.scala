@@ -2481,45 +2481,7 @@ object OpsQueries {
          |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
-    "x_quality_ks" ->
-      s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
-         |f AS (SELECT doc_id, source,
-         |  CAST(len(toks) AS INT) AS n_tokens,
-         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
-         |        greatest(len(text), 1), 4) AS punct_ratio,
-         |  round(CAST(len(list_filter(toks, w -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
-         |        greatest(len(toks), 1), 4) AS stopword_ratio
-         |  FROM t),
-         |q AS (SELECT doc_id, source,
-         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
-         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
-         |    4) AS quality_score
-         |  FROM f),
-         |cb AS (SELECT source,
-         |    least(CAST(floor(quality_score * 256) AS INT), 255) AS b,
-         |    count(*) AS n
-         |  FROM q GROUP BY 1, 2),
-         |grid AS (SELECT s.source, g.b
-         |  FROM (SELECT DISTINCT source FROM cb) s,
-         |       (SELECT unnest(range(0, 256)) AS b) g),
-         |dense AS (SELECT g.source, g.b, coalesce(cb.n, 0) AS n
-         |  FROM grid g LEFT JOIN cb ON cb.source = g.source AND cb.b = g.b),
-         |cum AS (SELECT source, b,
-         |    sum(n) OVER (PARTITION BY source ORDER BY b
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM dense),
-         |gl AS (SELECT b, sum(cum) AS gcum FROM cum GROUP BY b),
-         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cb GROUP BY 1),
-         |nn AS (SELECT CAST(sum(ns) AS BIGINT) AS ntot FROM tot)
-         |SELECT c.source, t.ns AS n_docs,
-         |  CASE WHEN nn.ntot > t.ns THEN
-         |    max(abs(CAST(c.cum AS DOUBLE) / t.ns -
-         |            CAST(g.gcum - c.cum AS DOUBLE) / (nn.ntot - t.ns)))
-         |  END AS ks_stat
-         |FROM cum c JOIN gl g USING (b) JOIN tot t ON t.source = c.source, nn
-         |GROUP BY c.source, t.ns, nn.ntot""".stripMargin,
+    "x_quality_ks" -> QualityKsSql,
 
     "x_dedup_containment" ->
       s"""WITH $ShingleCtes,
@@ -2600,6 +2562,48 @@ object OpsQueries {
       |  CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
       |    % (SELECT n FROM n) AS dst
       |  FROM ids, (SELECT unnest([1, 2, 3]) AS j) js)""".stripMargin
+
+  /** x_quality_ks's full oracle — also pins `s_stream_drift`, whose
+    * final streamed histogram equals the batch one. */
+  def QualityKsSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id, source,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS quality_score
+         |  FROM f),
+         |cb AS (SELECT source,
+         |    least(CAST(floor(quality_score * 256) AS INT), 255) AS b,
+         |    count(*) AS n
+         |  FROM q GROUP BY 1, 2),
+         |grid AS (SELECT s.source, g.b
+         |  FROM (SELECT DISTINCT source FROM cb) s,
+         |       (SELECT unnest(range(0, 256)) AS b) g),
+         |dense AS (SELECT g.source, g.b, coalesce(cb.n, 0) AS n
+         |  FROM grid g LEFT JOIN cb ON cb.source = g.source AND cb.b = g.b),
+         |cum AS (SELECT source, b,
+         |    sum(n) OVER (PARTITION BY source ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM dense),
+         |gl AS (SELECT b, sum(cum) AS gcum FROM cum GROUP BY b),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cb GROUP BY 1),
+         |nn AS (SELECT CAST(sum(ns) AS BIGINT) AS ntot FROM tot)
+         |SELECT c.source, t.ns AS n_docs,
+         |  CASE WHEN nn.ntot > t.ns THEN
+         |    max(abs(CAST(c.cum AS DOUBLE) / t.ns -
+         |            CAST(g.gcum - c.cum AS DOUBLE) / (nn.ntot - t.ns)))
+         |  END AS ks_stat
+         |FROM cum c JOIN gl g USING (b) JOIN tot t ON t.source = c.source, nn
+         |GROUP BY c.source, t.ns, nn.ntot""".stripMargin
 
   /** CTE chain `t → f → q` computing [[graft.ops.TextOps.qualityScore]]'s
     * composite (doc_id, source, quality_score) — the same arithmetic the

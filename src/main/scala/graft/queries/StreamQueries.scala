@@ -378,6 +378,32 @@ object StreamQueries {
       target.read().select("event_type", "n", "sum_cents", "min_cents", "max_cents")
     }),
 
+    // incremental drift monitor: the per-(source, bucket) quality
+    // histogram is maintained by the streaming aggregation (constant-size
+    // state per source — counts, never documents), and the KS statistic
+    // evaluates over the grid-sized state table after each wave. Final
+    // state over both waves equals the batch x_quality_ks histogram, so
+    // the same oracle pins it.
+    "s_stream_drift" -> ((s, d) => {
+      val w = scratch(s, "s_stream_drift")
+      val scored = graft.ops.TextOps.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextOps.scoreBucket(col("quality_score"), 256).as("b"))
+      val target = graft.table.ManagedTable(s, s"$w/counts")
+      val schema = StructType.fromDDL("doc_id BIGINT, source STRING, b INT")
+      def drain(): Unit = Streaming.streamIncrementalAgg(
+        s.readStream.schema(schema).json(s"$w/in"), target,
+        keyCols = Seq("source", "b"),
+        aggSpecs = Seq(("n", "count", "doc_id")),
+        checkpoint = s"$w/checkpoint")
+      scored.where(col("doc_id") % 2 === 0).write.json(s"$w/in")
+      drain()
+      scored.where(col("doc_id") % 2 === 1).write.mode("append").json(s"$w/in")
+      drain()
+      graft.ops.TextOps.ksFromCounts(
+        target.read().select(col("source"), col("b"), col("n")), 256)
+    }),
+
     "s_stream_cdc" -> ((s, d) => {
       val w = scratch(s, "s_stream_cdc")
       val orders = Tables.orders(s, d)
@@ -498,6 +524,9 @@ object StreamQueries {
         |  min(CAST(round(value * 100, 0) AS BIGINT)) AS min_cents,
         |  max(CAST(round(value * 100, 0) AS BIGINT)) AS max_cents
         |FROM events GROUP BY event_type""".stripMargin,
+    // the streamed histogram's final state equals the batch histogram, so
+    // the batch KS oracle pins the whole incremental path
+    "s_stream_drift" -> OpsQueries.QualityKsSql,
     "s_stream_cdc" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 22 = 0 AND o_orderkey % 33 <> 0

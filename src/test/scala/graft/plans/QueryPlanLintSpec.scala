@@ -60,7 +60,7 @@ class QueryPlanLintSpec extends SparkSuite {
     "x_pipeline_curate", "x_retrieval_rrf", "x_text_bm25", "x_text_logprob",
     "x_text_pmi", "x_text_quality_filter", "x_text_tfidf",
     // one-row corpus-total broadcast fanned onto the ≤|sources|×buckets grid
-    "x_quality_ks")
+    "x_quality_ks", "s_stream_drift")
 
   /** Unpartitioned windows over bounded frames only: two-level prefix sums
     * see bucket/block COUNTS (≤ shuffle-partition-count rows), top-k sees
