@@ -262,6 +262,26 @@ object Similarity {
     * one shuffle of (label, dim) pairs. The IVF coarse-quantizer build
     * step — at scale this is how the bucket centroids for ANN routing are
     * produced. */
+  /** Per-dimension corpus whitening (z-score standardization) — the
+    * feature-scaling pass run before k-means / PCA when embedding dims
+    * have unequal spread. Two corpus passes: ONE posexplode aggregation
+    * reduces to a dim-row (mean, stddev) table (map-side partials — dim
+    * cells, never rows, cross the shuffle), broadcast back onto the
+    * exploded corpus for a map-only transform. Zero-variance dims pass
+    * through as z = 0 rather than dividing by zero. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String,
+                  scale: Int = 4): DataFrame = {
+    val stats = df
+      .select(posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sigma"))
+    df.select(col(idCol), posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
+      .join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        round(when(col("sigma") <= 0d, 0d)
+          .otherwise((col("x") - col("mu")) / col("sigma")), scale).as("z"))
+  }
+
   def centroids(df: DataFrame, labelCol: String, vecCol: String,
                 scale: Int = 4): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
@@ -573,6 +593,40 @@ object Similarity {
     * shrinks the per-key quadratic directly. Returns kept (id, cell).
     * Smaller-id-wins like every dedup here, so the result is a pure
     * function of the input regardless of layout. */
+  /** Corpus k-NN graph, cell-confined: every vector's top-`k` cosine
+    * neighbours WITHIN its coarse cell (here the pre-labelled partition —
+    * production trains the quantizer with [[kmeans]]), plus a `mutual`
+    * flag marking edges present in both directions (the mutual-kNN graph
+    * is the standard substrate for density clustering / dedup audits).
+    *
+    * Scale shape = [[semanticDedup]]'s: the pair join is an equi-join on
+    * the cell key — per-task work is (cell size)², never corpus²; ranking
+    * partitions by source id over compact (src, dst, cosine) triples; the
+    * mutual check self-joins the top-k table (corpus×k rows). Ties rank
+    * on the ROUNDED cosine then neighbour id, so the graph replays
+    * bit-exactly in any engine. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               cellCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
+      col(vecCol).as("vec"))
+    val ranked = v.alias("l")
+      .join(v.alias("r"), expr("l.cell = r.cell AND l.id <> r.id"))
+      .select(col("l.id").as("src_id"), col("r.id").as("nbr_id"),
+        round(cosine(col("l.vec"), col("r.vec")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("cosine").desc, col("nbr_id"))))
+      .where(col("rank") <= k)
+    ranked.alias("e")
+      .join(ranked.select(col("nbr_id").as("_s"), col("src_id").as("_d"))
+          .alias("m"),
+        col("e.src_id") === col("m._s") && col("e.nbr_id") === col("m._d"),
+        "left")
+      .select(col("e.src_id").as("src_id"), col("e.nbr_id").as("nbr_id"),
+        col("e.cosine"), col("e.rank"), col("m._s").isNotNull.as("mutual"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
     val cvecs = kmeans(df, idCol, vecCol, k, iters)

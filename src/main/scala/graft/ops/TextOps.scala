@@ -30,6 +30,24 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Blocklist gate: per-document blocked-token tally against a word
+    * blocklist (the UT1/"badwords" safety-filtering step every crawl
+    * pipeline runs). Map-only at any corpus size — the blocklist is a
+    * constant-size literal array inside the expression, never a join —
+    * and the keep decision is INTEGER math (`n_blocked * 10000 <=
+    * maxBp * n_tokens`, basis points), so the cut replays bit-exactly in
+    * any engine with no ratio-rounding convention in play. */
+  def blocklistGate(df: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String], maxBp: Int): DataFrame = {
+    val listed = array(blocklist.map(lit): _*)
+    df.select(col(idCol),
+        size(tokens(col(textCol))).as("n_tokens"),
+        size(filter(tokens(col(textCol)),
+          t => array_contains(listed, t))).as("n_blocked"))
+      .withColumn("kept",
+        col("n_blocked") * 10000 <= lit(maxBp) * col("n_tokens"))
+  }
+
   /** Bigram novelty: the fraction of a document's distinct word bigrams
     * that appear in NO other document — an inter-document diversity /
     * boilerplate signal (low novelty = heavily templated text). Shuffles

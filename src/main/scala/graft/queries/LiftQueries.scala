@@ -675,6 +675,52 @@ object LiftQueries {
         .unionByName(out.getDf("V1").withColumn("version", lit(1L)))
     }),
 
+    // schema evolution: an appended batch carries a column the base batch
+    // lacks (Delta mergeSchema semantics, reference batch_delta.py write
+    // options) — the table reads as unionByName(allowMissingColumns), so
+    // pre-drift rows surface NULL for the new column and neither batch is
+    // rewritten (each snapshot dir keeps its own parquet schema)
+    "l_table_schema_drift" -> ((s, d) => {
+      val w = scratch(s, "l_table_schema_drift")
+      Tables.orders(s, d).createOrReplaceTempView("orders_drift_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus
+           |        FROM orders_drift_src WHERE o_orderkey % 3 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |""".stripMargin
+      Lift.lift(s, yaml)
+      val yaml2 =
+        s"""LiftJob:
+           |  Widened:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_drift_src WHERE o_orderkey % 3 = 1
+           |  W1:
+           |    Type: write::batch_delta
+           |    Input: Widened
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: append
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml2).getDf("ReadBack")
+    }),
+
     // fileregistry::s3_full_scan pruning + UpdateAfter flush + batch_delta
     // append sink (reference s3_full_scan.py, manager.py:41-46)
     "l_registry_fullscan" -> ((s, d) => {
@@ -1072,6 +1118,12 @@ object LiftQueries {
         |UNION ALL
         |SELECT o_orderkey, round(o_totalprice + 7, 2) AS price, 1 AS version
         |FROM orders WHERE o_orderkey % 12 = 0""".stripMargin,
+    "l_table_schema_drift" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
     "l_registry_fullscan" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_linenumber = 1""".stripMargin,

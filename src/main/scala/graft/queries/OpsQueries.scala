@@ -39,6 +39,12 @@ object OpsQueries {
         TextOps.fingerprint(col("text")).as("fp"),
         TextOps.canonicalFingerprint(col("text")).as("fp_canon"))),
 
+    // word-blocklist safety gate: literal-array tally, integer-exact
+    // keep decision at 3% basis points — map-only at any corpus size
+    "x_text_blocklist" -> ((s, d) =>
+      TextOps.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+        Seq("slow", "dup", "drop"), maxBp = 300)),
+
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")),
 
@@ -84,6 +90,17 @@ object OpsQueries {
 
     "x_embed_centroid" -> ((s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")),
+
+    // per-dim z-score whitening: one stats aggregation broadcast back,
+    // map-only apply — the pre-clustering feature-scaling pass
+    "x_embed_standardize" -> ((s, d) =>
+      Similarity.standardize(Tables.embeddings(s, d), "vec_id", "embedding")),
+
+    // cell-confined corpus k-NN graph with mutual-edge flags — the
+    // substrate for density clustering; pair work is (cell size)^2
+    "x_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", k = 3)),
 
     // deterministic Lloyd's k-means (the IVF quantizer training step):
     // md5-seeded init, 2 iterations, centroids rounded between passes
@@ -1054,6 +1071,16 @@ object OpsQueries {
          |       ELSE 'zh' END AS lang_pred
          |FROM h""".stripMargin,
 
+    "x_text_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(toks,
+         |      w -> list_contains(['slow','dup','drop'], w))) AS INT) AS n_blocked,
+         |  len(list_filter(toks,
+         |      w -> list_contains(['slow','dup','drop'], w))) * 10000
+         |    <= 300 * len(toks) AS kept
+         |FROM t""".stripMargin,
+
     "x_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
          |md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp_canon
@@ -1265,6 +1292,32 @@ object OpsQueries {
          |round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
          |FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
          |GROUP BY 1, 2""".stripMargin,
+
+    "x_embed_standardize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(t.dim AS INT) AS dim,
+         |             CAST(embedding[t.dim + 1] AS DOUBLE) AS x
+         |           FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)),
+         |st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
+         |       FROM e GROUP BY dim)
+         |SELECT e.vec_id, e.dim,
+         |  round(CASE WHEN st.sigma <= 0 THEN 0
+         |             ELSE (e.x - st.mu) / st.sigma END, 4) AS z
+         |FROM e JOIN st USING (dim)""".stripMargin,
+
+    "x_knn_graph" ->
+      s"""WITH p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    round(${cosineSql("l.embedding", "r.embedding")}, 4) AS cosine
+         |  FROM embeddings l JOIN embeddings r
+         |    ON l.label = r.label AND l.vec_id <> r.vec_id),
+         |t AS (SELECT src_id, nbr_id, cosine,
+         |    row_number() OVER (PARTITION BY src_id
+         |                       ORDER BY cosine DESC, nbr_id) AS rank
+         |  FROM p)
+         |SELECT e.src_id, e.nbr_id, e.cosine, CAST(e.rank AS INT) AS rank,
+         |  m.src_id IS NOT NULL AS mutual
+         |FROM (SELECT * FROM t WHERE rank <= 3) e
+         |LEFT JOIN (SELECT * FROM t WHERE rank <= 3) m
+         |  ON e.src_id = m.nbr_id AND e.nbr_id = m.src_id""".stripMargin,
 
     "x_ann_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -215,6 +215,52 @@ class SimilaritySpec extends SparkSuite {
     assert(blocked.nonEmpty)
   }
 
+  test("standardize whitens each dim; zero-variance dims yield z = 0") {
+    val vecs = Seq(
+      (1L, Array(1.0, 5.0, 7.0)), (2L, Array(2.0, 5.0, 9.0)),
+      (3L, Array(3.0, 5.0, 14.0))).toDF("id", "v")
+    val z = Similarity.standardize(vecs, "id", "v")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    // dim 0: mean 2, stddev_pop sqrt(2/3)
+    val s0 = math.sqrt(2.0 / 3.0)
+    assert(z((1L, 0)) === math.rint(-1.0 / s0 * 1e4) / 1e4)
+    assert(z((2L, 0)) === 0.0)
+    // dim 1 is constant → zero variance → z pinned to 0, no NaN/Inf
+    assert(Seq(1L, 2L, 3L).forall(i => z((i, 1)) === 0.0))
+    // per-dim means of z are ~0 (whitened)
+    val m2 = (z((1L, 2)) + z((2L, 2)) + z((3L, 2))) / 3
+    assert(math.abs(m2) < 1e-3)
+  }
+
+  test("knnGraph matches per-cell brute force and flags mutual edges") {
+    val vecs = Tables.embeddings(spark, sf0).limit(60)
+    val got = Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getInt(3), r.getBoolean(4)))).toMap
+    val rows = vecs.select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val want = rows.flatMap { case (id, cell, v) =>
+      rows.filter(o => o._2 == cell && o._1 != id)
+        .map(o => (o._1, math.rint(cos(v, o._3) * 1e4) / 1e4))
+        .sortBy { case (nid, c) => (-c, nid) }.take(2).zipWithIndex
+        .map { case ((nid, c), i) => (id, nid, c, i + 1) }
+    }
+    assert(got.size === want.length)
+    want.foreach { case (s, n, c, r) =>
+      val (gc, gr, mutual) = got((s, n))
+      assert(gc === c && gr === r, s"edge ($s,$n)")
+      assert(mutual === want.exists(w => w._1 == n && w._2 == s),
+        s"mutual flag ($s,$n)")
+    }
+  }
+
   test("allPairsCosine diagonal blocks drop self-pairs and duplicates") {
     val tiny = Seq((1L, "x", Array(1.0, 0.0)), (2L, "x", Array(1.0, 0.0)),
       (3L, "x", Array(0.0, 1.0)), (4L, "y", Array(1.0, 1.0)))

@@ -300,4 +300,24 @@ class TextOpsSpec extends SparkSuite {
       .as[(String, Long, Option[Double])].collect()
     assert(lone.length == 1 && lone.head._3.isEmpty)
   }
+
+  test("blocklistGate: integer-exact keep decision, empty-doc edge") {
+    val docs = Seq(
+      (1L, "clean words only here"),           // 0/4 blocked → kept
+      (2L, "bad words bad words bad again"),   // 3/6 blocked → dropped
+      (3L, "one bad in twenty " + ("x " * 16)),// 1/20 = 500bp boundary → kept
+      (4L, ""),                                // 0/0 → kept (0 <= 0)
+      (5L, "bad")                              // 1/1 → dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.blocklistGate(docs, "doc_id", "text",
+        Seq("bad", "worse"), maxBp = 500)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((4, 0, true)))
+    assert(got(2L) === ((6, 3, false)))
+    // exactly AT the threshold keeps (<=, not <): 1*10000 == 500*20
+    assert(got(3L) === ((20, 1, true)))
+    assert(got(4L) === ((0, 0, true)))
+    assert(got(5L) === ((1, 1, false)))
+  }
 }
