@@ -239,6 +239,68 @@ object TextOps {
       .limit(k)
   }
 
+  /** In-engine BPE tokenizer TRAINING: `merges` greedy merge steps over
+    * the corpus vocabulary, returning the learned merge table
+    * (rank, sym_l, sym_r, n) — [[bpePairCounts]] is one step of this
+    * loop; this runs the loop.
+    *
+    * The corpus collapses to (word, count) ONCE; every step after is
+    * vocabulary-sized: one adjacent-pair aggregation, a 1-row
+    * `TakeOrderedAndProject` winner (count desc, pair asc — total order,
+    * deterministic at any layout), and a map-only merge apply. Words are
+    * held in boundary-delimited form `<s1><s2>…` so the merge is a plain
+    * left-to-right `replace("<l><r>" → "<lr>")` — delimiters make symbol
+    * boundaries unambiguous (no symbol contains `<`), and because the
+    * pattern shares no characters across occurrences, non-overlapping
+    * string replace IS the greedy BPE merge (a run `a a a a` merges to
+    * `aa aa`, exactly like pair-at-a-time scanning). The driver sees
+    * `merges` winner rows total — the bounded-metadata loop pattern of
+    * kmeans / trainHashedLogReg. */
+  def bpeTrain(df: DataFrame, textCol: String = "text",
+               merges: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit("<"), concat_ws("><", split(col("w"), "")),
+        lit(">")).as("s"), col("c"))
+      .persist() // vocabulary-sized; every step re-reads it
+    val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = vocab
+        .select(col("c"),
+          expr("split(substring(s, 2, length(s) - 2), '><')").as("y"))
+        .select(col("c"), explode(expr(
+          "CASE WHEN size(y) < 2 THEN array() ELSE" +
+            " transform(sequence(1, size(y) - 1)," +
+            " i -> struct(element_at(y, i) AS l, element_at(y, i + 1) AS r)) END"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        rules += ((step, l, r, n))
+        vocab = vocab.select(
+          replace(col("s"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"),
+          col("c"))
+        step += 1
+      }
+    }
+    val schema = StructType(Seq(StructField("rank", IntegerType),
+      StructField("sym_l", StringType), StructField("sym_r", StringType),
+      StructField("n", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rules.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)), 1),
+      schema)
+  }
+
   /** Per-source distribution drift: the two-sample Kolmogorov–Smirnov
     * statistic between each source's quality-score distribution and the
     * REST of the corpus, evaluated on a `buckets`-point quantized grid —

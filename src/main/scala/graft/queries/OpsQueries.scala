@@ -899,6 +899,11 @@ object OpsQueries {
     "x_text_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.documents(s, d), "text", k = 20)),
 
+    // the full BPE TRAINING loop: 3 greedy merges learned in-engine —
+    // each step is vocabulary-sized work + a 1-row winner collect
+    "x_text_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(Tables.documents(s, d), "text", merges = 3)),
+
     // per-source distribution drift: grid-quantized two-sample KS between
     // each source's quality profile and the rest of the corpus — integer
     // cumulative counts on a 256-point grid, one division per cell
@@ -2533,6 +2538,42 @@ object OpsQueries {
          |      FROM wc, UNNEST(range(1, len(wc.w))) AS u(i))
          |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // the 3-step merge loop unrolled: each step recomputes pair counts
+    // over the (replace-)merged vocabulary and takes the (n desc, pair)
+    // winner — identical greedy semantics to the Spark loop
+    "x_text_bpe_train" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS w FROM t),
+         |wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+         |v0 AS (SELECT '<' || array_to_string(list_transform(
+         |          range(1, length(w) + 1),
+         |          i -> substr(w, CAST(i AS INT), 1)), '><') || '>' AS s, c
+         |       FROM wc),
+         |y1 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v0),
+         |p1 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
+         |       FROM y1, UNNEST(range(1, len(y))) AS u(i)),
+         |b1 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p1 GROUP BY l, r
+         |       ORDER BY n DESC, l, r LIMIT 1),
+         |v1 AS (SELECT replace(y1.s, '<'||b1.l||'><'||b1.r||'>',
+         |                      '<'||b1.l||b1.r||'>') AS s, c FROM y1, b1),
+         |y2 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v1),
+         |p2 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
+         |       FROM y2, UNNEST(range(1, len(y))) AS u(i)),
+         |b2 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p2 GROUP BY l, r
+         |       ORDER BY n DESC, l, r LIMIT 1),
+         |v2 AS (SELECT replace(y2.s, '<'||b2.l||'><'||b2.r||'>',
+         |                      '<'||b2.l||b2.r||'>') AS s, c FROM y2, b2),
+         |y3 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v2),
+         |p3 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
+         |       FROM y3, UNNEST(range(1, len(y))) AS u(i)),
+         |b3 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p3 GROUP BY l, r
+         |       ORDER BY n DESC, l, r LIMIT 1)
+         |SELECT CAST(1 AS INT) AS rank, l AS sym_l, r AS sym_r, n FROM b1
+         |UNION ALL
+         |SELECT CAST(2 AS INT), l, r, n FROM b2
+         |UNION ALL
+         |SELECT CAST(3 AS INT), l, r, n FROM b3""".stripMargin,
 
     "x_quality_ks" -> QualityKsSql,
 

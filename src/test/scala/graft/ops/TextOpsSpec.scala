@@ -301,6 +301,25 @@ class TextOpsSpec extends SparkSuite {
     assert(lone.length == 1 && lone.head._3.isEmpty)
   }
 
+  test("bpeTrain: greedy run merges and total-order tie-breaks, by hand") {
+    // vocab: "aaaa" ×2, "abab" ×1
+    val docs = Seq((1L, "aaaa aaaa abab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    // step 1: (a,a) appears 3×/word in aaaa (overlapping pairs count) ×2
+    //         + 0 in abab = 6; merging a run 'a a a a' greedily → 'aa aa'
+    // step 2: (aa,aa) n=2 TIES (a,b) n=2 → lexicographic sym_l wins: a<aa
+    // step 3: (aa,aa) n=2 beats (ab,ab) n=1
+    assert(got === List((1, "a", "a", 6L), (2, "a", "b", 2L),
+      (3, "aa", "aa", 2L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(docs, "text", merges = 5).count() === 0)
+  }
+
   test("blocklistGate: integer-exact keep decision, empty-doc edge") {
     val docs = Seq(
       (1L, "clean words only here"),           // 0/4 blocked → kept
