@@ -469,6 +469,14 @@ object WriteBlocks {
       // DataFrame ignored; manifest-only, no data movement)
       case "restore" =>
         table.restore(c.props.getString("Restore.Version").toLong)
+      // ALTER TABLE RENAME/DROP COLUMN: manifest-only schema evolution
+      // (input DataFrame ignored; zero data movement, resolved per-dir at
+      // read time; OPTIMIZE materializes the mapping)
+      case "rename_column" =>
+        table.renameColumn(c.props.getString("Rename.From"),
+          c.props.getString("Rename.To"))
+      case "drop_column" =>
+        table.dropColumn(c.props.getString("Drop.Column"))
       // shallow CLONE: zero-copy snapshot of this table at another path
       case "clone" =>
         table.cloneTo(c.props.getString("Clone.TargetPath"))

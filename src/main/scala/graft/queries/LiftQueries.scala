@@ -721,6 +721,64 @@ object LiftQueries {
       Lift.lift(s, yaml2).getDf("ReadBack")
     }),
 
+    // manifest-only ALTER TABLE: rename a column (zero data movement),
+    // append a post-rename batch under the NEW name, then drop another
+    // column — the read resolves the mapping per-dir (old dirs carry the
+    // old physical name) and excludes the dropped column everywhere
+    "l_table_rename" -> ((s, d) => {
+      val w = scratch(s, "l_table_rename")
+      Tables.orders(s, d).createOrReplaceTempView("orders_rn_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM orders_rn_src WHERE o_orderkey % 5 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |  Ren:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: rename_column
+           |      Rename:
+           |        From: price
+           |        To: amount
+           |  Late:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS amount
+           |        FROM orders_rn_src WHERE o_orderkey % 5 = 1
+           |  W1:
+           |    Type: write::batch_delta
+           |    Input: Late
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: append
+           |  Dropped:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: drop_column
+           |      Drop:
+           |        Column: o_orderstatus
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+    }),
+
     // fileregistry::s3_full_scan pruning + UpdateAfter flush + batch_delta
     // append sink (reference s3_full_scan.py, manager.py:41-46)
     "l_registry_fullscan" -> ((s, d) => {
@@ -1124,6 +1182,9 @@ object LiftQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
+    "l_table_rename" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS amount
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin,
     "l_registry_fullscan" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_linenumber = 1""".stripMargin,

@@ -67,8 +67,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val dvs = Option(node.get("dv")).map { arr =>
         (0 until arr.size()).map(arr.get(_).asText())
       }.getOrElse(Nil)
+      val renames = Option(node.get("renames")).map { arr =>
+        (0 until arr.size()).map { i =>
+          val r = arr.get(i)
+          (r.get("from").asText(), r.get("to").asText())
+        }
+      }.getOrElse(Nil)
       Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L),
-        entries, dvs)
+        entries, dvs, renames)
     }
 
   /** Every manifest, parsed — O(versions) reads. Only the ops that truly
@@ -123,12 +129,40 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         "TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> s"$path@v$v"))
     }
 
-  private def readEntries(entries: Seq[Entry]): DataFrame = entries match {
-    case Nil => spark.emptyDataFrame
-    case es => es.map { e =>
-      e.base.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(e.dir)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  /** Apply the manifest's ORDERED logical renames to one per-dir scan:
+    * each (from, to) renames only when the dir's schema still carries the
+    * old physical name (dirs written after the rename already have the
+    * new one), so rename chains and mixed-age snapshots resolve
+    * per-dir with zero data movement. */
+  private def applyRenames(df: DataFrame,
+                           renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      d.schema.fields.find(_.name.equalsIgnoreCase(from)) match {
+        case Some(f) if !d.schema.fieldNames.exists(_.equalsIgnoreCase(to)) =>
+          d.withColumnRenamed(f.name, to)
+        case _ => d
+      }
+    }
+
+  /** Exclude drop-tombstoned columns from a logical read. Catalyst's
+    * column pruning pushes the exclusion into the parquet scans, so
+    * dropped bytes are never read. */
+  private def dropTombstones(df: DataFrame): DataFrame = {
+    val ts = df.schema.fieldNames.filter(_.startsWith(ManagedTable.DroppedPrefix))
+    if (ts.isEmpty) df else df.drop(ts.toIndexedSeq: _*)
   }
+
+  private def readEntries(entries: Seq[Entry],
+                          renames: Seq[(String, String)] = Nil): DataFrame =
+    entries match {
+      case Nil => spark.emptyDataFrame
+      case es => dropTombstones(es.map { e =>
+        applyRenames(
+          e.base.fold(spark.read)(b => spark.read.option("basePath", b))
+            .parquet(e.dir),
+          renames)
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
 
   // ------------------------------------------------------- deletion vectors
   // Delta-style deletion vectors: a manifest may carry `dv` dirs of
@@ -145,14 +179,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** Entries scan carrying per-row file provenance (`_metadata.file_path`
     * + `_metadata.row_index`) — the join key deletion vectors address. */
-  private def readEntriesWithMeta(entries: Seq[Entry]): DataFrame =
+  private def readEntriesWithMeta(entries: Seq[Entry],
+                                  renames: Seq[(String, String)] = Nil): DataFrame =
     entries match {
       case Nil => spark.emptyDataFrame
-      case es => es.map { e =>
-        e.base.fold(spark.read)(b => spark.read.option("basePath", b)).parquet(e.dir)
+      case es => dropTombstones(es.map { e =>
+        applyRenames(
+          e.base.fold(spark.read)(b => spark.read.option("basePath", b))
+            .parquet(e.dir),
+          renames)
           .withColumn(DvFile, col("_metadata.file_path"))
           .withColumn(DvPos, col("_metadata.row_index"))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
 
   private def applyDv(withMeta: DataFrame, dvs: Seq[String]): DataFrame =
@@ -162,13 +200,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[readEntries]] when there are none — the common path stays a bare
     * parquet scan with no provenance columns in the plan). */
   private def readSnapshot(m: Manifest): DataFrame =
-    if (m.dvs.isEmpty) readEntries(m.entries)
-    else applyDv(readEntriesWithMeta(m.entries), m.dvs).drop(DvFile, DvPos)
+    if (m.dvs.isEmpty) readEntries(m.entries, m.renames)
+    else applyDv(readEntriesWithMeta(m.entries, m.renames), m.dvs)
+      .drop(DvFile, DvPos)
 
   /** Like [[readSnapshot]] but keeps the provenance columns — DML ops use
     * it to derive NEW vectors from matched rows. */
   private def readWithMeta(m: Manifest): DataFrame = {
-    val base = readEntriesWithMeta(m.entries)
+    val base = readEntriesWithMeta(m.entries, m.renames)
     if (m.dvs.isEmpty) base else applyDv(base, m.dvs)
   }
 
@@ -178,8 +217,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * from un-vectored data would resurrect deleted rows. */
   private def readSnapshotWhere(m: Manifest,
                                 cond: org.apache.spark.sql.Column): DataFrame =
-    if (m.dvs.isEmpty) readEntries(m.entries).where(cond)
-    else applyDv(readEntriesWithMeta(m.entries).where(cond), m.dvs)
+    if (m.dvs.isEmpty) readEntries(m.entries, m.renames).where(cond)
+    else applyDv(readEntriesWithMeta(m.entries, m.renames).where(cond), m.dvs)
       .drop(DvFile, DvPos)
 
   /** DV sidecars live under `_graft_dv/` — outside the `d*` data-dir
@@ -257,6 +296,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def mergeVectorized(updates: DataFrame, condition: String,
                       partitionBy: Seq[String] = Nil): Long = {
     validateBatch(updates)
+    requireFreshNames(updates, "mergeVectorized")
     withCommitRetry("mergeVectorized") {
       lastManifest() match {
         case None =>
@@ -366,7 +406,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * shape the parquet layout (partition pruning for downstream reads). */
   def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     validateBatch(df)
-    commitEntries(Entry(writeData(df, partitionBy), None) :: Nil)
+    // clean_write replaces the table's data AND schema mapping: the batch
+    // is the new logical truth, so renames reset (old manifests keep
+    // their own renames — time travel is unaffected)
+    commitEntries(Entry(writeData(df, partitionBy), None) :: Nil,
+      renames = Some(Nil))
   }
 
   /** Append: write ONLY the new rows; the next manifest references the
@@ -376,6 +420,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * all land, as N consecutive versions). */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     validateBatch(df)
+    requireFreshNames(df, "append")
     val dir = writeData(df, partitionBy)
     withCommitRetry("append") {
       val prev = lastManifest()
@@ -384,6 +429,63 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         prev.map(_.dvs).getOrElse(Nil))
     }
   }
+
+  /** ALTER TABLE RENAME COLUMN as a manifest-only commit: zero data
+    * movement at any table size. The ordered rename list lives in the
+    * manifest and resolves per-dir at read time ([[applyRenames]]), so
+    * dirs from before and after the rename coexist; stats/bloom sidecars
+    * keyed by the old physical name simply stop pruning for pre-rename
+    * files (correctness unaffected — pruning is planning-time only).
+    * Renaming a hive PARTITION column is unsupported (the name is baked
+    * into directory layout); OPTIMIZE materializes renames into the data
+    * files and clears the mapping. */
+  def renameColumn(from: String, to: String): Long = {
+    require(exists, s"renameColumn on absent table $path")
+    withCommitRetry("renameColumn") {
+      val cur = lastManifest().get
+      val schema = readSnapshot(cur).schema.fieldNames
+      require(schema.exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: no column '$from' in $path (have ${schema.mkString(", ")})")
+      require(!schema.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: column '$to' already exists in $path")
+      require(!to.startsWith(ManagedTable.DroppedPrefix),
+        s"renameColumn: '$to' collides with the drop-tombstone namespace")
+      commitAgainst(Some(cur.version), cur.entries, cur.dvs,
+        Some(cur.renames :+ (from, to)))
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN, manifest-only: a rename into the tombstone
+    * namespace reads always exclude — old files keep their bytes (never
+    * read again thanks to column pruning) and no dir rewrites. Re-using a
+    * dropped name for NEW data requires [[optimize]] first (enforced by
+    * [[requireFreshNames]] on incoming batches), exactly because old
+    * files still carry the physical column. */
+  def dropColumn(name: String): Long = {
+    require(exists, s"dropColumn on absent table $path")
+    withCommitRetry("dropColumn") {
+      val cur = lastManifest().get
+      val schema = readSnapshot(cur).schema.fieldNames
+      require(schema.exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: no column '$name' in $path (have ${schema.mkString(", ")})")
+      commitAgainst(Some(cur.version), cur.entries, cur.dvs,
+        Some(cur.renames :+
+          (name, s"${ManagedTable.DroppedPrefix}v${cur.version + 1}_$name")))
+    }
+  }
+
+  /** An incoming batch may not re-use a column name that is currently the
+    * SOURCE of a rename/drop mapping: the per-dir [[applyRenames]] would
+    * re-capture the new column in that dir (the classic no-column-ids
+    * hazard — Delta requires column mapping for the same reason). The
+    * caller's fix is OPTIMIZE (materializes the mapping, clears it). */
+  private def requireFreshNames(df: DataFrame, op: String): Unit =
+    lastManifest().map(_.renames).getOrElse(Nil).foreach { case (from, _) =>
+      require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+        s"$op on $path: batch column '$from' matches a renamed/dropped " +
+          "column's old name; run optimize() to materialize the column " +
+          "mapping before re-using the name")
+    }
 
   /** Delta-style merge (reference getl/common/delta_table.py:27-44): target
     * aliased `source`, updates aliased `updates`, raw SQL condition like
@@ -401,6 +503,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def merge(updates: DataFrame, condition: String, upsert: Boolean = true,
             partitionBy: Seq[String] = Nil): Long = withCommitRetry("merge") {
     validateBatch(updates)
+    requireFreshNames(updates, "merge")
     lastManifest() match {
       case None =>
         commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
@@ -504,6 +607,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * resurrect the row). */
   def applyChanges(changes: DataFrame, condition: String, opCol: String,
                    orderCol: String, partitionBy: Seq[String] = Nil): Long = {
+    requireFreshNames(changes, "applyChanges")
     import org.apache.spark.sql.expressions.Window
     val latest = changes
       .withColumn("__rn", row_number().over(
@@ -628,6 +732,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def replaceWhere(df: DataFrame, condition: String,
                    partitionBy: Seq[String] = Nil): Long = {
     validateBatch(df)
+    requireFreshNames(df, "replaceWhere")
     val stray = df.where(!expr(condition)).limit(1).count()
     require(stray == 0L,
       s"replaceWhere batch contains rows violating the predicate $condition")
@@ -886,8 +991,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     case Some(m) =>
       val dfs = pruneEntries(m.entries, condition).map {
         case (e, files, _) if files.nonEmpty =>
-          val scan = spark.read.option("basePath", e.base.getOrElse(e.dir))
-            .parquet(files: _*)
+          val scan = applyRenames(
+            spark.read.option("basePath", e.base.getOrElse(e.dir))
+              .parquet(files: _*),
+            m.renames)
           if (m.dvs.isEmpty) scan
           else scan.withColumn(DvFile, col("_metadata.file_path"))
             .withColumn(DvPos, col("_metadata.row_index"))
@@ -896,9 +1003,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           // under schema drift, dropping the entry entirely could lose
           // columns the residual filter (or the caller) references
           // (limit 0 plans to an empty relation, nothing is scanned)
-          readEntries(Seq(e)).limit(0)
+          readEntries(Seq(e), m.renames).limit(0)
       }
-      val unioned = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+      val unioned = dropTombstones(
+        dfs.reduce(_.unionByName(_, allowMissingColumns = true)))
         .where(expr(condition))
       if (m.dvs.isEmpty) unioned
       else applyDv(unioned, m.dvs).drop(DvFile, DvPos)
@@ -925,6 +1033,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"streamAppends on $path: table has deletion vectors — a file-offset " +
         "source cannot subtract them (and would also surface dv sidecar " +
         "dirs); OPTIMIZE to materialize the vectors first")
+    require(lastManifest().forall(_.renames.isEmpty),
+      s"streamAppends on $path: table has a live column mapping — a raw " +
+        "file-glob source reads physical names and would null out renamed " +
+        "columns; OPTIMIZE to materialize the renames first")
     spark.readStream.schema(read().schema).parquet(s"$path/d*")
   }
 
@@ -960,8 +1072,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       // pass the table's partition columns so compaction keeps the hive
       // layout — otherwise one OPTIMIZE would flatten the dirs and disable
       // both scan-time partition pruning and future pruned merges
+      // the rewrite materializes the logical schema into the data files,
+      // so the column mapping resets — OPTIMIZE is the "make renames
+      // physical" path (and the escape hatch that frees a dropped name
+      // for re-use)
       commitAgainst(Some(curM.version),
-        Seq(Entry(writeData(compacted, partitionBy), None)))
+        Seq(Entry(writeData(compacted, partitionBy), None)),
+        renames = Some(Nil))
     }
   }
 
@@ -973,7 +1090,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val m = manifestAt(v).getOrElse(
       throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND",
         Map("relationName" -> s"$path@v$v")))
-    commitEntries(m.entries, m.dvs)
+    // the restored snapshot's column mapping travels with its data
+    commitEntries(m.entries, m.dvs, Some(m.renames))
   }
 
   /** Delta-style shallow CLONE: create a table at `targetPath` whose
@@ -993,7 +1111,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // CAS at the target's version 0: of two racing clones to one path,
     // exactly one wins and the other fails loudly
     target.commitAgainst(None, m.map(_.entries).getOrElse(Nil),
-      m.map(_.dvs).getOrElse(Nil))
+      m.map(_.dvs).getOrElse(Nil), Some(m.map(_.renames).getOrElse(Nil)))
     target
   }
 
@@ -1031,8 +1149,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // from un-vectored files would resurrect deleted rows); carried
         // healthy dirs may still have vectored rows so dvs carry over
         val smallEntries = small.map(_._1)
-        val merged = (if (cur.dvs.isEmpty) readEntries(smallEntries)
-                      else applyDv(readEntriesWithMeta(smallEntries), cur.dvs)
+        val merged = (if (cur.dvs.isEmpty) readEntries(smallEntries, cur.renames)
+                      else applyDv(readEntriesWithMeta(smallEntries, cur.renames), cur.dvs)
                         .drop(DvFile, DvPos))
           .repartition(n)
         commitAgainst(Some(cur.version),
@@ -1181,15 +1299,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * still either exists completely or not at all; a crash mid-write can
     * never corrupt the log). */
   private def tryCommit(v: Long, entries: Seq[Entry],
-                        dvs: Seq[String]): Boolean = {
+                        dvs: Seq[String],
+                        renames: Seq[(String, String)]): Boolean = {
     val dirsJson = entries.map {
       case Entry(d, None)    => "\"" + d + "\""
       case Entry(d, Some(b)) => s"""{"dir":"$d","base":"$b"}"""
     }.mkString("[", ",", "]")
     val dvJson = if (dvs.isEmpty) ""
       else dvs.map("\"" + _ + "\"").mkString(""","dv":[""", ",", "]")
+    val renJson = if (renames.isEmpty) ""
+      else renames.map { case (f, t) => s"""{"from":"$f","to":"$t"}""" }
+        .mkString(""","renames":[""", ",", "]")
     FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
-      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson}""")
+      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson}""")
   }
 
   /** Blind snapshot commit (clean_write / restore / append-rebase): the
@@ -1197,10 +1319,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * version-number race is harmless — take the next number and retry
     * until the manifest lands. */
   private def commitEntries(entries: Seq[Entry],
-                            dvs: Seq[String] = Nil): Long = {
+                            dvs: Seq[String] = Nil,
+                            renames: Option[Seq[(String, String)]] = None): Long = {
     var tries = 0
     var v = currentVersion.map(_ + 1).getOrElse(0L)
-    while (!tryCommit(v, entries, dvs)) {
+    // None = inherit the head's renames (re-resolved per attempt so a
+    // racing rename is never silently shed); Some = set them outright
+    // (clean_write resets, restore restores the target's, rename extends)
+    def resolved = renames.getOrElse(lastManifest().map(_.renames).getOrElse(Nil))
+    while (!tryCommit(v, entries, dvs, resolved)) {
       tries += 1
       if (tries > 1000) throw new java.io.IOException(
         s"commit contention on $path: gave up after $tries attempts")
@@ -1219,9 +1346,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * place of logical conflict classification — always serializable,
     * never a silent lost update. */
   private def commitAgainst(base: Option[Long], entries: Seq[Entry],
-                            dvs: Seq[String] = Nil): Long = {
+                            dvs: Seq[String] = Nil,
+                            renames: Option[Seq[(String, String)]] = None): Long = {
     val v = base.map(_ + 1).getOrElse(0L)
-    if (!tryCommit(v, entries, dvs))
+    // None = carry the BASE snapshot's renames forward (the op was
+    // computed against that snapshot, so its mapping is the valid one)
+    val resolved = renames.getOrElse(
+      base.flatMap(manifestAt).map(_.renames).getOrElse(Nil))
+    if (!tryCommit(v, entries, dvs, resolved))
       throw new ManagedTable.ConcurrentWriteException(path, base)
     v
   }
@@ -1245,7 +1377,13 @@ object ManagedTable {
   private[table] case class Entry(dir: String, base: Option[String])
   private[table] case class Manifest(version: Long, timestamp: Long,
                                      entries: Seq[Entry],
-                                     dvs: Seq[String] = Nil)
+                                     dvs: Seq[String] = Nil,
+                                     renames: Seq[(String, String)] = Nil)
+
+  /** Tombstone prefix for dropped columns: a drop is a rename to a name
+    * reads always exclude, so old data dirs keep their files untouched
+    * and Catalyst's column pruning keeps the dropped bytes unread. */
+  private[table] val DroppedPrefix = "__graft_dropped_"
 
   /** Attempts a read-modify-write operation makes before giving up under
     * sustained commit contention. */

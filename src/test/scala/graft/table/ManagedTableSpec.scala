@@ -518,4 +518,71 @@ class ManagedTableSpec extends SparkSuite {
       "source.id == updates.id", partitionBy = Seq("part"))
     assert(t.read().count() === 2)
   }
+
+  test("renameColumn is manifest-only: old dirs byte-identical, mixed-age read") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq((1, 10.0), (2, 20.0)).toDF("id", "price"))
+    val before = fileMap(dataDirOf(root, 0))
+    t.renameColumn("price", "amount")
+    // zero data movement, and the logical schema maps per-dir
+    assert(fileMap(dataDirOf(root, 0)) === before)
+    assert(t.read().columns.toSeq === Seq("id", "amount"))
+    // a post-rename append writes the NEW physical name; both generations read as one
+    t.append(Seq((3, 30.0)).toDF("id", "amount"))
+    assert(t.read().orderBy("id").as[(Int, Double)].collect().toSeq ===
+      Seq((1, 10.0), (2, 20.0), (3, 30.0)))
+    // time travel BEFORE the rename keeps the old name (per-manifest mapping)
+    assert(t.readVersion(0).columns.toSeq === Seq("id", "price"))
+    // readWhere on the renamed column: stats keyed by the old physical
+    // name can't prune pre-rename files, but rows stay correct
+    t.collectStats()
+    assert(t.readWhere("amount >= 20.0").orderBy("id")
+      .as[(Int, Double)].collect().toSeq === Seq((2, 20.0), (3, 30.0)))
+    // validation
+    intercept[IllegalArgumentException](t.renameColumn("ghost", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "amount"))
+  }
+
+  test("dropColumn tombstones without rewrites; optimize frees the name") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "tag", "score"))
+    val before = fileMap(dataDirOf(root, 0))
+    t.dropColumn("tag")
+    assert(fileMap(dataDirOf(root, 0)) === before)
+    assert(t.read().columns.toSeq === Seq("id", "score"))
+    // re-using the dropped name is refused while old files still carry it
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((3, "c", 3.0)).toDF("id", "tag", "score")))
+    assert(e.getMessage.contains("optimize"))
+    // OPTIMIZE materializes the mapping → the name is free again
+    t.optimize()
+    t.append(Seq((3, "z", 3.0)).toDF("id", "tag", "score"))
+    val rows = t.read().orderBy("id").collect()
+    assert(t.read().columns.sorted.toSeq === Seq("id", "score", "tag"))
+    // pre-optimize rows surface NULL for the re-added column, never "a"/"b"
+    assert(rows.map(r => Option(r.getAs[String]("tag"))).toSeq ===
+      Seq(None, None, Some("z")))
+  }
+
+  test("rename chains apply in order; restore and clone carry the mapping") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq((1, 5.0)).toDF("id", "a"))
+    t.renameColumn("a", "b")   // v1
+    t.append(Seq((2, 6.0)).toDF("id", "b"))  // v2: physical name b
+    t.renameColumn("b", "c")   // v3
+    assert(t.read().columns.toSeq === Seq("id", "c"))
+    assert(t.read().orderBy("id").as[(Int, Double)].collect().toSeq ===
+      Seq((1, 5.0), (2, 6.0)))
+    // restore to v1 brings back that snapshot's mapping (a→b, name = b)
+    t.restore(1)
+    assert(t.read().columns.toSeq === Seq("id", "b"))
+    // a clone of the CURRENT snapshot keeps reading the mapped schema
+    t.restore(3)
+    val c = t.cloneTo(root + "_clone")
+    assert(c.read().columns.toSeq === Seq("id", "c"))
+    assert(c.read().count() === 2)
+  }
 }
