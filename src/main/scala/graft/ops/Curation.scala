@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation governance operators: snapshot diffing, k-anonymity
+  * auditing, robust outlier flagging, and curriculum ordering — the
+  * bookkeeping layer a production training-data pipeline runs AROUND the
+  * dedup/quality/mixing core.
+  *
+  * Scale rules shared with the rest of the ops package:
+  *   - content comparisons travel as 16-byte digests, never text;
+  *   - per-group statistics use integer "doubled-median" arithmetic so
+  *     every engine (and the DuckDB oracle) reproduces them bit-exactly —
+  *     no interpolated-quantile convention in play;
+  *   - global total orders are two-level prefix sums (bucket offsets
+  *     through the one small unpartitioned window, corpus-sized windows
+  *     always keyed by bucket), the same shape as [[Packing]].
+  */
+object Curation {
+
+  /** Diff two corpus snapshots by document id + content digest: rows only
+    * in `prev` are `removed`, only in `next` are `added`, in both with a
+    * different digest are `changed`; unchanged rows are dropped (the diff
+    * report is the delta, not the corpus). The full outer join carries
+    * (id, 16-byte digest) — text bytes never cross the exchange, so the
+    * diff costs two narrow scans at any corpus size. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = prev.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("__da"))
+    val b = next.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("__db"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__db").isNull, lit("removed"))
+          .when(col("__da").isNull, lit("added"))
+          .when(col("__da") =!= col("__db"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: every row is
+    * labelled with its equivalence-class size and whether it violates the
+    * `k` threshold (a class smaller than k re-identifies its members —
+    * the standard release-gate check before corpus metadata ships).
+    * The input projects to (id, quasi columns) BEFORE the class window,
+    * so the exchange carries the identifier tuple only; null quasi values
+    * group together (SQL GROUP BY semantics), matching the oracle. */
+  def kAnonymity(df: DataFrame, idCol: String, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.select((idCol +: quasiCols).map(col): _*)
+      .withColumn("class_size", count(lit(1)).over(w))
+      .withColumn("suppress", col("class_size") < k)
+  }
+
+  /** Robust per-group outlier flags over an INTEGER measure, in exact
+    * integer arithmetic end to end (the "median ± c·MAD" rule, the
+    * heavy-tail-safe alternative to mean/stddev z-scores for corpus
+    * stats like document length).
+    *
+    * Exactness trick: medians are kept DOUBLED — `med2` = lower middle +
+    * upper middle order statistic (the same row twice when n is odd), so
+    * an even-n median of integers never becomes an interpolated double.
+    * Deviations double again (`dev2 = |2x − med2|`), their doubled median
+    * is `mad4 = 4·MAD`, and the flag `|x−med| > (cMilli/1000)·1.4826·MAD`
+    * becomes `dev2 · 20_000_000 > cMilli · 14826 · mad4` — pure 64-bit
+    * integer comparison, reproducible in any engine with no
+    * quantile-interpolation or float-summation convention involved.
+    * (Headroom: |value| must stay under ~4·10^11 so `dev2 · 2·10^7`
+    * fits a long — every corpus-stat measure does.)
+    *
+    * Both median passes are windows PARTITIONED by the group key over
+    * (id, value) projections — narrow rows, keyed shuffles; per-group
+    * input must fit a task's window sort, the same bound any per-group
+    * order statistic has (salt or pre-aggregate histograms beyond that).
+    * Returns one row per input row: (idCol, groupCol, valueCol, dev2,
+    * mad4, is_outlier). `cMilli` is the cutoff in thousandths (2500 =
+    * 2.5 robust z). */
+  def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
+                     groupCol: String, cMilli: Long = 2500L): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol),
+      col(valueCol).cast("long").as("__v"))
+
+    def doubledMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy(col(groupCol))
+        .orderBy(col(vCol), col(idCol))
+      val wAll = Window.partitionBy(col(groupCol))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and the
+      // row_number comparison must stay integer-exact
+      in.withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn(out,
+          sum(when(col("__rn") === expr("(__n + 1) div 2"), col(vCol))
+            .otherwise(lit(0L))).over(wAll) +
+          sum(when(col("__rn") === expr("__n div 2 + 1"), col(vCol))
+            .otherwise(lit(0L))).over(wAll))
+        .drop("__rn", "__n")
+    }
+
+    val withMed = doubledMedian(base, "__v", "__med2")
+      .withColumn("dev2", abs(lit(2L) * col("__v") - col("__med2")))
+    doubledMedian(withMed, "dev2", "mad4")
+      .withColumn("is_outlier",
+        col("dev2") * 20000000L > lit(cMilli) * 14826L * col("mad4"))
+      .select(col(idCol), col(groupCol), col("__v").as(valueCol),
+        col("dev2"), col("mad4"), col("is_outlier"))
+  }
+
+  /** Curriculum ordering: rank the corpus easy-to-hard by a bounded
+    * [0, 1] score, cut the ranking into `stages` equal stages, and
+    * shuffle WITHIN each stage by id hash (the standard "sort into
+    * difficulty stages, randomize inside each stage" training order —
+    * a raw global quality sort would feed the model week-long runs of
+    * near-identical documents).
+    *
+    * Both total orders are two-level prefix sums ([[Packing]] shape):
+    *   - the score rank buckets by `floor((1−score)·buckets)` — monotone
+    *     in descending score, so bucket-offset + in-bucket row_number IS
+    *     the global rank, and only the `buckets`-row count table crosses
+    *     the unpartitioned window;
+    *   - the final position buckets by (stage, id-hash range) the same
+    *     way.
+    * Stage cut is integer: `((rank−1)·stages) div n` — no ntile
+    * convention in play. Returns (idCol, rank, stage, position). */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: Column,
+                      stages: Int = 10, buckets: Int = 1024): DataFrame = {
+    require(stages >= 1 && buckets >= 1, "stages and buckets must be positive")
+    val base = df.select(col(idCol), scoreCol.cast("double").as("__s"),
+      Dedup.h32(col(idCol).cast("string")).as("__h"))
+
+    // stage 1: global rank by (score desc, id) — bucket is any monotone
+    // coarsening of the sort key, so the clamp at the [0,1] edges only
+    // merges boundary buckets, never reorders
+    val withSb = base.withColumn("__sb",
+      least(greatest(floor((lit(1.0) - col("__s")) * buckets), lit(0L)),
+        lit(buckets - 1L)))
+    val sbOff = withSb.groupBy(col("__sb")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__sb"), col("__off"))
+    val inSb = Window.partitionBy(col("__sb"))
+      .orderBy(col("__s").desc, col(idCol))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val ranked = withSb.join(sbOff, Seq("__sb"))
+      .withColumn("rank", col("__off") + row_number().over(inSb))
+      .crossJoin(broadcast(n))
+      .withColumn("stage", expr(s"((rank - 1) * $stages) div __n"))
+      .select(col(idCol), col("__h"), col("rank"), col("stage"))
+
+    // stage 2: position by (stage, hash, id) — composite bucket
+    // (stage, hash range) keeps the corpus-sized window keyed
+    val withPb = ranked.withColumn("__pb",
+      col("stage") * buckets + floor(col("__h") * buckets / 4294967296.0))
+    val pbOff = withPb.groupBy(col("__pb")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pb"), col("__off"))
+    val inPb = Window.partitionBy(col("__pb"))
+      .orderBy(col("__h"), col(idCol))
+    withPb.join(pbOff, Seq("__pb"))
+      .withColumn("position", col("__off") + row_number().over(inPb))
+      .select(col(idCol), col("rank"), col("stage"), col("position"))
+  }
+}

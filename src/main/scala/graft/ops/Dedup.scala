@@ -456,6 +456,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a bounded text
+    * prefix — the order-SENSITIVE near-dup family (Jaccard/MinHash treat
+    * a document as a bag of shingles; transposed or lightly-edited copies
+    * that shuffle word order score high on edit distance checks instead).
+    *
+    * Scale shape: candidates come from the same df-capped inverted
+    * word-n-gram index as [[ngramJaccardPairs]] (pairs sharing ≥1 rare
+    * prefix shingle — recall-oriented blocking, the standard
+    * edit-similarity-join compromise), narrowed by the LOSSLESS length
+    * filter |len_a − len_b| ≤ maxDist before any text ships; the O(L²)
+    * Levenshtein DP runs only on surviving candidate pairs and only over
+    * `prefixLen`-char prefixes, so per-pair verify cost is a constant
+    * independent of document size. Returns (id_a, id_b, edit_dist) with
+    * id_a < id_b, once per pair. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 80, maxDist: Int = 20,
+                        n: Int = 3, maxShingleDf: Long = 1000L): DataFrame = {
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("pref"))
+      .withColumn("sh", shingles(col("pref"), n))
+      .where(size(col("sh")) > 0)
+      .persist() // feeds the index build and both verify joins
+    val inverted0 = base.select(col("id"), length(col("pref")).as("len"),
+      explode(col("sh")).as("shingle"))
+    val inverted =
+      if (maxShingleDf <= 0) inverted0
+      else {
+        val hot = inverted0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf)
+          .select(col("shingle"))
+        inverted0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val cand = inverted.alias("l")
+      .join(inverted.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id") &&
+          abs(col("l.len") - col("r.len")) <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("pref").as("pref_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("pref").as("pref_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pref_a"), col("pref_b")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

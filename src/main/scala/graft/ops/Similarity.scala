@@ -668,6 +668,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** k-NN majority-vote classification: each query vector takes the
+    * modal label of its k nearest LABELED corpus neighbours (ties →
+    * smallest label) — the retrieval-based labeling step that bootstraps
+    * quality/domain classifiers from a small labeled seed set. Built on
+    * [[knnJoinExact]], so the corpus scan is map-only against the
+    * broadcast query batch and only (q_id, id, score) triples shuffle;
+    * the label join adds one narrow (id, label) side. Returns
+    * (q_id, pred_label, votes). */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queries: DataFrame, qIdCol: String,
+                  qVecCol: String, k: Int): DataFrame = {
+    val nn = knnJoinExact(corpus.select(col(idCol), col(vecCol)), idCol,
+      vecCol, queries, qIdCol, qVecCol, k)
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("__lab"))
+    nn.join(corpus.select(col(idCol), col(labelCol).as("__lab")), idCol)
+      .groupBy(col("q_id"), col("__lab"))
+      .agg(count(lit(1)).cast("int").as("votes"))
+      .withColumn("__rn", row_number().over(wv))
+      .where(col("__rn") === 1)
+      .select(col("q_id"), col("__lab").as("pred_label"), col("votes"))
+  }
+
   /** IVF-pruned k-NN join: corpus rows are assigned to quantizer cells
     * once (broadcast argmin, map-only — same assignment as [[ivfTopK]]);
     * each query probes only its `probes` nearest cells, so the scored

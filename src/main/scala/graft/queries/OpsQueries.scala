@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsofJoin, Dedup, Graph, Intervals, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
+import graft.ops.{AsofJoin, Curation, Dedup, Graph, Intervals, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -916,6 +916,106 @@ object OpsQueries {
     "x_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.6, minShingles = 3)),
+
+    // corpus snapshot diff: the "next" crawl derives deterministically
+    // from the testdata (doc_id % 7 == 3 dropped, doc_id % 5 == 0 texts
+    // edited, doc_id % 11 == 0 re-issued under a shifted id) — the diff
+    // report carries 16-byte digests only, never text
+    "x_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val next = docs.where(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Curation.snapshotDiff(docs, next, "doc_id", "text")
+    }),
+
+    // k-anonymity release audit over (lang, source, length-bucket):
+    // every document labelled with its equivalence-class size and the
+    // suppress flag at k = 5
+    "x_privacy_kanon" -> ((s, d) =>
+      Curation.kAnonymity(
+        Tables.documents(s, d)
+          .withColumn("len_bucket", expr("n_chars div 100")),
+        "doc_id", Seq("lang", "source", "len_bucket"), k = 5)),
+
+    // robust per-source length outliers: median ± 2.5 robust-z via MAD,
+    // doubled-median INTEGER arithmetic end to end — no interpolated
+    // quantile convention in play, bit-exact in any engine
+    "x_quality_outliers" -> ((s, d) =>
+      Curation.robustOutliers(Tables.documents(s, d), "doc_id", "n_chars",
+        "source", cMilli = 2500L)),
+
+    // curriculum ordering: rank easy-to-hard by quality score, cut into
+    // 10 stages, hash-shuffle within each stage — both total orders are
+    // two-level prefix sums, never one unpartitioned corpus window
+    "x_order_curriculum" -> ((s, d) =>
+      Curation.curriculumOrder(
+        TextOps.qualityScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("quality_score")),
+        "doc_id", col("quality_score"), stages = 10)),
+
+    // order-sensitive near-dup: Levenshtein over 80-char prefixes,
+    // candidates from the df-capped inverted shingle index + lossless
+    // length filter — the DP runs only on surviving candidate pairs
+    "x_dedup_edit" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        prefixLen = 80, maxDist = 20, n = 3)),
+
+    // LSH banding recall audit: exact shingle-Jaccard pairs vs a
+    // deliberately coarse 2-band MinHash candidate set (k = 32,
+    // rows = 16 — this corpus's near-dups sit at jaccard >= 0.9, where
+    // 2x16 banding recalls ~30-90%, so the measurement is non-trivial) —
+    // the audit every approximate-dedup deployment owes its users
+    "x_dedup_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.7).select(col("id_a"), col("id_b"))
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 2, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(col("n_exact"), col("n_found"),
+          round(col("n_found").cast("double") /
+            greatest(col("n_exact"), lit(1L)), 4).as("recall"))
+    }),
+
+    // k-NN majority-vote labeling: the vec_id % 50 == 0 slice classified
+    // by its 10 nearest labeled neighbours (corpus = the other 490)
+    "x_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnClassify(e.where(col("vec_id") % 50 =!= 0), "vec_id",
+        "embedding", "label", e.where(col("vec_id") % 50 === 0), "vec_id",
+        "embedding", k = 10)
+    }),
+
+    // lexical diversity: type-token ratio + hapax fraction per document
+    // — (doc_id, token) pairs shuffle once, the same economics as tf-idf
+    "x_text_ttr" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      val perTok = t.select(col("doc_id"), explode(col("toks")).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n"))
+      val agg = perTok.groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      t.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+            .otherwise(round(col("n_types").cast("double") /
+              col("n_tokens"), 4)).as("ttr"),
+          when(coalesce(col("n_types"), lit(0L)) === 0, 0.0)
+            .otherwise(round(col("n_hapax").cast("double") /
+              col("n_types"), 4)).as("hapax_frac"))
+    }),
 
     // nearest-in-either-direction as-of (pandas merge_asof
     // direction='nearest'): each order takes the customer's closest OTHER
@@ -2574,6 +2674,158 @@ object OpsQueries {
          |SELECT CAST(2 AS INT), l, r, n FROM b2
          |UNION ALL
          |SELECT CAST(3 AS INT), l, r, n FROM b3""".stripMargin,
+
+    "x_corpus_diff" ->
+      """WITH nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0),
+        |a AS (SELECT doc_id, md5(text) AS da FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS db FROM nxt),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |        CASE WHEN b.db IS NULL THEN 'removed'
+        |             WHEN a.da IS NULL THEN 'added'
+        |             WHEN a.da <> b.db THEN 'changed' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
+
+    "x_privacy_kanon" ->
+      """SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+        |  count(*) OVER (PARTITION BY lang, source, n_chars // 100)
+        |    AS class_size,
+        |  count(*) OVER (PARTITION BY lang, source, n_chars // 100) < 5
+        |    AS suppress
+        |FROM documents""".stripMargin,
+
+    "x_quality_outliers" ->
+      """WITH b AS (SELECT doc_id, source, n_chars AS v FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY v, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n FROM b),
+        |m AS (SELECT source,
+        |        sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END) +
+        |        sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS med2
+        |      FROM r GROUP BY source),
+        |d AS (SELECT b.doc_id, b.source, b.v,
+        |        abs(2 * b.v - m.med2) AS dev2
+        |      FROM b JOIN m USING (source)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY source
+        |         ORDER BY dev2, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n FROM d),
+        |m2 AS (SELECT source,
+        |         sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END) +
+        |         sum(CASE WHEN rn = n // 2 + 1 THEN dev2 ELSE 0 END) AS mad4
+        |       FROM r2 GROUP BY source)
+        |SELECT d.doc_id, d.source, CAST(d.v AS BIGINT) AS n_chars,
+        |  CAST(d.dev2 AS BIGINT) AS dev2, CAST(m2.mad4 AS BIGINT) AS mad4,
+        |  d.dev2 * 20000000 > 2500 * 14826 * m2.mad4 AS is_outlier
+        |FROM d JOIN m2 USING (source)""".stripMargin,
+
+    "x_order_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+         |        greatest(len(text), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, w -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE) /
+         |        greatest(len(toks), 1), 4) AS stopword_ratio
+         |  FROM t),
+         |qq AS (SELECT doc_id,
+         |  round(least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + stopword_ratio * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    4) AS q FROM f),
+         |r AS (SELECT doc_id, q,
+         |        row_number() OVER (ORDER BY q DESC, doc_id) AS rank,
+         |        count(*) OVER () AS n FROM qq),
+         |s AS (SELECT doc_id, rank, ((rank - 1) * 10) // n AS stage,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |      FROM r)
+         |SELECT doc_id, rank, stage,
+         |  row_number() OVER (ORDER BY stage, h, doc_id) AS position
+         |FROM s""".stripMargin,
+
+    "x_dedup_edit" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 80) AS pref FROM documents),
+        |tok AS (SELECT doc_id, pref,
+        |  list_filter(string_split_regex(lower(pref), '[^a-z0-9'']+'),
+        |    w -> len(w) > 0) AS toks FROM t),
+        |shv AS (SELECT doc_id, pref, sh FROM (
+        |  SELECT doc_id, pref,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+        |  FROM tok) WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, len(pref) AS len, unnest(sh) AS s FROM shv),
+        |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+        |        WHERE df > 1000),
+        |exc AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |         FROM exc l JOIN exc r ON l.s = r.s AND l.doc_id < r.doc_id
+        |           AND abs(l.len - r.len) <= 20),
+        |v AS (SELECT id_a, id_b,
+        |        CAST(levenshtein(x.pref, y.pref) AS INT) AS edit_dist
+        |      FROM cand JOIN shv x ON x.doc_id = cand.id_a
+        |                JOIN shv y ON y.doc_id = cand.id_b)
+        |SELECT id_a, id_b, edit_dist FROM v WHERE edit_dist <= 20""".stripMargin,
+
+    "x_dedup_audit" ->
+      s"""WITH $ShingleCtes,
+         |e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.7),
+         |hs AS (SELECT doc_id,
+         |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+         |  FROM sh WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, list_transform(range(0, 32), i ->
+         |  list_min(list_transform(hs,
+         |    h -> ((2 * i + 1) * h + (101 * i + 17)) % 4294967311))) AS sig
+         |  FROM hs),
+         |bs AS (SELECT e.id_a, e.id_b,
+         |  len(list_filter(range(0, 2), b ->
+         |    list_slice(x.sig, b * 16 + 1, b * 16 + 16) =
+         |    list_slice(y.sig, b * 16 + 1, b * 16 + 16))) > 0 AS band_match
+         |  FROM e JOIN sig x ON x.doc_id = e.id_a
+         |         JOIN sig y ON y.doc_id = e.id_b)
+         |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+         |  CAST(count(CASE WHEN band_match THEN 1 END) AS BIGINT) AS n_found,
+         |  round(CAST(count(CASE WHEN band_match THEN 1 END) AS DOUBLE) /
+         |    greatest((SELECT count(*) FROM e), 1), 4) AS recall
+         |FROM bs""".stripMargin,
+
+    "x_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings
+         |      WHERE vec_id % 50 <> 0),
+         |s AS (SELECT q.q_id, c.vec_id, c.label,
+         |        round(${cosineSql("c.embedding", "q.qv")}, 3) AS cosine
+         |      FROM c CROSS JOIN q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id) AS rank FROM s),
+         |v AS (SELECT q_id, label, CAST(count(*) AS INT) AS votes
+         |      FROM r WHERE rank <= 10 GROUP BY 1, 2),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY votes DESC, label) AS rn FROM v)
+         |SELECT q_id, label AS pred_label, votes FROM w WHERE rn = 1""".stripMargin,
+
+    "x_text_ttr" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |c AS (SELECT doc_id, tk, count(*) AS n FROM e GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_types,
+         |        CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_hapax
+         |      FROM c GROUP BY 1)
+         |SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_types, 0) AS n_types,
+         |  coalesce(a.n_hapax, 0) AS n_hapax,
+         |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 4) END AS ttr,
+         |  CASE WHEN coalesce(a.n_types, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(a.n_hapax AS DOUBLE) / a.n_types, 4) END AS hapax_frac
+         |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
 
     "x_quality_ks" -> QualityKsSql,
 

@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("snapshotDiff reports added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(prev, next, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("kAnonymity labels class sizes and suppression at k") {
+    val df = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "de", "b")).toDF("doc_id", "lang", "src")
+    val got = Curation.kAnonymity(df, "doc_id", Seq("lang", "src"), k = 2)
+      .select("doc_id", "class_size", "suppress")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, false)) && got(4L) === ((1L, true)))
+  }
+
+  test("robustOutliers matches a by-hand doubled-median computation") {
+    // group g: values 10,10,10,11,100 → med=10 (med2=20), devs 0,0,0,1,90
+    // → dev2 = 0,0,0,2,180; MAD: sorted dev2 = 0,0,0,2,180, doubled-median
+    // of dev2 = mad4 = 0+0... n=5 → lower=(5+1)/2=3, upper=5/2+1=3 → twice
+    // row 3 → mad4 = 0? sorted dev2: [0,0,0,2,180] → rn3 = 0 → mad4 = 0.
+    // With mad4 = 0 only dev2 > 0 rows flag (0 > 0 false) — the standard
+    // degenerate-MAD behaviour: any nonzero deviation is an outlier.
+    val df = Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 10L),
+      (4L, "g", 11L), (5L, "g", 100L)).toDF("id", "grp", "v")
+    val got = Curation.robustOutliers(df, "id", "v", "grp", cMilli = 2500L)
+      .select("id", "dev2", "mad4", "is_outlier")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((0L, 0L, false)))
+    assert(got(4L) === ((2L, 0L, true)))
+    assert(got(5L) === ((180L, 0L, true)))
+  }
+
+  test("robustOutliers even-n median interpolates exactly (doubled ints)") {
+    // values 1,3 → med = 2 → med2 = 4; dev2 = |2v - 4| = 2, 2; mad4 = 4
+    val df = Seq((1L, "g", 1L), (2L, "g", 3L)).toDF("id", "grp", "v")
+    val got = Curation.robustOutliers(df, "id", "v", "grp")
+      .select("id", "dev2", "mad4").as[(Long, Long, Long)].collect()
+    assert(got.toSet === Set((1L, 2L, 4L), (2L, 2L, 4L)))
+  }
+
+  test("curriculumOrder: rank follows score desc, stages cut evenly, " +
+    "position groups stages contiguously") {
+    val df = (0L until 40L).map(i => (i, (i % 20).toDouble / 20.0))
+      .toDF("doc_id", "s")
+    val got = Curation.curriculumOrder(df, "doc_id", col("s"), stages = 4)
+      .select("doc_id", "rank", "stage", "position")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq === (1L to 40L))
+    assert(got.map(_._4).sorted.toSeq === (1L to 40L))
+    // stage = ((rank-1)*4) div 40: ranks 1-10 → 0, 11-20 → 1, ...
+    got.foreach { case (_, r, st, _) => assert(st === (r - 1) * 4 / 40) }
+    // positions are stage-contiguous: every stage-0 position < stage-1 …
+    val byStage = got.groupBy(_._3).view.mapValues(_.map(_._4)).toMap
+    for (s <- 0L until 3L)
+      assert(byStage(s).max < byStage(s + 1).min)
+    // within a stage the order is hash-shuffled, not rank order: with 10
+    // docs per stage the odds of hash order equaling rank order are 1/10!
+    val stage0 = got.filter(_._3 === 0L).sortBy(_._4).map(_._2)
+    assert(stage0.toSeq !== stage0.sorted.toSeq)
+  }
+
+  test("curriculumOrder is layout-independent") {
+    val df = (0L until 30L).map(i => (i, (i % 7).toDouble / 7.0))
+      .toDF("doc_id", "s")
+    val a = Curation.curriculumOrder(df, "doc_id", col("s"))
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.curriculumOrder(df.repartition(7), "doc_id", col("s"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("editDistancePairs finds close prefixes once, verified distance") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "alpha bravo charlie delta echo foxtrox"), // 1 edit
+      (3L, "alpha bravo charlie delta echo foxtrot"), // exact dup of 1
+      (4L, "zulu yankee xray whiskey victor uniform")).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 80, maxDist = 5, n = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1))
+  }
+
+  test("editDistancePairs length filter never drops a qualifying pair") {
+    // same text vs text + 30 extra chars: length gap > maxDist prunes it
+    // BEFORE levenshtein, and that is correct (distance >= length gap)
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "alpha bravo charlie delta " + "x" * 30)).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+      prefixLen = 80, maxDist = 5, n = 3)
+    assert(got.count() === 0)
+  }
+
+  test("knnClassify majority vote with deterministic tie-break") {
+    // corpus: 4 vectors near +x labeled 0, 2 near +y labeled 1;
+    // query at +x → label 0 by majority
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 0), (4L, Array(1.0f, 0.1f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+        q, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Int)].collect()
+    assert(got.toSeq === Seq((100L, 0, 4)))
+  }
+}

@@ -53,6 +53,11 @@ class QueryPlanLintSpec extends SparkSuite {
     // batches are small relative to the corpus; |q|×|corpus| is the exact
     // cost floor, and the IVF variant prunes candidates by cell first)
     "x_knn_join", "x_knn_join_ivf",
+    // knnClassify rides knnJoinExact — same broadcast-query-batch contract
+    "x_knn_classify",
+    // one-row frames: the n_exact pair-count scalar (audit), the corpus
+    // row-count scalar fanned out for the stage cut (curriculum)
+    "x_dedup_audit", "x_order_curriculum",
     // mixture/weight tables: ≤|buckets| rows by construction
     "x_mix_apply", "x_mix_dsir", "x_mix_epochs", "x_mix_tokens", "x_mix_weights",
     // one-row corpus totals (N docs, avgdl, quantile threshold) fanned out
@@ -72,6 +77,10 @@ class QueryPlanLintSpec extends SparkSuite {
     // two-level prefix sums: the global window sees per-block/bucket counts
     // (Packing.scala:49,77 — ≤ partition-count rows)
     "x_corpus_shuffle", "x_pack_chunks",
+    // curriculum rank + position offsets: both global windows run over
+    // bucket COUNT tables (≤buckets and ≤stages·buckets rows —
+    // Curation.scala two-level prefix sums), never corpus rows
+    "x_order_curriculum",
     // rank over the fused TOP-K candidate lists (≤2k rows)
     "x_retrieval_rrf",
     // cumulative weight over t-digest centroid rows (≤ compression)
