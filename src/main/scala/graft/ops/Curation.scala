@@ -28,15 +28,19 @@ object Curation {
     * diff costs two narrow scans at any corpus size. */
   def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
+    // presence markers, NOT digest nullity: a null-text row digests to a
+    // null key on both sides, and reading that as "row absent" would
+    // misreport it as removed/added; the null-safe <=> compare treats
+    // null-vs-null as unchanged and null-vs-text as changed
     val a = prev.select(col(idCol).as("id"),
-      md5(col(textCol).cast("binary")).as("__da"))
+      md5(col(textCol).cast("binary")).as("__da"), lit(true).as("__pa"))
     val b = next.select(col(idCol).as("id"),
-      md5(col(textCol).cast("binary")).as("__db"))
+      md5(col(textCol).cast("binary")).as("__db"), lit(true).as("__pb"))
     a.join(b, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("__db").isNull, lit("removed"))
-          .when(col("__da").isNull, lit("added"))
-          .when(col("__da") =!= col("__db"), lit("changed")))
+        when(col("__pb").isNull, lit("removed"))
+          .when(col("__pa").isNull, lit("added"))
+          .when(!(col("__da") <=> col("__db")), lit("changed")))
       .where(col("status").isNotNull)
       .select(col("id").as(idCol), col("status"))
   }

@@ -2685,9 +2685,9 @@ object OpsQueries {
         |a AS (SELECT doc_id, md5(text) AS da FROM documents),
         |b AS (SELECT doc_id, md5(text) AS db FROM nxt),
         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-        |        CASE WHEN b.db IS NULL THEN 'removed'
-        |             WHEN a.da IS NULL THEN 'added'
-        |             WHEN a.da <> b.db THEN 'changed' END AS status
+        |        CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN a.da IS DISTINCT FROM b.db THEN 'changed' END AS status
         |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
 

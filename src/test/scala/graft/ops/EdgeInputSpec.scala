@@ -168,4 +168,50 @@ class EdgeInputSpec extends SparkSuite {
       .as[(Long, Double)].collect().toMap
     assert(pca.values.forall(_ == 0.0))
   }
+
+  test("curation operators survive null/empty/degenerate input") {
+    // snapshot diff: presence is tracked by marker columns, so a null-text
+    // doc present in both snapshots is UNCHANGED (null-safe digest
+    // compare), never misread as removed/added via its null digest
+    assert(Curation.snapshotDiff(docs, docs, "doc_id", "text").count() === 0)
+    val edited = docs.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") === 1, "edited")
+        .otherwise(col("text")))
+    val diff = Curation.snapshotDiff(docs, edited, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(diff === Map(1L -> "changed"))
+    // k-anonymity: null quasi values form their own class (SQL window
+    // partition groups nulls together)
+    val kan = Curation.kAnonymity(docs.withColumn("q",
+        org.apache.spark.sql.functions.when(col("doc_id") <= 2, "x")),
+      "doc_id", Seq("q"), k = 3)
+    assert(kan.count() === 5)
+    assert(kan.where(col("q").isNull).select("class_size")
+      .as[Long].collect().toSet === Set(3L))
+    // robust outliers: single-row group → dev2 = 0, mad4 = 0, not flagged
+    val single = Seq((1L, "g", 42L)).toDF("id", "grp", "v")
+    val ro = Curation.robustOutliers(single, "id", "v", "grp")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(ro.toSeq === Seq((1L, "g", 42L, 0L, 0L, false)))
+    // curriculum: empty input → empty output; constant score still yields
+    // a total order (id tie-break) with every rank/position assigned once
+    assert(Curation.curriculumOrder(
+      Seq.empty[(Long, Double)].toDF("doc_id", "s"), "doc_id", col("s"))
+      .count() === 0)
+    val flat = (0L until 12L).map((_, 0.5)).toDF("doc_id", "s")
+    val co = Curation.curriculumOrder(flat, "doc_id", col("s"), stages = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(co.map(_._2).sorted.toSeq === (1L to 12L))
+    assert(co.map(_._4).sorted.toSeq === (1L to 12L))
+    // edit-distance pairs: null/empty/whitespace docs have no shingles →
+    // only the real dup pair (1,5) at distance 0
+    val ep = Dedup.editDistancePairs(docs, "doc_id", "text",
+      prefixLen = 80, maxDist = 10, n = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(ep.toSeq === Seq((1L, 5L, 0)))
+    // knnClassify: query with no corpus → no vote rows
+    val emb = Seq((0L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.knnClassify(emb.where(col("vec_id") < 0), "vec_id",
+      "embedding", "label", emb, "vec_id", "embedding", 3).count() === 0)
+  }
 }
