@@ -80,6 +80,62 @@ object Graph {
       (col("r") / lit(T.toDouble)).as("pagerank"))
   }
 
+  /** Fixed-point scale for HITS (1e9 = 1.0 — nano-units; smaller than
+    * PageRank's [[T]] because the L1 renormalization multiplies a score
+    * (≤ scale) by the scale before dividing, and 1e9·1e9 = 1e18 still
+    * fits a signed long). */
+  val TH: Long = 1000000000L
+
+  /** Fixed-point HITS (hubs & authorities) over the derived link graph —
+    * the second classic web-graph signal next to [[pagerank]]: authority
+    * = endorsed by good hubs (in-link quality), hub = points at good
+    * authorities (out-link quality). Each iteration:
+    *
+    *   a(v) = Σ_{u→v} h(u)  then L1-normalize to [[TH]]
+    *   h(u) = Σ_{u→v} a(v)  then L1-normalize to [[TH]]
+    *
+    * L1 (sum) normalization instead of the textbook L2: it keeps every
+    * step INTEGER (`s·TH div Σs` — truncating division on non-negative
+    * longs, identical to DuckDB's `//`), so the result is
+    * bit-deterministic across engines and layouts, the same discipline as
+    * [[pagerank]]. Rankings are unaffected (normalization is monotone).
+    *
+    * Scale: per iteration two compact shuffles (score table into the
+    * src-/dst-keyed edge join, then (node, sum) pairs into the
+    * aggregation); the normalizer is ONE aggregated row broadcast back.
+    * Returns (idCol, hub_nano, auth_nano, hub, authority). */
+  def hits(docs: DataFrame, idCol: String, outDeg: Int = 3,
+           iters: Int = 3): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val n = ids.count()
+    require(n > 0, "hits needs a non-empty corpus")
+    val edges = deriveEdges(docs, idCol, outDeg, n)
+      .repartition(col("src")).persist()
+    var hub = ids.withColumn("h", lit(TH / n))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hub, edges("src") === hub("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      val aTot = aRaw.agg(coalesce(sum(col("s")), lit(0L)).as("t"))
+      auth = ids.join(aRaw, ids("id") === aRaw("dst"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(ids("id").as("id"),
+          expr(s"coalesce(s, 0) * $TH DIV greatest(t, 1)").as("a"))
+      val hRaw = edges.join(auth, edges("dst") === auth("id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      val hTot = hRaw.agg(coalesce(sum(col("s")), lit(0L)).as("t"))
+      hub = ids.join(hRaw, ids("id") === hRaw("src"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(ids("id").as("id"),
+          expr(s"coalesce(s, 0) * $TH DIV greatest(t, 1)").as("h"))
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id").as(idCol), col("h").as("hub_nano"),
+        col("a").as("auth_nano"),
+        (col("h") / lit(TH.toDouble)).as("hub"),
+        (col("a") / lit(TH.toDouble)).as("authority"))
+  }
+
   /** Link-spam composite: each document scored by the mean quality of its
     * IN-neighbors (who links to you matters more than what you say — the
     * neighborhood signal link-spam classifiers lean on).

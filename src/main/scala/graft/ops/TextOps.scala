@@ -301,6 +301,39 @@ object TextOps {
       schema)
   }
 
+  /** Apply a [[bpeTrain]]ed merge table to the corpus — the ENCODE half
+    * of the tokenizer loop: every word starts as its boundary-delimited
+    * character sequence and the learned merges replay in rank order
+    * (replace-all per rule, the same convention the trainer's vocabulary
+    * update uses, so train→encode round-trips exactly). The merge table
+    * is bounded metadata (≤ `merges` rows to the driver); encoding itself
+    * is a map-only chain of `replace` literals over the exploded word
+    * stream, then one per-document aggregation. Returns (idCol, n_words,
+    * n_pieces, pieces_per_word); tokenless documents keep a zero row. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String = "text",
+                merges: Int = 3): DataFrame = {
+    val rules = bpeTrain(df, textCol, merges).orderBy("rank").collect()
+    val words = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val s0: Column = concat(lit("<"), concat_ws("><", split(col("w"), "")),
+      lit(">"))
+    val enc = rules.foldLeft(s0) { (acc, r) =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      replace(acc, lit(s"<$l><$rr>"), lit(s"<$l$rr>"))
+    }
+    val agg = words
+      .select(col(idCol), (length(enc) -
+        length(replace(enc, lit("<"), lit("")))).cast("long").as("pieces"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(coalesce(col("n_words"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("n_pieces").cast("double") /
+            col("n_words"), 4)).as("pieces_per_word"))
+  }
+
   /** Per-source distribution drift: the two-sample Kolmogorov–Smirnov
     * statistic between each source's quality-score distribution and the
     * REST of the corpus, evaluated on a `buckets`-point quantized grid —

@@ -917,6 +917,58 @@ object OpsQueries {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.6, minShingles = 3)),
 
+    // HITS hubs & authorities over the derived link graph: 3 fixed-point
+    // iterations, integer L1 renormalization via a one-row broadcast —
+    // bit-deterministic like x_graph_pagerank
+    "x_graph_hits" -> ((s, d) =>
+      Graph.hits(Tables.documents(s, d), "doc_id", outDeg = 3, iters = 3)),
+
+    // classifier evaluation: confusion counts + per-class precision/
+    // recall/F1 for the k-NN labeler on its held-out slice — tp/fp/fn
+    // stay integers, each ratio is a single guarded division
+    "x_eval_confusion" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val preds = Similarity.knnClassify(e.where(col("vec_id") % 50 =!= 0),
+        "vec_id", "embedding", "label",
+        e.where(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
+      val cells = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"))
+        .join(preds, "q_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+      val labels = e.select(col("label")).distinct()
+      val tp = cells.where(col("true_label") === col("pred_label"))
+        .select(col("true_label").as("label"), col("n").as("tp"))
+      val fp = cells.where(col("true_label") =!= col("pred_label"))
+        .groupBy(col("pred_label").as("label")).agg(sum(col("n")).as("fp"))
+      val fn = cells.where(col("true_label") =!= col("pred_label"))
+        .groupBy(col("true_label").as("label")).agg(sum(col("n")).as("fn"))
+      labels.join(tp, Seq("label"), "left")
+        .join(fp, Seq("label"), "left").join(fn, Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"),
+          coalesce(col("fn"), lit(0L)).as("fn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") === 0, 0.0)
+            .otherwise(round(col("tp").cast("double") /
+              (col("tp") + col("fp")), 4)))
+        .withColumn("recall",
+          when(col("tp") + col("fn") === 0, 0.0)
+            .otherwise(round(col("tp").cast("double") /
+              (col("tp") + col("fn")), 4)))
+        .withColumn("f1",
+          when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+            .otherwise(round(lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")), 4)))
+    }),
+
+    // BPE ENCODE: the trained 3-rule merge table applied back to the
+    // corpus — train→encode in one engine, per-doc piece statistics
+    "x_text_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncode(Tables.documents(s, d), "doc_id", "text",
+        merges = 3)),
+
     // corpus snapshot diff: the "next" crawl derives deterministically
     // from the testdata (doc_id % 7 == 3 dropped, doc_id % 5 == 0 texts
     // edited, doc_id % 11 == 0 re-issued under a shifted id) — the diff
@@ -2580,6 +2632,53 @@ object OpsQueries {
          |  r / 1000000000000.0 AS pagerank
          |FROM r5""".stripMargin,
 
+    "x_graph_hits" ->
+      s"""WITH $GraphCtes,
+         |hub0 AS (SELECT id, CAST((SELECT 1000000000 // n FROM n) AS BIGINT) AS h FROM ids),
+         |${hitsIter(1)},
+         |${hitsIter(2)},
+         |${hitsIter(3)}
+         |SELECT h.id AS doc_id, h.h AS hub_nano, a.a AS auth_nano,
+         |  h.h / 1000000000.0 AS hub, a.a / 1000000000.0 AS authority
+         |FROM hub3 h JOIN auth3 a ON h.id = a.id""".stripMargin,
+
+    "x_eval_confusion" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings
+         |      WHERE vec_id % 50 <> 0),
+         |s AS (SELECT q.q_id, q.true_label, c.vec_id, c.label,
+         |        round(${cosineSql("c.embedding", "q.qv")}, 3) AS cosine
+         |      FROM c CROSS JOIN q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id) AS rank FROM s),
+         |v AS (SELECT q_id, true_label, label, count(*) AS votes
+         |      FROM r WHERE rank <= 10 GROUP BY 1, 2, 3),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY votes DESC, label) AS rn FROM v),
+         |cells AS (SELECT true_label, label AS pred_label,
+         |            CAST(count(*) AS BIGINT) AS n
+         |          FROM w WHERE rn = 1 GROUP BY 1, 2),
+         |labels AS (SELECT DISTINCT label FROM embeddings),
+         |tp AS (SELECT true_label AS label, n AS tp FROM cells
+         |       WHERE true_label = pred_label),
+         |fp AS (SELECT pred_label AS label, CAST(sum(n) AS BIGINT) AS fp
+         |       FROM cells WHERE true_label <> pred_label GROUP BY 1),
+         |fn AS (SELECT true_label AS label, CAST(sum(n) AS BIGINT) AS fn
+         |       FROM cells WHERE true_label <> pred_label GROUP BY 1),
+         |m AS (SELECT l.label, coalesce(tp.tp, 0) AS tp,
+         |        coalesce(fp.fp, 0) AS fp, coalesce(fn.fn, 0) AS fn
+         |      FROM labels l LEFT JOIN tp USING (label)
+         |        LEFT JOIN fp USING (label) LEFT JOIN fn USING (label))
+         |SELECT label, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 4) END AS f1
+         |FROM m""".stripMargin,
+
     "x_graph_degree" ->
       s"""WITH $GraphCtes
          |SELECT i.id AS doc_id, CAST(3 AS INT) AS out_deg,
@@ -2643,37 +2742,41 @@ object OpsQueries {
     // over the (replace-)merged vocabulary and takes the (n desc, pair)
     // winner — identical greedy semantics to the Spark loop
     "x_text_bpe_train" ->
-      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
-         |w AS (SELECT unnest(toks) AS w FROM t),
-         |wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
-         |v0 AS (SELECT '<' || array_to_string(list_transform(
-         |          range(1, length(w) + 1),
-         |          i -> substr(w, CAST(i AS INT), 1)), '><') || '>' AS s, c
-         |       FROM wc),
-         |y1 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v0),
-         |p1 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
-         |       FROM y1, UNNEST(range(1, len(y))) AS u(i)),
-         |b1 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p1 GROUP BY l, r
-         |       ORDER BY n DESC, l, r LIMIT 1),
-         |v1 AS (SELECT replace(y1.s, '<'||b1.l||'><'||b1.r||'>',
-         |                      '<'||b1.l||b1.r||'>') AS s, c FROM y1, b1),
-         |y2 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v1),
-         |p2 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
-         |       FROM y2, UNNEST(range(1, len(y))) AS u(i)),
-         |b2 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p2 GROUP BY l, r
-         |       ORDER BY n DESC, l, r LIMIT 1),
-         |v2 AS (SELECT replace(y2.s, '<'||b2.l||'><'||b2.r||'>',
-         |                      '<'||b2.l||b2.r||'>') AS s, c FROM y2, b2),
-         |y3 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v2),
-         |p3 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
-         |       FROM y3, UNNEST(range(1, len(y))) AS u(i)),
-         |b3 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p3 GROUP BY l, r
-         |       ORDER BY n DESC, l, r LIMIT 1)
+      s"""WITH $BpeMergeCtes
          |SELECT CAST(1 AS INT) AS rank, l AS sym_l, r AS sym_r, n FROM b1
          |UNION ALL
          |SELECT CAST(2 AS INT), l, r, n FROM b2
          |UNION ALL
          |SELECT CAST(3 AS INT), l, r, n FROM b3""".stripMargin,
+
+    // the learned b1..b3 winners applied back to every word: the same
+    // replace-all convention as the trainer's vocabulary update, so the
+    // SQL encode replays the Spark encode rule for rule
+    "x_text_bpe_encode" ->
+      s"""WITH $BpeMergeCtes,
+         |dt AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dw AS (SELECT doc_id, unnest(toks) AS w FROM dt),
+         |ds AS (SELECT doc_id, '<' || array_to_string(list_transform(
+         |          range(1, length(w) + 1),
+         |          i -> substr(w, CAST(i AS INT), 1)), '><') || '>' AS s
+         |       FROM dw),
+         |f1 AS (SELECT doc_id, replace(ds.s, '<'||b1.l||'><'||b1.r||'>',
+         |                      '<'||b1.l||b1.r||'>') AS s FROM ds, b1),
+         |f2 AS (SELECT doc_id, replace(f1.s, '<'||b2.l||'><'||b2.r||'>',
+         |                      '<'||b2.l||b2.r||'>') AS s FROM f1, b2),
+         |f3 AS (SELECT doc_id, replace(f2.s, '<'||b3.l||'><'||b3.r||'>',
+         |                      '<'||b3.l||b3.r||'>') AS s FROM f2, b3),
+         |pp AS (SELECT doc_id,
+         |         length(s) - length(replace(s, '<', '')) AS pieces FROM f3),
+         |ag AS (SELECT doc_id, count(*) AS n_words,
+         |         CAST(sum(pieces) AS BIGINT) AS n_pieces
+         |       FROM pp GROUP BY doc_id)
+         |SELECT dt.doc_id, coalesce(ag.n_words, 0) AS n_words,
+         |  coalesce(ag.n_pieces, 0) AS n_pieces,
+         |  CASE WHEN coalesce(ag.n_words, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(ag.n_pieces AS DOUBLE) / ag.n_words, 4)
+         |  END AS pieces_per_word
+         |FROM dt LEFT JOIN ag USING (doc_id)""".stripMargin,
 
     "x_corpus_diff" ->
       """WITH nxt AS (
@@ -2901,6 +3004,56 @@ object OpsQueries {
   /** Shared CTEs deriving the deterministic link graph ([[Graph.deriveEdges]]):
     * 3 outlinks per doc, target = h32(src ":" j) mod n. (A `def`, not a
     * `val` — it is referenced from `oracleSql`, which initializes first.) */
+  /** The unrolled 3-step BPE merge-winner chain shared by the train and
+    * encode oracles: corpus word counts → boundary-delimited vocabulary →
+    * pair-count winner b1 → merged v1 → winner b2 → … b3. */
+  private def BpeMergeCtes: String =
+    s"""t AS (SELECT $Toks AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS w FROM t),
+       |wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+       |v0 AS (SELECT '<' || array_to_string(list_transform(
+       |          range(1, length(w) + 1),
+       |          i -> substr(w, CAST(i AS INT), 1)), '><') || '>' AS s, c
+       |       FROM wc),
+       |y1 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v0),
+       |p1 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
+       |       FROM y1, UNNEST(range(1, len(y))) AS u(i)),
+       |b1 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p1 GROUP BY l, r
+       |       ORDER BY n DESC, l, r LIMIT 1),
+       |v1 AS (SELECT replace(y1.s, '<'||b1.l||'><'||b1.r||'>',
+       |                      '<'||b1.l||b1.r||'>') AS s, c FROM y1, b1),
+       |y2 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v1),
+       |p2 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
+       |       FROM y2, UNNEST(range(1, len(y))) AS u(i)),
+       |b2 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p2 GROUP BY l, r
+       |       ORDER BY n DESC, l, r LIMIT 1),
+       |v2 AS (SELECT replace(y2.s, '<'||b2.l||'><'||b2.r||'>',
+       |                      '<'||b2.l||b2.r||'>') AS s, c FROM y2, b2),
+       |y3 AS (SELECT s, c, string_split(substr(s, 2, length(s) - 2), '><') AS y FROM v2),
+       |p3 AS (SELECT y[CAST(u.i AS INT)] AS l, y[CAST(u.i AS INT) + 1] AS r, c
+       |       FROM y3, UNNEST(range(1, len(y))) AS u(i)),
+       |b3 AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS n FROM p3 GROUP BY l, r
+       |       ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+
+  /** One unrolled fixed-point HITS iteration (authority then hub, each
+    * L1-renormalized to 1e9 by integer division — mirrors
+    * [[graft.ops.Graph.hits]] exactly). */
+  private def hitsIter(k: Int): String = {
+    val prev = if (k == 1) "hub0" else s"hub${k - 1}"
+    s"""ar$k AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS s
+       |  FROM edges e JOIN $prev h ON e.src = h.id GROUP BY e.dst),
+       |at$k AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS t FROM ar$k),
+       |auth$k AS (SELECT i.id,
+       |  CAST(coalesce(a.s, 0) * 1000000000 // greatest((SELECT t FROM at$k), 1) AS BIGINT) AS a
+       |  FROM ids i LEFT JOIN ar$k a ON i.id = a.id),
+       |hr$k AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS s
+       |  FROM edges e JOIN auth$k a ON e.dst = a.id GROUP BY e.src),
+       |ht$k AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS t FROM hr$k),
+       |hub$k AS (SELECT i.id,
+       |  CAST(coalesce(hh.s, 0) * 1000000000 // greatest((SELECT t FROM ht$k), 1) AS BIGINT) AS h
+       |  FROM ids i LEFT JOIN hr$k hh ON i.id = hh.id)""".stripMargin
+  }
+
   private def GraphCtes: String =
     """n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
       |ids AS (SELECT doc_id AS id FROM documents),

@@ -38,6 +38,44 @@ class GraphSpec extends SparkSuite {
     assert(total >= Graph.T - 5 * (3 * 3 * n + 2 * n), s"total=$total")
   }
 
+  test("hits matches an exact in-memory fixed-point reference") {
+    val n = docs.count()
+    val edges = Graph.deriveEdges(docs, "doc_id", 3, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = Array.fill(n.toInt)(Graph.TH / n)
+    var auth = Array.fill(n.toInt)(0L)
+    for (_ <- 1 to 3) {
+      val a = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s, d) => a(d.toInt) += hub(s.toInt) }
+      val at = math.max(a.sum, 1L)
+      auth = a.map(v => v * Graph.TH / at)
+      val h = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s, d) => h(s.toInt) += auth(d.toInt) }
+      val ht = math.max(h.sum, 1L)
+      hub = h.map(v => v * Graph.TH / ht)
+    }
+    val got = Graph.hits(docs, "doc_id", 3, 3)
+      .select("doc_id", "hub_nano", "auth_nano").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(got.size == n)
+    (0 until n.toInt).foreach { id =>
+      assert(got(id.toLong) == ((hub(id), auth(id))), s"id=$id") }
+  }
+
+  test("hits is independent of physical layout and L1-bounded") {
+    val a = Graph.hits(docs, "doc_id", 3, 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val b = Graph.hits(docs.repartition(7), "doc_id", 3, 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    // L1 normalization: each score vector sums to TH up to truncation
+    // loss (< 1 unit per node per normalization)
+    val n = docs.count()
+    val sums = (a.map(_._1).sum, a.map(_._2).sum)
+    assert(sums._1 <= Graph.TH && sums._1 >= Graph.TH - n)
+    assert(sums._2 <= Graph.TH && sums._2 >= Graph.TH - n)
+  }
+
   test("pagerank is independent of physical layout") {
     val a = Graph.pagerank(docs, "doc_id", 3, 3)
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq

@@ -320,6 +320,23 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.bpeTrain(docs, "text", merges = 5).count() === 0)
   }
 
+  test("bpeEncode applies the learned merges rank by rank, by hand") {
+    // same corpus as the bpeTrain by-hand test: rules are
+    // (a,a) → aa, (a,b) → ab, (aa,aa) → aaaa
+    val docs = Seq((1L, "aaaa aaaa abab"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: aaaa → <a><a><a><a> → <aa><aa> → <aaaa> = 1 piece (×2 words);
+    //        abab → <ab><ab> after rule 2 (rule 1 no-op, rule 3 no-op) = 2
+    assert(got(1L) === ((3L, 4L, 1.3333)))
+    // doc 2: single-char words stay 1 piece each
+    assert(got(2L) === ((2L, 2L, 1.0)))
+    // doc 3: no tokens → zero row
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("blocklistGate: integer-exact keep decision, empty-doc edge") {
     val docs = Seq(
       (1L, "clean words only here"),           // 0/4 blocked → kept

@@ -54,7 +54,10 @@ class QueryPlanLintSpec extends SparkSuite {
     // cost floor, and the IVF variant prunes candidates by cell first)
     "x_knn_join", "x_knn_join_ivf",
     // knnClassify rides knnJoinExact — same broadcast-query-batch contract
-    "x_knn_classify",
+    // (eval_confusion aggregates its output)
+    "x_knn_classify", "x_eval_confusion",
+    // HITS L1 normalizers: one aggregated row broadcast back per half-step
+    "x_graph_hits",
     // one-row frames: the n_exact pair-count scalar (audit), the corpus
     // row-count scalar fanned out for the stage cut (curriculum)
     "x_dedup_audit", "x_order_curriculum",
