@@ -512,6 +512,96 @@ object TextOps {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Per-document mean BIGRAM log-probability under the corpus bigram
+    * model with add-one smoothing — the step up from [[unigramLogProb]]'s
+    * unigram surprise (the standard cheap stand-in for perplexity
+    * filtering when no external LM is available):
+    * `logP(w2|w1) = ln((c(w1 w2) + 1) / (c(w1) + V))`.
+    *
+    * Scale: bigram/unigram count joins are PLAIN shuffles on the gram key
+    * (vocabulary-sized sides, deliberately not broadcast — O(corpus) at
+    * web scale; AQE downgrades to broadcast when small); V reaches every
+    * row as one aggregated scalar. Documents with < 2 tokens drop (no
+    * bigrams — same convention as unigramLogProb's token-less docs). */
+  def bigramLogProb(df: DataFrame, idCol: String,
+                    textCol: String = "text"): DataFrame = {
+    val t = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bg = t.select(col(idCol), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(element_at(toks, i + 1) AS w1," +
+          " concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)) AS b))"))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
+      .groupBy(col(idCol), col("w1"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val bgCounts = bg.groupBy(col("b").as("bk")).agg(sum(col("tf")).as("cb"))
+    val ug = df.select(explode(tokens(col(textCol))).as("w"))
+    val ugCounts = ug.groupBy(col("w").as("wk")).agg(count(lit(1)).as("cw"))
+    val vocab = ug.agg(count_distinct(col("w")).as("v"))
+    bg.join(bgCounts, col("b") === col("bk"))
+      .join(ugCounts, col("w1") === col("wk"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("tf") * log((col("cb") + 1).cast("double") /
+          (col("cw") + col("v")))) / sum(col("tf")), 4).as("mean_logprob"),
+        sum(col("tf")).as("n_bigrams"))
+  }
+
+  /** RAKE-style keyphrase extraction: candidate phrases are maximal runs
+    * of non-stopword tokens (stopwords and document boundaries delimit),
+    * each word scores `degree/freq` over the phrase graph (degree = sum
+    * of lengths of phrases containing the word, freq = occurrences), and
+    * a phrase scores the sum of its words' scores — the classic
+    * rapid-automatic-keyword-extraction shape.
+    *
+    * Determinism discipline: word ratios are FIXED-POINT
+    * (`degree · 10^6 div freq`) and a phrase score is an integer sum of
+    * them — no float summation order anywhere, so corpus-wide top-k
+    * replays bit-exactly cross-engine. Scale: islands come from one
+    * doc-keyed window over (pos, token) rows; word stats are one
+    * token-keyed aggregation; the only unkeyed step is the final
+    * TakeOrderedAndProject top-k. Returns (phrase, n_occurrences,
+    * score_micro) — the top `k` by (score desc, phrase). */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String = "text",
+                     k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = typedLit(StopwordsEn)
+    val members = df
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("i", "w")))
+      .where(!array_contains(sw, col("w")))
+      .withColumn("isl", col("i") -
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("i"))))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy(col("id"), col("isl"))))
+    val wstats = members.groupBy(col("w").as("wk"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("ratio_q", expr("deg * 1000000 DIV freq"))
+    members.join(wstats, col("w") === col("wk"))
+      .groupBy(col("id"), col("isl"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("i"), col("w")))),
+          s => s.getField("w"))).as("phrase"),
+        sum(col("ratio_q")).as("score_q"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("score_q")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** Leakage-safe k-fold assignment: the fold is a pure function of the
+    * CONTENT digest (byte-identical copies always land in the same fold,
+    * so cross-validation rotation can never leak a duplicate across the
+    * train/eval line — same unit rule as the split operator). Map-only.
+    * Null units take a sentinel digest, matching the split convention. */
+  def kFold(df: DataFrame, unitCol: String, folds: Int): DataFrame = {
+    require(folds >= 2, "kFold needs at least 2 folds")
+    df.withColumn("fold",
+      pmod(Dedup.h32(coalesce(md5(col(unitCol).cast("binary")),
+        lit("__null_unit__"))), lit(folds.toLong)).cast("int"))
+  }
+
   /** Hashed-feature linear classifier scoring — the inference shape of a
     * fastText-style quality/domain classifier: each token hashes into one
     * of `dim` feature buckets, the bucket's weight comes from a broadcast

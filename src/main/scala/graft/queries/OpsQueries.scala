@@ -917,6 +917,24 @@ object OpsQueries {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.6, minShingles = 3)),
 
+    // bigram LM surprise with add-one smoothing — the step up from the
+    // unigram logprob for perplexity-style filtering; count joins stay
+    // plain shuffles (vocabulary-sized sides), V is one broadcast scalar
+    "x_text_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLogProb(Tables.documents(s, d), "doc_id")),
+
+    // RAKE keyphrases: stopword-delimited candidate runs, fixed-point
+    // degree/freq word scores, integer phrase-score sums — corpus top-20
+    "x_text_keyphrases" -> ((s, d) =>
+      TextOps.rakeKeyphrases(Tables.documents(s, d), "doc_id", "text",
+        k = 20)),
+
+    // leakage-safe k-fold assignment: fold is a pure function of the
+    // content digest, so byte-identical copies can never straddle folds
+    "x_sample_kfold" -> ((s, d) =>
+      TextOps.kFold(Tables.documents(s, d), "text", folds = 5)
+        .select(col("doc_id"), col("fold"))),
+
     // HITS hubs & authorities over the derived link graph: 3 fixed-point
     // iterations, integer L1 renormalization via a one-row broadcast —
     // bit-deterministic like x_graph_pagerank
@@ -2777,6 +2795,51 @@ object OpsQueries {
          |       ELSE round(CAST(ag.n_pieces AS DOUBLE) / ag.n_words, 4)
          |  END AS pieces_per_word
          |FROM dt LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    "x_text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tb AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bg0 AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
+         |          toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i AS INT) + 1] AS b
+         |        FROM tb, UNNEST(range(1, len(toks))) AS u(i)),
+         |bgt AS (SELECT doc_id, w1, b, count(*) AS tf FROM bg0 GROUP BY 1, 2, 3),
+         |cb AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cb FROM bgt GROUP BY b),
+         |wu AS (SELECT unnest(toks) AS w FROM t),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM wu GROUP BY w),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM wu)
+         |SELECT bgt.doc_id,
+         |  round(sum(bgt.tf * ln((cb.cb + 1) / CAST(cw.cw + vv.v AS DOUBLE)))
+         |        / sum(bgt.tf), 4) AS mean_logprob,
+         |  CAST(sum(bgt.tf) AS BIGINT) AS n_bigrams
+         |FROM bgt JOIN cb USING (b) JOIN cw ON bgt.w1 = cw.w, vv
+         |GROUP BY 1""".stripMargin,
+
+    "x_text_keyphrases" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS i, toks[CAST(u.i AS INT)] AS w
+         |        FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |ns AS (SELECT * FROM tok WHERE NOT list_contains(
+         |         ['the','a','an','and','or','of','to','in','is','it'], w)),
+         |mem AS (SELECT doc_id, i, w,
+         |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |       FROM ns),
+         |mem2 AS (SELECT *, count(*) OVER (PARTITION BY doc_id, isl) AS plen
+         |         FROM mem),
+         |ws AS (SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+         |       FROM mem2 GROUP BY w),
+         |wr AS (SELECT w, deg * 1000000 // freq AS ratio_q FROM ws),
+         |ph AS (SELECT m.doc_id, m.isl, string_agg(m.w, ' ' ORDER BY m.i) AS phrase,
+         |        CAST(sum(wr.ratio_q) AS BIGINT) AS score_q
+         |       FROM mem2 m JOIN wr ON m.w = wr.w GROUP BY m.doc_id, m.isl)
+         |SELECT phrase, count(*) AS n_occurrences,
+         |  CAST(max(score_q) AS BIGINT) AS score_micro
+         |FROM ph GROUP BY phrase ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
+
+    "x_sample_kfold" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8)
+        |    AS BIGINT) % 5 AS INT) AS fold
+        |FROM documents""".stripMargin,
 
     "x_corpus_diff" ->
       """WITH nxt AS (

@@ -320,6 +320,58 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.bpeTrain(docs, "text", merges = 5).count() === 0)
   }
 
+  test("rakeKeyphrases: by-hand degree/freq scoring on a tiny corpus") {
+    // doc: "big data and big models" → stopword 'and' splits runs:
+    //   phrases: [big data], [big models]
+    // freq: big 2, data 1, models 1; degree: big 4 (two 2-phrases),
+    // data 2, models 2 → ratios (1e6): big 2_000_000, data/models 2_000_000
+    // each phrase scores 4_000_000; tie → lexicographic phrase order
+    val docs = Seq((1L, "big data and big models")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeyphrases(docs, "doc_id", "text", k = 10)
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("big data", 1L, 4000000L),
+      ("big models", 1L, 4000000L)))
+  }
+
+  test("rakeKeyphrases counts repeated phrases once per occurrence") {
+    val docs = Seq((1L, "fast join"), (2L, "fast join")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeyphrases(docs, "doc_id", "text", k = 5)
+      .as[(String, Long, Long)].collect().toList
+    // one distinct phrase, two occurrences; freq(fast)=freq(join)=2,
+    // degree 4 each → ratio 2e6 each → score 4e6
+    assert(got === List(("fast join", 2L, 4000000L)))
+  }
+
+  test("bigramLogProb: by-hand smoothed bigram surprise") {
+    // corpus: doc1 "x y x y", doc2 "y z" → bigrams: d1 {x y:2, y x:1},
+    // d2 {y z:1}; corpus counts: (x y)=2, (y x)=1, (y z)=1;
+    // unigrams: x=2, y=3, z=1 → V=3
+    val docs = Seq((1L, "x y x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(docs, "doc_id")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d1 = (2 * math.log(3.0 / 5) + 1 * math.log(2.0 / 6)) / 3
+    val d2 = math.log(2.0 / 6)
+    assert(got(1L)._2 === 3L)
+    assert(math.abs(got(1L)._1 - math.rint(d1 * 10000) / 10000) < 1e-9)
+    assert(got(2L)._1 === math.rint(d2 * 10000) / 10000)
+  }
+
+  test("kFold: content-identical rows share a fold, folds cover range") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.kFold(docs, "text", folds = 5)
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(got(1L) === got(2L))
+    assert(got(4L) === got(5L)) // null unit is a deterministic sentinel
+    assert(got.values.forall(f => f >= 0 && f < 5))
+    // layout-independent
+    val again = TextOps.kFold(docs.repartition(3), "text", 5)
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(again === got)
+  }
+
   test("bpeEncode applies the learned merges rank by rank, by hand") {
     // same corpus as the bpeTrain by-hand test: rules are
     // (a,a) → aa, (a,b) → ab, (aa,aa) → aaaa

@@ -67,6 +67,8 @@ class QueryPlanLintSpec extends SparkSuite {
     // to per-doc scoring
     "x_pipeline_curate", "x_retrieval_rrf", "x_text_bm25", "x_text_logprob",
     "x_text_pmi", "x_text_quality_filter", "x_text_tfidf",
+    // one-row vocabulary-size scalar fanned out to the per-bigram scoring
+    "x_text_bigram_lm",
     // one-row corpus-total broadcast fanned onto the ≤|sources|×buckets grid
     "x_quality_ks", "s_stream_drift")
 
