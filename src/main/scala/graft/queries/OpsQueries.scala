@@ -164,6 +164,25 @@ object OpsQueries {
         k = 5, probes = 2)
     }),
 
+    // ANN recall audit: per-query overlap of the IVF-pruned top-5 with
+    // the exact top-5 — the in-engine recall@k measurement every ANN
+    // deployment owes its users (the dedup twin is x_dedup_audit)
+    "x_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+      val ex = Similarity.knnJoinExact(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5).select(col("q_id"), col("vec_id"))
+      val ax = Similarity.knnJoinIvf(e, "vec_id", "embedding", "label",
+        q, "vec_id", "embedding", k = 5, probes = 2)
+        .select(col("q_id").as("aq"), col("vec_id").as("av"))
+      ex.join(ax, col("q_id") === col("aq") && col("vec_id") === col("av"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("av")).as("n_found"),
+          round(count(col("av")).cast("double") / count(lit(1)), 4)
+            .as("recall"))
+    }),
+
     // product quantization: 2 subspaces x 32 dims, 4 codes each — every
     // vector reduced to (sub, code) pairs from per-subspace k-means
     // codebooks (the PQ memory/recall trade under IVF)
@@ -1651,6 +1670,45 @@ object OpsQueries {
          |             ORDER BY cosine DESC, vec_id) AS INT) AS rank
          |      FROM s)
          |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+    "x_ann_recall" ->
+      s"""WITH eq AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id % 100 = 0),
+         |es AS (SELECT eq.q_id, e.vec_id,
+         |        round(${cosineSql("e.embedding", "eq.qv")}, 3) AS cosine
+         |      FROM embeddings e CROSS JOIN eq WHERE eq.q_id <> e.vec_id),
+         |er AS (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rank FROM es),
+         |ex AS (SELECT q_id, vec_id FROM er WHERE rank <= 5),
+         |c AS (SELECT label, CAST(t.dim AS INT) AS dim,
+         |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
+         |  FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT label AS cell, list(mean ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |a AS (SELECT e.vec_id, e.embedding, cv.cell,
+         |  ${sqDistSql("e.embedding", "cv.cvec")} AS dist
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (SELECT vec_id, embedding, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |   FROM a) WHERE rn = 1),
+         |pc AS (SELECT q_id, qv, cell FROM
+         |  (SELECT eq.q_id, eq.qv, cv.cell,
+         |     row_number() OVER (PARTITION BY eq.q_id
+         |       ORDER BY ${sqDistSql("eq.qv", "cv.cvec")}, cv.cell) AS rn
+         |   FROM eq CROSS JOIN cv) WHERE rn <= 2),
+         |s2 AS (SELECT pc.q_id, e.vec_id,
+         |        round(${cosineSql("e.embedding", "pc.qv")}, 3) AS cosine
+         |      FROM asg e JOIN pc ON e.cell = pc.cell WHERE pc.q_id <> e.vec_id),
+         |r2 AS (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, vec_id) AS rank FROM s2),
+         |ax AS (SELECT q_id, vec_id FROM r2 WHERE rank <= 5)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ax.vec_id) AS BIGINT) AS n_found,
+         |  round(CAST(count(ax.vec_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM ex LEFT JOIN ax ON ex.q_id = ax.q_id AND ex.vec_id = ax.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
+
     "x_ann_ivf_probe" ->
       s"""WITH c AS (SELECT label, CAST(t.dim AS INT) AS dim,
          |  round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean

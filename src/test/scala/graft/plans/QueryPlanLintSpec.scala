@@ -53,6 +53,8 @@ class QueryPlanLintSpec extends SparkSuite {
     // batches are small relative to the corpus; |q|×|corpus| is the exact
     // cost floor, and the IVF variant prunes candidates by cell first)
     "x_knn_join", "x_knn_join_ivf",
+    // recall audit runs both knnJoin variants — same query-batch contract
+    "x_ann_recall",
     // knnClassify rides knnJoinExact — same broadcast-query-batch contract
     // (eval_confusion aggregates its output)
     "x_knn_classify", "x_eval_confusion",
