@@ -260,6 +260,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** LSH banding recall audit: exact shingle-Jaccard pairs at `threshold`
+    * vs the pairs a (k, bands) MinHash banding would surface — the
+    * measurement an approximate-dedup deployment owes its users before
+    * trusting a banding config at scale. ONE shingle stage feeds both
+    * sides (the naive form — run [[ngramJaccardPairs]] and
+    * [[minhashLshPairs]] independently — tokenizes and shingles the
+    * corpus twice); the exact side is the inverted-index pair aggregation,
+    * the LSH side bands signatures computed from the same persisted
+    * frame, and verified LSH pairs semi-join the exact set. Returns one
+    * row: (n_exact, n_found, recall). */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 32, bands: Int = 2,
+                     threshold: Double = 0.7,
+                     maxShingleDf: Long = 1000L): DataFrame = {
+    val rows = k / bands
+    val withSh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist() // feeds the exact index, the signatures, and both verifies
+    val exact = pairJaccard(withSh, maxShingleDf)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val withSig = withSh.select(col("id"),
+      minhashSignature(col("sh"), k).as("sig"))
+    val banded = withSig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))).as("bucket"))
+    val candidates = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val lsh = candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .where(round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .select(col("n_exact"), col("n_found"),
+        round(col("n_found").cast("double") /
+          greatest(col("n_exact"), lit(1L)), 4).as("recall"))
+  }
+
   /** Group-level MinHash sketches + pairwise estimated Jaccard — corpus
     * overlap between SOURCES (crawls, dumps, snapshots) without any
     * doc-to-doc join. Exploits sketch mergeability: the MinHash of a

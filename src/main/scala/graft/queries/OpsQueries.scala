@@ -1058,20 +1058,9 @@ object OpsQueries {
     // rows = 16 — this corpus's near-dups sit at jaccard >= 0.9, where
     // 2x16 banding recalls ~30-90%, so the measurement is non-trivial) —
     // the audit every approximate-dedup deployment owes its users
-    "x_dedup_audit" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.7).select(col("id_a"), col("id_b"))
-      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, k = 32, bands = 2, threshold = 0.7)
-        .select(col("id_a"), col("id_b"))
-      exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_found"))
-        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
-        .select(col("n_exact"), col("n_found"),
-          round(col("n_found").cast("double") /
-            greatest(col("n_exact"), lit(1L)), 4).as("recall"))
-    }),
+    "x_dedup_audit" -> ((s, d) =>
+      Dedup.lshRecallAudit(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 32, bands = 2, threshold = 0.7)),
 
     // k-NN majority-vote labeling: the vec_id % 50 == 0 slice classified
     // by its 10 nearest labeled neighbours (corpus = the other 490)

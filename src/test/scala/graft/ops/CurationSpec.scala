@@ -104,6 +104,55 @@ class CurationSpec extends SparkSuite {
     assert(got.count() === 0)
   }
 
+  test("editDistancePairs: sound and shingle-blocking-complete vs brute force") {
+    // random-ish corpora from a tiny vocabulary: lots of shared shingles,
+    // distances in range. Property (25 seeds):
+    //  - SOUND: every reported (pair, dist) equals brute-force Levenshtein
+    //  - COMPLETE within the blocking contract: every brute-force pair at
+    //    dist <= maxDist whose prefixes share a word 3-gram is reported
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def sh3(s: String): Set[String] = {
+      val t = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (0 until 12).map { _ =>
+        (0 until (4 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(5)))
+          .mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val maxDist = 8
+      val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+          prefixLen = 40, maxDist = maxDist, n = 3)
+        .as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val prefs = texts.map(_.take(40))
+      // soundness
+      got.foreach { case ((a, b), d) =>
+        assert(d === lev(prefs(a.toInt), prefs(b.toInt)), s"seed=$seed ($a,$b)")
+        assert(d <= maxDist)
+      }
+      // completeness within the blocking contract
+      for (a <- texts.indices; b <- texts.indices if a < b) {
+        val d = lev(prefs(a), prefs(b))
+        val blocked = (sh3(prefs(a)) intersect sh3(prefs(b))).nonEmpty
+        if (d <= maxDist && blocked)
+          assert(got.contains((a.toLong, b.toLong)),
+            s"seed=$seed missing pair ($a,$b) d=$d")
+      }
+    }
+  }
+
   test("knnClassify majority vote with deterministic tie-break") {
     // corpus: 4 vectors near +x labeled 0, 2 near +y labeled 1;
     // query at +x → label 0 by majority
