@@ -113,6 +113,60 @@ object Curation {
         col("dev2"), col("mad4"), col("is_outlier"))
   }
 
+  /** Right-to-be-forgotten propagation: given a (small) removal list of
+    * document ids, return EVERY document the purge must reach — the
+    * listed docs, every byte-exact copy anywhere in the corpus, and every
+    * n-gram-Jaccard near-duplicate of a listed doc. (Deleting only the
+    * listed rows is the classic compliance bug: the crawl carries copies
+    * the request never named.)
+    *
+    * Scale: the removal list is small by construction (a legal request,
+    * not a corpus), so every probe side broadcasts — exact copies via a
+    * broadcast digest semi-join (16-byte keys, text never shuffles), and
+    * near-dups via a broadcast of the LISTED docs' shingle postings
+    * joined against the corpus shingle stream (the asymmetric small-probe
+    * version of [[graft.ops.Dedup.ngramJaccardPairs]] — no corpus
+    * self-join, no banding needed because one side is tiny). Reasons are
+    * prioritized listed > exact_copy > near_dup; one row per doomed doc. */
+  def removalPropagate(df: DataFrame, idCol: String, textCol: String,
+                       listed: DataFrame, n: Int = 3,
+                       threshold: Double = 0.7): DataFrame = {
+    val ids = listed.select(col(idCol).as("__lid")).distinct()
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val digests = base.select(col("__id"),
+      md5(col("__t").cast("binary")).as("__d"))
+    val listedDig = digests
+      .join(broadcast(ids), col("__id") === col("__lid"))
+      .select(col("__d")).distinct()
+    val exactHits = digests.join(broadcast(listedDig), Seq("__d"))
+      .select(col("__id"))
+
+    val sh = base.select(col("__id"), Dedup.shingles(col("__t"), n).as("__sh"))
+    val listedSh = sh.join(broadcast(ids), col("__id") === col("__lid"))
+      .select(col("__lid"), size(col("__sh")).as("__nb"),
+        explode(col("__sh")).as("__s"))
+    val inter = sh
+      .select(col("__id"), size(col("__sh")).as("__na"),
+        explode(col("__sh")).as("__s"))
+      .join(broadcast(listedSh), Seq("__s"))
+      .where(col("__id") =!= col("__lid"))
+      .groupBy(col("__id"), col("__lid"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__i"))
+    val nearHits = inter
+      .where(col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")) >= threshold)
+      .select(col("__id")).distinct()
+
+    ids.select(col("__lid").as("__id"), lit(0).as("__p"))
+      .unionByName(exactHits.withColumn("__p", lit(1)))
+      .unionByName(nearHits.withColumn("__p", lit(2)))
+      .groupBy(col("__id"))
+      .agg(min(col("__p")).as("__p"))
+      .select(col("__id").as(idCol),
+        expr("CASE __p WHEN 0 THEN 'listed' WHEN 1 THEN 'exact_copy' " +
+          "ELSE 'near_dup' END").as("reason"))
+  }
+
   /** Curriculum ordering: rank the corpus easy-to-hard by a bounded
     * [0, 1] score, cut the ranking into `stages` equal stages, and
     * shuffle WITHIN each stage by id hash (the standard "sort into

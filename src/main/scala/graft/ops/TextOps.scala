@@ -512,6 +512,93 @@ object TextOps {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** CCNet-style perplexity bucketing: rank each document WITHIN its
+    * language by [[unigramLogProb]] surprise (higher mean log-probability
+    * = lower perplexity = cleaner text) and cut each language's ranking
+    * into head / middle / tail thirds — the standard per-language quality
+    * tiers a web-corpus pipeline trains its sampling weights on.
+    *
+    * Scale: a naive per-language NTILE is a global sort inside each
+    * language partition — one task per language at 100 TB. Here the rank
+    * is the two-level prefix sum from [[graft.ops.Curation.curriculumOrder]],
+    * keyed per (language, score-bucket): `floor(−mean_logprob · 32)` is a
+    * monotone coarsening of the descending-score order, so bucket offsets
+    * (a languages × 256 count table through one small window) plus the
+    * in-bucket row_number IS the exact per-language rank, and every
+    * corpus-sized window stays keyed by (lang, bucket). Stage cut is
+    * integer (`((rank−1)·3) div n` — no NTILE convention in play).
+    * Documents with no tokens drop (no score), matching unigramLogProb.
+    * Ranks tie-break on the ROUNDED score then id, so the order is
+    * bit-portable across engines. */
+  def perplexityBuckets(df: DataFrame, idCol: String, langCol: String,
+                        textCol: String = "text",
+                        buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    // mean_logprob <= 0 always (token probabilities <= 1), so the bucket
+    // index floor(-lp*32) is >= 0; the clamp only merges edge buckets.
+    // Persisted because three subplans read it (offsets, per-lang counts,
+    // the final rank join) — without persist each would re-score the
+    // corpus against the unigram LM (lives until the caller clears the
+    // cache — Bench/Verify clearCache per query, suites per suite).
+    val withB = scored.withColumn("__b",
+      least(greatest(floor(-col("mean_logprob") * 32), lit(0L)),
+        lit(buckets - 1L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val off = withB.groupBy(col(langCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col(langCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(langCol), col("__b"), col("__off"))
+    val nLang = withB.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    val inB = Window.partitionBy(col(langCol), col("__b"))
+      .orderBy(col("mean_logprob").desc, col(idCol))
+    withB.join(off, Seq(langCol, "__b"))
+      .withColumn("rank", col("__off") + row_number().over(inB))
+      .join(broadcast(nLang), Seq(langCol))
+      .withColumn("ppl_bucket",
+        expr("CASE ((`rank` - 1) * 3) div __n WHEN 0 THEN 'head' " +
+          "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .select(col(idCol), col(langCol), col("mean_logprob"), col("rank"),
+        col("ppl_bucket"))
+  }
+
+  /** Exact phrase search over a positional inverted index: documents (and
+    * hit counts) containing `phrase` as consecutive tokens. The retrieval
+    * twin of [[bm25]]'s bag-of-words scoring — phrase queries are what
+    * the bag model can't answer.
+    *
+    * Scale: postings are (id, position) pairs for the QUERY TERMS ONLY —
+    * the `term IN (...)` filter runs before any exchange, so the joins
+    * shuffle a few postings lists, never the corpus. Adjacency is an
+    * equi-join: term_i's postings shifted by −i all meet on (id, p0), so
+    * a k-word phrase is k−1 hash joins on compact integer keys (the
+    * standard positional-index intersection, reference semantics of a
+    * `WHERE text LIKE '%w1 w2%'` scan without the full-text rescan).
+    * Positions are 1-based in the output. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val postings = df
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__term")))
+      .where(col("__term").isin(phrase.distinct: _*))
+    val first = postings.where(col("__term") === phrase.head)
+      .select(col("__id"), col("__pos").as("__p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          postings.where(col("__term") === w)
+            .select(col("__id"), (col("__pos") - i).as("__p0")),
+          Seq("__id", "__p0"))
+    }
+    matched.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("__p0")) + 1).as("first_pos"))
+  }
+
   /** Per-document mean BIGRAM log-probability under the corpus bigram
     * model with add-one smoothing — the step up from [[unigramLogProb]]'s
     * unigram surprise (the standard cheap stand-in for perplexity

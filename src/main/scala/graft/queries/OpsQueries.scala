@@ -954,6 +954,26 @@ object OpsQueries {
       TextOps.kFold(Tables.documents(s, d), "text", folds = 5)
         .select(col("doc_id"), col("fold"))),
 
+    // CCNet-style per-language perplexity tiers: head/middle/tail thirds
+    // by unigram-LM surprise, ranked via the two-level prefix sum (no
+    // per-language global sort, no NTILE convention)
+    "x_text_ppl_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(Tables.documents(s, d), "doc_id", "lang")),
+
+    // positional-inverted-index phrase search: only the query terms'
+    // postings ever shuffle; adjacency is k-1 equi-joins on (id, pos)
+    "x_retrieval_phrase" -> ((s, d) =>
+      TextOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("big", "order", "scan"))),
+
+    // right-to-be-forgotten propagation: listed docs + byte-exact copies
+    // + near-dups of listed docs, via broadcast digest/shingle probes
+    "x_privacy_forget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.removalPropagate(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 17 === 0).select("doc_id"))
+    }),
+
     // HITS hubs & authorities over the derived link graph: 3 fixed-point
     // iterations, integer L1 renormalization via a one-row broadcast —
     // bit-deterministic like x_graph_pagerank
@@ -2887,6 +2907,60 @@ object OpsQueries {
         |  CAST(CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8)
         |    AS BIGINT) % 5 AS INT) AS fold
         |FROM documents""".stripMargin,
+
+    "x_text_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |f AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+         |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM f GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM c),
+         |lp AS (SELECT doc_id,
+         |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / n_tok)) / sum(tf), 4)
+         |    AS mean_logprob
+         |  FROM f JOIN c USING (token), n GROUP BY 1),
+         |r AS (SELECT d.doc_id, d.lang, lp.mean_logprob,
+         |  row_number() OVER (PARTITION BY d.lang
+         |    ORDER BY lp.mean_logprob DESC, d.doc_id) AS rank,
+         |  count(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM lp JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, mean_logprob, rank,
+         |  CASE ((rank - 1) * 3) // n WHEN 0 THEN 'head'
+         |    WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM r""".stripMargin,
+
+    "x_retrieval_phrase" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_filter(generate_series(1, len(toks) - 2),
+         |    i -> toks[i] = 'big' AND toks[i+1] = 'order' AND toks[i+2] = 'scan')
+         |    AS hits
+         |  FROM t)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+         |  CAST(hits[1] AS INT) AS first_pos
+         |FROM h WHERE len(hits) > 0""".stripMargin,
+
+    "x_privacy_forget" ->
+      s"""WITH ld AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+         |dg AS (SELECT doc_id, md5(text) AS d FROM documents),
+         |ex AS (SELECT dg.doc_id FROM dg
+         |       WHERE dg.d IN (SELECT d FROM dg JOIN ld USING (doc_id))),
+         |t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS sh
+         |  FROM t),
+         |nd AS (SELECT x.doc_id FROM sh x
+         |       JOIN sh y ON x.doc_id <> y.doc_id AND y.doc_id % 17 = 0
+         |       WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |             len(list_distinct(x.sh || y.sh)) >= 0.7),
+         |u AS (SELECT doc_id, 0 AS p FROM ld
+         |      UNION ALL SELECT doc_id, 1 FROM ex
+         |      UNION ALL SELECT DISTINCT doc_id, 2 FROM nd)
+         |SELECT doc_id,
+         |  CASE min(p) WHEN 0 THEN 'listed' WHEN 1 THEN 'exact_copy'
+         |    ELSE 'near_dup' END AS reason
+         |FROM u GROUP BY 1""".stripMargin,
 
     "x_corpus_diff" ->
       """WITH nxt AS (

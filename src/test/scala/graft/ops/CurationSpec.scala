@@ -153,6 +153,24 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("removalPropagate reaches listed, exact copies, and near-dups with priority") {
+    // doc 1 listed; doc 10 is a byte-exact copy of doc 1; doc 11 shares
+    // most 3-grams with doc 1 (near-dup); doc 20 is unrelated. doc 2 is
+    // ALSO listed and a copy of doc 1 — priority keeps it 'listed'.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and more"
+    val df = Seq(
+      (1L, base), (2L, base), (10L, base), (11L, near),
+      (20L, "completely different content with no shared grams at all"))
+      .toDF("doc_id", "text")
+    val listed = Seq(1L, 2L).toDF("doc_id")
+    val got = Curation.removalPropagate(df, "doc_id", "text", listed,
+        n = 3, threshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "listed", 2L -> "listed",
+      10L -> "exact_copy", 11L -> "near_dup"))
+  }
+
   test("knnClassify majority vote with deterministic tie-break") {
     // corpus: 4 vectors near +x labeled 0, 2 near +y labeled 1;
     // query at +x → label 0 by majority

@@ -408,4 +408,50 @@ class TextOpsSpec extends SparkSuite {
     assert(got(4L) === ((0, 0, true)))
     assert(got(5L) === ((1, 1, false)))
   }
+
+  test("phraseSearch finds consecutive tokens only, 1-based positions") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"), // hits at pos 1 and 4
+      (2L, "beta alpha gamma beta"),             // terms present, never adjacent in order
+      (3L, "alpha beta"),                        // prefix only — no gamma
+      (4L, "x alpha beta gamma")                 // one hit at pos 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs, "doc_id", "text",
+        Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((2L, 1)), 4L -> ((1L, 2))))
+  }
+
+  test("phraseSearch counts overlapping single-term runs") {
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long, Int)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1)))
+  }
+
+  test("perplexityBuckets: per-language thirds, rank matches a local sort") {
+    // 6 en docs with distinct surprise + 3 de docs; token-less doc drops
+    val docs = Seq(
+      (1L, "en", "common common common"), (2L, "en", "common common rare1"),
+      (3L, "en", "common rare2 rare3"), (4L, "en", "rare4 rare5 rare6"),
+      (5L, "en", "common common common common"), (6L, "en", "common rare7 common"),
+      (7L, "de", "common common"), (8L, "de", "rare8 common"),
+      (9L, "de", "rare9 rare10"), (10L, "en", "  "))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.perplexityBuckets(docs, "doc_id", "lang")
+      .select("doc_id", "lang", "mean_logprob", "rank", "ppl_bucket")
+      .as[(Long, String, Double, Long, String)].collect()
+    assert(got.length === 9) // doc 10 has no tokens → dropped
+    // ranks within each lang are a permutation 1..n ordered by score desc
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (-r._3, r._1))
+      assert(sorted.map(_._4).toSeq === (1L to rows.length).toSeq)
+    }
+    // thirds: en has 6 docs → 2 head, 2 middle, 2 tail; de 3 → 1 each
+    val enB = got.filter(_._2 == "en").groupBy(_._5).view.mapValues(_.length).toMap
+    assert(enB === Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    val deB = got.filter(_._2 == "de").groupBy(_._5).view.mapValues(_.length).toMap
+    assert(deB === Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+  }
 }

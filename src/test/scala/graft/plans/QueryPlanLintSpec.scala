@@ -71,6 +71,10 @@ class QueryPlanLintSpec extends SparkSuite {
     "x_text_pmi", "x_text_quality_filter", "x_text_tfidf",
     // one-row vocabulary-size scalar fanned out to the per-bigram scoring
     "x_text_bigram_lm",
+    // one-row corpus-token-total scalar (unigramLogProb's tot) fanned out
+    // to per-doc scoring; appears once per subplan of the persisted
+    // scored stage
+    "x_text_ppl_buckets",
     // one-row corpus-total broadcast fanned onto the ≤|sources|×buckets grid
     "x_quality_ks", "s_stream_drift")
 
