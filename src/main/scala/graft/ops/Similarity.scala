@@ -282,6 +282,34 @@ object Similarity {
           .otherwise((col("x") - col("mu")) / col("sigma")), scale).as("z"))
   }
 
+  /** Signed random projection (Johnson–Lindenstrauss): project each
+    * embedding onto `outDim` deterministic ±1 hyperplanes — the cheap
+    * dimensionality reduction that preserves pairwise distances within
+    * (1±ε) at outDim = O(log n / ε²), used to shrink vectors before an
+    * index build or a coarse first-pass similarity scan.
+    *
+    * The ±1 matrix derives from md5("rp:k:d") nibble parity, computed
+    * ONCE on the driver (outDim×inDim doubles, a plan literal — no
+    * per-row hashing, unlike an inline-hash formulation which would
+    * re-derive the matrix for every row). Scoring is map-only: the
+    * corpus fans out ×outDim narrow (id, k, srow) rows and each
+    * projection is one left-to-right [[dot]] — deterministic summation,
+    * mirrored exactly by the oracle's list_reduce. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int = 16, inDim: Int = 64): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(k: Int, d: Int): Double = {
+      val h = md.digest(s"rp:$k:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    val matrix: Seq[Seq[Double]] =
+      (0 until outDim).map(k => (0 until inDim).map(d => sign(k, d)))
+    df.select(col(idCol), col(vecCol),
+        posexplode(typedLit(matrix)).as(Seq("k", "__srow")))
+      .select(col(idCol), col("k"),
+        round(dot(col(vecCol), col("__srow")), 4).as("proj"))
+  }
+
   def centroids(df: DataFrame, labelCol: String, vecCol: String,
                 scale: Int = 4): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))

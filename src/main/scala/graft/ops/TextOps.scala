@@ -30,6 +30,24 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Tokenizer fertility per language: characters per BPE-ish token — the
+    * per-language tokenizer-efficiency audit (a language with high
+    * fertility is under-served by the vocabulary and over-pays tokens per
+    * character of text, which skews any token-denominated mixture). One
+    * map-side-combined aggregation; sums stay integer, the single
+    * division happens once per language at the end (guarded for the
+    * all-empty-text group). */
+  def tokenizerFertility(df: DataFrame, langCol: String,
+                         textCol: String = "text"): DataFrame =
+    df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(bpeTokenCount(col(textCol)).cast("long")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        when(col("n_bpe_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_chars").cast("double") / col("n_bpe_tokens"), 4)))
+
   /** Blocklist gate: per-document blocked-token tally against a word
     * blocklist (the UT1/"badwords" safety-filtering step every crawl
     * pipeline runs). Map-only at any corpus size — the blocklist is a

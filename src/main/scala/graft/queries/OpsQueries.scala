@@ -954,6 +954,17 @@ object OpsQueries {
       TextOps.kFold(Tables.documents(s, d), "text", folds = 5)
         .select(col("doc_id"), col("fold"))),
 
+    // tokenizer fertility: chars-per-BPE-token per language — one
+    // map-side-combined aggregation, integer sums, one final division
+    "x_text_fertility" -> ((s, d) =>
+      TextOps.tokenizerFertility(Tables.documents(s, d), "lang")),
+
+    // JL signed random projection: driver-literal ±1 matrix (md5 nibble
+    // parity), map-only left-to-right dot per (vector, output dim)
+    "x_embed_rp" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "vec_id",
+        "embedding", outDim = 16, inDim = 64)),
+
     // CCNet-style per-language perplexity tiers: head/middle/tail thirds
     // by unigram-LM surprise, ranked via the two-level prefix sum (no
     // per-language global sort, no NTILE convention)
@@ -1147,7 +1158,7 @@ object OpsQueries {
   )
 
   /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
-  private val Toks =
+  private[queries] val Toks =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> len(w) > 0)"""
 
   /** Shared CTE chain computing exact-Jaccard candidate pairs (`p`),
@@ -2907,6 +2918,31 @@ object OpsQueries {
         |  CAST(CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8)
         |    AS BIGINT) % 5 AS INT) AS fold
         |FROM documents""".stripMargin,
+
+    "x_text_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  CASE WHEN CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+        |    AS BIGINT) = 0 THEN NULL
+        |    ELSE round(CAST(sum(len(text)) AS DOUBLE) /
+        |      sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 4)
+        |  END AS fertility
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "x_embed_rp" ->
+      """WITH s AS (SELECT k,
+        |  list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN CAST('0x' || substr(md5('rp:' || k || ':' || d), 1, 1)
+        |      AS INT) % 2 = 0
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS srow
+        |  FROM range(0, 16) t(k))
+        |SELECT vec_id, CAST(k AS INT) AS k,
+        |  round(list_reduce(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * srow[i]), (x, y) -> x + y), 4)
+        |    AS proj
+        |FROM embeddings CROSS JOIN s""".stripMargin,
 
     "x_text_ppl_buckets" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

@@ -404,6 +404,28 @@ object StreamQueries {
         target.read().select(col("source"), col("b"), col("n")), 256)
     }),
 
+    // streaming heavy hitters: per-token counts maintained incrementally
+    // across micro-batches (vocabulary-sized state table — bounded by the
+    // vocab, not the corpus — merged per batch); the final top-20 equals
+    // the batch answer, and the rank read is TakeOrderedAndProject
+    "s_stream_heavyhitters" -> ((s, d) => {
+      val w = scratch(s, "s_stream_heavyhitters")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val target = graft.table.ManagedTable(s, s"$w/counts")
+      val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+      def drain(): Unit = Streaming.streamIncrementalAgg(
+        s.readStream.schema(schema).json(s"$w/in")
+          .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token")),
+        target, keyCols = Seq("token"),
+        aggSpecs = Seq(("n", "count", "token")),
+        checkpoint = s"$w/checkpoint")
+      docs.where(col("doc_id") % 2 === 0).write.json(s"$w/in")
+      drain()
+      docs.where(col("doc_id") % 2 === 1).write.mode("append").json(s"$w/in")
+      drain()
+      target.read().orderBy(col("n").desc, col("token")).limit(20)
+    }),
+
     "s_stream_cdc" -> ((s, d) => {
       val w = scratch(s, "s_stream_cdc")
       val orders = Tables.orders(s, d)
@@ -527,6 +549,11 @@ object StreamQueries {
     // the streamed histogram's final state equals the batch histogram, so
     // the batch KS oracle pins the whole incremental path
     "s_stream_drift" -> OpsQueries.QualityKsSql,
+    "s_stream_heavyhitters" ->
+      s"""WITH t AS (SELECT doc_id, ${OpsQueries.Toks} AS toks FROM documents),
+         |e AS (SELECT unnest(toks) AS token FROM t)
+         |SELECT token, count(*) AS n FROM e
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "s_stream_cdc" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 22 = 0 AND o_orderkey % 33 <> 0

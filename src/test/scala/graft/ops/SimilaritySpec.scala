@@ -261,6 +261,31 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("randomProject matches a by-hand md5-parity projection") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(k: Int, d: Int): Double = {
+      val h = md.digest(s"rp:$k:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    val dim = 5
+    val vecs = Seq((1L, Array(1.0f, 2.0f, -1.0f, 0.5f, 3.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, "vec_id", "embedding",
+        outDim = 3, inDim = dim)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size === 6)
+    for ((id, v) <- vecs; k <- 0 until 3) {
+      val want = (0 until dim).map(d => v(d).toDouble * sign(k, d)).sum
+      assert(math.abs(got((id, k)) - math.rint(want * 1e4) / 1e4) < 1e-9,
+        s"vec $id dim $k")
+    }
+    // the matrix is non-trivial: not all signs equal for k=0
+    val s0 = (0 until dim).map(d => sign(0, d)).toSet
+    assert(s0.size === 2 || dim < 4)
+  }
+
   test("allPairsCosine diagonal blocks drop self-pairs and duplicates") {
     val tiny = Seq((1L, "x", Array(1.0, 0.0)), (2L, "x", Array(1.0, 0.0)),
       (3L, "x", Array(0.0, 1.0)), (4L, "y", Array(1.0, 1.0)))

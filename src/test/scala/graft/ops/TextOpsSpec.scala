@@ -409,6 +409,25 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) === ((1, 1, false)))
   }
 
+  test("tokenizerFertility: integer sums, guarded division, null text") {
+    val docs = Seq(
+      (1L, "en", "hello world"),   // 10 chars in 2 letter-runs + space
+      (2L, "en", "a b"),           // 3 chars, 2 tokens
+      (3L, "xx", ""),              // 0 chars, 0 tokens -> null fertility
+      (4L, "de", null)             // null text: dropped from both sums
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.tokenizerFertility(docs, "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got("en")._1 === 2L && got("en")._2 === 14L && got("en")._3 === 4L)
+    assert(got("en")._4 === 3.5)
+    assert((got("xx")._1, got("xx")._2, got("xx")._3) === ((1L, 0L, 0L)))
+    assert(got("xx")._4.isNaN) // zero-token group: fertility is NULL
+    assert(got("de")._2 === -1L) // sum over only-null group is null
+  }
+
   test("phraseSearch finds consecutive tokens only, 1-based positions") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha beta gamma"), // hits at pos 1 and 4
