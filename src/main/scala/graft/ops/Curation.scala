@@ -113,6 +113,42 @@ object Curation {
         col("dev2"), col("mad4"), col("is_outlier"))
   }
 
+  /** Tie-corrected ROC-AUC of a score column against a boolean label via
+    * the Mann–Whitney rank-sum — the ranking-quality twin of the
+    * confusion-matrix evaluation (a quality classifier is used as a
+    * RANKER when the pipeline keeps the top fraction, so AUC is the
+    * metric that matters).
+    *
+    * Exactness: midranks stay DOUBLED (`mid2 = 2·cumBelow + cnt + 1`), so
+    * Σ_pos mid2 = 2·R_pos is an exact integer and
+    * `AUC = (Σ_pos mid2 − nPos(nPos+1)) / (2·nPos·nNeg)` is ONE final
+    * double division — no per-row float ranks, no midrank-.5 convention.
+    *
+    * Scale: rows collapse to per-distinct-score counts FIRST (scores are
+    * fixed-point by upstream construction — e.g. hashedLinearScore emits
+    * 4-dp values in [−1, 1], ≤20001 distinct — so the distinct-score
+    * table is bounded); the only unpartitioned window runs over that
+    * bounded table, and the result is a single row. */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col(labelCol).cast("long")).as("__cp"))
+    val withBelow = g.withColumn("__below",
+      coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withBelow.agg(
+        sum(col("__cp")).as("__np"),
+        sum(col("__c") - col("__cp")).as("__nn"),
+        sum(col("__cp") * (lit(2L) * col("__below") + col("__c") + lit(1L)))
+          .as("__m2"))
+      .select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        round((col("__m2") - col("__np") * (col("__np") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * col("__np") * col("__nn")), 6).as("auc"))
+  }
+
   /** Right-to-be-forgotten propagation: given a (small) removal list of
     * document ids, return EVERY document the purge must reach — the
     * listed docs, every byte-exact copy anywhere in the corpus, and every

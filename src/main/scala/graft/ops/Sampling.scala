@@ -116,6 +116,25 @@ object Sampling {
         round(col("_pw") / col("_tot"), 6).as("mix_weight"))
   }
 
+  /** KL divergence audit of the ACHIEVED corpus mix against the
+    * temperature-scaled TARGET weights ([[mixtureWeights]]): per-source
+    * `p·ln(p/q)` terms, where p = actual doc share and q = published
+    * 6-dp mix weight — the drift monitor a pipeline runs after sampling
+    * to confirm the mix it built is the mix it planned. Everything
+    * happens on the sources-sized weight table (one more tiny aggregate
+    * for the doc total); per-source terms are emitted unreduced, so no
+    * float summation order is in play. */
+  def mixtureKl(df: DataFrame, sourceCol: String): DataFrame = {
+    val w = mixtureWeights(df, sourceCol) // (source, n_docs, mix_weight)
+    val tot = w.agg(sum(col("n_docs")).as("__t"))
+    w.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("mix_weight"),
+        round(col("n_docs") / col("__t"), 6).as("p_actual"),
+        round((col("n_docs") / col("__t")) *
+          log(col("n_docs") / col("__t") / col("mix_weight")), 6)
+          .as("kl_term"))
+  }
+
   /** Assemble a training mix: [[mixtureWeights]] turned into per-source
     * document quotas (`totalTarget` × weight, floor 1) and filled
     * deterministically by id-hash rank — the end-to-end "sample each

@@ -30,6 +30,34 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Flesch–Kincaid-style readability grade over cheap proxies: words =
+    * whitespace tokens, sentences = terminal-punctuation runs (floored at
+    * 1 so unpunctuated text still scores), syllables = vowel runs —
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`, emitted
+    * as an INTEGER milli-grade. Map-only regexp counts.
+    *
+    * Fixed-point discipline: a float formulation rounds at a decimal
+    * boundary the two engines' double pipelines can straddle (observed:
+    * 25.2263 vs 25.2262 at 4 dp). Instead the grade×1000 rational
+    * `(390w² + 11800·y·s − 15590·s·w) / (s·w)` is evaluated in exact
+    * 64-bit integers, with a +16000·s·w offset so the numerator stays
+    * positive — where Spark's `div` (truncate) and DuckDB's `//` (floor)
+    * agree. Token-less documents drop (no grade without words). */
+  def readability(df: DataFrame, idCol: String,
+                  textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        tokenCount(col(textCol)).as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .as("n_sentences"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+          .as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("fk_milli",
+        expr("(390 * CAST(n_words AS BIGINT) * n_words" +
+          " + 11800 * CAST(n_syllables AS BIGINT) * n_sentences" +
+          " + 410 * CAST(n_sentences AS BIGINT) * n_words)" +
+          " div (CAST(n_sentences AS BIGINT) * n_words) - 16000"))
+
   /** Tokenizer fertility per language: characters per BPE-ish token — the
     * per-language tokenizer-efficiency audit (a language with high
     * fertility is under-served by the vocabulary and over-pays tokens per

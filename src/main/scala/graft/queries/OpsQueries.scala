@@ -954,6 +954,26 @@ object OpsQueries {
       TextOps.kFold(Tables.documents(s, d), "text", folds = 5)
         .select(col("doc_id"), col("fold"))),
 
+    // tie-corrected ROC-AUC of the hashed quality scorer against the
+    // source label: doubled midranks keep the rank-sum integer; the one
+    // unpartitioned window runs over the bounded distinct-score table
+    "x_eval_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.hashedLinearScore(docs, "doc_id")
+        .join(docs.select(col("doc_id"),
+          (col("source") === "src1").as("y")), "doc_id")
+      Curation.rankAuc(scored, "score", "y")
+    }),
+
+    // Flesch-Kincaid-style readability grade from map-only regexp proxies
+    "x_text_readability" -> ((s, d) =>
+      TextOps.readability(Tables.documents(s, d), "doc_id")),
+
+    // achieved-vs-target mixture KL audit: per-source p·ln(p/q) terms on
+    // the sources-sized weight table
+    "x_mix_kl" -> ((s, d) =>
+      Sampling.mixtureKl(Tables.documents(s, d), "source")),
+
     // tokenizer fertility: chars-per-BPE-token per language — one
     // map-side-combined aggregation, integer sums, one final division
     "x_text_fertility" -> ((s, d) =>
@@ -2918,6 +2938,55 @@ object OpsQueries {
         |  CAST(CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8)
         |    AS BIGINT) % 5 AS INT) AS fold
         |FROM documents""".stripMargin,
+
+    "x_eval_auc" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS token FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024 AS b
+         |      FROM tok),
+         |w AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5('w:' || b), 1, 8) AS BIGINT) % 2001 - 1000 AS w_milli
+         |      FROM f),
+         |a AS (SELECT doc_id, sum(w_milli) AS wsum, count(*) AS n_tokens
+         |      FROM w GROUP BY doc_id),
+         |sc AS (SELECT a.doc_id, floor(wsum * 10.0 / n_tokens) / 10000.0 AS score,
+         |        (d.source = 'src1') AS y
+         |       FROM a JOIN documents d USING (doc_id)),
+         |g AS (SELECT score, count(*) AS c,
+         |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp
+         |      FROM sc GROUP BY 1),
+         |r AS (SELECT score, c, cp,
+         |        coalesce(sum(c) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |      FROM g)
+         |SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         |  CAST(sum(c - cp) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(cp * (2 * below + c + 1)) - sum(cp) * (sum(cp) + 1)
+         |      AS DOUBLE) / (2.0 * sum(cp) * sum(c - cp)), 6) AS auc
+         |FROM r""".stripMargin,
+
+    "x_text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS INT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables,
+        |  (390 * CAST(n_words AS BIGINT) * n_words
+        |    + 11800 * CAST(n_syllables AS BIGINT) * n_sentences
+        |    + 410 * CAST(n_sentences AS BIGINT) * n_words)
+        |    // (CAST(n_sentences AS BIGINT) * n_words) - 16000 AS fk_milli
+        |FROM documents WHERE n_words > 0""".stripMargin,
+
+    "x_mix_kl" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs, sqrt(count(*)) AS pw
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        round(pw / (SELECT sum(pw) FROM c), 6) AS mix_weight FROM c),
+        |t AS (SELECT sum(n_docs) AS tot FROM c)
+        |SELECT source, n_docs, mix_weight,
+        |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS p_actual,
+        |  round((CAST(n_docs AS DOUBLE) / tot) *
+        |    ln(CAST(n_docs AS DOUBLE) / tot / mix_weight), 6) AS kl_term
+        |FROM w, t""".stripMargin,
 
     "x_text_fertility" ->
       """SELECT lang, count(*) AS n_docs,

@@ -153,6 +153,24 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("rankAuc matches by-hand tie-corrected Mann-Whitney AUC") {
+    // scores: pos {0.9, 0.5, 0.5}, neg {0.5, 0.1}
+    // midranks (asc): 0.1→1; 0.5 ties (3 rows, ranks 2-4)→3; 0.9→5
+    // R_pos = 5 + 3 + 3 = 11; U = 11 - 3·4/2 = 5; AUC = 5/(3·2) = 0.833333
+    val df = Seq((0.9, true), (0.5, true), (0.5, true), (0.5, false),
+      (0.1, false)).toDF("score", "y")
+    val got = Curation.rankAuc(df, "score", "y")
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((3L, 2L, 0.833333)))
+    // perfect separation → AUC 1; inverted → 0
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "y")
+    assert(Curation.rankAuc(sep, "score", "y")
+      .as[(Long, Long, Double)].collect().head._3 === 1.0)
+    val inv = Seq((0.1, true), (0.8, false), (0.9, false)).toDF("score", "y")
+    assert(Curation.rankAuc(inv, "score", "y")
+      .as[(Long, Long, Double)].collect().head._3 === 0.0)
+  }
+
   test("removalPropagate reaches listed, exact copies, and near-dups with priority") {
     // doc 1 listed; doc 10 is a byte-exact copy of doc 1; doc 11 shares
     // most 3-grams with doc 1 (near-dup); doc 20 is unrelated. doc 2 is

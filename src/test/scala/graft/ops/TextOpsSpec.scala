@@ -409,6 +409,26 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) === ((1, 1, false)))
   }
 
+  test("readability: by-hand milli-grade, sentence floor, integer div") {
+    val docs = Seq(
+      // 4 words, 2 sentence runs ("." and "!?"), 6 vowel runs:
+      // hello→e,o  there→e,e  good→oo  work→o
+      (1L, "hello there. good work!?"),
+      (2L, "xyz"), // 1 word, 1 sentence (floor), 1 vowel run (the y)
+      (3L, "")     // no words → dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.size === 2)
+    val (w1, s1, y1) = (4L, 2L, 6L)
+    val want1 = (390 * w1 * w1 + 11800 * y1 * s1 + 410 * s1 * w1) /
+      (s1 * w1) - 16000
+    assert(got(1L) === ((4, 2, 6, want1)))
+    // doc 2: grade 1000*(0.39*1/1 + 11.8*1/1 - 15.59) = -3400
+    assert(got(2L) === ((1, 1, 1, -3400L)))
+  }
+
   test("tokenizerFertility: integer sums, guarded division, null text") {
     val docs = Seq(
       (1L, "en", "hello world"),   // 10 chars in 2 letter-runs + space

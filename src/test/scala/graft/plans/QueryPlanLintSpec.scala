@@ -63,8 +63,10 @@ class QueryPlanLintSpec extends SparkSuite {
     // one-row frames: the n_exact pair-count scalar (audit), the corpus
     // row-count scalar fanned out for the stage cut (curriculum)
     "x_dedup_audit", "x_order_curriculum",
-    // mixture/weight tables: ≤|buckets| rows by construction
+    // mixture/weight tables: ≤|buckets| rows by construction (kl adds a
+    // one-row doc-total broadcast onto the sources-sized weight table)
     "x_mix_apply", "x_mix_dsir", "x_mix_epochs", "x_mix_tokens", "x_mix_weights",
+    "x_mix_kl",
     // one-row corpus totals (N docs, avgdl, quantile threshold) fanned out
     // to per-doc scoring
     "x_pipeline_curate", "x_retrieval_rrf", "x_text_bm25", "x_text_logprob",
@@ -95,7 +97,10 @@ class QueryPlanLintSpec extends SparkSuite {
     // rank over the fused TOP-K candidate lists (≤2k rows)
     "x_retrieval_rrf",
     // cumulative weight over t-digest centroid rows (≤ compression)
-    "x_sketch_tdigest")
+    "x_sketch_tdigest",
+    // rank-AUC prefix sum over the DISTINCT-SCORE table (hashedLinearScore
+    // emits 4-dp fixed-point scores in [-1, 1] — ≤20001 rows by range)
+    "x_eval_auc")
 
   private def physicalOffenders(p: SparkPlan): Seq[String] =
     p.collect {
