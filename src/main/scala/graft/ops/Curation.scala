@@ -113,6 +113,50 @@ object Curation {
         col("dev2"), col("mad4"), col("is_outlier"))
   }
 
+  /** One-pass column profile: per named column, row/null/distinct counts
+    * and lexicographic min/max over a caller-provided STRING rendering —
+    * the generic "what is in this table" audit run before a corpus ships.
+    *
+    * Shape: the table melts to (column, value) rows in ONE scan (a
+    * `stack` projection, no per-column re-read), then one aggregation
+    * keyed by column name; the distinct count rides the same shuffle via
+    * Spark's distinct-aggregate expansion. Callers render non-string
+    * columns to strings deterministically (integers verbatim, timestamps
+    * via an explicit 6-digit-fraction format) so the result is
+    * engine-portable — float columns belong in the histogram/t-digest
+    * profilers, not here. */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val melted = df.select(cols.map { case (n, c) =>
+        c.cast("string").as(n) }: _*)
+      .select(expr("stack(" + cols.size + ", " +
+        cols.map { case (n, _) => s"'$n', `$n`" }.mkString(", ") +
+        ") AS (column_name, value)"))
+    melted.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("n_null"),
+        count_distinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"))
+  }
+
+  /** Calibration (reliability) bins for a classifier score against a
+    * boolean label: scores bucket into `bins` equal cuts over
+    * [−1, 1], and each bin reports its observed positive rate in INTEGER
+    * basis points (`(n_pos·10⁴) div n` — a float ratio would round at
+    * engine-dependent .5 boundaries; basis points never do). A
+    * well-calibrated scorer's rate rises with the bin index. Map-only
+    * bucket assignment plus one aggregation. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame =
+    df.select(
+        least(greatest(floor((col(scoreCol) + 1.0) * bins / 2.0), lit(0L)),
+          lit(bins - 1L)).as("bin"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("pos_rate_bp", expr("(n_pos * 10000) div n"))
+
   /** Tie-corrected ROC-AUC of a score column against a boolean label via
     * the Mann–Whitney rank-sum — the ranking-quality twin of the
     * confusion-matrix evaluation (a quality classifier is used as a

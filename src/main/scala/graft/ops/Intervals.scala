@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** Keyed interval OVERLAP join: all (a, b) pairs under the same key
+    * whose inclusive [start, end] intervals intersect, with the overlap
+    * length — the alignment step between two interval families (e.g.
+    * activity sessions of two event types, crawl windows vs outage
+    * windows).
+    *
+    * Shape: an equi-join on the key columns with the overlap predicate as
+    * a residual filter — ONE keyed shuffle, never a cross join; output
+    * per key is bounded by that key's interval counts (callers control
+    * key granularity). Bounds are numeric; overlap = min(ends) −
+    * max(starts) is exact integer arithmetic for integer bounds. */
+  def overlapJoin(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                  aStart: String, aEnd: String,
+                  bStart: String, bEnd: String): DataFrame =
+    a.join(b, keyCols)
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .withColumn("overlap",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+
   /** Per-key interval union stats.
     *
     * An interval starts a new island when its start exceeds the running

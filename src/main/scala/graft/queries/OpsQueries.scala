@@ -954,6 +954,57 @@ object OpsQueries {
       TextOps.kFold(Tables.documents(s, d), "text", folds = 5)
         .select(col("doc_id"), col("fold"))),
 
+    // one-scan column profile of lineitem: null/distinct counts and
+    // lexicographic bounds over deterministic string renderings
+    "x_profile_table" -> ((s, d) =>
+      Curation.profile(Tables.lineitem(s, d), Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "l_shipdate" -> date_format(col("l_shipdate"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")))),
+
+    // classifier reliability bins: per-bin positive rate in integer
+    // basis points (no float rounding convention)
+    "x_eval_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.calibrationBins(
+        TextOps.hashedLinearScore(docs, "doc_id")
+          .join(docs.select(col("doc_id"),
+            (col("source") === "src1").as("y")), "doc_id"),
+        "score", "y")
+    }),
+
+    // keyed interval-overlap join: click sessions x view sessions per
+    // user — one keyed shuffle with the overlap predicate residual.
+    // Session windows carry the standard timeout semantics: a session
+    // stays open `gap` past its last event, so the interval is
+    // [min_t, max_t + gap] (a bare [min, max] makes single-event
+    // sessions zero-length and the overlap set vacuous)
+    "x_interval_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gap = 1800000000L // 30 min in micros
+      def sessions(tpe: String, p: String) = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        Tables.events(s, d).where(col("event_type") === tpe)
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+          .withColumn("__new",
+            when(col("t") - lag(col("t"), 1).over(w) > gap ||
+              lag(col("t"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("sid", sum(col("__new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("t")).as(s"${p}_start"),
+            (max(col("t")) + gap).as(s"${p}_end"))
+          .drop("sid")
+      }
+      Intervals.overlapJoin(sessions("click", "a"), sessions("view", "b"),
+          Seq("user_id"), "a_start", "a_end", "b_start", "b_end")
+        .select(col("user_id"), col("a_start"), col("b_start"),
+          col("overlap").as("overlap_us"))
+    }),
+
     // tie-corrected ROC-AUC of the hashed quality scorer against the
     // source label: doubled midranks keep the rank-sum integer; the one
     // unpartitioned window runs over the bounded distinct-score table
@@ -2938,6 +2989,66 @@ object OpsQueries {
         |  CAST(CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8)
         |    AS BIGINT) % 5 AS INT) AS fold
         |FROM documents""".stripMargin,
+
+    "x_profile_table" ->
+      """WITH m AS (
+        |  SELECT 'l_orderkey' AS column_name, CAST(l_orderkey AS VARCHAR) AS value FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f') FROM lineitem)
+        |SELECT column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT value) AS n_distinct,
+        |  min(value) AS min_val, max(value) AS max_val
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "x_eval_calibration" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS token FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024 AS b
+         |      FROM tok),
+         |w AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5('w:' || b), 1, 8) AS BIGINT) % 2001 - 1000 AS w_milli
+         |      FROM f),
+         |a AS (SELECT doc_id, sum(w_milli) AS wsum, count(*) AS n_tokens
+         |      FROM w GROUP BY doc_id),
+         |sc AS (SELECT a.doc_id, floor(wsum * 10.0 / n_tokens) / 10000.0 AS score,
+         |        (d.source = 'src1') AS y
+         |       FROM a JOIN documents d USING (doc_id)),
+         |bi AS (SELECT least(greatest(CAST(floor((score + 1.0) * 10 / 2.0) AS BIGINT),
+         |         0), 9) AS bin,
+         |        CASE WHEN y THEN 1 ELSE 0 END AS yy
+         |       FROM sc)
+         |SELECT bin, count(*) AS n, CAST(sum(yy) AS BIGINT) AS n_pos,
+         |  (CAST(sum(yy) AS BIGINT) * 10000) // count(*) AS pos_rate_bp
+         |FROM bi GROUP BY 1""".stripMargin,
+
+    "x_interval_overlap" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |           WHERE event_type = 'click'),
+        |cs AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |             THEN 1 ELSE 0 END AS nw FROM c),
+        |cg AS (SELECT user_id, t, sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM cs),
+        |ca AS (SELECT user_id, min(t) AS a_start, max(t) + 1800000000 AS a_end
+        |       FROM cg GROUP BY user_id, sid),
+        |v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_type = 'view'),
+        |vs AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |             THEN 1 ELSE 0 END AS nw FROM v),
+        |vg AS (SELECT user_id, t, sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM vs),
+        |va AS (SELECT user_id, min(t) AS b_start, max(t) + 1800000000 AS b_end
+        |       FROM vg GROUP BY user_id, sid)
+        |SELECT ca.user_id, a_start, b_start,
+        |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+        |FROM ca JOIN va ON ca.user_id = va.user_id
+        |WHERE a_start <= b_end AND b_start <= a_end""".stripMargin,
 
     "x_eval_auc" ->
       s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS token FROM documents),

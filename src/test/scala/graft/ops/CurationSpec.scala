@@ -153,6 +153,34 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("profile: one-scan melt, null/distinct counts, string bounds") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "s")
+    val got = Curation.profile(df, Seq("id" -> col("id"), "s" -> col("s")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(got("id") === ((4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(got("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
+    // ONE corpus scan: the melt is a stack projection, not per-column reads
+    val plan = Curation.profile(df, Seq("id" -> col("id"), "s" -> col("s")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), s"melt must not union per-column scans:\n$plan")
+  }
+
+  test("calibrationBins: integer basis points, clamped bins") {
+    val df = Seq((-1.5, false), (-0.95, false), (0.05, true), (0.05, false),
+      (0.05, true), (0.98, true), (1.5, true)).toDF("score", "y")
+    val got = Curation.calibrationBins(df, "score", "y")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // -1.5 clamps to bin 0 with -0.95; 0.05 → bin 5 (1.05*5=5.25);
+    // 0.98 → bin 9 (1.98*5=9.9); 1.5 clamps to 9
+    assert(got(0L) === ((2L, 0L, 0L)))
+    assert(got(5L) === ((3L, 2L, 6666L))) // 2*10000 div 3
+    assert(got(9L) === ((2L, 2L, 10000L)))
+  }
+
   test("rankAuc matches by-hand tie-corrected Mann-Whitney AUC") {
     // scores: pos {0.9, 0.5, 0.5}, neg {0.5, 0.1}
     // midranks (asc): 0.1→1; 0.5 ties (3 rows, ranks 2-4)→3; 0.9→5

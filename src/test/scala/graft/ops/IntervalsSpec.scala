@@ -45,4 +45,20 @@ class IntervalsSpec extends SparkSuite {
       .orderBy("l_suppkey").collect().toSeq
     assert(a == b)
   }
+
+  test("overlapJoin pairs intersecting intervals per key, inclusive bounds") {
+    import spark.implicits._
+    val a = Seq(("u1", 0L, 10L), ("u1", 20L, 30L), ("u2", 0L, 5L))
+      .toDF("k", "a_start", "a_end")
+    val b = Seq(("u1", 5L, 15L),  // overlaps [0,10] by 5, not [20,30]
+      ("u1", 30L, 40L),           // touches [20,30] at 30 → overlap 0
+      ("u2", 6L, 9L),             // adjacent-after [0,5] → NO overlap (6>5)
+      ("u3", 0L, 100L))           // key absent on the left
+      .toDF("k", "b_start", "b_end")
+    val got = Intervals.overlapJoin(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end")
+      .select("k", "a_start", "b_start", "overlap")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(("u1", 0L, 5L, 5L), ("u1", 20L, 30L, 0L)))
+  }
 }
