@@ -157,6 +157,54 @@ object Curation {
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
       .withColumn("pos_rate_bp", expr("(n_pos * 10000) div n"))
 
+  /** Per-group disparity audit of a boolean gate: each group's keep rate
+    * in integer basis points next to the corpus-wide rate, plus the
+    * signed difference — the fairness check run after any quality filter
+    * (a gate that keeps 70% of one source and 20% of another is
+    * re-weighting the corpus whether anyone intended it or not).
+    * One aggregation to the groups-sized table, one one-row broadcast
+    * back; rates are `(kept·10⁴) div n`, so no float convention. */
+  def gateDisparity(df: DataFrame, groupCol: String,
+                    keepCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(keepCol).cast("long")).as("n_keep"))
+    val tot = per.agg(sum(col("n")).as("__tn"),
+      sum(col("n_keep")).as("__tk"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"), col("n_keep"),
+        expr("(n_keep * 10000) div n").as("keep_bp"),
+        expr("(__tk * 10000) div __tn").as("overall_bp"))
+      .withColumn("disparity_bp", col("keep_bp") - col("overall_bp"))
+  }
+
+  /** Group-aware temporal split with an embargo: rows before
+    * `cutoff − embargo` train, rows at/after `cutoff` test, the embargo
+    * gap between them is quarantined (the standard guard against
+    * time-adjacent leakage). Each split reports row and entity counts
+    * plus how many of its entities ALSO appear in another split — the
+    * residual cross-time leakage a purely temporal split cannot remove
+    * (same map-only date arithmetic on both sides; entity membership is
+    * one narrow (entity, split) aggregation, never a self-join). */
+  def temporalSplit(df: DataFrame, entityCol: String, tsCol: String,
+                    cutoff: String, embargoDays: Int): DataFrame = {
+    val split = when(col(tsCol) < to_timestamp(lit(cutoff)) -
+        expr(s"INTERVAL $embargoDays DAYS"), "train")
+      .when(col(tsCol) >= to_timestamp(lit(cutoff)), "test")
+      .otherwise("embargo")
+    val base = df.select(col(entityCol).as("__e"), split.as("split"))
+    val leaky = base.distinct()
+      .groupBy(col("__e")).agg(count(lit(1)).as("__ns"))
+      .where(col("__ns") > 1)
+      .select(col("__e"), lit(true).as("__leaky"))
+    base.join(leaky, Seq("__e"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("__e")).as("n_entities"),
+        count_distinct(when(col("__leaky"), col("__e")))
+          .as("n_entities_leaky"))
+  }
+
   /** Tie-corrected ROC-AUC of a score column against a boolean label via
     * the Mann–Whitney rank-sum — the ranking-quality twin of the
     * confusion-matrix evaluation (a quality classifier is used as a

@@ -87,4 +87,34 @@ object Packing {
       .select(col(idCol), col("__n").as("n_tokens"),
         floor(col("__before") / capacity).cast("long").as("chunk_id"))
   }
+
+  /** Balanced training shards: documents go to `shards` output shards
+    * round-robin over the size-DESCENDING rank — the deterministic
+    * streaming cousin of longest-processing-time scheduling (heaviest
+    * docs spread first, so shard token totals stay within one max-doc of
+    * each other; a hash split would leave ~√-law imbalance).
+    *
+    * The rank is the [[shuffleOrder]] two-level prefix sum keyed by a
+    * monotone weight-bucket coarsening (weight div 4, descending), so no
+    * corpus-sized window is unpartitioned; the shard is
+    * `(rank − 1) mod shards` — pure integer, no engine convention.
+    * Returns (idCol, weight, rank, shard). */
+  def balancedShards(df: DataFrame, idCol: String,
+                     weightCol: org.apache.spark.sql.Column,
+                     shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val base = df.select(col(idCol), weightCol.cast("long").as("weight"))
+    val withB = base.withColumn("__b", expr("weight div 4"))
+    val off = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val inB = Window.partitionBy(col("__b"))
+      .orderBy(col("weight").desc, col(idCol))
+    withB.join(off, Seq("__b"))
+      .withColumn("rank", col("__off") + row_number().over(inB))
+      .withColumn("shard", expr(s"(rank - 1) % $shards"))
+      .select(col(idCol), col("weight"), col("rank"), col("shard"))
+  }
 }

@@ -30,6 +30,42 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Gopher/MassiveText-style quality RULE gate: the named pass/fail
+    * rules (word-count bounds, mean-word-length bounds, ≥80% alphabetic
+    * words, symbol-to-word ratio, minimum stopword hits) as per-document
+    * boolean flags plus the combined keep decision — the rule-set
+    * formulation pipelines publish alongside the learned quality score.
+    *
+    * Map-only: every rule is a regexp/array count over the shared token
+    * array, and every comparison is INTEGER (mean word length compares in
+    * milli-chars via `div`, the alpha share as `5·alpha ≥ 4·words`), so
+    * the gate replays bit-exactly cross-engine. Zero-word documents fail
+    * every rule except the symbol cap. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val sw = typedLit(StopwordsEn)
+    df.withColumn("__t", tokens(col(textCol)))
+      .select(col(idCol),
+        size(col("__t")).as("n_words"),
+        expr("aggregate(__t, 0L, (a, w) -> a + length(w))").as("__wlen"),
+        size(filter(col("__t"), w => w.rlike("[a-z]"))).as("__alpha"),
+        size(filter(col("__t"), w => array_contains(sw, w))).as("__stop"),
+        regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).as("__punct"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("flag_word_count"),
+        (col("n_words") > 0 &&
+          expr("(__wlen * 1000) div n_words").between(3000L, 10000L))
+          .as("flag_mean_word_len"),
+        (col("__alpha") * 5 >= col("n_words") * 4 && col("n_words") > 0)
+          .as("flag_alpha"),
+        (col("__punct") * 10 <= col("n_words")).as("flag_symbol"),
+        (col("__stop") >= 2).as("flag_stopwords"))
+      .withColumn("keep",
+        col("flag_word_count") && col("flag_mean_word_len") &&
+          col("flag_alpha") && col("flag_symbol") && col("flag_stopwords"))
+  }
+
   /** Flesch–Kincaid-style readability grade over cheap proxies: words =
     * whitespace tokens, sentences = terminal-punctuation runs (floored at
     * 1 so unpunctuated text still scores), syllables = vowel runs —
@@ -886,6 +922,59 @@ object TextOps {
     * (the upstream retrievers already did the heavy lifting with their
     * own scale shapes). Ranks break ties by id; the fused score rounds to
     * 6 dp so ordering is engine-portable. */
+  /** Batch BM25: [[bm25]] for a TABLE of queries at once — the production
+    * retrieval shape (one query at a time re-scans the corpus; a batch
+    * shares the token scan, the length table, and the corpus stats across
+    * every query).
+    *
+    * Scale: the query batch is small by contract, so the (query, term)
+    * table broadcasts twice — once to prune the corpus token stream to
+    * the union of query vocabularies BEFORE any shuffle, once to fan
+    * per-(doc, term) scores out to the queries containing the term. The
+    * per-query top-k is a window PARTITIONED by query id (bounded fan-in
+    * per query). Score summation is token-ordered like [[bm25]], so the
+    * oracle replays it exactly. */
+  def bm25Batch(df: DataFrame, idCol: String, queries: DataFrame,
+                qidCol: String, qTermsCol: String, textCol: String = "text",
+                k1: Double = 1.2, b: Double = 0.75,
+                topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val dl = toks.select(col(idCol), size(col("toks")).cast("double").as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val qt = queries
+      .select(col(qidCol).as("qid"), explode(col(qTermsCol)).as("token"))
+      .distinct()
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .join(broadcast(qt.select(col("token")).distinct()), Seq("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qt), Seq("token"))
+    val perQuery = scored.groupBy(col("qid"), col(idCol))
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("token"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (acc, v) => acc + v).as("raw"))
+      .select(col("qid"), col(idCol), round(col("raw"), 4).as("bm25"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25").desc, col(idCol))
+    perQuery.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
               scoreA: String, scoreB: String, topK: Int,
               c: Int = 60): DataFrame = {

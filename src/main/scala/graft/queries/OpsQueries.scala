@@ -954,6 +954,52 @@ object OpsQueries {
       TextOps.kFold(Tables.documents(s, d), "text", folds = 5)
         .select(col("doc_id"), col("fold"))),
 
+    // Gopher-style named rule gate: integer-exact per-rule flags + keep
+    "x_text_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(Tables.documents(s, d), "doc_id",
+        minWords = 50, maxWords = 100000)),
+
+    // per-source disparity of the Gopher gate: keep rate vs corpus rate
+    // in signed basis points — the post-filter fairness audit
+    "x_quality_disparity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.gateDisparity(
+        TextOps.gopherRules(docs, "doc_id", minWords = 50)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        "source", "keep")
+    }),
+
+    // group-aware temporal split with a 30-day embargo before the cutoff;
+    // per split: rows, entities, and residual cross-split entities
+    "x_split_temporal" -> ((s, d) =>
+      Curation.temporalSplit(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "1998-01-01", embargoDays = 30)),
+
+    // triangle listing on the derived link graph: oriented edge-iterator,
+    // three compact (long, long) shuffles
+    "x_graph_triangles" -> ((s, d) =>
+      Graph.triangles(Tables.documents(s, d), "doc_id")),
+
+    // batch BM25: one corpus token scan shared by 3 queries; the query
+    // batch broadcasts; per-query top-k is a qid-partitioned window
+    "x_retrieval_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, Seq("big", "order", "scan")),
+        (2L, Seq("data", "table")),
+        (3L, Seq("fast", "slow", "value"))).toDF("qid", "terms")
+      TextOps.bm25Batch(Tables.documents(s, d), "doc_id", qs, "qid", "terms")
+    }),
+
+    // LPT-style balanced shards: round-robin over the size-descending
+    // two-level rank, shard totals audited per shard
+    "x_order_shards" -> ((s, d) =>
+      Packing.balancedShards(Tables.documents(s, d), "doc_id",
+          TextOps.bpeTokenCount(col("text")), shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("tokens_total"))),
+
     // one-scan column profile of lineitem: null/distinct counts and
     // lexicographic bounds over deterministic string renderings
     "x_profile_table" -> ((s, d) =>
@@ -1231,6 +1277,30 @@ object OpsQueries {
   /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
   private[queries] val Toks =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> len(w) > 0)"""
+
+  /** Shared Gopher rule-gate CTE chain ending in `g` (per-doc flags). */
+  private val GopherCtes =
+    s"""t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS wlen,
+       |  len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS alpha,
+       |  len(list_filter(toks, w -> list_contains(
+       |    ['the','a','an','and','or','of','to','in','is','it'], w))) AS stop,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+       |  FROM t),
+       |g AS (SELECT doc_id, n_words,
+       |  (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       |  (n_words > 0 AND (wlen * 1000) // n_words BETWEEN 3000 AND 10000)
+       |    AS flag_mean_word_len,
+       |  (alpha * 5 >= n_words * 4 AND n_words > 0) AS flag_alpha,
+       |  (punct * 10 <= n_words) AS flag_symbol,
+       |  (stop >= 2) AS flag_stopwords,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |   AND (n_words > 0 AND (wlen * 1000) // n_words BETWEEN 3000 AND 10000)
+       |   AND (alpha * 5 >= n_words * 4 AND n_words > 0)
+       |   AND (punct * 10 <= n_words) AND (stop >= 2)) AS keep
+       |  FROM f)""".stripMargin
 
   /** Shared CTE chain computing exact-Jaccard candidate pairs (`p`),
     * reusable inside WITH RECURSIVE for the clustering oracle. */
@@ -2989,6 +3059,91 @@ object OpsQueries {
         |  CAST(CAST('0x' || substr(md5(coalesce(md5(text), '__null_unit__')), 1, 8)
         |    AS BIGINT) % 5 AS INT) AS fold
         |FROM documents""".stripMargin,
+
+    "x_text_gopher_rules" ->
+      s"""WITH $GopherCtes
+         |SELECT doc_id, n_words,
+         |  flag_word_count, flag_mean_word_len, flag_alpha, flag_symbol,
+         |  flag_stopwords, keep
+         |FROM g""".stripMargin,
+
+    "x_quality_disparity" ->
+      s"""WITH $GopherCtes,
+         |per AS (SELECT d.source, count(*) AS n,
+         |          CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |        FROM g JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+         |          CAST(sum(n_keep) AS BIGINT) AS tk FROM per)
+         |SELECT source, n, n_keep,
+         |  (n_keep * 10000) // n AS keep_bp,
+         |  (tk * 10000) // tn AS overall_bp,
+         |  (n_keep * 10000) // n - (tk * 10000) // tn AS disparity_bp
+         |FROM per, tot""".stripMargin,
+
+    "x_split_temporal" ->
+      """WITH s AS (SELECT o_custkey AS e,
+        |  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' - INTERVAL 30 DAY
+        |         THEN 'train'
+        |       WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |  FROM orders),
+        |lk AS (SELECT e FROM (SELECT DISTINCT e, split FROM s)
+        |       GROUP BY e HAVING count(*) > 1)
+        |SELECT split, count(*) AS n_rows,
+        |  count(DISTINCT e) AS n_entities,
+        |  count(DISTINCT CASE WHEN e IN (SELECT e FROM lk) THEN e END)
+        |    AS n_entities_leaky
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "x_graph_triangles" ->
+      """WITH d AS (SELECT doc_id AS src FROM documents),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |e0 AS (SELECT src,
+        |         CAST('0x' || substr(md5(src || ':' || j), 1, 8) AS BIGINT)
+        |           % (SELECT n FROM nn) AS dst
+        |       FROM d, unnest([1, 2, 3]) AS t(j)),
+        |e1 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM e0 WHERE src <> dst)
+        |SELECT x.a AS a, x.b AS b, y.b AS c
+        |FROM e1 x JOIN e1 y ON x.b = y.a
+        |JOIN e1 z ON z.a = x.a AND z.b = y.b""".stripMargin,
+
+    "x_retrieval_batch" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         |q AS (SELECT * FROM (VALUES (1, ['big', 'order', 'scan']),
+         |        (2, ['data', 'table']),
+         |        (3, ['fast', 'slow', 'value'])) AS v(qid, terms)),
+         |qt AS (SELECT DISTINCT qid, unnest(terms) AS token FROM q),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.token,
+         |        ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |          * tf.tf * (1.2 + 1.0)
+         |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |sq AS (SELECT qt.qid, s.doc_id, s.token, s.s FROM s JOIN qt USING (token)),
+         |agg AS (SELECT qid, doc_id,
+         |          round(list_reduce(list(s ORDER BY token), (x, y) -> x + y), 4) AS bm25
+         |        FROM sq GROUP BY qid, doc_id),
+         |r AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+         |      FROM agg)
+         |SELECT qid, doc_id, bm25, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "x_order_shards" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS wt FROM documents),
+        |r AS (SELECT doc_id, wt,
+        |        row_number() OVER (ORDER BY wt DESC, doc_id) AS rn FROM w)
+        |SELECT (rn - 1) % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(wt) AS BIGINT) AS tokens_total
+        |FROM r GROUP BY 1""".stripMargin,
 
     "x_profile_table" ->
       """WITH m AS (

@@ -153,6 +153,34 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("gateDisparity: basis-point rates and signed deltas by hand") {
+    val df = Seq(("a", true), ("a", true), ("a", false), ("b", false),
+      ("b", false), ("b", false)).toDF("src", "keep")
+    val got = Curation.gateDisparity(df, "src", "keep")
+      .select("src", "n", "n_keep", "keep_bp", "overall_bp", "disparity_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // overall: 2/6 = 3333 bp
+    assert(got("a") === ((3L, 2L, 6666L, 3333L, 3333L)))
+    assert(got("b") === ((3L, 0L, 0L, 3333L, -3333L)))
+  }
+
+  test("temporalSplit: embargo quarantined, leaky entities counted per split") {
+    val df = Seq(
+      (1L, "2023-01-01 00:00:00"), // train (before cutoff - 30d)
+      (1L, "2023-06-15 00:00:00"), // test (after cutoff) → entity 1 leaky
+      (2L, "2023-05-20 00:00:00"), // embargo (within 30d before cutoff)
+      (3L, "2023-07-01 00:00:00"), // test only
+      (4L, "2023-02-01 00:00:00")  // train only
+    ).toDF("e", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = Curation.temporalSplit(df, "e", "ts", "2023-06-01", 30)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("train") === ((2L, 2L, 1L)))
+    assert(got("test") === ((2L, 2L, 1L)))
+    assert(got("embargo") === ((1L, 1L, 0L)))
+  }
+
   test("profile: one-scan melt, null/distinct counts, string bounds") {
     val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
       .toDF("id", "s")

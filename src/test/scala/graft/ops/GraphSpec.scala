@@ -121,4 +121,24 @@ class GraphSpec extends SparkSuite {
     val orphans = deg.where(col("is_orphan")).count()
     assert(orphans == deg.where(col("in_deg") === 0).count())
   }
+
+  test("triangles match a brute-force count over the derived edges") {
+    val n = docs.count()
+    val und = Graph.deriveEdges(docs, "doc_id", 3, n)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = for {
+      (a, b) <- und; (b2, c) <- und
+      if b2 == b && und.contains((a, c))
+    } yield (a, b, c)
+    val got = Graph.triangles(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // each triangle appears exactly once, in a<b<c orientation
+    got.foreach { case (a, b, c) => assert(a < b && b < c) }
+    assert(got.nonEmpty, "derived graph should contain triangles")
+  }
 }

@@ -60,4 +60,23 @@ class PackingSpec extends SparkSuite {
     val firstOfChunk = out.groupBy(_._3).map { case (_, rs) => rs.minBy(_._1) }
     firstOfChunk.foreach { case (id, n, c) => assert(c >= 0) }
   }
+
+  test("balancedShards: rank is the exact (weight desc, id) order, shards balanced") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, (i * 37 % 97) + 3)).toDF("id", "w")
+    val got = Packing.balancedShards(docs, "id", col("w"), shards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    // rank equals a local sort by (weight desc, id)
+    val want = (1L to 100L).map(i => (i, (i * 37 % 97) + 3))
+      .sortBy { case (id, w) => (-w, id) }.zipWithIndex
+      .map { case ((id, w), r) => id -> ((w, r + 1L)) }.toMap
+    got.foreach { case (id, w, rank, shard) =>
+      assert((w, rank) === want(id), s"id $id")
+      assert(shard === (rank - 1) % 4)
+    }
+    // round-robin over the descending order keeps totals within one
+    // max-weight of each other
+    val totals = got.groupBy(_._4).view.mapValues(_.map(_._2).sum).values.toSeq
+    assert(totals.max - totals.min <= got.map(_._2).max)
+  }
 }

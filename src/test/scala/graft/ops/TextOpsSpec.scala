@@ -409,6 +409,45 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5L) === ((1, 1, false)))
   }
 
+  test("gopherRules: each rule discriminates on a crafted doc") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, fifty + " the a and or of"),             // passes everything
+      (2L, "too short the a"),                      // fails word count
+      (3L, (1 to 50).map(_ => "ab").mkString(" ") + " the of"), // mean len 2 → fails
+      (4L, (1 to 48).map(i => s"w$i").mkString(" ") + " 12 34 the an"), // alpha-poor? w1..w48 have letters; digits 2/52...
+      (5L, fifty + " the a !!!!!!!!"),              // 8 symbols > 55/10 → fails symbol
+      (6L, fifty + " zz qq")                        // no stopwords → fails
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", minWords = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got(1L) === ((true, true, true, true, true, true)))
+    assert(got(2L)._1 === false && got(2L)._6 === false)
+    assert(got(3L)._2 === false) // mean word length 2 < 3
+    assert(got(5L)._4 === false) // symbol cap
+    assert(got(6L)._5 === false) // stopword floor
+  }
+
+  test("bm25Batch agrees with single-query bm25 per query") {
+    val docs = Seq(
+      (1L, "spark query join spark"), (2L, "query join other words"),
+      (3L, "unrelated text entirely"), (4L, "spark spark spark query"))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, Seq("spark", "query")), (8L, Seq("join")))
+      .toDF("qid", "terms")
+    val batch = TextOps.bm25Batch(docs, "doc_id", qs, "qid", "terms", topK = 10)
+      .select("qid", "doc_id", "bm25")
+      .as[(Long, Long, Double)].collect().toSet
+    val single = Seq(7L -> Seq("spark", "query"), 8L -> Seq("join")).flatMap {
+      case (qid, terms) =>
+        TextOps.bm25(docs, "doc_id", terms, topK = 10)
+          .as[(Long, Double)].collect().map(r => (qid, r._1, r._2))
+    }.toSet
+    assert(batch === single)
+  }
+
   test("readability: by-hand milli-grade, sentence floor, integer div") {
     val docs = Seq(
       // 4 words, 2 sentence runs ("." and "!?"), 6 vowel runs:

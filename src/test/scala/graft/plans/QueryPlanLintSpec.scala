@@ -71,6 +71,8 @@ class QueryPlanLintSpec extends SparkSuite {
     // to per-doc scoring
     "x_pipeline_curate", "x_retrieval_rrf", "x_text_bm25", "x_text_logprob",
     "x_text_pmi", "x_text_quality_filter", "x_text_tfidf",
+    // batch BM25 shares bm25's one-row avgdl/n_docs scalar fanouts
+    "x_retrieval_batch",
     // one-row vocabulary-size scalar fanned out to the per-bigram scoring
     "x_text_bigram_lm",
     // one-row corpus-token-total scalar (unigramLogProb's tot) fanned out
@@ -78,7 +80,9 @@ class QueryPlanLintSpec extends SparkSuite {
     // scored stage
     "x_text_ppl_buckets",
     // one-row corpus-total broadcast fanned onto the ≤|sources|×buckets grid
-    "x_quality_ks", "s_stream_drift")
+    "x_quality_ks", "s_stream_drift",
+    // one-row overall-rate broadcast onto the sources-sized gate table
+    "x_quality_disparity")
 
   /** Unpartitioned windows over bounded frames only: two-level prefix sums
     * see bucket/block COUNTS (≤ shuffle-partition-count rows), top-k sees
@@ -100,7 +104,10 @@ class QueryPlanLintSpec extends SparkSuite {
     "x_sketch_tdigest",
     // rank-AUC prefix sum over the DISTINCT-SCORE table (hashedLinearScore
     // emits 4-dp fixed-point scores in [-1, 1] — ≤20001 rows by range)
-    "x_eval_auc")
+    "x_eval_auc",
+    // balanced-shard rank offsets: the global window sees the weight-BUCKET
+    // count table (weight div 4 — bounded by max doc tokens / 4 rows)
+    "x_order_shards")
 
   private def physicalOffenders(p: SparkPlan): Seq[String] =
     p.collect {
