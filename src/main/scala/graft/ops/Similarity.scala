@@ -265,21 +265,43 @@ object Similarity {
   /** Per-dimension corpus whitening (z-score standardization) — the
     * feature-scaling pass run before k-means / PCA when embedding dims
     * have unequal spread. Two corpus passes: ONE posexplode aggregation
-    * reduces to a dim-row (mean, stddev) table (map-side partials — dim
+    * reduces to a dim-row integer-moment table (map-side partials — dim
     * cells, never rows, cross the shuffle), broadcast back onto the
     * exploded corpus for a map-only transform. Zero-variance dims pass
-    * through as z = 0 rather than dividing by zero. */
+    * through as z = 0 rather than dividing by zero.
+    *
+    * Bit-determinism contract (the [[topComponentProjection]] fixed-point
+    * recipe): inputs quantize to 1e-6-grid longs, the per-dim moments
+    * (n, Σx, Σx²) accumulate as exact decimal(38,0) integers — order- and
+    * partitioning-independent — and
+    *   z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²)
+    * is one correctly-rounded IEEE division over one correctly-rounded
+    * sqrt of exact integers, so every engine computes the identical
+    * double. The published value is fixed-point `z_micro` =
+    * round(z·10^scale) as a LONG: integers carry no −0.0 and no
+    * decimal-boundary sensitivity, the two failure modes a rounded-double
+    * z column exposes across engines. decimal(38,0) moments hold to
+    * ~1e10 rows at unit-scale embeddings; rescale the quantization grid
+    * beyond that. */
   def standardize(df: DataFrame, idCol: String, vecCol: String,
                   scale: Int = 4): DataFrame = {
-    val stats = df
-      .select(posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
-      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sigma"))
-    df.select(col(idCol), posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
-      .join(broadcast(stats), "dim")
+    val dec = "decimal(38,0)"
+    val e = df
+      .select(col(idCol), posexplode(dbl(col(vecCol))).as(Seq("dim", "x")))
       .select(col(idCol), col("dim"),
-        round(when(col("sigma") <= 0d, 0d)
-          .otherwise((col("x") - col("mu")) / col("sigma")), scale).as("z"))
+        round(col("x") * 1e6).cast("long").as("xq"))
+    val stats = e.groupBy(col("dim"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("xq").cast(dec)).as("sq"),
+        sum((col("xq").cast(dec) * col("xq").cast(dec))).as("ssq"))
+      .select(col("dim"), col("n"), col("sq"),
+        (col("n") * col("ssq") - col("sq") * col("sq")).as("disc"))
+    e.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        when(col("disc") <= 0, lit(0L)).otherwise(
+          round((col("n") * col("xq").cast(dec) - col("sq")).cast("double")
+            / sqrt(col("disc").cast("double")) * math.pow(10, scale))
+            .cast("long")).as("z_micro"))
   }
 
   /** Signed random projection (Johnson–Lindenstrauss): project each

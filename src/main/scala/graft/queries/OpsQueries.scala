@@ -1648,16 +1648,27 @@ object OpsQueries {
          |FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
          |GROUP BY 1, 2""".stripMargin,
 
+    // fixed-point mirror of Similarity.standardize: identical 1e-6
+    // quantization, exact HUGEINT moments (DuckDB's int128 stands in for
+    // Spark's decimal(38,0)), one division over one sqrt of exact
+    // integers, integer micro-unit output — no double column survives to
+    // the hash, so no signed-zero or decimal-boundary divergence exists
     "x_embed_standardize" ->
       s"""WITH e AS (SELECT vec_id, CAST(t.dim AS INT) AS dim,
-         |             CAST(embedding[t.dim + 1] AS DOUBLE) AS x
+         |             CAST(round(CAST(embedding[t.dim + 1] AS DOUBLE) * 1e6)
+         |                  AS BIGINT) AS xq
          |           FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)),
-         |st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
-         |       FROM e GROUP BY dim)
+         |st AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+         |              CAST(sum(xq) AS HUGEINT) AS sq,
+         |              sum(CAST(xq AS HUGEINT) * xq) AS ssq
+         |       FROM e GROUP BY dim),
+         |s2 AS (SELECT dim, n, sq, n * ssq - sq * sq AS disc FROM st)
          |SELECT e.vec_id, e.dim,
-         |  round(CASE WHEN st.sigma <= 0 THEN 0
-         |             ELSE (e.x - st.mu) / st.sigma END, 4) AS z
-         |FROM e JOIN st USING (dim)""".stripMargin,
+         |  CASE WHEN s2.disc <= 0 THEN 0
+         |       ELSE CAST(round(CAST(s2.n * e.xq - s2.sq AS DOUBLE)
+         |                 / sqrt(CAST(s2.disc AS DOUBLE)) * 1e4) AS BIGINT)
+         |  END AS z_micro
+         |FROM e JOIN s2 USING (dim)""".stripMargin,
 
     "x_knn_graph" ->
       s"""WITH p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,

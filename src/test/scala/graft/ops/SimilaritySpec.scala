@@ -220,16 +220,20 @@ class SimilaritySpec extends SparkSuite {
       (1L, Array(1.0, 5.0, 7.0)), (2L, Array(2.0, 5.0, 9.0)),
       (3L, Array(3.0, 5.0, 14.0))).toDF("id", "v")
     val z = Similarity.standardize(vecs, "id", "v")
-      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
-    // dim 0: mean 2, stddev_pop sqrt(2/3)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // dim 0: mean 2, stddev_pop sqrt(2/3); z published in 1e-4 micro-units
     val s0 = math.sqrt(2.0 / 3.0)
-    assert(z((1L, 0)) === math.rint(-1.0 / s0 * 1e4) / 1e4)
-    assert(z((2L, 0)) === 0.0)
+    assert(z((1L, 0)) === math.rint(-1.0 / s0 * 1e4).toLong)
+    assert(z((2L, 0)) === 0L)
     // dim 1 is constant → zero variance → z pinned to 0, no NaN/Inf
-    assert(Seq(1L, 2L, 3L).forall(i => z((i, 1)) === 0.0))
-    // per-dim means of z are ~0 (whitened)
-    val m2 = (z((1L, 2)) + z((2L, 2)) + z((3L, 2))) / 3
-    assert(math.abs(m2) < 1e-3)
+    assert(Seq(1L, 2L, 3L).forall(i => z((i, 1)) === 0L))
+    // per-dim means of z are ~0 (whitened); micro-unit scale → < 10 units
+    val m2 = (z((1L, 2)) + z((2L, 2)) + z((3L, 2))) / 3.0
+    assert(math.abs(m2) < 10)
+    // the published column is integral — no double (hence no −0.0 / no
+    // half-up decimal boundary) ever reaches a cross-engine hash
+    assert(Similarity.standardize(vecs, "id", "v").schema("z_micro")
+      .dataType.typeName === "long")
   }
 
   test("knnGraph matches per-cell brute force and flags mutual edges") {
