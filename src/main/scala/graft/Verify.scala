@@ -29,7 +29,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // free per-query persisted intermediates
+      graft.ops.Caches.release() // drop tracked internal persists
+      spark.catalog.clearCache() // belt-and-braces for caller-persisted frames
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -954,4 +954,262 @@ case class PpmDHash(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): PpmDHash =
     copy(child = newChild)
+}
+
+/** REAL PNG encode: build a complete, spec-valid PNG (8-bit, non-
+  * interlaced; color types 0/2/6) whose raster is the text's UTF-8 bytes
+  * cycled to width×height×bpp. Per-scanline filter type is row % 5, so
+  * every filter the PNG spec defines (None/Sub/Up/Average/Paeth) appears
+  * in every image taller than 4 rows and a decoder must reconstruct all
+  * five to recover the raster. IDAT is one zlib stream (level 6 — the
+  * same public zlib CPython wraps, so an independently-built golden is
+  * byte-identical); all chunk CRC32s are real. Reference behavior shape:
+  * husqvarnagroup/GETL keeps binary payloads opaque
+  * (getl/blocks/load/entrypoint.py batch readers) — this synthesizes the
+  * payloads a real image ingest would carry so the decode path is
+  * testable end-to-end. Per-row, map-only at any corpus size. */
+case class PngEncode(text: Expression, widthExpr: Expression,
+                     heightExpr: Expression, colorType: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+
+  override def first: Expression = text
+  override def second: Expression = widthExpr
+  override def third: Expression = heightExpr
+  override def fourth: Expression = colorType
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any, w: Any, h: Any, ct: Any): Any =
+    PngCodec.encode(t.asInstanceOf[UTF8String].getBytes,
+      w.asInstanceOf[Int], h.asInstanceOf[Int], ct.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PngEncode =
+    copy(text = f, widthExpr = s, heightExpr = t, colorType = q)
+}
+
+/** REAL PNG pixel decode — no codec library, pure JVM: IDAT is a zlib
+  * stream (`java.util.zip.Inflater`), and scanline reconstruction
+  * (None/Sub/Up/Average/Paeth, per the PNG spec's filter definitions) is
+  * plain byte arithmetic. Walks the chunk list, verifies IHDR/IDAT CRCs
+  * (a real decoder rejects corrupt chunks), inflates, unfilters, and
+  * averages per channel over the complete pixels present — truncated
+  * streams decode their valid scanline prefix, exactly like the PPM
+  * decoder, because crawled corpora carry truncated files as data.
+  * Returns struct(width, height, color_type, n_pixels, mean_r, mean_g,
+  * mean_b) — grayscale maps its single channel to all three means, alpha
+  * never contributes; null for anything that is not a supported PNG
+  * (interlaced, palette, or 16-bit images need tables/passes out of scope
+  * for the 8-bit ingest shape). Per-row, map-only at any corpus size. */
+case class PngPixelStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("color_type", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PngCodec.pixelStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixelStats =
+    copy(child = newChild)
+}
+
+object PngCodec {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Samples per pixel for the supported 8-bit color types. */
+  private def bppOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, tag: String,
+                    data: Array[Byte]): Unit = {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    out.write(be32(data.length), 0, 4)
+    val tb = tag.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(be32(crc.getValue), 0, 4)
+  }
+
+  /** PNG filter prediction for byte i of a scanline: a = left (same
+    * channel), b = above, c = upper-left — the spec's Paeth operands. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  def encode(text: Array[Byte], width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val bpp = bppOf(colorType)
+    if (bpp < 0 || colorType == 4 || width <= 0 || height <= 0) return null
+    val stride = width * bpp
+    val raster = new Array[Byte](height * stride)
+    if (text.nonEmpty) {
+      var i = 0
+      while (i < raster.length) { raster(i) = text(i % text.length); i += 1 }
+    }
+    // filter each scanline with filter type row % 5 (encode = subtract the
+    // predictor; decode adds it back)
+    val filtered = new Array[Byte](height * (1 + stride))
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      val o = r * (1 + stride)
+      filtered(o) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val raw = raster(r * stride + i) & 0xff
+        val a = if (i >= bpp) raster(r * stride + i - bpp) & 0xff else 0
+        val b = if (r > 0) raster((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) raster((r - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        filtered(o + 1 + i) = ((raw - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(filtered); d.finish()
+    val zOut = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      zOut.write(buf, 0, n)
+    }
+    d.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream(zOut.size() + 128)
+    out.write(SIG, 0, 8)
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zOut.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  def pixelStats(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 8) return null
+    var i = 0
+    while (i < 8) { if (b(i) != SIG(i)) return null; i += 1 }
+    var width = -1L; var height = -1L; var colorType = -1; var bpp = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      if (len < 0 || len > Int.MaxValue || pos + 12 + len > b.length) return null
+      val tag = new String(b, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len.toInt)
+      if (crc.getValue != be32(b, dataOff + len.toInt) &&
+          (tag == "IHDR" || tag == "IDAT")) return null
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return null
+          width = be32(b, dataOff); height = be32(b, dataOff + 4)
+          val depth = b(dataOff + 8) & 0xff
+          colorType = b(dataOff + 9) & 0xff
+          val interlace = b(dataOff + 12) & 0xff
+          bpp = bppOf(colorType)
+          // 16-bit, palette, and interlaced images are out of the 8-bit
+          // ingest scope — null, never a wrong answer
+          if (depth != 8 || bpp < 0 || interlace != 0) return null
+        case "IDAT" => idat.write(b, dataOff, len.toInt)
+        case "IEND" => done = true
+        case _ => ()                 // ancillary chunks skip; CRC unchecked
+      }
+      pos = dataOff + len.toInt + 4
+    }
+    if (width <= 0 || height <= 0 || bpp < 0 || idat.size() == 0) return null
+    if (width * bpp + 1 > Int.MaxValue / math.max(height, 1)) return null
+    val stride = (width * bpp).toInt
+    val inf = new java.util.zip.Inflater(false)
+    inf.setInput(idat.toByteArray)
+    val expect = (height * (1 + stride)).toInt
+    val filtered = new Array[Byte](expect)
+    var got = 0
+    var exhausted = false
+    try {
+      while (got < expect && !inf.finished() && !exhausted) {
+        val n = inf.inflate(filtered, got, expect - got)
+        if (n == 0 && inf.needsInput()) exhausted = true // truncated stream: stop
+        else got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally inf.end()
+    // complete scanlines actually recovered (truncated payloads are data):
+    // `got` counts only bytes the inflater really produced, so zero-filled
+    // buffer tail never masquerades as decoded rows
+    val rows = math.min(height, got.toLong / (1 + stride)).toInt
+    if (rows <= 0) return null
+    val raster = new Array[Byte](rows * stride)
+    var r = 0
+    while (r < rows) {
+      val o = r * (1 + stride)
+      val ft = filtered(o) & 0xff
+      if (ft > 4) return null
+      var i = 0
+      while (i < stride) {
+        val x = filtered(o + 1 + i) & 0xff
+        val a = if (i >= bpp) raster(r * stride + i - bpp) & 0xff else 0
+        val bb = if (r > 0) raster((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) raster((r - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => bb
+          case 3 => (a + bb) / 2
+          case 4 => paeth(a, bb, c)
+        }
+        raster(r * stride + i) = ((x + pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val nPix = rows.toLong * width
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    while (p < nPix) {
+      val o = p * bpp
+      colorType match {
+        case 0 | 4 =>
+          val g = raster(o.toInt) & 0xff
+          sr += g; sg += g; sb += g
+        case _ =>
+          sr += raster(o.toInt) & 0xff
+          sg += raster(o.toInt + 1) & 0xff
+          sb += raster(o.toInt + 2) & 0xff
+      }
+      p += 1
+    }
+    val dn = nPix.toDouble
+    new GenericInternalRow(Array[Any](width, height, colorType, nPix,
+      sr / dn, sg / dn, sb / dn))
+  }
 }

@@ -58,6 +58,13 @@ object GraftFunctions {
 
   def ppmDHash(payload: Column): Column =
     col(PpmDHash(expr(payload)))
+
+  def pngEncode(text: Column, width: Column, height: Column,
+                colorType: Column): Column =
+    col(PngEncode(expr(text), expr(width), expr(height), expr(colorType)))
+
+  def pngPixelStats(payload: Column): Column =
+    col(PngPixelStats(expr(payload)))
 }
 
 /** SQL registration of the custom expressions, either at session build

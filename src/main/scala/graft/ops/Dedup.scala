@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Caches.TrackedPersist
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
@@ -49,29 +51,40 @@ object Dedup {
     * id: real pipelines keep the highest-ranked duplicate (longest
     * variant, best quality score, freshest crawl) — min-id keeps
     * whichever happened to be crawled first. Selection is
-    * `max(struct(rank, -id, payload))`: struct ordering compares rank
-    * first, then the negated id (ties go to the SMALLEST id), and the
-    * payload rides along without ever being compared because (rank, -id)
-    * is already unique per row. The struct max combines map-side exactly
-    * like [[exact]]'s min — one narrow shuffle keyed by 16-byte digest,
-    * no per-group window sort.
+    * `min(struct(descRank, id, payload))`: struct ordering compares the
+    * DESCENDING rank key first (so min(struct) picks the highest rank),
+    * then the id (ties go to the SMALLEST id — string, binary, or numeric
+    * ids all order naturally under min), and the payload rides along
+    * without ever being compared because (rank, id) is already unique per
+    * row. The struct min combines map-side exactly like [[exact]]'s min —
+    * one narrow shuffle keyed by 16-byte digest, no per-group window sort.
     *
-    * Contract (checked where possible): `idCol` must be NUMERIC (the
-    * tie-break negates it — enforced with a require) and must not be
-    * Long.MinValue (negation overflows; no real id generator emits it);
-    * every column of `df` must be an ORDERABLE type — `max(struct(...))`
-    * demands whole-struct orderability at analysis time even though the
-    * payload is never actually compared, so a MapType column fails the
-    * analyzer. Project un-orderable columns away (or json-encode them)
-    * before calling. */
+    * The descending rank key is overflow-safe by construction: integral
+    * ranks use bitwise NOT over long (`~x = -x-1`, strictly
+    * order-reversing with NO overflow at Long.MinValue, unlike negation);
+    * fractional/decimal ranks use plain negation (doubles can't overflow,
+    * and Spark's ordering treats -0.0 == 0.0). Non-numeric ranks are
+    * rejected with a require.
+    *
+    * Contract: every column of `df` must be an ORDERABLE type —
+    * `min(struct(...))` demands whole-struct orderability at analysis
+    * time even though the payload is never actually compared, so a
+    * MapType column fails the analyzer. Project un-orderable columns away
+    * (or json-encode them) before calling. */
   def keepBest(df: DataFrame, keyCol: Column, rankCol: Column,
                idCol: String): DataFrame = {
-    val idType = df.schema(idCol).dataType
-    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"keepBest tie-breaks on -$idCol, which needs a numeric id; got $idType")
+    import org.apache.spark.sql.types._
+    val rankType = df.select(rankCol.as("__r")).schema.head.dataType
+    val descRank = rankType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        bitwise_not(rankCol.cast("long"))
+      case FloatType | DoubleType | _: DecimalType => -rankCol // no overflow
+      case t => throw new IllegalArgumentException(
+        s"keepBest ranks on a numeric column; got $t")
+    }
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(md5(keyCol.cast("binary")))
-      .agg(max(struct(rankCol.as("__r"), (-col(idCol)).as("__nid"),
+      .agg(min(struct(descRank.as("__dr"), col(idCol).as("__id"),
           payload.as("__p"))).as("__best"),
         count(lit(1)).as("n_copies"))
       .select(col("__best.__p.*"), col("n_copies"))
@@ -230,7 +243,7 @@ object Dedup {
       // re-tokenizes and re-hashes the corpus, and Catalyst still sees the
       // tiny pre-explode file size and broadcasts the huge banded side.
       // Persisting computes once and gives the planner real statistics.
-      .persist()
+      .persistTracked()
 
     // scalar bucket key: xxhash64 over (band index, band slice) — a single
     // long the join can hash-partition on directly, instead of a
@@ -279,7 +292,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist() // feeds the exact index, the signatures, and both verifies
+      .persistTracked() // feeds the exact index, the signatures, and both verifies
     val exact = pairJaccard(withSh, maxShingleDf)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
@@ -397,7 +410,7 @@ object Dedup {
     val withSh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .persist() // feeds the inverted index once; Bench/Verify clearCache
+      .persistTracked() // feeds the inverted index once; Bench/Verify clearCache
     val inverted0 = withSh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     val inverted =
@@ -445,7 +458,7 @@ object Dedup {
     val withSh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .persist() // feeds the inverted index and the per-doc size map
+      .persistTracked() // feeds the inverted index and the per-doc size map
     pairJaccard(withSh, maxShingleDf)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -470,7 +483,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist() // feeds the index build and both verify joins
+      .persistTracked() // feeds the index build and both verify joins
     val ex = withSh.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -482,7 +495,7 @@ object Dedup {
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
       .select(col("id"), col("sz"), col("shingle"))
-      .persist() // both sides of the candidate self-join read it
+      .persistTracked() // both sides of the candidate self-join read it
     // length filter (lossless): J >= t forces t*|a| <= |b| <= |a|/t, so
     // size-incompatible matches drop BEFORE the array-verify join — the
     // shingle sets (the wide payload) are only shipped for pairs that can
@@ -525,7 +538,7 @@ object Dedup {
         substring(col(textCol), 1, prefixLen).as("pref"))
       .withColumn("sh", shingles(col("pref"), n))
       .where(size(col("sh")) > 0)
-      .persist() // feeds the index build and both verify joins
+      .persistTracked() // feeds the index build and both verify joins
     val inverted0 = base.select(col("id"), length(col("pref")).as("len"),
       explode(col("sh")).as("shingle"))
     val inverted =
@@ -585,7 +598,7 @@ object Dedup {
     val sigs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist() // both sides of the band self-join reuse the signatures
+      .persistTracked() // both sides of the band self-join reuse the signatures
     simhashPairsFromSigs(sigs, maxDistance, bucketCap)
   }
 
@@ -597,7 +610,7 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7fff).as("key")))).as("bucket"))
-      .persist() // feeds the hot-bucket count and both join sides
+      .persistTracked() // feeds the hot-bucket count and both join sides
     // bucket population is a narrow count on the band key; only buckets
     // ABOVE the cap survive the filter, so the routing join broadcasts a
     // near-empty (usually empty) list — the healthy-corpus path keeps the
@@ -663,7 +676,7 @@ object Dedup {
 
   def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).persistTracked()
     val labels =
       if (edges.count() <= MaxDriverEdges) unionFindLabels(spark, edges)
       else propagateLabels(edges)
@@ -711,11 +724,11 @@ object Dedup {
   private[ops] def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .persistTracked()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .persistTracked()
     var changed = 1L
     while (changed > 0) {
       val next = labels.alias("l")
@@ -725,7 +738,7 @@ object Dedup {
         .groupBy(col("l.id").as("id"))
         .agg(least(min(col("l.label")), coalesce(min(col("nlabel")),
           min(col("l.label")))).as("label"))
-        .persist()
+        .persistTracked()
       changed = next.alias("a")
         .join(labels.alias("b"), col("a.id") === col("b.id"))
         .where(col("a.label") =!= col("b.label"))

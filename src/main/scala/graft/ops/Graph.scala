@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Caches.TrackedPersist
+
 /** Link-graph analysis over a document corpus — the web-graph signals a
   * training-data pipeline derives before/alongside text quality (link-based
   * spam scoring, crawl prioritization, host authority weighting).
@@ -62,7 +64,7 @@ object Graph {
     val n = ids.count()
     require(n > 0, "pagerank needs a non-empty corpus")
     val edges = deriveEdges(docs, idCol, outDeg, n)
-      .repartition(col("src")).persist()
+      .repartition(col("src")).persistTracked()
     val base = (15L * T) / (100L * n)
     var ranks = ids.withColumn("r", lit(T / n))
     for (_ <- 1 to iters) {
@@ -110,7 +112,7 @@ object Graph {
     val n = ids.count()
     require(n > 0, "hits needs a non-empty corpus")
     val edges = deriveEdges(docs, idCol, outDeg, n)
-      .repartition(col("src")).persist()
+      .repartition(col("src")).persistTracked()
     var hub = ids.withColumn("h", lit(TH / n))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {

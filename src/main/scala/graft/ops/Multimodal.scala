@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * SOFn frame headers, [[graft.functions.AudioHeaderMeta]] walks RIFF/WAVE
   * chunks for channels/sample-rate/bit-depth/duration,
   * [[graft.functions.PcmFrameStats]] decodes the WAV `data` chunk's raw
-  * int16 samples into frame RMS / zero-crossing / peak signals, and
+  * int16 samples into frame RMS / zero-crossing / peak signals,
   * [[graft.functions.PpmPixelStats]] decodes P6 PPM rasters to per-channel
-  * pixel means — all byte-level, pure JVM. [[packMedia]]/[[packPpm]]
+  * pixel means, and [[graft.functions.PngPixelStats]] is a full PNG pixel
+  * decode (zlib IDAT inflate + five-filter scanline reconstruction — PNG's
+  * "compression" is plain zlib, no entropy-coding tables needed) — all
+  * byte-level, pure JVM. [[packMedia]]/[[packPpm]]/[[packPng]]
   * synthesize payloads carrying spec-valid headers so the oracle replays
   * every parsed field AND every decoded sample/pixel statistic. Only
   * ENTROPY-CODED content (JPEG pixel data, compressed audio) and learned
@@ -229,6 +232,45 @@ object Multimodal {
         round(col("px.mean_r"), 4).as("mean_r"),
         round(col("px.mean_g"), 4).as("mean_g"),
         round(col("px.mean_b"), 4).as("mean_b"))
+
+  /** Pack a text column as a COMPLETE spec-valid PNG: 8-bit raster (the
+    * text bytes cycled to fill width×height×channels), all five scanline
+    * filters in rotation, one level-6 zlib IDAT stream, real chunk CRCs —
+    * see [[graft.functions.PngEncode]]. Dimensions and color type derive
+    * from the id by fixed arithmetic (like [[packPpm]]) so an independent
+    * golden can rebuild every payload byte-for-byte. Map-only. */
+  def packPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = (pmod(id, lit(16)) + 4).cast("int")
+    val h = (pmod(id * 3, lit(16)) + 4).cast("int")
+    // rotate gray (1 ch) / RGB (3 ch) / RGBA (4 ch) by id so every bpp the
+    // decoder supports appears in every corpus slice
+    val ct = when(pmod(id, lit(3)) === 0, 0)
+      .when(pmod(id, lit(3)) === 1, 2).otherwise(6).cast("int")
+    df.select(id,
+      graft.functions.GraftFunctions
+        .pngEncode(col(textCol), w, h, ct).as("payload"),
+      lit("image/png").as("content_type"))
+  }
+
+  /** REAL PNG pixel decode: zlib-inflate the IDAT stream, reconstruct
+    * every scanline filter, and average the raster per channel — see
+    * [[graft.functions.PngPixelStats]]. Means publish as fixed-point
+    * micro-units (exact integer byte sums / exact pixel count, one IEEE
+    * division — no rounded double crosses an engine boundary). */
+  def pngPixels(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    def micro(c: Column) = round(c * 1e4).cast("long")
+    df.select(col(idCol),
+        md5(hex(col(payloadCol))).as("png_md5"),
+        graft.functions.GraftFunctions.pngPixelStats(col(payloadCol)).as("px"))
+      .where(col("px").isNotNull)
+      .select(col(idCol), col("png_md5"),
+        col("px.width"), col("px.height"),
+        col("px.color_type").cast("long").as("color_type"), col("px.n_pixels"),
+        micro(col("px.mean_r")).as("mean_r_micro"),
+        micro(col("px.mean_g")).as("mean_g_micro"),
+        micro(col("px.mean_b")).as("mean_b_micro"))
+  }
 
   /** STUB DECODE — deterministic fake: derives "decoded" image dimensions
     * from an md5 hash of the payload bytes. Kept for the batch-iterator

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Caches.TrackedPersist
+
 /** Deterministic sampling for training-data pipelines.
   *
   * `rand()`-based sampling is non-reproducible across retries and
@@ -264,7 +266,7 @@ object Sampling {
       // the hashed-feature stream feeds three plan branches (target dist,
       // raw dist, per-raw-doc fold) — without persist each branch re-pays
       // the tokenize + explode + hash of the whole corpus
-      .persist()
+      .persistTracked()
     // bucket log-likelihood ratios: ≤ `buckets` rows by construction
     val dist = feats.groupBy(col("_b")).agg(
       sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Caches.TrackedPersist
+
 /** Similarity search over embedding columns (`array<float>`): cosine /
   * dot-product scoring as pure Catalyst higher-order expressions, a
   * brute-force top-k baseline, and an LSH-bucketed approximate variant
@@ -133,7 +135,7 @@ object Similarity {
               queryId: Long, k: Int, nPlanes: Int = 4): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
-      .persist() // reused by the query-row lookup and the bucket scan
+      .persistTracked() // reused by the query-row lookup and the bucket scan
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"))
     bucketed.filter(col(idCol) =!= queryId)
@@ -158,7 +160,7 @@ object Similarity {
                    queryId: Long, k: Int, nPlanes: Int = 4): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
-      .persist()
+      .persistTracked()
     val flips = array((lit(0) +: (0 until nPlanes).map(p => lit(1 << p))): _*)
     val probes = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"),
@@ -214,7 +216,7 @@ object Similarity {
       // feeds both join sides: without persist the upstream projection
       // (vector cast + norm — and any caller-side feature extraction)
       // runs twice
-      .persist()
+      .persistTracked()
     val lhs = base
       .withColumn("__j", explode(expr(s"sequence(__b, ${blocks - 1})")))
       .select(col("__g"), col("__b").as("__i"), col("__j"),
@@ -361,7 +363,7 @@ object Similarity {
 
     val assigned = df.select(col(idCol), col(vecCol))
       .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
-      .persist()
+      .persistTracked()
 
     val q = assigned.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("cell"))
@@ -394,7 +396,7 @@ object Similarity {
 
     val assigned = df.select(col(idCol), col(vecCol))
       .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
-      .persist()
+      .persistTracked()
 
     // probe list: the query vector against the tiny centroid table —
     // k-row TakeOrderedAndProject, broadcast into the cell-pruned scan
@@ -621,7 +623,7 @@ object Similarity {
       .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
     val assigned = df.select(col(idCol), col(vecCol))
       .withColumn("cell", cellOf(col(vecCol), collectCents(cvecs)))
-      .persist()
+      .persistTracked()
     val q = assigned.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("cell"))
     assigned.filter(col(idCol) =!= queryId)
@@ -685,7 +687,7 @@ object Similarity {
       .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", cellOf(col("vec"), collectCents(cvecs)))
-      .persist() // feeds both sides of the in-cell pair join
+      .persistTracked() // feeds both sides of the in-cell pair join
     val drops = assigned.alias("l")
       .join(assigned.alias("r"), expr("l.cell = r.cell AND r.id < l.id"))
       .where(cosine(col("l.vec"), col("r.vec")) >= threshold)
@@ -809,7 +811,7 @@ object Similarity {
     val spark = df.sparkSession
     val q = df.select(col(idCol).as("id"),
         transform(dbl(col(vecCol)), x => round(x * 1e6).cast("long")).as("xq"))
-      .persist() // feeds the mean pass + every power step; caller clearCache
+      .persistTracked() // feeds the mean pass + every power step; caller clearCache
     val n = q.count()
     require(n > 0, "topComponentProjection needs a non-empty corpus")
     val dim = q.select(size(col("xq"))).head().getInt(0)

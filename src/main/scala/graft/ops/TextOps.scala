@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Caches.TrackedPersist
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language ID, and document
   * fingerprinting.
@@ -254,11 +256,13 @@ object TextOps {
     * one-row `percentile_disc` aggregate broadcast back onto the scored
     * corpus, so the gate is two passes over the data and no driver-side
     * value handling; `percentile_disc` (not the interpolating
-    * `percentile`) keeps the threshold an actual observed score. NOTE:
-    * Spark's `percentile_disc` and DuckDB's `quantile_disc` agree at the
-    * quantiles the oracle actually exercises (q = 0.25); their
-    * discrete-index conventions are NOT guaranteed to coincide at every
-    * (q, n) — verify before reusing other quantiles cross-engine. */
+    * `percentile`) keeps the threshold an actual observed score. Both
+    * Spark's `percentile_disc` and DuckDB's `quantile_disc` implement
+    * the SQL-standard convention (least observed value whose cumulative
+    * distribution >= q): Spark's side is property-pinned against a
+    * reference implementation in TextOpsSpec, and cross-engine agreement
+    * is oracle-verified at q in {0.1, 0.25, 0.5, 0.75, 0.9}
+    * (x_text_quality_quantiles) beyond the 0.25 the filters use. */
   def qualityFilter(df: DataFrame, idCol: String,
                     quantile: Double): DataFrame = {
     // persisted because both the threshold aggregate and the gate read it:
@@ -266,7 +270,7 @@ object TextOps {
     // until the session clears its cache — Bench/Verify clearCache per
     // query; long-lived sessions should do the same between invocations)
     val scored = qualityScore(df)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.agg(
       expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY quality_score)")
         .as("_thr"))
@@ -289,7 +293,7 @@ object TextOps {
                             quantile: Double): DataFrame = {
     // same cached-re-read shape as [[qualityFilter]]
     val scored = qualityScore(df)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.groupBy(col(sourceCol)).agg(
       expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY quality_score)")
         .as("_thr"))
@@ -346,7 +350,7 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(concat(lit("<"), concat_ws("><", split(col("w"), "")),
         lit(">")).as("s"), col("c"))
-      .persist() // vocabulary-sized; every step re-reads it
+      .persistTracked() // vocabulary-sized; every step re-reads it
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     var exhausted = false
@@ -627,7 +631,7 @@ object TextOps {
     val withB = scored.withColumn("__b",
       least(greatest(floor(-col("mean_logprob") * 32), lit(0L)),
         lit(buckets - 1L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val off = withB.groupBy(col(langCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(
@@ -825,7 +829,7 @@ object TextOps {
       .groupBy(col("id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("yfp", when(col("y"), 1000000L).otherwise(0L))
-      .persist()
+      .persistTracked()
     val nDocs = x.select(countDistinct(col("id"))).first().getLong(0)
     var wfp = Map.empty[Long, Long] // bucket -> weight in micro units
     for (_ <- 0 until iters) {
@@ -1063,7 +1067,7 @@ object TextOps {
                           eval: DataFrame, textCol: String = "text",
                           n: Int = 3): DataFrame = {
     val sh = graft.functions.GraftFunctions.wordShingles(tokens(col(textCol)), n)
-    val base = train.select(col(idCol), sh.as("shs")).persist()
+    val base = train.select(col(idCol), sh.as("shs")).persistTracked()
     val evalSh = eval.select(explode(sh).as("s"))
       .select(xxhash64(col("s")).as("h")).distinct()
     val hits = base.select(col(idCol), explode(col("shs")).as("s"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Caches.TrackedPersist
 
 /** Headline analytical queries (TPC-H-shaped) — the engine exposes full
   * Spark SQL through its `custom::sql` block (reference
@@ -658,7 +659,7 @@ object AnalyticsQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
-        .persist()
+        .persistTracked()
       val perOrder = os.groupBy(col("l_orderkey").as("ok"))
         .agg(count(lit(1)).as("n_supps"),
           count(when(col("late"), lit(1))).as("n_late"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{AsofJoin, Curation, Dedup, Graph, Intervals, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, Skew, TextOps}
+import graft.ops.Caches.TrackedPersist
 
 /** Training-data pipeline operators as oracle-verified queries: text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -430,7 +431,7 @@ object OpsQueries {
       // second pass is a cached re-read (at 100 TB this stage persists to
       // disk-backed storage; without it the whole dedup window runs twice)
       val scored = TextOps.qualityScore(deduped)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = scored.agg(
         expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)")
           .as("_thr"))
@@ -594,6 +595,16 @@ object OpsQueries {
     "x_mm_pixels" -> ((s, d) =>
       Multimodal.ppmPixels(
         Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload")),
+
+    // REAL PNG decode end-to-end: encode (five-filter scanlines + zlib
+    // IDAT + chunk CRCs) then decode (inflate + filter reconstruction) —
+    // the golden oracle rebuilt every payload byte-for-byte with CPython's
+    // zlib and its own independent filter implementation, so one wrong
+    // predictor byte, CRC, or deflate flag mismatches png_md5 or a mean
+    "x_mm_png_pixels" -> ((s, d) =>
+      Multimodal.pngPixels(
+        Multimodal.packPng(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload")),
 
     // image near-dup end-to-end over the decoded rasters: perceptual
@@ -854,6 +865,23 @@ object OpsQueries {
     "x_text_quality_by_source" -> ((s, d) =>
       TextOps.qualityFilterBySource(Tables.documents(s, d), "doc_id",
         "source", quantile = 0.25)),
+
+    // multi-quantile convention pin: a percentile_disc ladder per source
+    // at five q values. Discrete quantiles select ACTUAL observed scores,
+    // so both engines emit bit-identical doubles iff their discrete-index
+    // conventions coincide (SQL standard: least value with CDF >= q) —
+    // this is the cross-engine proof the quality gates' thresholds rely
+    // on at quantiles beyond the 0.25 the filters themselves exercise
+    "x_text_quality_quantiles" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(
+          expr("percentile_disc(0.10) WITHIN GROUP (ORDER BY quality_score)").as("q10"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)").as("q25"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY quality_score)").as("q50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY quality_score)").as("q75"),
+          expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY quality_score)").as("q90"),
+          count(lit(1)).as("n_docs"))),
 
     // the split-quality audit closing the loop on x_split_safe: every
     // held-out (val/test) document reports the fraction of its 3-gram
@@ -2592,6 +2620,19 @@ object OpsQueries {
         |FROM n LEFT JOIN px USING (doc_id)
         |GROUP BY n.doc_id, w, h, npix""".stripMargin,
 
+    // golden-file oracle (the x_text_compress_ratio recipe): every PNG is
+    // rebuilt byte-for-byte by tools/make_png_golden.py with CPython's
+    // zlib + an independent filter/CRC implementation, and the expected
+    // pixel means come from the pre-filter raster — keyed by
+    // md5(doc_id:md5(text)) so one golden serves all three SFs. The inner
+    // join fails loud (rows_match) on any missing/extra row.
+    "x_mm_png_pixels" ->
+      """SELECT d.doc_id, g.png_md5, g.width, g.height, g.color_type,
+        |  g.n_pixels, g.mean_r_micro, g.mean_g_micro, g.mean_b_micro
+        |FROM documents d
+        |JOIN '/root/repo/oracle/png_pixels_golden.parquet' g
+        |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
+
     "x_mm_embed_pairs" ->
       s"""WITH e AS (SELECT doc_id, lang, list_transform(range(0, 16), j ->
          |    CAST('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
@@ -2829,6 +2870,21 @@ object OpsQueries {
          |    quantile_disc(quality_score, 0.25) OVER (PARTITION BY source) AS thr
          |  FROM q)
          |WHERE quality_score >= thr""".stripMargin,
+
+    // DuckDB's quantile_disc implements the same SQL-standard convention
+    // as Spark's percentile_disc (least value with CDF >= q); discrete
+    // selection returns an observed element, so the doubles hash-compare
+    // bit-exactly when — and only when — the conventions agree
+    "x_text_quality_quantiles" ->
+      s"""WITH $QualityCte
+         |SELECT source,
+         |  quantile_disc(quality_score, 0.10) AS q10,
+         |  quantile_disc(quality_score, 0.25) AS q25,
+         |  quantile_disc(quality_score, 0.50) AS q50,
+         |  quantile_disc(quality_score, 0.75) AS q75,
+         |  quantile_disc(quality_score, 0.90) AS q90,
+         |  count(*) AS n_docs
+         |FROM q GROUP BY source""".stripMargin,
 
     "x_split_leakage" ->
       s"""WITH spl AS (SELECT doc_id, text,

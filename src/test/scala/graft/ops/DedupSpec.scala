@@ -239,5 +239,32 @@ class DedupSpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("keepBest tie-breaks lexicographically on STRING ids") {
+    val docs = Seq(
+      ("url-b", "same text", 12L),  // family A, rank 12, tie
+      ("url-a", "same  TEXT ", 12L), // family A, rank 12 -> smallest id wins
+      ("url-c", "same text", 10L),  // family A, lower rank
+      ("url-z", "unique document", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepBest(docs,
+        TextOps.normalize(col("text")), col("n_chars"), "doc_id")
+      .select("doc_id", "n_chars", "n_copies")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("url-a", 12L, 3L), ("url-z", 7L, 1L)))
+  }
+
+  test("keepBest survives Long.MinValue ranks (bitwise-NOT descending key)") {
+    val docs = Seq(
+      (1L, "same text", Long.MinValue), // would overflow under negation
+      (2L, "same  TEXT ", 5L),          // highest rank -> kept
+      (3L, "unique document", Long.MinValue))
+      .toDF("doc_id", "text", "rank")
+    val got = Dedup.keepBest(docs,
+        TextOps.normalize(col("text")), col("rank"), "doc_id")
+      .select("doc_id", "rank", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 5L, 2L), (3L, Long.MinValue, 1L)))
+  }
+
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 }

@@ -280,6 +280,83 @@ class MultimodalSpec extends SparkSuite {
       got.exists { case (a, b, h) => a == 3L && b == 100L })
   }
 
+  test("packPng/pngPixels round-trip: all five filters reconstruct the raster") {
+    import org.apache.spark.sql.functions._
+    // 6 docs cover gray/RGB/RGBA and heights > 5 so every filter type
+    // (row % 5) appears; means must equal the cycled-text byte means
+    val docs = Seq((0L, "abcdefgh"), (1L, "spark png"), (2L, "zzz"),
+      (3L, ""), (4L, "The quick brown fox."), (5L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.pngPixels(
+        Multimodal.packPng(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 6)
+    docs.collect().foreach { row =>
+      val id = row.getLong(0); val t = row.getString(1).getBytes("UTF-8")
+      val w = (id % 16 + 4).toInt; val h = (id * 3 % 16 + 4).toInt
+      val ct = Seq(0, 2, 6)((id % 3).toInt)
+      val bpp = Map(0 -> 1, 2 -> 3, 6 -> 4)(ct)
+      val raster = Array.tabulate(w * h * bpp)(i =>
+        if (t.isEmpty) 0 else t(i % t.length) & 0xff)
+      val sums = if (ct == 0) { val s = raster.sum.toLong; Seq(s, s, s) }
+        else (0 until 3).map(c => raster.indices.collect {
+          case i if i % bpp == c => raster(i).toLong }.sum)
+      val r = got(id)
+      assert(r.getLong(2) === w && r.getLong(3) === h)
+      assert(r.getLong(5) === w.toLong * h)
+      (0 until 3).foreach { c =>
+        val mean = sums(c).toDouble / (w * h)
+        // HALF_UP on the shortest repr — Spark round()'s convention, not
+        // rint's half-to-even
+        val want = BigDecimal(mean * 1e4)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        assert(r.getLong(6 + c) === want, s"doc $id channel $c")
+      }
+    }
+  }
+
+  test("pngPixels: corrupt CRC nulls, truncated IDAT decodes the row prefix") {
+    val packed = Multimodal.packPng(
+      Seq((7L, "some raster text payload")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val bytes = packed.select($"payload").head().getAs[Array[Byte]](0)
+
+    // flip one byte inside the IDAT data WITHOUT fixing its CRC -> a real
+    // decoder must reject the chunk, not hand back garbage pixels
+    val ihdrEnd = 8 + 12 + 13 // sig + IHDR framing + IHDR data
+    val corrupt = bytes.clone()
+    corrupt(ihdrEnd + 8 + 2) = (corrupt(ihdrEnd + 8 + 2) ^ 0x7f).toByte
+
+    // truncate the ZLIB STREAM (keep half the deflate bytes) but rebuild
+    // valid chunk framing + CRC — the crawled-file shape where the bytes
+    // on disk simply stop: the decoder must return the complete-scanline
+    // prefix instead of nulling the whole payload
+    val idatLen = java.nio.ByteBuffer.wrap(bytes, ihdrEnd, 4).getInt
+    val keep = idatLen / 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, ihdrEnd)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(keep).array(), 0, 4)
+    out.write("IDAT".getBytes("US-ASCII"), 0, 4)
+    out.write(bytes, ihdrEnd + 8, keep)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(bytes, ihdrEnd + 8, keep)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    val truncated = out.toByteArray
+
+    val rows = Seq(("corrupt", corrupt), ("truncated", truncated))
+      .toDF("tag", "payload")
+      .select($"tag",
+        graft.functions.GraftFunctions.pngPixelStats($"payload").as("px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("corrupt").isEmpty, "corrupt IDAT CRC must decode to null")
+    val px = rows("truncated")
+    assert(px.isDefined, "a truncated zlib stream still yields the row prefix")
+    val struct = px.get.asInstanceOf[org.apache.spark.sql.Row]
+    // doc 7: width 11, height 9 declared; prefix decode keeps >=1 but < 9 rows
+    assert(struct.getLong(0) === 11L)
+    val nPix = struct.getLong(3)
+    assert(nPix > 0 && nPix < 11L * 9, s"expected partial raster, got $nPix")
+  }
+
   test("audioActivityGate keeps loud clips, drops quiet ones") {
     def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
     def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.SparkSuite
 
@@ -531,5 +531,34 @@ class TextOpsSpec extends SparkSuite {
     assert(enB === Map("head" -> 2, "middle" -> 2, "tail" -> 2))
     val deB = got.filter(_._2 == "de").groupBy(_._5).view.mapValues(_.length).toMap
     assert(deB === Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+  }
+
+  test("percentile_disc follows the SQL-standard convention at every (q, n)") {
+    // the convention the quality gates rely on cross-engine: the LEAST
+    // observed value whose cumulative distribution >= q (same definition
+    // DuckDB's quantile_disc documents). Reference: ceil(q*n)-th order
+    // statistic (1-based), clamped to [1, n]. Pinned over every n in
+    // 1..17 x 9 q values — a convention drift at ANY (q, n) index fails.
+    val rng = new scala.util.Random(42)
+    val qs = Seq(0.0, 0.1, 0.25, 1.0 / 3, 0.5, 2.0 / 3, 0.75, 0.9, 1.0)
+    // one DataFrame, one groupBy: every (q, n) cell checked in a single job
+    val groups = (1 to 17).map { n =>
+      n -> Seq.fill(n)(math.round(rng.nextDouble() * 1e4) / 1e4)
+    }
+    val df = groups.flatMap { case (n, vals) => vals.map(v => (n, v)) }
+      .toDF("n", "x")
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY x)").as(s"p$i") }
+    val got = df.groupBy(col("n")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        qs.indices.map(i => r.getDouble(i + 1))).toMap
+    for ((n, vals) <- groups; (q, i) <- qs.zipWithIndex) {
+      val sorted = vals.sorted
+      // definitional reference: smallest k (1-based) with CDF k/n >= q
+      val k = (1 to n).find(k => k.toDouble / n >= q).getOrElse(n)
+      val expected = sorted(k - 1)
+      assert(got(n)(i) === expected,
+        s"n=$n q=$q: got ${got(n)(i)} expected $expected")
+    }
   }
 }
