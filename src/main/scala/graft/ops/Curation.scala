@@ -127,11 +127,13 @@ object Curation {
     * profilers, not here. */
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val melted = df.select(cols.map { case (n, c) =>
-        c.cast("string").as(n) }: _*)
-      .select(expr("stack(" + cols.size + ", " +
-        cols.map { case (n, _) => s"'$n', `$n`" }.mkString(", ") +
-        ") AS (column_name, value)"))
+    // melt via explode(array(struct(...))) — pure Column construction, so
+    // a name containing quotes/backticks labels its rows verbatim instead
+    // of corrupting a string-built stack() expression
+    val melted = df.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("column_name"), c.cast("string").as("value"))
+      }: _*)).as("__kv"))
+      .select(col("__kv.column_name"), col("__kv.value"))
     melted.groupBy(col("column_name"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("value").isNull.cast("long")).as("n_null"),

@@ -98,12 +98,16 @@ object Packing {
     * monotone weight-bucket coarsening (weight div 4, descending), so no
     * corpus-sized window is unpartitioned; the shard is
     * `(rank − 1) mod shards` — pure integer, no engine convention.
+    * NULL weights coalesce to 0 — the row still lands in a shard (ranked
+    * with the lightest documents) instead of silently vanishing in the
+    * bucket-offset equi-join, which a NULL bucket key would never match.
     * Returns (idCol, weight, rank, shard). */
   def balancedShards(df: DataFrame, idCol: String,
                      weightCol: org.apache.spark.sql.Column,
                      shards: Int): DataFrame = {
     require(shards >= 1, "shards must be positive")
-    val base = df.select(col(idCol), weightCol.cast("long").as("weight"))
+    val base = df.select(col(idCol),
+      coalesce(weightCol.cast("long"), lit(0L)).as("weight"))
     val withB = base.withColumn("__b", expr("weight div 4"))
     val off = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(

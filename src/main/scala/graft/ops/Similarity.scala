@@ -318,7 +318,14 @@ object Similarity {
     * re-derive the matrix for every row). Scoring is map-only: the
     * corpus fans out ×outDim narrow (id, k, srow) rows and each
     * projection is one left-to-right [[dot]] — deterministic summation,
-    * mirrored exactly by the oracle's list_reduce. */
+    * mirrored exactly by the oracle's list_reduce.
+    *
+    * Dimension contract is enforced PER ROW: [[dot]] iterates the
+    * embedding's own length against the fixed ±1 row, so a vector longer
+    * than `inDim` would silently read past the sign row (and the oracle's
+    * out-of-range list index would return NULL — a silent cross-engine
+    * divergence). The `raise_error` guard turns that into a loud job
+    * failure naming the offending width instead. */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     outDim: Int = 16, inDim: Int = 64): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -331,7 +338,11 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
         posexplode(typedLit(matrix)).as(Seq("k", "__srow")))
       .select(col(idCol), col("k"),
-        round(dot(col(vecCol), col("__srow")), 4).as("proj"))
+        when(size(col(vecCol)) === inDim,
+            round(dot(col(vecCol), col("__srow")), 4))
+          .otherwise(raise_error(concat(
+            lit(s"randomProject expects $inDim-dim vectors; got "),
+            size(col(vecCol)).cast("string")))).as("proj"))
   }
 
   def centroids(df: DataFrame, labelCol: String, vecCol: String,

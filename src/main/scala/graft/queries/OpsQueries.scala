@@ -1120,7 +1120,7 @@ object OpsQueries {
     // postings ever shuffle; adjacency is k-1 equi-joins on (id, pos)
     "x_retrieval_phrase" -> ((s, d) =>
       TextOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
-        Seq("big", "order", "scan"))),
+        PhraseTerms)),
 
     // right-to-be-forgotten propagation: listed docs + byte-exact copies
     // + near-dups of listed docs, via broadcast digest/shingle probes
@@ -1301,6 +1301,10 @@ object OpsQueries {
             .as("e_day")),
         Seq("l_suppkey"), "s_day", "e_day"))
   )
+
+  /** The x_retrieval_phrase query phrase — single source of truth for
+    * BOTH the Spark query and the DuckDB oracle's generated conjunction. */
+  private val PhraseTerms = Seq("big", "order", "scan")
 
   /** Shared DuckDB fragments mirroring TextOps/Dedup hash arithmetic. */
   private[queries] val Toks =
@@ -3366,11 +3370,17 @@ object OpsQueries {
          |    WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
          |FROM r""".stripMargin,
 
+    // the per-position conjunction and window derive from the SAME
+    // PhraseTerms Seq the Spark query uses — editing the phrase cannot
+    // silently decouple implementation from oracle
     "x_retrieval_phrase" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |h AS (SELECT doc_id,
-         |  list_filter(generate_series(1, len(toks) - 2),
-         |    i -> toks[i] = 'big' AND toks[i+1] = 'order' AND toks[i+2] = 'scan')
+         |  list_filter(generate_series(1, len(toks) - ${PhraseTerms.size - 1}),
+         |    i -> ${PhraseTerms.zipWithIndex.map { case (w, k) =>
+                 val lit = w.replace("'", "''")
+                 if (k == 0) s"toks[i] = '$lit'" else s"toks[i+$k] = '$lit'"
+               }.mkString(" AND ")})
          |    AS hits
          |  FROM t)
          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,

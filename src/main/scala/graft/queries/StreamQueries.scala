@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.StructType
 import graft.Tables
 import graft.common.FsUtils
 import graft.streaming.Streaming
+import graft.streaming.PlanProbe.CapturedRun
 
 /** Structured-Streaming queries run as incremental batches
   * (Trigger.AvailableNow) over a JSON export of the events table, verified
@@ -55,7 +56,7 @@ object StreamQueries {
         .option("checkpointLocation", s"$w/checkpoint")
         .outputMode("append")
         .start(s"$w/out")
-        .awaitTermination()
+        .runCaptured()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(s"$w/out")
   }
@@ -340,7 +341,7 @@ object StreamQueries {
           .option("checkpointLocation", s"$w/checkpoint")
           .outputMode("append")
           .start(s"$w/out")
-          .awaitTermination()
+          .runCaptured()
       table.write(wave(0))
       drain()
       table.append(wave(1))

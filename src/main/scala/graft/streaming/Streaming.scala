@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.streaming.PlanProbe.CapturedRun
+
 /** Structured-Streaming operators beyond the reference's trigger-once
   * ingestion (reference getl/blocks/load/entrypoint.py:239-262 and
   * write/entrypoint.py:296-321 only ever read and write with no
@@ -116,7 +118,7 @@ object Streaming {
         ()
       }
       .start()
-      .awaitTermination()
+      .runCaptured()
   }
 
   /** Streaming corpus ingestion with dedup-against-index — the continuous
@@ -153,7 +155,7 @@ object Streaming {
         ()
       }
       .start()
-      .awaitTermination()
+      .runCaptured()
   }
 
   /** Streaming NEAR-dup ingestion against a persistent MinHash-LSH index:
@@ -258,7 +260,7 @@ object Streaming {
         ()
       }
       .start()
-      .awaitTermination()
+      .runCaptured()
   }
 
   /** Streaming CDC mirror: apply an I/U/D change stream onto a
@@ -348,7 +350,7 @@ object Streaming {
         ()
       }
       .start()
-      .awaitTermination()
+      .runCaptured()
   }
 
   def streamApplyChanges(changes: DataFrame, table: graft.table.ManagedTable,
@@ -366,7 +368,7 @@ object Streaming {
         ()
       }
       .start()
-      .awaitTermination()
+      .runCaptured()
   }
 
   /** One event inside a session group. */

@@ -190,10 +190,21 @@ class CurationSpec extends SparkSuite {
           Option(r.getString(4)), Option(r.getString(5))))).toMap
     assert(got("id") === ((4L, 0L, 4L, Some("1"), Some("4"))))
     assert(got("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
-    // ONE corpus scan: the melt is a stack projection, not per-column reads
+    // ONE corpus scan: the melt is a single explode projection, not
+    // per-column reads
     val plan = Curation.profile(df, Seq("id" -> col("id"), "s" -> col("s")))
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Union"), s"melt must not union per-column scans:\n$plan")
+  }
+
+  test("profile labels columns whose names contain quotes and backticks") {
+    // the melt is built from Columns, not an interpolated stack() string,
+    // so hostile names label their rows verbatim instead of parse-erroring
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val name = "it's `quoted`"
+    val got = Curation.profile(df, Seq(name -> col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(name -> 2L))
   }
 
   test("calibrationBins: integer basis points, clamped bins") {

@@ -79,4 +79,15 @@ class PackingSpec extends SparkSuite {
     val totals = got.groupBy(_._4).view.mapValues(_.map(_._2).sum).values.toSeq
     assert(totals.max - totals.min <= got.map(_._2).max)
   }
+
+  test("balancedShards keeps NULL-weight rows, ranked last as weight 0") {
+    val df = Seq((1L, Some(40L)), (2L, None), (3L, Some(12L)), (4L, None))
+      .toDF("doc_id", "wt")
+    val got = Packing.balancedShards(df, "doc_id", col("wt"), shards = 2)
+      .select("doc_id", "weight", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.length === 4) // null-weight rows are NOT dropped
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L, 4L)) // nulls last, id tie-break
+    assert(got.filter(r => r._1 == 2L || r._1 == 4L).forall(_._2 == 0L))
+  }
 }

@@ -290,6 +290,17 @@ class SimilaritySpec extends SparkSuite {
     assert(s0.size === 2 || dim < 4)
   }
 
+  test("randomProject fails loudly on a dimension mismatch") {
+    // a 6-wide vector against inDim=5 would silently read past the sign
+    // row (and NULL on the oracle side) — the guard must raise instead
+    val df = Seq((1L, Array.fill(6)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProject(df, "vec_id", "embedding",
+        outDim = 2, inDim = 5).collect()
+    }
+    assert(e.getMessage.contains("randomProject expects 5-dim"), e.getMessage)
+  }
+
   test("allPairsCosine diagonal blocks drop self-pairs and duplicates") {
     val tiny = Seq((1L, "x", Array(1.0, 0.0)), (2L, "x", Array(1.0, 0.0)),
       (3L, "x", Array(0.0, 1.0)), (4L, "y", Array(1.0, 1.0)))
