@@ -338,8 +338,11 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
         posexplode(typedLit(matrix)).as(Seq("k", "__srow")))
       .select(col(idCol), col("k"),
+        // + 0.0 normalizes a rounded -0.0 to +0.0 (IEEE): DuckDB's round
+        // keeps the sign of a tiny negative dot, Spark's drops it — the
+        // one bit the hash compare would see on a value-equal zero
         when(size(col(vecCol)) === inDim,
-            round(dot(col(vecCol), col("__srow")), 4))
+            round(dot(col(vecCol), col("__srow")), 4) + lit(0.0))
           .otherwise(raise_error(concat(
             lit(s"randomProject expects $inDim-dim vectors; got "),
             size(col(vecCol)).cast("string")))).as("proj"))
@@ -350,6 +353,23 @@ object Similarity {
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(round(avg(col("v").cast("double")), scale).as("mean"))
+
+  /** Per-(label, dim) centroid means in fixed-point 1e-4 units from EXACT
+    * integer sums: each component quantizes to 1e-6 integer units (one
+    * order-free IEEE multiply+round per value), the group aggregates an
+    * exact decimal(38,0) sum, and the mean is a single IEEE division of
+    * exact integers — bit-deterministic at ANY parallelism, unlike
+    * [[centroids]]' float `avg` whose partial-sum order varies with
+    * partitioning. No double survives to the output, so neither a signed
+    * zero nor a round-half boundary can diverge across engines. */
+  def centroidsMicro(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        round(col("v") * 1e6, 0).cast("decimal(38,0)").as("xq"))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("xq")).cast("double") / (count(lit(1)) * lit(100.0)), 0)
+        .cast("long").as("mean_micro"))
 
   /** IVF (inverted-file) approximate top-k with a supplied coarse
     * quantizer: [[centroids]] of `quantizerCol` are the cell centers

@@ -89,8 +89,12 @@ object OpsQueries {
       Dedup.embeddingLshPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", nPlanes = 4, threshold = 0.3)),
 
+    // fixed-point centroid means from exact integer sums — a float avg's
+    // partial-sum order varies with partitioning (and DuckDB's round emits
+    // -0.0 on tiny negative means, found by tools/audit_signed_zero.py at
+    // sf0.1); integer micro-units are bit-stable at any parallelism
     "x_embed_centroid" -> ((s, d) =>
-      Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")),
+      Similarity.centroidsMicro(Tables.embeddings(s, d), "label", "embedding")),
 
     // per-dim z-score whitening: one stats aggregation broadcast back,
     // map-only apply — the pre-clustering feature-scaling pass
@@ -472,8 +476,10 @@ object OpsQueries {
     "x_embed_truncate" -> ((s, d) => {
       val v = slice(col("embedding").cast("array<double>"), 1, 16)
       val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+      // + 0.0 drops the sign off a rounded -0.0 (DuckDB keeps it, Spark
+      // doesn't — the one hash-visible bit on a value-equal zero)
       Tables.embeddings(s, d).select(col("vec_id"),
-        round(element_at(v, 1) / when(n === 0, 1.0).otherwise(n), 4)
+        (round(element_at(v, 1) / when(n === 0, 1.0).otherwise(n), 4) + lit(0.0))
           .as("d1_renormed"),
         round(n, 4).as("norm16"))
     }),
@@ -1674,11 +1680,17 @@ object OpsQueries {
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
 
+    // exact-integer mirror of Similarity.centroidsMicro: same 1e-6
+    // quantization, HUGEINT sum, one IEEE division — no double in the hash
     "x_embed_centroid" ->
-      s"""SELECT label, CAST(t.dim AS INT) AS dim,
-         |round(avg(CAST(embedding[t.dim + 1] AS DOUBLE)), 4) AS mean
-         |FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH e AS (SELECT label, CAST(t.dim AS INT) AS dim,
+         |             CAST(round(CAST(embedding[t.dim + 1] AS DOUBLE) * 1e6)
+         |                  AS BIGINT) AS xq
+         |           FROM embeddings, UNNEST(range(len(embedding))) AS t(dim))
+         |SELECT label, dim,
+         |  CAST(round(CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE)
+         |             / (count(*) * 100.0)) AS BIGINT) AS mean_micro
+         |FROM e GROUP BY 1, 2""".stripMargin,
 
     // fixed-point mirror of Similarity.standardize: identical 1e-6
     // quantization, exact HUGEINT moments (DuckDB's int128 stands in for
@@ -2342,7 +2354,8 @@ object OpsQueries {
         |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
         |      FROM v)
         |SELECT vec_id,
-        |  round(v[1] / (CASE WHEN nn = 0 THEN 1.0 ELSE nn END), 4) AS d1_renormed,
+        |  round(v[1] / (CASE WHEN nn = 0 THEN 1.0 ELSE nn END), 4) + 0.0
+        |    AS d1_renormed,
         |  round(nn, 4) AS norm16
         |FROM n""".stripMargin,
 
@@ -3347,7 +3360,7 @@ object OpsQueries {
         |SELECT vec_id, CAST(k AS INT) AS k,
         |  round(list_reduce(list_transform(range(1, len(embedding) + 1),
         |    i -> CAST(embedding[i] AS DOUBLE) * srow[i]), (x, y) -> x + y), 4)
-        |    AS proj
+        |    + 0.0 AS proj
         |FROM embeddings CROSS JOIN s""".stripMargin,
 
     "x_text_ppl_buckets" ->

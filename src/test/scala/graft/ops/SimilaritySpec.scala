@@ -290,6 +290,25 @@ class SimilaritySpec extends SparkSuite {
     assert(s0.size === 2 || dim < 4)
   }
 
+  test("centroidsMicro: exact integer means, partition-invariant, zero unsigned") {
+    // values chosen so one group's true mean is a tiny NEGATIVE number
+    // that a float avg + round would emit as -0.0 on some engines — the
+    // fixed-point path must yield exactly 0L, and the same bits at any
+    // partitioning
+    val rows = Seq(
+      ("a", Array(1.0f, -1e-9f)), ("a", Array(3.0f, 1e-9f)),
+      ("a", Array(2.0f, -1e-9f)),
+      ("b", Array(-0.5f, 2.5f))).toDF("label", "embedding")
+    val got = Similarity.centroidsMicro(rows, "label", "embedding")
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 0)) === 20000L) // mean 2.0 in 1e-4 units
+    assert(got(("a", 1)) === 0L)     // tiny negative mean -> plain 0, no sign
+    assert(got(("b", 0)) === -5000L && got(("b", 1)) === 25000L)
+    val again = Similarity.centroidsMicro(rows.repartition(7), "label", "embedding")
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again === got)
+  }
+
   test("randomProject fails loudly on a dimension mismatch") {
     // a 6-wide vector against inDim=5 would silently read past the sign
     // row (and NULL on the oracle side) — the guard must raise instead
