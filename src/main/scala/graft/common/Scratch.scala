@@ -9,10 +9,27 @@ package graft.common
   * storage — this root is only for the self-contained local harness.
   */
 object Scratch {
+  /** Per-PROCESS root: two JVMs driving the same query names concurrently
+    * (a test suite beside a Verify run) must never share a streaming
+    * checkpoint or table dir — an HDFSStateStore commit under a directory
+    * another process just truncated dies with CANNOT_COMMIT. A pid suffix
+    * isolates them; the shutdown hook clears this process's root so
+    * crashed or finished runs don't accumulate in tmpfs. */
   val root: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft"
-    else System.getProperty("java.io.tmpdir", "/tmp") + "/graft"
+    val base = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    }
+    val r = s"$base/graft-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(new java.io.File(r)) catch { case _: Throwable => () }
+    }))
+    r
   }
 
   /** `<root>/<ns>/<name>`, e.g. `scratch("lift", "l_lift_csv")`. */

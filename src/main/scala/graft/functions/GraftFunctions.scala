@@ -65,6 +65,12 @@ object GraftFunctions {
 
   def pngPixelStats(payload: Column): Column =
     col(PngPixelStats(expr(payload)))
+
+  def jpegEncode(text: Column, width: Column, height: Column): Column =
+    col(JpegEncode(expr(text), expr(width), expr(height)))
+
+  def jpegPixelStats(payload: Column): Column =
+    col(JpegPixelStats(expr(payload)))
 }
 
 /** SQL registration of the custom expressions, either at session build

@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.PcmFrameStats]] decodes the WAV `data` chunk's raw
   * int16 samples into frame RMS / zero-crossing / peak signals,
   * [[graft.functions.PpmPixelStats]] decodes P6 PPM rasters to per-channel
-  * pixel means, and [[graft.functions.PngPixelStats]] is a full PNG pixel
+  * pixel means, [[graft.functions.PngPixelStats]] is a full PNG pixel
   * decode (zlib IDAT inflate + five-filter scanline reconstruction — PNG's
-  * "compression" is plain zlib, no entropy-coding tables needed) — all
-  * byte-level, pure JVM. [[packMedia]]/[[packPpm]]/[[packPng]]
-  * synthesize payloads carrying spec-valid headers so the oracle replays
+  * "compression" is plain zlib, no entropy-coding tables needed), and
+  * [[graft.functions.JpegPixelStats]] is a full BASELINE JPEG decode
+  * (Annex K Huffman entropy decode + dequant + fixed-point integer IDCT,
+  * interop-pinned against ImageIO) — all byte-level, pure JVM.
+  * [[packMedia]]/[[packPpm]]/[[packPng]]/[[packJpeg]]
+  * synthesize payloads carrying spec-valid streams so the oracle replays
   * every parsed field AND every decoded sample/pixel statistic. Only
-  * ENTROPY-CODED content (JPEG pixel data, compressed audio) and learned
-  * feature embeddings need codecs/models the container lacks; those stay
-  * clearly-marked deterministic stubs, while the Spark-side plumbing —
+  * non-baseline codecs (progressive/arithmetic JPEG, compressed audio) and
+  * learned feature embeddings need libraries the container lacks; those
+  * stay clearly-marked deterministic stubs, while the Spark-side plumbing —
   * binary schema, chunked frame sampling, batch iterator shape,
   * partitioning — is real and oracle-tested throughout.
   *
@@ -251,6 +254,39 @@ object Multimodal {
       graft.functions.GraftFunctions
         .pngEncode(col(textCol), w, h, ct).as("payload"),
       lit("image/png").as("content_type"))
+  }
+
+  /** Pack a text column as a COMPLETE spec-valid baseline JPEG (ITU-T
+    * T.81): grayscale 8-bit sequential DCT with the Annex K quantization
+    * and Huffman tables — a real JPEG any standard decoder reads (interop
+    * pinned against the JDK's ImageIO reader in MultimodalSpec). Raster
+    * and dimensions derive from (id, text) by the same fixed arithmetic
+    * as [[packPng]], and every transform is fixed-point integer, so an
+    * independent golden rebuilds each payload byte-for-byte. Map-only. */
+  def packJpeg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = (pmod(id, lit(16)) + 4).cast("int")
+    val h = (pmod(id * 3, lit(16)) + 4).cast("int")
+    df.select(id,
+      graft.functions.GraftFunctions
+        .jpegEncode(col(textCol), w, h).as("payload"),
+      lit("image/jpeg").as("content_type"))
+  }
+
+  /** REAL JPEG pixel decode: Huffman-decode the entropy stream, dequantize
+    * against the stream's own DQT, run the fixed-point integer IDCT, and
+    * average the cropped raster — see [[graft.functions.JpegPixelStats]].
+    * The mean publishes in fixed-point micro-units (exact integer pixel
+    * sum / exact count, one IEEE division). */
+  def jpegPixels(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    def micro(c: Column) = round(c * 1e4).cast("long")
+    df.select(col(idCol),
+        md5(hex(col(payloadCol))).as("jpeg_md5"),
+        graft.functions.GraftFunctions.jpegPixelStats(col(payloadCol)).as("px"))
+      .where(col("px").isNotNull)
+      .select(col(idCol), col("jpeg_md5"),
+        col("px.width"), col("px.height"), col("px.n_pixels"),
+        micro(col("px.mean_gray")).as("mean_gray_micro"))
   }
 
   /** REAL PNG pixel decode: zlib-inflate the IDAT stream, reconstruct

@@ -386,6 +386,53 @@ class MultimodalSpec extends SparkSuite {
     assert(w === 100L && h === 50L)
   }
 
+  test("packJpeg emits spec-valid JPEGs the JDK's own ImageIO decoder reads") {
+    // interop proof: a completely independent standard decoder (ImageIO's
+    // baseline JPEG reader, JDK-bundled) must accept the bytes, agree on
+    // dimensions, and land within IDCT rounding distance of our decoder
+    val docs = Seq((5L, "interop check payload alpha bravo"),
+      (12L, "short"), (33L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.packJpeg(docs, "doc_id", "text")
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])].collect()
+    assert(rows.length === 3)
+    for ((id, bytes) <- rows) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected doc $id")
+      val expW = (id % 16 + 4).toInt
+      val expH = (id * 3 % 16 + 4).toInt
+      assert(img.getWidth === expW && img.getHeight === expH, s"dims doc $id")
+      // our decoder vs ImageIO: same dequantized coefficients, different
+      // compliant IDCTs — per-pixel difference is bounded rounding noise
+      val st = Multimodal.jpegPixels(
+          Seq((id, bytes)).toDF("doc_id", "payload"), "doc_id", "payload")
+        .select($"mean_gray_micro").as[Long].head()
+      var sum = 0L
+      for (y <- 0 until expH; x <- 0 until expW)
+        sum += img.getRaster.getSample(x, y, 0)
+      val imageioMeanMicro = math.round(sum.toDouble / (expW * expH) * 1e4)
+      assert(math.abs(st - imageioMeanMicro) < 3 * 1e4,
+        s"doc $id: ours $st vs ImageIO $imageioMeanMicro")
+    }
+  }
+
+  test("jpegPixels is bit-deterministic and rejects non-baseline input") {
+    val docs = Seq.tabulate(12)(i => (i.toLong, s"doc $i " * (i + 1)))
+      .toDF("doc_id", "text")
+    val once = Multimodal.jpegPixels(
+        Multimodal.packJpeg(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val again = Multimodal.jpegPixels(
+        Multimodal.packJpeg(docs.repartition(5), "doc_id", "text"),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(once.size === 12 && once === again)
+    // garbage and truncated streams null out instead of mis-decoding
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, "not a jpeg at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.jpegPixels(junk, "doc_id", "payload").count() === 0)
+  }
+
   test("sceneCuts segments exact-duplicate frame runs") {
     // frames of 4 bytes: AAAA AAAA BBBB AAAA CCCC CCCC CCCC + short tail
     val payload = "AAAA" * 2 + "BBBB" + "AAAA" + "CCCC" * 3 + "ZZ"
