@@ -710,6 +710,34 @@ object Similarity {
         col("e.cosine"), col("e.rank"), col("m._s").isNotNull.as("mutual"))
   }
 
+  /** Embedding-space benchmark decontamination — the SEMANTIC complement
+    * of `TextOps.contaminationScreen`'s n-gram screen: a paraphrased eval
+    * item shares no shingles with its source but still sits close in
+    * embedding space. Eval/benchmark sets are legally small (thousands of
+    * items, bounded here at `maxEval`), so the eval matrix collects to an
+    * ordered plan-time literal and the screen is MAP-ONLY: one fused pass
+    * per training vector computes every cosine, their max, and the count
+    * over `threshold` inside the scan's codegen span — no shuffle, no
+    * join, no k-fold row blowup at any corpus size. At a larger eval
+    * scale, swap the literal for a broadcast crossJoin + groupBy; the
+    * `require` names that escape hatch. Max-cosine publishes in 1e-6
+    * fixed point, so no double (and no signed zero) reaches the hash. */
+  def semanticDecontaminate(train: DataFrame, idCol: String, vecCol: String,
+                            evalDf: DataFrame, evalVecCol: String,
+                            threshold: Double, maxEval: Int = 4096): DataFrame = {
+    val eval = evalDf.select(dbl(col(evalVecCol)).as("e")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, Double])
+    require(eval.nonEmpty && eval.size <= maxEval,
+      s"eval set must have 1..$maxEval vectors, got ${eval.size} " +
+        "(use a broadcast-join screen for larger benchmark suites)")
+    val coss = transform(typedLit(eval), e => cosine(col(vecCol), e))
+    train.select(col(idCol),
+        round(array_max(coss) * 1e6, 0).cast("long").as("max_cos_micro"),
+        size(filter(coss, c => c >= lit(threshold))).cast("long").as("n_close"))
+      .withColumn("contaminated", col("n_close") > 0)
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
     val cvecs = kmeans(df, idCol, vecCol, k, iters)

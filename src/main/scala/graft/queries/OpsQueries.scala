@@ -121,6 +121,16 @@ object OpsQueries {
       Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
         "embedding", k = 8, iters = 2, threshold = 0.35)),
 
+    // embedding-space eval-set leakage screen: vec_id % 101 == 0 stands in
+    // as the held-out benchmark; 0.40 sits under the corpus's ~0.51 max
+    // pairwise cosine so real rows flag without flagging everything
+    "x_embed_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+        emb.where(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        emb.where(col("vec_id") % 101 === 0), "embedding", threshold = 0.40)
+    }),
+
     "x_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
         "embedding", queryId = 0L, k = 10)),
@@ -611,6 +621,17 @@ object OpsQueries {
     "x_mm_png_pixels" -> ((s, d) =>
       Multimodal.pngPixels(
         Multimodal.packPng(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload")),
+
+    // REAL baseline JPEG end-to-end: encode (fixed-point fDCT + Annex K
+    // quant/Huffman, a spec-valid stream ImageIO also reads) then decode
+    // (Huffman + dequant + integer IDCT) — the golden rebuilt every
+    // payload byte-for-byte with an independent pure-Python codec, so one
+    // wrong coefficient, code, or stuffing byte mismatches jpeg_md5 or
+    // the decoded mean
+    "x_mm_jpeg_pixels" -> ((s, d) =>
+      Multimodal.jpegPixels(
+        Multimodal.packJpeg(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload")),
 
     // image near-dup end-to-end over the decoded rasters: perceptual
@@ -1580,6 +1601,20 @@ object OpsQueries {
          |       WHERE e.rn = 1 AND e.vec_id <> 0)
          |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
+
+    // row-form mirror of the map-only literal-matrix screen: CROSS JOIN +
+    // GROUP BY computes the identical cosines (same left-to-right list
+    // arithmetic), and max/count are order-independent
+    "x_embed_decontaminate" ->
+      s"""WITH ev AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |            FROM embeddings WHERE vec_id % 101 = 0),
+         |c AS (SELECT t.vec_id, ${cosineSql("t.embedding", "ev.e")} AS cos
+         |      FROM embeddings t CROSS JOIN ev WHERE t.vec_id % 101 <> 0)
+         |SELECT vec_id,
+         |  CAST(round(max(cos) * 1e6) AS BIGINT) AS max_cos_micro,
+         |  CAST(count(*) FILTER (WHERE cos >= 0.40) AS BIGINT) AS n_close,
+         |  (count(*) FILTER (WHERE cos >= 0.40)) > 0 AS contaminated
+         |FROM c GROUP BY 1""".stripMargin,
 
     "x_dedup_semantic" -> {
       def assign(cents: String) =
@@ -2648,6 +2683,18 @@ object OpsQueries {
         |  g.n_pixels, g.mean_r_micro, g.mean_g_micro, g.mean_b_micro
         |FROM documents d
         |JOIN '/root/repo/oracle/png_pixels_golden.parquet' g
+        |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
+
+    // golden-file oracle (same recipe as x_mm_png_pixels): every JPEG is
+    // rebuilt byte-for-byte by tools/make_jpeg_golden.py with an
+    // independent pure-Python fixed-point codec, and the expected gray
+    // mean replays dequant + the integer IDCT over the cropped raster —
+    // keyed by md5(doc_id:md5(text)) so one golden serves all three SFs
+    "x_mm_jpeg_pixels" ->
+      """SELECT d.doc_id, g.jpeg_md5, g.width, g.height, g.n_pixels,
+        |  g.mean_gray_micro
+        |FROM documents d
+        |JOIN '/root/repo/oracle/jpeg_pixels_golden.parquet' g
         |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
 
     "x_mm_embed_pairs" ->

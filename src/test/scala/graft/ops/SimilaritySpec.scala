@@ -309,6 +309,47 @@ class SimilaritySpec extends SparkSuite {
     assert(again === got)
   }
 
+  test("semanticDecontaminate equals brute-force max-cosine screen") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // exact dup of eval e1
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // near e1
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // far from both
+      (4L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding") // zero vec
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+        train, "vec_id", "embedding", eval, "embedding", threshold = 0.95)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na * nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val evs = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    for ((id, v) <- Seq(1L -> Array(1.0f, 0f, 0f), 2L -> Array(0.9f, 0.1f, 0f),
+        3L -> Array(0f, 0f, 1.0f), 4L -> Array(0f, 0f, 0f))) {
+      val cs = evs.map(e => cos(v, e))
+      val (m, n, c) = got(id)
+      assert(m === math.round(cs.max * 1e6), s"max_cos vec $id")
+      assert(n === cs.count(_ >= 0.95).toLong && c === (n > 0), s"n_close vec $id")
+    }
+    // eval-order independence: reversed eval rows give identical bits
+    val rev = Similarity.semanticDecontaminate(
+        train, "vec_id", "embedding",
+        eval.orderBy(col("vec_id").desc), "embedding", threshold = 0.95)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rev === got)
+    // oversized eval set fails loudly, naming the escape hatch
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(train, "vec_id", "embedding",
+        eval, "embedding", threshold = 0.5, maxEval = 1)
+    }
+    assert(e.getMessage.contains("broadcast-join"), e.getMessage)
+  }
+
   test("randomProject fails loudly on a dimension mismatch") {
     // a 6-wide vector against inDim=5 would silently read past the sign
     // row (and NULL on the oracle side) — the guard must raise instead
