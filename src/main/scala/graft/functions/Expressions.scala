@@ -686,7 +686,9 @@ object PcmFrameStats {
 
   /** Offset and byte count of the `data` chunk's payload, or null. The
     * chunk may legally be truncated in a crawled file: decode what is
-    * actually present, never past the buffer. */
+    * actually present, never past the buffer. Shared with [[PcmSpectral]]. */
+  private[functions] def dataSpanOf(b: Array[Byte]): Array[Int] = dataSpan(b)
+
   private def dataSpan(b: Array[Byte]): Array[Int] = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var i = 12
@@ -732,6 +734,88 @@ object PcmFrameStats {
       val cnt = end - start
       out(f) = new GenericInternalRow(Array[Any](
         f, cnt, math.sqrt(sumSq / cnt), zc, peak))
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Frequency-domain PCM analysis: per 64-sample frame, the DFT power at
+  * bins 1..8 with QUANTIZED trig coefficients — the fixed-point-table
+  * variant standard in embedded DSP, chosen here because it makes the
+  * whole transform EXACT integer arithmetic: re/im are plain integer
+  * sums (order-free at any parallelism), magnitudes descale by
+  * `(|x| + 2^13) / 2^14` on nonnegative values (truncating and floor
+  * division agree, so a SQL mirror replays every bit), and the power
+  * `q_re^2 + q_im^2` stays far under 2^63. cos table = round-half-up of
+  * `16384*cos(2*pi*j/64)`; sin indexes the SAME table shifted by 48
+  * (exact by symmetry). Emits array<struct(frame_idx, bin, power)>; null
+  * for non-WAV payloads. Per-row, map-only — a 100 TB audio corpus
+  * transforms with no shuffle and no driver involvement. */
+case class PcmSpectral(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("bin", IntegerType),
+    StructField("power", LongType))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PcmSpectral.eval(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): PcmSpectral =
+    copy(child = newChild)
+}
+
+object PcmSpectral {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  final val FrameLen = 64
+  final val Bins = 8
+  /** round-half-up(16384*cos(2*pi*j/64)), j = 0..63 — shared verbatim
+    * with the SQL oracle's list literal. */
+  final val Cos: Array[Int] = Array(
+    16384, 16305, 16069, 15679, 15137, 14449, 13623, 12665, 11585, 10394,
+    9102, 7723, 6270, 4756, 3196, 1606, 0, -1606, -3196, -4756, -6270,
+    -7723, -9102, -10394, -11585, -12665, -13623, -14449, -15137, -15679,
+    -16069, -16305, -16384, -16305, -16069, -15679, -15137, -14449, -13623,
+    -12665, -11585, -10394, -9102, -7723, -6270, -4756, -3196, -1606, 0,
+    1606, 3196, 4756, 6270, 7723, 9102, 10394, 11585, 12665, 13623, 14449,
+    15137, 15679, 16069, 16305)
+
+  private def descale(x: Long): Long = (math.abs(x) + 8192L) / 16384L
+
+  def eval(b: Array[Byte]): GenericArrayData = {
+    val span = PcmFrameStats.dataSpanOf(b)
+    if (span == null) return null
+    val off = span(0)
+    val n = span(1) / 2
+    val nFrames = (n + FrameLen - 1) / FrameLen
+    val out = new Array[Any](nFrames * Bins)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * FrameLen
+      val end = math.min(start + FrameLen, n)
+      var k = 1
+      while (k <= Bins) {
+        var re = 0L
+        var im = 0L
+        var i = start
+        while (i < end) {
+          val p = off + i * 2
+          val v = (((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)) << 16) >> 16
+          val j = (k * (i - start)) % FrameLen
+          re += v.toLong * Cos(j)
+          im += v.toLong * Cos((j + 48) % FrameLen)
+          i += 1
+        }
+        val qre = descale(re)
+        val qim = descale(im)
+        out(f * Bins + (k - 1)) = new GenericInternalRow(Array[Any](
+          f, k, qre * qre + qim * qim))
+        k += 1
+      }
       f += 1
     }
     new GenericArrayData(out)

@@ -47,6 +47,9 @@ object GraftFunctions {
   def pcmFrameStats(payload: Column, frameSamples: Int): Column =
     col(PcmFrameStats(expr(payload), frameSamples))
 
+  def pcmSpectral(payload: Column): Column =
+    col(PcmSpectral(expr(payload)))
+
   def ppmPixelStats(payload: Column): Column =
     col(PpmPixelStats(expr(payload)))
 
@@ -133,6 +136,9 @@ object GraftExtensions {
     (FunctionIdentifier("pcm_frame_stats"),
       new ExpressionInfo(classOf[PcmFrameStats].getName, "pcm_frame_stats"),
       (args: Seq[Expression]) => PcmFrameStats(args(0), intArg(args(1), "frameSamples"))),
+    (FunctionIdentifier("pcm_spectral"),
+      new ExpressionInfo(classOf[PcmSpectral].getName, "pcm_spectral"),
+      (args: Seq[Expression]) => PcmSpectral(args(0))),
     (FunctionIdentifier("ppm_pixel_stats"),
       new ExpressionInfo(classOf[PpmPixelStats].getName, "ppm_pixel_stats"),
       (args: Seq[Expression]) => PpmPixelStats(args(0))),

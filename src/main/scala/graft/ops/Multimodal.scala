@@ -137,6 +137,28 @@ object Multimodal {
         round(col("f.rms"), 4).as("rms"),
         col("f.zero_crossings"), col("f.peak"))
 
+  /** Frequency-domain audio features: per 64-sample PCM frame, the
+    * quantized-coefficient DFT power at bins 1..8 plus each frame's
+    * dominant bin — see [[graft.functions.PcmSpectral]] for why every
+    * value is exact integer arithmetic (an SQL oracle replays each bit).
+    * The dominant bin is the spectral analogue of the RMS gate: pitch /
+    * band-energy signals for audio curation. Map-only decode + explode;
+    * the per-frame argmax is a `max_by`-free struct max over the 8
+    * bin rows — keyed by (id, frame), never a global window. */
+  def audioSpectral(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val frames = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.pcmSpectral(col(payloadCol))).as("s"))
+      .select(col(idCol), col("s.frame_idx"), col("s.bin"), col("s.power"))
+    // ties break to the LOWEST bin: struct max on (power, -bin)
+    val dom = frames
+      .groupBy(col(idCol), col("frame_idx"))
+      .agg(max(struct(col("power"), (-col("bin")).as("nb"))).as("m"))
+      .select(col(idCol), col("frame_idx"),
+        (-col("m.nb")).cast("int").as("dom_bin"),
+        col("m.power").as("dom_power"))
+    frames.join(dom, Seq(idCol, "frame_idx"))
+  }
+
   /** Doc-level audio gating over the decoded PCM frames: a clip's
     * "active" fraction is the share of frames whose (4-dp-rounded) RMS
     * clears `rmsFloor`; clips below `minActive` drop — the silence /

@@ -592,6 +592,16 @@ object OpsQueries {
         "doc_id", "payload", frameSamples = 256)
     }),
 
+    // frequency-domain audio features: quantized-coefficient DFT power at
+    // bins 1..8 per 64-sample frame + the frame's dominant bin — exact
+    // integer arithmetic end-to-end, so the SQL oracle replays every bit
+    // of the transform (no golden file needed for a spectral decode)
+    "x_mm_audio_spectral" -> ((s, d) => {
+      val media = Multimodal.packMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.audioSpectral(
+        media.where(col("content_type") === "audio/wav"), "doc_id", "payload")
+    }),
+
     // the audio-gating pipeline end-to-end: decode PCM frames, score
     // activity per clip, drop mostly-quiet clips. The 26000 RMS floor
     // sits inside the ASCII-payload RMS range so the gate genuinely
@@ -2574,6 +2584,51 @@ object OpsQueries {
         |      AND (v < 0) <> (pv < 0) THEN 1 END), 0) AS INT) AS zero_crossings,
         |  CAST(max(abs(v)) AS INT) AS peak
         |FROM w GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // same int16-LE sample decode as x_mm_audio_energy, then the exact
+    // integer quantized-table DFT: re/im are plain integer sums over the
+    // shared 64-entry cos table (sin = the same table shifted 48),
+    // descale (|x|+8192)//16384 on nonnegative values, power = qre^2+qim^2
+    // — every intermediate replays the JVM expression bit-for-bit
+    "x_mm_audio_spectral" ->
+      """WITH ct AS (SELECT [16384, 16305, 16069, 15679, 15137, 14449, 13623,
+        |    12665, 11585, 10394, 9102, 7723, 6270, 4756, 3196, 1606, 0,
+        |    -1606, -3196, -4756, -6270, -7723, -9102, -10394, -11585,
+        |    -12665, -13623, -14449, -15137, -15679, -16069, -16305, -16384,
+        |    -16305, -16069, -15679, -15137, -14449, -13623, -12665, -11585,
+        |    -10394, -9102, -7723, -6270, -4756, -3196, -1606, 0, 1606, 3196,
+        |    4756, 6270, 7723, 9102, 10394, 11585, 12665, 13623, 14449,
+        |    15137, 15679, 16069, 16305] AS t),
+        |a AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |e AS (SELECT doc_id, hx, unnest(range(n)) AS i FROM a),
+        |s AS (SELECT doc_id, i AS sidx,
+        |    CAST('0x' || substr(hx, CAST(4*i + 3 AS INT), 2)
+        |              || substr(hx, CAST(4*i + 1 AS INT), 2) AS INT) AS u
+        |  FROM e),
+        |v AS (SELECT doc_id, CAST(sidx // 64 AS INT) AS frame_idx,
+        |    CAST(sidx % 64 AS INT) AS j,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s),
+        |r AS (SELECT doc_id, frame_idx, CAST(k AS INT) AS bin,
+        |    CAST(sum(v * ct.t[((CAST(k AS INT) * j) % 64) + 1]) AS BIGINT) AS re,
+        |    CAST(sum(v * ct.t[(((CAST(k AS INT) * j) % 64 + 48) % 64) + 1]) AS BIGINT) AS im
+        |  FROM v CROSS JOIN range(1, 9) t(k) CROSS JOIN ct
+        |  GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, frame_idx, bin,
+        |    ((abs(re) + 8192) // 16384) * ((abs(re) + 8192) // 16384)
+        |  + ((abs(im) + 8192) // 16384) * ((abs(im) + 8192) // 16384) AS power
+        |  FROM r),
+        |d AS (SELECT doc_id, frame_idx, max(power) AS dom_power
+        |      FROM p GROUP BY 1, 2),
+        |db AS (SELECT p.doc_id, p.frame_idx, CAST(min(p.bin) AS INT) AS dom_bin,
+        |         p.power AS dom_power
+        |       FROM p JOIN d ON p.doc_id = d.doc_id
+        |         AND p.frame_idx = d.frame_idx AND p.power = d.dom_power
+        |       GROUP BY 1, 2, 4)
+        |SELECT p.doc_id, p.frame_idx, p.bin, CAST(p.power AS BIGINT) AS power,
+        |  db.dom_bin, CAST(db.dom_power AS BIGINT) AS dom_power
+        |FROM p JOIN db USING (doc_id, frame_idx)""".stripMargin,
 
     // frame RMS exactly as in x_mm_audio_energy (frame = 64 samples),
     // then the doc-level activity gate on the ROUNDED rms

@@ -196,6 +196,47 @@ class MultimodalSpec extends SparkSuite {
     assert(rows === Seq((0, 4, 750.0, 2, 1000), (1, 4, 21214.6765, 3, 30000)))
   }
 
+  test("audioSpectral equals a brute-force quantized-table DFT; pure tone peaks at its bin") {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    // 96 samples (one full frame + a 32-sample tail): a bin-3 cosine tone
+    // scaled to int16, plus a constant ramp to exercise other bins
+    val samples = (0 until 96).map(i =>
+      (20000 * math.cos(2 * math.Pi * 3 * i / 64)).toInt + (i % 7) * 11)
+    val data = samples.flatMap(le16).toArray
+    val wav: Array[Byte] = "RIFF".getBytes ++ le32(36 + data.length) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val got = Multimodal.audioSpectral(
+        Seq((1L, wav)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .select($"frame_idx", $"bin", $"power", $"dom_bin", $"dom_power")
+      .as[(Int, Int, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got.size === 16) // 2 frames x 8 bins
+    // independent brute force over the same integer table
+    val C = graft.functions.PcmSpectral.Cos
+    for (f <- 0 until 2; k <- 1 to 8) {
+      val fs = samples.slice(f * 64, math.min(f * 64 + 64, 96))
+      var re = 0L; var im = 0L
+      for ((v, j0) <- fs.zipWithIndex) {
+        val j = (k * j0) % 64
+        re += v.toLong * C(j); im += v.toLong * C((j + 48) % 64)
+      }
+      def q(x: Long) = (math.abs(x) + 8192L) / 16384L
+      val want = q(re) * q(re) + q(im) * q(im)
+      assert(got((f, k))._1 === want, s"frame $f bin $k")
+    }
+    // frame 0 is a pure bin-3 tone (plus small ramp): dominant bin is 3
+    assert(got((0, 1))._2 === 3)
+    assert(got((0, 3))._1 === got((0, 1))._3)
+    // non-wav payloads vanish rather than mis-decode
+    val junk = Multimodal.audioSpectral(
+      Seq((9L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    assert(junk.count() === 0)
+  }
+
   test("pcmFrames: truncated data chunk decodes available whole samples; non-wav null") {
     def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
     def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
