@@ -3721,19 +3721,31 @@ object OpsQueries {
         |LEFT JOIN g gp ON gp.o_custkey = s.o_custkey AND gp.od = s.pod
         |LEFT JOIN g gn ON gn.o_custkey = s.o_custkey AND gn.od = s.nod""".stripMargin,
 
+    // The two window sorts MUST use a TOTAL order: with only (s_day,
+    // e_day), DuckDB's f and g windows each sort independently and can
+    // permute duplicate rows differently — pmax values computed under one
+    // tie order get prefix-summed under another, sliding an island
+    // boundary between duplicates and inflating the previous island's
+    // extent (observed at sf0.1: 4 suppliers overcounted `covered`).
+    // (l_orderkey, l_linenumber) makes every sort identical. Spark's side
+    // computes all windows over ONE sort (identical window spec → one
+    // Window operator), where any consistent tie order yields the correct
+    // union — verified against a brute-force interval merge.
     "x_interval_coverage" ->
-      """WITH iv AS (SELECT l_suppkey,
+      """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS s_day,
         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
         |      + l_linenumber % 7 AS INT) AS e_day
         |  FROM lineitem),
-        |f AS (SELECT l_suppkey, s_day, e_day,
-        |    max(e_day) OVER (PARTITION BY l_suppkey ORDER BY s_day, e_day
+        |f AS (SELECT l_suppkey, l_orderkey, l_linenumber, s_day, e_day,
+        |    max(e_day) OVER (PARTITION BY l_suppkey
+        |      ORDER BY s_day, e_day, l_orderkey, l_linenumber
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
         |  FROM iv),
         |g AS (SELECT *,
         |    sum(CASE WHEN pmax IS NULL OR s_day > pmax THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY l_suppkey ORDER BY s_day, e_day
+        |      OVER (PARTITION BY l_suppkey
+        |        ORDER BY s_day, e_day, l_orderkey, l_linenumber
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
         |  FROM f),
         |isles AS (SELECT l_suppkey, isl, min(s_day) AS s, max(e_day) AS e,
