@@ -1242,7 +1242,10 @@ object PngCodec {
     try {
       while (got < expect && !inf.finished() && !exhausted) {
         val n = inf.inflate(filtered, got, expect - got)
-        if (n == 0 && inf.needsInput()) exhausted = true // truncated stream: stop
+        // n == 0 can also mean needsDictionary() (FDICT streams, which PNG
+        // forbids but crawled bytes may carry) — treat ANY zero-progress
+        // state as end-of-stream so a crafted payload can't wedge the task
+        if (n == 0) exhausted = true
         else got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return null }
@@ -1671,34 +1674,96 @@ object JpegCodec {
       (data(0) & 0xff) != 0xff || (data(1) & 0xff) != 0xd8) return null
     var pos = 2
     var width = 0; var height = 0
-    val qt = new Array[Int](64) // zigzag order as stored
-    var haveQ = false; var haveSof = false
+    val qtabs = new Array[Array[Int]](4)   // zigzag order as stored, by Tq
+    val dcTabs = new Array[HuffDecoder](4) // by Th, from DHT segments
+    val acTabs = new Array[HuffDecoder](4)
+    var sofTq = 0
+    var dcSel = 0; var acSel = 0
+    var haveSof = false
     var scanStart = -1
-    while (scanStart < 0 && pos + 3 < data.length) {
+    while (scanStart < 0 && pos + 1 < data.length) {
       if ((data(pos) & 0xff) != 0xff) return null
-      val m = data(pos + 1) & 0xff
-      val len = ((data(pos + 2) & 0xff) << 8) | (data(pos + 3) & 0xff)
-      m match {
-        case 0xdb =>
-          if (pos + 4 + 65 > data.length || (data(pos + 4) & 0xff) != 0) return null
-          var i = 0
-          while (i < 64) { qt(i) = data(pos + 5 + i) & 0xff; i += 1 }
-          haveQ = true
-        case 0xc0 =>
-          if (pos + 9 >= data.length || (data(pos + 4) & 0xff) != 8) return null
-          height = ((data(pos + 5) & 0xff) << 8) | (data(pos + 6) & 0xff)
-          width = ((data(pos + 7) & 0xff) << 8) | (data(pos + 8) & 0xff)
-          if ((data(pos + 9) & 0xff) != 1) return null // grayscale only
-          haveSof = true
-        case 0xc4 => () // tables fixed to Annex K — stream carries the same
-        case 0xda => scanStart = pos + 2 + len
-        case x if x >= 0xc1 && x <= 0xcf => return null // non-baseline SOF
-        case _ => ()
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+      // marker code; the code is the first non-FF byte
+      var mp = pos + 1
+      while (mp < data.length && (data(mp) & 0xff) == 0xff) mp += 1
+      if (mp >= data.length) return null
+      val m = data(mp) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { pos = mp + 1 } // TEM/RSTn/SOI: standalone, no length
+      else if (m == 0xd9) return null // EOI before any SOS: no image data
+      else {
+        if (mp + 2 >= data.length) return null
+        val len = ((data(mp + 1) & 0xff) << 8) | (data(mp + 2) & 0xff)
+        if (len < 2 || mp + 1 + len > data.length) return null
+        val body = mp + 3
+        val end = body + (len - 2)
+        m match {
+          case 0xdb => // DQT: one OR MORE tables per segment, 8- or 16-bit
+            var p = body
+            while (p < end) {
+              val pq = (data(p) & 0xff) >>> 4
+              val tq = data(p) & 0x0f
+              if (tq > 3 || pq > 1) return null
+              val step = if (pq == 0) 1 else 2
+              if (p + 1 + 64 * step > end) return null
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(i) = if (pq == 0) data(p + 1 + i) & 0xff
+                       else ((data(p + 1 + 2 * i) & 0xff) << 8) |
+                            (data(p + 2 + 2 * i) & 0xff)
+                i += 1
+              }
+              qtabs(tq) = t
+              p += 1 + 64 * step
+            }
+          case 0xc0 =>
+            if (end - body < 9 || (data(body) & 0xff) != 8) return null
+            height = ((data(body + 1) & 0xff) << 8) | (data(body + 2) & 0xff)
+            width = ((data(body + 3) & 0xff) << 8) | (data(body + 4) & 0xff)
+            if ((data(body + 5) & 0xff) != 1) return null // grayscale only
+            sofTq = data(body + 8) & 0x0f // component spec: C, HxV, Tq
+            if (sofTq > 3) return null
+            haveSof = true
+          case 0xc4 => // DHT: one OR MORE tables; build real decoders
+            var p = body
+            while (p < end) {
+              if (p + 17 > end) return null
+              val tc = (data(p) & 0xff) >>> 4
+              val th = data(p) & 0x0f
+              if (tc > 1 || th > 3) return null
+              val hbits = new Array[Int](16)
+              var total = 0
+              var i = 0
+              while (i < 16) {
+                hbits(i) = data(p + 1 + i) & 0xff; total += hbits(i); i += 1
+              }
+              if (total > 256 || p + 17 + total > end) return null
+              val hvals = new Array[Byte](total)
+              System.arraycopy(data, p + 17, hvals, 0, total)
+              val dec = new HuffDecoder(hbits, hvals)
+              if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+              p += 17 + total
+            }
+          case 0xda => // SOS: read the component's Td/Ta table selectors
+            if (end - body < 4 || (data(body) & 0xff) != 1) return null
+            dcSel = (data(body + 2) & 0xff) >>> 4
+            acSel = data(body + 2) & 0x0f
+            if (dcSel > 3 || acSel > 3) return null
+            scanStart = mp + 1 + len
+          case x if x >= 0xc1 && x <= 0xcf => return null // non-baseline SOF / DAC
+          case _ => ()
+        }
+        if (scanStart < 0) pos = mp + 1 + len
       }
-      if (scanStart < 0) pos += 2 + len
     }
-    if (!haveQ || !haveSof || scanStart < 0 || width <= 0 || height <= 0)
-      return null
+    if (!haveSof || scanStart < 0 || width <= 0 || height <= 0) return null
+    val qt = qtabs(sofTq)
+    if (qt == null) return null
+    // the scan decodes with ITS OWN tables; fall back to Annex K only when
+    // the stream omits DHT entirely (abbreviated streams)
+    val dcDec = if (dcTabs(dcSel) != null) dcTabs(dcSel) else DcDec
+    val acDec = if (acTabs(acSel) != null) acTabs(acSel) else AcDec
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
     if (bw8.toLong * bh8 > (1L << 20)) return null // absurd dims: refuse
@@ -1712,12 +1777,12 @@ object JpegCodec {
       var bx = 0
       while (bx < bw8) {
         java.util.Arrays.fill(coef, 0L)
-        val s = DcDec.decode(br)
+        val s = dcDec.decode(br)
         prevDc += extend(br.bits(s), s)
         coef(0) = prevDc.toLong * qt(0)
         var k = 1
         while (k < 64) {
-          val rs = AcDec.decode(br)
+          val rs = acDec.decode(br)
           val run = rs >>> 4; val size = rs & 0xf
           if (size == 0) {
             if (run == 15) k += 16 // ZRL

@@ -82,10 +82,14 @@ object Dedup {
       case t => throw new IllegalArgumentException(
         s"keepBest ranks on a numeric column; got $t")
     }
+    // NULL ranks must LOSE: bitwise_not(NULL)/−NULL is NULL and struct min
+    // sorts nulls FIRST, which would let an unranked copy beat every ranked
+    // one. A leading is-null flag (false < true) makes null-rank rows sort
+    // strictly after all ranked rows, exactly and type-preservingly.
     val payload = struct(df.columns.map(col): _*)
     df.groupBy(md5(keyCol.cast("binary")))
-      .agg(min(struct(descRank.as("__dr"), col(idCol).as("__id"),
-          payload.as("__p"))).as("__best"),
+      .agg(min(struct(rankCol.isNull.as("__rnull"), descRank.as("__dr"),
+          col(idCol).as("__id"), payload.as("__p"))).as("__best"),
         count(lit(1)).as("n_copies"))
       .select(col("__best.__p.*"), col("n_copies"))
   }
@@ -722,31 +726,47 @@ object Dedup {
     * until a fixpoint. Rounds = longest chain length (near-dup graphs are
     * overwhelmingly tiny cliques). */
   private[ops] def propagateLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("src"), col("dst"))
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val spark = pairs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType)))
+    // lineage TRUNCATION per round: each round's plan references the label
+    // table TWICE, so a lazily-chained loop doubles the logical plan every
+    // round — 2^rounds analyzer nodes, a driver OOM on a 30-step chain
+    // long before any data is big. Rebasing each round's result onto its
+    // computed RDD keeps every round's plan O(1); the persisted previous
+    // round backs recompute on cache loss (GraphFrames-style checkpointed
+    // iteration, without requiring a checkpoint dir).
+    def rebase(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, schema)
+    val edges = pairs
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(pairs.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
       .persistTracked()
-    var labels = edges.select(col("src").as("id"))
+    var labels = rebase(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("label", col("id"))
-      .persistTracked()
+      .withColumn("label", col("id"))).persist()
+    labels.count()
     var changed = 1L
     while (changed > 0) {
-      val next = labels.alias("l")
+      val step = labels.alias("l")
         .join(edges.alias("e"), col("l.id") === col("e.dst"), "left")
         .join(labels.select(col("id").as("nid"), col("label").as("nlabel")).alias("n"),
           col("e.src") === col("nid"), "left")
         .groupBy(col("l.id").as("id"))
         .agg(least(min(col("l.label")), coalesce(min(col("nlabel")),
           min(col("l.label")))).as("label"))
-        .persistTracked()
+      val next = rebase(step).persist()
       changed = next.alias("a")
         .join(labels.alias("b"), col("a.id") === col("b.id"))
         .where(col("a.label") =!= col("b.label"))
-        .count()
+        .count() // also materializes next's cache before the old one drops
       labels.unpersist()
       labels = next
     }
-    labels
+    Caches.track(labels) // final round outlives the call; caller releases
   }
 
   // ------------------------------------------------------------------

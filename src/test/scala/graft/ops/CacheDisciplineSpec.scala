@@ -79,6 +79,25 @@ class CacheDisciplineSpec extends SparkSuite {
     }
   }
 
+  test("release is scoped per SparkSession — concurrent pipelines don't clobber") {
+    spark.catalog.clearCache()
+    import Caches.TrackedPersist
+    val other = spark.newSession() // shares the context, distinct session
+    val mine = docs.select("doc_id").persistTracked()
+    val theirs = other.range(100).toDF("n").persistTracked()
+    assert(Caches.trackedCount(spark) === 1)
+    assert(Caches.trackedCount(other) === 1)
+    // releasing the OTHER session must not unpersist this session's stage
+    Caches.release(other)
+    assert(Caches.trackedCount(other) === 0)
+    assert(Caches.trackedCount(spark) === 1,
+      "another session's release dropped this session's in-flight stage")
+    assert(theirs.storageLevel.useMemory === false, "other's stage released")
+    assert(mine.storageLevel.useMemory === true, "own stage still persisted")
+    Caches.release(spark)
+    assert(Caches.trackedCount === 0)
+  }
+
   test("release is idempotent and safe before materialization") {
     spark.catalog.clearCache()
     // releasing twice is a no-op; releasing BEFORE an action just costs a

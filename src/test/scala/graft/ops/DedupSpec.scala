@@ -253,6 +253,59 @@ class DedupSpec extends SparkSuite {
     assert(got === Set(("url-a", 12L, 3L), ("url-z", 7L, 1L)))
   }
 
+  test("keepBest: NULL ranks always lose to ranked duplicates") {
+    // bitwise_not(NULL) is NULL and struct-min sorts nulls FIRST, so
+    // without the leading is-null flag an unranked copy would beat every
+    // ranked one — a corpus with missing quality scores must keep the
+    // scored copy, and an all-null family falls back to the id tie-break
+    val docs = Seq(
+      (1L, "same text", Some(3L)),   // ranked -> must win over null
+      (2L, "same  TEXT ", None),     // null rank -> must lose
+      (3L, "other doc", None),       // all-null family: id tie-break
+      (4L, "other  DOC ", None))
+      .toDF("doc_id", "text", "rank")
+    val got = Dedup.keepBest(docs,
+        TextOps.normalize(col("text")), col("rank"), "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 2L)))
+    // same contract for fractional ranks (negation path)
+    val fdocs = Seq(
+      (1L, "same text", Some(0.5)), (2L, "same  TEXT ", None))
+      .toDF("doc_id", "text", "rank")
+    val fgot = Dedup.keepBest(fdocs,
+        TextOps.normalize(col("text")), col("rank"), "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(fgot === Seq(1L))
+  }
+
+  test("propagateLabels matches union-find on cycles, long chains, and stars") {
+    // the distributed path only runs above MaxDriverEdges in production —
+    // exercise it directly on the graph shapes that stress convergence:
+    // a pure cycle (no natural root direction), a 30-node chain (30-round
+    // worst case), a star, and cross-linked cliques
+    val cycle = (0 until 8).map(i => (100L + i, 100L + (i + 1) % 8))
+    val chain = (0 until 29).map(i => (200L + i + 1, 200L + i)) // edges point BACK
+    val star = (1 to 6).map(i => (300L, 300L + i))
+    val bridge = Seq((400L, 401L), (402L, 403L), (401L, 402L))
+    val edges = (cycle ++ chain ++ star ++ bridge)
+      .toDF("src", "dst")
+    val got = Dedup.propagateLabels(edges)
+      .as[(Long, Long)].collect().toMap
+    // oracle: min reachable id via plain Scala union-find
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    (cycle ++ chain ++ star ++ bridge).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (cycle ++ chain ++ star ++ bridge).flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.size === nodes.size)
+    nodes.foreach(n => assert(got(n) === find(n), s"node $n"))
+    graft.ops.Caches.release()
+  }
+
   test("keepBest survives Long.MinValue ranks (bitwise-NOT descending key)") {
     val docs = Seq(
       (1L, "same text", Long.MinValue), // would overflow under negation

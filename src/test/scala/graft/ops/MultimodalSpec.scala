@@ -398,6 +398,69 @@ class MultimodalSpec extends SparkSuite {
     assert(nPix > 0 && nPix < 11L * 9, s"expected partial raster, got $nPix")
   }
 
+  test("pngPixels: FDICT zlib stream returns null instead of spinning") {
+    // zlib with the preset-dictionary flag makes Inflater return 0 with
+    // needsDictionary()==true and needsInput()==false — the decoder must
+    // treat any zero-progress state as end-of-stream, not loop forever.
+    // CMF=0x78, FLG=0x20 (FDICT bit set; (0x7820 % 31)==0 so FCHECK holds)
+    val base = Multimodal.packPng(
+        Seq((7L, "fdict probe payload")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select($"payload").head().getAs[Array[Byte]](0)
+    val ihdrEnd = 8 + 12 + 13 // sig + IHDR framing + IHDR data
+    val fdictZlib = Array[Byte](0x78, 0x20, 1, 2, 3, 4, // hdr + DICTID
+      0x55, 0x66, 0x77) // bytes the inflater can't consume sans dictionary
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, ihdrEnd)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(fdictZlib.length).array(), 0, 4)
+    out.write("IDAT".getBytes("US-ASCII"), 0, 4)
+    out.write(fdictZlib, 0, fdictZlib.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(fdictZlib)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    val got = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+      .select(graft.functions.GraftFunctions.pngPixelStats($"payload"))
+      .head().get(0)
+    assert(got == null, "FDICT stream must null out, not wedge the task")
+  }
+
+  test("jpegPixels honors in-stream DHT/DQT tables, fill bytes, TEM markers") {
+    // hand-built 8x8 flat-gray baseline JPEG using CUSTOM (non-Annex-K)
+    // Huffman tables — one-bit DC cat-0 and one-bit AC EOB codes — plus
+    // a two-table DQT segment (Tq=1 selected by SOF), a standalone TEM
+    // marker, and 0xFF fill padding before SOF. A decoder hardwired to
+    // Annex K tables (or assuming one table per DQT, or 2-byte lengths on
+    // every marker) mis-walks or mis-decodes; honoring the stream yields
+    // exactly mid-gray 128 everywhere.
+    def seg(m: Int, p: Array[Byte]): Array[Byte] = {
+      val len = p.length + 2
+      Array(0xff.toByte, m.toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte) ++ p
+    }
+    val dqt = seg(0xdb, // table id 0 (decoy, all 16s) THEN id 1 (all 1s)
+      (Array(0x00.toByte) ++ Array.fill(64)(16.toByte)) ++
+        (Array(0x01.toByte) ++ Array.fill(64)(1.toByte)))
+    val sof = seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 1)) // Tq=1
+    val oneBit = { val b = new Array[Byte](16); b(0) = 1; b }
+    val dht = seg(0xc4, // DC table 0 and AC table 1 in ONE segment
+      (Array(0x00.toByte) ++ oneBit ++ Array(0x00.toByte)) ++
+        (Array(0x11.toByte) ++ oneBit ++ Array(0x00.toByte)))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x01, 0, 63, 0)) // Td=0, Ta=1
+    val jpeg: Array[Byte] =
+      Array(0xff.toByte, 0xd8.toByte) ++ // SOI
+        dqt ++
+        Array(0xff.toByte, 0x01.toByte) ++            // TEM: standalone
+        Array(0xff.toByte, 0xff.toByte) ++ sof.tail ++ // fill 0xFF pad
+        dht ++ sos ++
+        Array(0x3f.toByte) ++ // scan: DC "0" (diff 0) + AC "0" (EOB), pad 1s
+        Array(0xff.toByte, 0xd9.toByte) // EOI
+    val st = graft.functions.JpegCodec.pixelStats(jpeg)
+    assert(st != null, "spec-valid custom-table JPEG must decode")
+    val row = st.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+    assert(row.getLong(0) === 8L && row.getLong(1) === 8L && row.getLong(2) === 64L)
+    assert(row.getDouble(3) === 128.0, "all-zero coefficients decode to mid-gray")
+  }
+
   test("audioActivityGate keeps loud clips, drops quiet ones") {
     def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
     def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
