@@ -200,31 +200,36 @@ object AnalyticsQueries {
     // closure over cyclic graphs is not supported yet, so the cluster
     // closure stays on the distributed label-propagation path)
     "q_recursive" -> ((s, d) => {
-      // the walked relation is materialized OUTSIDE the recursion: each
-      // UNION ALL step joins against `o`, and an inline CTE would
-      // re-run the window + scan once per recursion depth (~30x at
-      // sf0.1 — measured 4s -> sub-second with the cached base).
-      // localCheckpoint (not persist): the recursion re-plans the base
-      // once per depth, and a checkpointed LogicalRDD keeps each step's
-      // plan a constant-size scan instead of the full window lineage —
-      // the per-step analyze/optimize cost is what made depth-30 runs
-      // swing under GC pressure. The walked relation is filter-pruned
-      // tiny (1/50th of customers), so few partitions suffice.
-      Tables.orders(s, d).where(col("o_custkey") % 50 === 0)
+      // the walked relation is cached OUTSIDE the recursion: each
+      // UNION ALL step joins against `o`, and an inline CTE would re-run
+      // the window + scan once per recursion depth. Round-7 regression
+      // autopsy (full probe matrix in BASELINE.md): the recursion's wall
+      // time is DEPTH × PER-STEP DRIVER OVERHEAD — data-independent
+      // (a 29-row sf0.001 corpus at depth 11 costs the same seconds as
+      // 3k rows at depth 20) — so the levers that cut per-step cost are
+      // applied: the base is ONE cached partition (20 steps × 32-partition
+      // task scheduling was the dominant term), and the explicit BROADCAST
+      // hint is gone (the cached single-partition base auto-broadcasts by
+      // size; the hint forced a per-step broadcast rebuild, +0.6 s).
+      // Remaining floor (~3-5 s cold at depth 20, ~2 s steady-state) is
+      // Spark's recursive-CTE per-iteration plan+schedule cost, absorbed
+      // by the gate's MAX entry. At larger SFs size the base partitioning
+      // by rows, not a constant.
+      val walked = Tables.orders(s, d).where(col("o_custkey") % 50 === 0)
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
-        .coalesce(4)
-        .localCheckpoint()
-        .createOrReplaceTempView("orders_rec_ranked")
+        .coalesce(1)
+        .persist()
+      walked.createOrReplaceTempView("orders_rec_ranked")
       s.sql("""WITH RECURSIVE
         chain(o_custkey, o_orderkey, depth) AS (
           SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT)
           FROM orders_rec_ranked WHERE rn = 1
           UNION ALL
-          SELECT /*+ BROADCAST(n) */ n.o_custkey, n.o_orderkey, c.depth + 1
+          SELECT n.o_custkey, n.o_orderkey, c.depth + 1
           FROM chain c JOIN orders_rec_ranked n
             ON n.o_custkey = c.o_custkey AND n.rn = c.depth + 1)
         SELECT o_custkey, o_orderkey, depth FROM chain""")

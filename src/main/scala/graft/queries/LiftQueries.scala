@@ -253,6 +253,53 @@ object LiftQueries {
       Lift.lift(s, yaml).getDf("ReadBack").select("o_orderkey", "price")
     }),
 
+    // CDF timestamp-resolution edge: StartingTimestamp set to EXACTLY the
+    // second commit's timestamp must include that commit's changes
+    // (inclusive start: base = last commit STRICTLY before ts — the
+    // reference's version-at-timestamp boundary, delta_diff.py:44-54). A
+    // `<=` base pick would silently drop v1's rows; a full-feed fallback
+    // would add v0's. Three commits v0/v1/v2 with strictly increasing
+    // millis (enforced by sleeps) pin the rule on both sides.
+    "l_table_cdc_ts" -> ((s, d) => {
+      val w = scratch(s, "l_table_cdc_ts")
+      Tables.orders(s, d).createOrReplaceTempView("orders_cdcts_src")
+      def write(mode: String, pred: String): Unit = Lift.lift(s,
+        s"""LiftJob:
+           |  B:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, round(o_totalprice, 2) AS price
+           |        FROM orders_cdcts_src WHERE $pred
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: B
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: $mode
+           |""".stripMargin)
+      write("clean_write", "o_orderkey % 11 = 0")
+      Thread.sleep(5) // guarantee v0.ts < v1.ts so the boundary is sharp
+      write("append", "o_orderkey % 11 = 1")
+      Thread.sleep(5)
+      write("append", "o_orderkey % 11 = 2")
+      // ts = v1's commit millis, read back from the manifest log — the
+      // exact-boundary case no wall-clock capture can hit reliably
+      val hist = graft.table.ManagedTable(s, s"$w/t").history()
+      assert(hist.size == 3 && hist(0)._2 < hist(1)._2 && hist(1)._2 < hist(2)._2,
+        s"need 3 strictly-ordered commits, got $hist")
+      val tsStr = new java.sql.Timestamp(hist(1)._2).toString
+      Lift.lift(s,
+        s"""LiftJob:
+           |  Feed:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      ReadChangeFeed: true
+           |      StartingTimestamp: '$tsStr'
+           |""".stripMargin).getDf("Feed")
+    }),
+
     // row-level UPDATE … SET through write::batch_delta Mode: update,
     // partition-pruned on o_orderstatus
     "l_table_update" -> ((s, d) => {
@@ -1140,6 +1187,9 @@ object LiftQueries {
         |FROM orders
         |WHERE (o_orderkey % 9 = 0 AND o_orderkey % 27 <> 0)
         |   OR o_orderkey % 9 = 1""".stripMargin,
+    "l_table_cdc_ts" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 11 IN (1, 2)""".stripMargin,
     "l_table_update" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderstatus = 'F'
