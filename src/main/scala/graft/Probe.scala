@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** One-off scale/cost experiments whose conclusions live in BASELINE.md.
+  *
+  * Not part of the bench or correctness surface — a measurement harness for
+  * the two structural questions the per-query gate can't answer:
+  *
+  *   `Probe stream`      — how much of a Structured Streaming query's wall
+  *                         time is fixed engine cost (query start/stop,
+  *                         checkpoint setup, state-store init) vs per-micro-
+  *                         batch cost vs data volume. Varies ONLY the batch
+  *                         count (via maxFilesPerTrigger over a fixed-file
+  *                         export) against identical data and identical
+  *                         results, plus a restart-on-drained-checkpoint run
+  *                         (pure fixed cost, zero batches).
+  *
+  *   `Probe dedupscale`  — how the within-bucket-quadratic dedup family
+  *                         (editDistancePairs, containmentPairs) grows when
+  *                         the corpus scales 1x -> 10x past the bench SF.
+  *                         Replicas are deterministically perturbed
+  *                         (per-replica letter->digit translate) so new data
+  *                         is genuinely new text — the realistic growth mode;
+  *                         an `exact` variant replicates verbatim instead,
+  *                         the adversarial mode where every bucket grows k-x
+  *                         and true-pair output grows k^2 per document.
+  */
+object Probe {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors))
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.headOption match {
+      case Some("stream")     => streamFixedCost(session(), sfDir)
+      case Some("dedupscale") => dedupScale(session(), sfDir, exact = args.contains("exact"))
+      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact])")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // stream: fixed cost vs micro-batch count
+  // ------------------------------------------------------------------
+
+  private def streamFixedCost(s: SparkSession, sfDir: String): Unit = {
+    import graft.streaming.PlanProbe.CapturedRun
+    val root = graft.common.Scratch.dir("probe", "stream")
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val files = 32
+    // one export, exactly `files` files, reused by every run
+    val in = s"$root/in"
+    Tables.events(s, sfDir).select("ts", "event_type", "value")
+      .repartition(files)
+      .write.option("timestampFormat", tsFmt).json(in)
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+
+    def run(tag: String, ckpt: String, maxFiles: Option[Int],
+            stateful: Boolean): (Double, Long) = {
+      val out = s"$root/out-$tag-${System.nanoTime()}"
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
+      try {
+        val src0 = s.readStream.schema(schema).option("timestampFormat", tsFmt)
+        val src = maxFiles.fold(src0)(k => src0.option("maxFilesPerTrigger", k)).json(in)
+        val plan =
+          if (stateful)
+            src.withWatermark("ts", "1 hour")
+              .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n"))
+          else src.select(col("event_type"), col("value"))
+        val q = plan.writeStream
+          .trigger(Trigger.AvailableNow())
+          .format("parquet")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start(out)
+        q.runCaptured()
+        val batches = q.recentProgress.count(_.numInputRows >= 0)
+        ((System.nanoTime() - t0) / 1e9, batches.toLong)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+    // warm the streaming engine once (JIT + state-store classloading)
+    run("warm", s"$root/ckpt-warm", None, stateful = true)
+
+    println(f"${"variant"}%-34s ${"batches"}%8s ${"wall_s"}%8s")
+    for ((tag, maxFiles, stateful) <- Seq(
+        ("stateful 1-batch (all 32 files)", None, true),
+        ("stateful 4 batches (mfpt=8)", Some(8), true),
+        ("stateful 8 batches (mfpt=4)", Some(4), true),
+        ("stateful 32 batches (mfpt=1)", Some(1), true),
+        ("stateless 1-batch", None, false),
+        ("stateless 32 batches (mfpt=1)", Some(1), false))) {
+      // two runs per variant, fresh checkpoints: report both (noise floor)
+      val r1 = run(tag, s"$root/ckpt-$tag-a", maxFiles, stateful)
+      val r2 = run(tag, s"$root/ckpt-$tag-b", maxFiles, stateful)
+      println(f"$tag%-34s ${r1._2}%8d ${r1._1}%8.2f / ${r2._1}%.2f")
+    }
+    // restart on a drained checkpoint: zero new batches = pure fixed cost
+    val ck = s"$root/ckpt-restart"
+    run("restart-seed", ck, None, stateful = true)
+    val (tRestart, _) = run("restart", ck, None, stateful = true)
+    println(f"${"stateful restart, drained ckpt"}%-34s ${0}%8d $tRestart%8.2f")
+  }
+
+  // ------------------------------------------------------------------
+  // dedupscale: 1x..10x corpus growth for the quadratic-risk dedup family
+  // ------------------------------------------------------------------
+
+  /** `k` replicas of the sf corpus; replica 0 is the original, replica r>0
+    * maps three frequent letters to digit triples unique per replica, so
+    * replicas share document SHAPE (length, shingle-df profile) but not
+    * shingles — scaled data is new data. With `exact`, replicas are
+    * verbatim copies: the adversarial case (buckets grow k-x, every
+    * replica pair is a true near-dup). */
+  private def scaled(docs: DataFrame, k: Int, exact: Boolean): DataFrame = {
+    val parts = (0 until k).map { r =>
+      val t =
+        if (r == 0 || exact) col("text")
+        else translate(col("text"), "eao", f"${(r * 137) % 1000}%03d")
+      docs.select((col("doc_id") * 16 + r).as("doc_id"), t.as("text"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  private def dedupScale(s: SparkSession, sfDir: String, exact: Boolean): Unit = {
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warm both pipelines at 1x so the k-sweep measures data, not codegen
+    graft.ops.Dedup.editDistancePairs(scaled(docs, 1, exact), "doc_id", "text").count()
+    graft.ops.Dedup.containmentPairs(scaled(docs, 1, exact), "doc_id", "text").count()
+    graft.ops.Caches.release(); s.catalog.clearCache()
+    println(f"${"k"}%3s ${"rows"}%9s ${"edit_s"}%8s ${"edit_pairs"}%11s ${"cont_s"}%8s ${"cont_pairs"}%11s")
+    for (k <- Seq(1, 2, 5, 10)) {
+      val corpus = scaled(docs, k, exact)
+      val rows = corpus.count()
+      val (te, ne) = time(graft.ops.Dedup.editDistancePairs(corpus, "doc_id", "text").count())
+      graft.ops.Caches.release(); s.catalog.clearCache()
+      val (tc, nc) = time(graft.ops.Dedup.containmentPairs(corpus, "doc_id", "text").count())
+      graft.ops.Caches.release(); s.catalog.clearCache()
+      println(f"$k%3d $rows%9d $te%8.2f $ne%11d $tc%8.2f $nc%11d")
+    }
+  }
+}
