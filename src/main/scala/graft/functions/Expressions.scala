@@ -1310,9 +1310,16 @@ object PngCodec {
   * orthonormal DCT matrix, floor-division descales), so the emitted bytes
   * are bit-reproducible across JVMs AND across languages — the golden
   * oracle rebuilds every payload with an independent pure-Python port of
-  * the same integer spec. Per-row, map-only at any corpus size. */
+  * the same integer spec. Per-row, map-only at any corpus size.
+  *
+  * With `progressive = true` the same quantized coefficients emit as a
+  * PROGRESSIVE JPEG (SOF2) through the classic six-scan successive-
+  * approximation script (DC Al=1; AC 1-5 and 6-63 at Al=2; AC refine
+  * 2→1; DC refine 1→0; AC refine 1→0) — a lossless reordering, so the
+  * decoded raster is bit-identical to the baseline encode of the same
+  * input. */
 case class JpegEncode(text: Expression, widthExpr: Expression,
-                      heightExpr: Expression)
+                      heightExpr: Expression, progressive: Boolean = false)
     extends Expression with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(text, widthExpr, heightExpr)
@@ -1323,6 +1330,9 @@ case class JpegEncode(text: Expression, widthExpr: Expression,
     val t = text.eval(input); val w = widthExpr.eval(input)
     val h = heightExpr.eval(input)
     if (t == null || w == null || h == null) null
+    else if (progressive)
+      JpegCodec.encodeProgressive(t.asInstanceOf[UTF8String].getBytes,
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
     else JpegCodec.encode(t.asInstanceOf[UTF8String].getBytes,
       w.asInstanceOf[Int], h.asInstanceOf[Int])
   }
@@ -1332,13 +1342,16 @@ case class JpegEncode(text: Expression, widthExpr: Expression,
     copy(text = c(0), widthExpr = c(1), heightExpr = c(2))
 }
 
-/** REAL baseline JPEG decode — no codec library, pure JVM: marker walk,
-  * canonical Huffman decode (DC DPCM + AC run-length, byte unstuffing),
+/** REAL JPEG decode — no codec library, pure JVM: marker walk, canonical
+  * Huffman decode (DC DPCM + AC run-length, byte unstuffing),
   * dequantization against the DQT actually present in the stream, and the
-  * same fixed-point integer IDCT the encoder transposes. Grayscale
-  * baseline only (one component, no subsampling) — the shape [[JpegEncode]]
-  * emits; anything else (progressive, chroma, restart markers) returns
-  * null rather than a wrong answer. Returns struct(width, height,
+  * same fixed-point integer IDCT the encoder transposes. Handles both
+  * SEQUENTIAL baseline (SOF0, one full-band scan) and PROGRESSIVE (SOF2,
+  * any spec-valid multi-scan script: spectral selection bands, successive
+  * approximation with DC/AC first and refinement passes, EOBn run codes) —
+  * grayscale only (one component, no subsampling). Anything else
+  * (multi-component, arithmetic coding, restart intervals, lossless SOFs)
+  * returns null rather than a wrong answer. Returns struct(width, height,
   * n_pixels, mean_gray) over the cropped w×h raster. Per-row, map-only. */
 case class JpegPixelStats(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -1487,42 +1500,23 @@ object JpegCodec {
   @inline private def bitSize(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
 
-  def encode(text: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    if (width <= 0 || height <= 0) return null
-    // raster: text bytes cycled row-major (blank documents -> mid gray)
+  /** Quantized DCT coefficients per 8×8 block, row-major block order,
+    * each block in ZIGZAG index order (zq(k) = coefficient at zigzag
+    * position k) — the representation every entropy coder consumes. The
+    * raster is text bytes cycled row-major (blank documents → mid gray),
+    * edge-replicated past the crop; fDCT F = A·f·Aᵀ at scale 2^28 with
+    * one floor-division descale, then Annex K quantization. */
+  private def quantBlocks(text: Array[Byte], width: Int,
+                          height: Int): Array[Array[Int]] = {
     val raster = new Array[Int](width * height)
     var i = 0
     while (i < raster.length) {
       raster(i) = if (text.nonEmpty) text(i % text.length) & 0xff else 128
       i += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    def be16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    marker(0xdb); be16(2 + 1 + 64) // DQT, Pq=0 Tq=0, zigzag order
-    out.write(0x00)
-    i = 0
-    while (i < 64) { out.write(QLum(Zigzag(i))); i += 1 }
-    marker(0xc0); be16(8 + 3) // SOF0: precision 8, 1 component
-    out.write(8); be16(height); be16(width); out.write(1)
-    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1 sampling, Tq 0
-    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
-      marker(0xc4); be16(2 + 1 + 16 + vals.length)
-      out.write(cls << 4)
-      bits.foreach(out.write)
-      out.write(vals, 0, vals.length)
-    }
-    dht(0, DcBits, DcVals)
-    dht(1, AcBits, AcVals)
-    marker(0xda); be16(6 + 2) // SOS: 1 component, Ss=0 Se=63 AhAl=0
-    out.write(1); out.write(1); out.write(0x00)
-    out.write(0); out.write(63); out.write(0)
-
-    val bw = new BitWriter(out)
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
-    var prevDc = 0
+    val blocks = new Array[Array[Int]](bw8 * bh8)
     val f = new Array[Long](64)
     val tmp = new Array[Long](64)
     val q = new Array[Int](64)
@@ -1567,37 +1561,242 @@ object JpegCodec {
           }
           v += 1
         }
-        // DC: DPCM + category bits
-        val diff = q(0) - prevDc
-        prevDc = q(0)
+        val zq = new Array[Int](64)
+        var k = 0
+        while (k < 64) { zq(k) = q(Zigzag(k)); k += 1 }
+        blocks(by * bw8 + bx) = zq
+        bx += 1
+      }
+      by += 1
+    }
+    blocks
+  }
+
+  /** SOI + DQT + SOF + both Annex K DHTs — the header shared by the
+    * sequential and progressive encoders (they differ only in the SOF
+    * marker code and the scan script that follows). */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream, sof: Int,
+                           width: Int, height: Int): Unit = {
+    def be16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 1 + 64) // DQT, Pq=0 Tq=0, zigzag order
+    out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(QLum(Zigzag(i))); i += 1 }
+    marker(sof); be16(8 + 3) // SOF0/SOF2: precision 8, 1 component
+    out.write(8); be16(height); be16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1 sampling, Tq 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+  }
+
+  private def writeSos(out: java.io.ByteArrayOutputStream, ss: Int, se: Int,
+                       ah: Int, al: Int): Unit = {
+    out.write(0xff); out.write(0xda)
+    out.write(0); out.write(8) // length
+    out.write(1); out.write(1); out.write(0x00) // 1 component, Td=0 Ta=0
+    out.write(ss); out.write(se); out.write((ah << 4) | al)
+  }
+
+  def encode(text: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0) return null
+    val blocks = quantBlocks(text, width, height)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, 0xc0, width, height)
+    writeSos(out, 0, 63, 0, 0)
+    val bw = new BitWriter(out)
+    var prevDc = 0
+    var b = 0
+    while (b < blocks.length) {
+      val zq = blocks(b)
+      // DC: DPCM + category bits
+      val diff = zq(0) - prevDc
+      prevDc = zq(0)
+      val ds = bitSize(diff)
+      val (dc, dl) = DcCodes(ds)
+      bw.put(dc, dl)
+      if (ds > 0)
+        bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
+      // AC: run-length over zigzag 1..63
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val ac = zq(k)
+        if (ac == 0) run += 1
+        else {
+          while (run > 15) { val (c, l) = AcCodes(0xf0); bw.put(c, l); run -= 16 }
+          val s = bitSize(ac)
+          val (c, l) = AcCodes((run << 4) | s)
+          bw.put(c, l)
+          bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) } // EOB
+      b += 1
+    }
+    bw.flushWithOnes()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE encode (SOF2) of the same quantized coefficients, via the
+    * classic six-scan grayscale successive-approximation script:
+    *
+    *   1. DC first      Ss=0 Se=0  Ah=0 Al=1   (DPCM of dc >> 1)
+    *   2. AC first      Ss=1 Se=5  Ah=0 Al=2   (low band, |ac| >> 2)
+    *   3. AC first      Ss=6 Se=63 Ah=0 Al=2   (high band)
+    *   4. AC refine     Ss=1 Se=63 Ah=2 Al=1
+    *   5. DC refine     Ss=0 Se=0  Ah=1 Al=0   (raw low bit)
+    *   6. AC refine     Ss=1 Se=63 Ah=1 Al=0
+    *
+    * All refinements complete, so decoding reconstructs EXACTLY the
+    * baseline coefficients — the raster and pixel statistics of the
+    * progressive payload equal the sequential encode's bit-for-bit. Uses
+    * the same Annex K tables as [[encode]]; since that AC table carries no
+    * EOBn symbols (only EOB0 0x00 and ZRL 0xF0), end-of-band runs emit as
+    * per-block EOB0 — spec-valid, marginally less compact. */
+  def encodeProgressive(text: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    if (width <= 0 || height <= 0) return null
+    val blocks = quantBlocks(text, width, height)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, 0xc2, width, height)
+
+    def dcFirst(al: Int): Unit = {
+      writeSos(out, 0, 0, 0, al)
+      val bw = new BitWriter(out)
+      var prevDc = 0
+      var b = 0
+      while (b < blocks.length) {
+        val v = blocks(b)(0) >> al // DC point transform: arithmetic shift
+        val diff = v - prevDc
+        prevDc = v
         val ds = bitSize(diff)
         val (dc, dl) = DcCodes(ds)
         bw.put(dc, dl)
         if (ds > 0)
           bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
-        // AC: run-length over zigzag 1..63
+        b += 1
+      }
+      bw.flushWithOnes()
+    }
+
+    def dcRefine(ah: Int, al: Int): Unit = {
+      writeSos(out, 0, 0, ah, al)
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < blocks.length) {
+        bw.put((blocks(b)(0) >> al) & 1, 1)
+        b += 1
+      }
+      bw.flushWithOnes()
+    }
+
+    def acFirst(ss: Int, se: Int, al: Int): Unit = {
+      writeSos(out, ss, se, 0, al)
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < blocks.length) {
+        val zq = blocks(b)
         var run = 0
-        var k = 1
-        while (k < 64) {
-          val ac = q(Zigzag(k))
-          if (ac == 0) run += 1
+        var k = ss
+        while (k <= se) {
+          val v = zq(k)
+          // AC point transform: magnitude shift, sign reapplied (T.81
+          // A.4's divide-toward-zero)
+          val mag = math.abs(v) >> al
+          if (mag == 0) run += 1
           else {
             while (run > 15) { val (c, l) = AcCodes(0xf0); bw.put(c, l); run -= 16 }
-            val s = bitSize(ac)
+            val s = bitSize(mag)
             val (c, l) = AcCodes((run << 4) | s)
             bw.put(c, l)
-            bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+            val sv = if (v >= 0) mag else -mag
+            bw.put(if (sv >= 0) sv else sv + (1 << s) - 1, s)
             run = 0
           }
           k += 1
         }
-        if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) } // EOB
-        bx += 1
+        if (run > 0) { val (c, l) = AcCodes(0x00); bw.put(c, l) } // EOB0
+        b += 1
       }
-      by += 1
+      bw.flushWithOnes()
     }
-    bw.flushWithOnes()
-    marker(0xd9) // EOI
+
+    def acRefine(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      writeSos(out, ss, se, ah, al)
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < blocks.length) {
+        val zq = blocks(b)
+        // For this pass, band position k is: newly significant (temp == 1),
+        // already significant from an earlier pass (temp > 1, owes one
+        // correction bit), or still zero (temp == 0, counted in runs).
+        // The bit stream is produced by SIMULATING the decode traversal —
+        // after each symbol, emit exactly the correction bits the decoder
+        // reads while honoring that symbol — so interleavings of runs,
+        // ZRLs, and history coefficients can never desynchronize.
+        @inline def temp(k: Int): Int = math.abs(zq(k)) >> al
+        var c = ss // decode-traversal cursor
+        var kn = ss
+        while (kn <= se) {
+          if (temp(kn) == 1) { // newly significant at kn
+            var r = 0 // zero-history run length between the cursor and kn
+            var t = c
+            while (t < kn) { if (temp(t) == 0) r += 1; t += 1 }
+            while (r > 15) {
+              val (cc, ll) = AcCodes(0xf0); bw.put(cc, ll) // ZRL
+              // its decode traversal consumes exactly 16 zero-history
+              // positions (no temp==1 can intervene before kn), reading a
+              // correction bit at each history coefficient passed
+              var left = 16
+              while (left > 0) {
+                val t2 = temp(c)
+                if (t2 > 1) bw.put(t2 & 1, 1) else left -= 1
+                c += 1
+              }
+              r -= 16
+            }
+            val (cc, ll) = AcCodes((r << 4) | 1)
+            bw.put(cc, ll)
+            bw.put(if (zq(kn) < 0) 0 else 1, 1) // sign of the new coefficient
+            while (c < kn) { // traversal up to the placement position
+              val t2 = temp(c)
+              if (t2 > 1) bw.put(t2 & 1, 1)
+              c += 1
+            }
+            c = kn + 1
+          }
+          kn += 1
+        }
+        if (c <= se) { // band tail: EOB0, then history correction bits
+          val (cc, ll) = AcCodes(0x00); bw.put(cc, ll)
+          while (c <= se) {
+            val t2 = temp(c)
+            if (t2 > 1) bw.put(t2 & 1, 1)
+            c += 1
+          }
+        }
+        b += 1
+      }
+      bw.flushWithOnes()
+    }
+
+    dcFirst(1)
+    acFirst(1, 5, 2)
+    acFirst(6, 63, 2)
+    acRefine(1, 63, 2, 1)
+    dcRefine(1, 0)
+    acRefine(1, 63, 1, 0)
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 
@@ -1669,6 +1868,133 @@ object JpegCodec {
   @inline private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Decode one scan's entropy segment into `coefs` (per-block zigzag-order
+    * raw coefficient values, successive-approximation bits accumulated in
+    * place — dequantization happens once, after the last scan). Handles
+    * the sequential full-band scan (Ss=0,Se=63,Ah=Al=0) and every
+    * progressive scan kind: DC first/refine, AC first/refine, EOBn runs,
+    * ZRL over zero-history positions (T.81 F.2.2 and G.2 procedures).
+    * Returns the data index where the next marker search begins, or -1 if
+    * the stream is corrupt. */
+  private def decodeScan(data: Array[Byte], start: Int, coefs: Array[Int],
+                         nBlocks: Int, dcDec: HuffDecoder, acDec: HuffDecoder,
+                         ss: Int, se: Int, ah: Int, al: Int,
+                         progressive: Boolean): Int = {
+    val dcScan = ss == 0 && se == 0
+    val fullScan = ss == 0 && se == 63 && ah == 0 && al == 0
+    // scan-shape validity: progressive separates DC and AC bands;
+    // sequential is exactly the one full-band scan
+    if (progressive && !(dcScan || ss >= 1)) return -1
+    if (!progressive && !fullScan) return -1
+    if (se > 63 || ss > se || al > 13 || ah > 13) return -1
+    if (ss == 0 && ah == 0 && dcDec == null) return -1
+    if (se >= 1 && acDec == null) return -1
+    val br = new BitReader(data, start)
+    val p1 = 1 << al
+    val m1 = -p1
+    var prevDc = 0
+    var eobrun = 0
+    var b = 0
+    while (b < nBlocks) {
+      val off = b * 64
+      if (ss == 0) { // DC coefficient (alone, or leading the full scan)
+        if (ah == 0) {
+          val s = dcDec.decode(br)
+          if (s > 15) { br.bad = true }
+          else {
+            prevDc += extend(br.bits(s), s)
+            coefs(off) = prevDc << al
+          }
+        } else if (br.bit() == 1) coefs(off) = coefs(off) | p1
+      }
+      if (se >= 1) { // AC band (1..63 in the full scan, Ss..Se otherwise)
+        val ks = math.max(ss, 1)
+        var k = ks
+        if (ah == 0) { // first pass (the sequential scan is this with Al=0)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var done = false
+            while (!done && k <= se) {
+              val rs = acDec.decode(br)
+              val r = rs >>> 4; val s = rs & 0xf
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else { // EOBn: 2^r - 1 + appended bits FURTHER blocks end
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += br.bits(r)
+                  done = true
+                }
+              } else {
+                k += r
+                if (k > se) { br.bad = true; done = true }
+                else {
+                  coefs(off + k) = extend(br.bits(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          }
+        } else { // AC refinement (T.81 G.2, correction-bit traversal)
+          if (eobrun == 0) {
+            var done = false
+            while (!done && k <= se && !br.bad) {
+              val rs = acDec.decode(br)
+              var r = rs >>> 4; val s = rs & 0xf
+              var newval = 0
+              if (s == 0) {
+                if (r != 15) { // EOBn: counts INCLUDING this block
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.bits(r)
+                  done = true
+                } // r == 15: ZRL — 16 zero-history positions skip below
+              } else {
+                if (s != 1) { br.bad = true; done = true }
+                else newval = if (br.bit() == 1) p1 else m1
+              }
+              if (!done && !br.bad) {
+                // advance over r zero-HISTORY positions, reading a
+                // correction bit at every already-significant one passed
+                var placed = false
+                while (!placed && k <= se && !br.bad) {
+                  val c = coefs(off + k)
+                  if (c != 0) {
+                    if (br.bit() == 1 && (c & p1) == 0)
+                      coefs(off + k) = if (c > 0) c + p1 else c + m1
+                    k += 1
+                  } else if (r == 0) placed = true
+                  else { r -= 1; k += 1 }
+                }
+                if (newval != 0) {
+                  if (!placed) br.bad = true // new coefficient past Se
+                  else coefs(off + k) = newval
+                }
+                if (placed) k += 1
+              }
+            }
+          }
+          if (eobrun > 0 && !br.bad) {
+            // remainder of this block's band: correction bits only
+            while (k <= se) {
+              val c = coefs(off + k)
+              if (c != 0 && br.bit() == 1 && (c & p1) == 0)
+                coefs(off + k) = if (c > 0) c + p1 else c + m1
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+      if (br.bad) return -1
+      b += 1
+    }
+    // entropy data ends at the next marker (skipping stuffed FF00 pairs
+    // and the pad bits of the final byte)
+    var p = br.pos
+    while (p + 1 < data.length &&
+      !((data(p) & 0xff) == 0xff && (data(p + 1) & 0xff) != 0x00)) p += 1
+    if (p + 1 >= data.length) data.length else p
+  }
+
   def pixelStats(data: Array[Byte]): Any = {
     if (data == null || data.length < 4 ||
       (data(0) & 0xff) != 0xff || (data(1) & 0xff) != 0xd8) return null
@@ -1678,10 +2004,13 @@ object JpegCodec {
     val dcTabs = new Array[HuffDecoder](4) // by Th, from DHT segments
     val acTabs = new Array[HuffDecoder](4)
     var sofTq = 0
-    var dcSel = 0; var acSel = 0
     var haveSof = false
-    var scanStart = -1
-    while (scanStart < 0 && pos + 1 < data.length) {
+    var progressive = false
+    var coefs: Array[Int] = null // nBlocks×64, zigzag order, raw pre-dequant
+    var nBlocks = 0
+    var sawScan = false
+    var atEnd = false
+    while (!atEnd && pos + 1 < data.length) {
       if ((data(pos) & 0xff) != 0xff) return null
       // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
       // marker code; the code is the first non-FF byte
@@ -1690,7 +2019,10 @@ object JpegCodec {
       if (mp >= data.length) return null
       val m = data(mp) & 0xff
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { pos = mp + 1 } // TEM/RSTn/SOI: standalone, no length
-      else if (m == 0xd9) return null // EOI before any SOS: no image data
+      else if (m == 0xd9) { // EOI: done (an EOI before any scan = no image)
+        if (!sawScan) return null
+        atEnd = true
+      }
       else {
         if (mp + 2 >= data.length) return null
         val len = ((data(mp + 1) & 0xff) << 8) | (data(mp + 2) & 0xff)
@@ -1717,14 +2049,24 @@ object JpegCodec {
               qtabs(tq) = t
               p += 1 + 64 * step
             }
-          case 0xc0 =>
+          case 0xc0 | 0xc2 => // SOF0 sequential / SOF2 progressive
+            if (haveSof) return null // a second frame header is corrupt
             if (end - body < 9 || (data(body) & 0xff) != 8) return null
             height = ((data(body + 1) & 0xff) << 8) | (data(body + 2) & 0xff)
             width = ((data(body + 3) & 0xff) << 8) | (data(body + 4) & 0xff)
             if ((data(body + 5) & 0xff) != 1) return null // grayscale only
             sofTq = data(body + 8) & 0x0f // component spec: C, HxV, Tq
-            if (sofTq > 3) return null
+            if (sofTq > 3 || width <= 0 || height <= 0) return null
+            progressive = m == 0xc2
             haveSof = true
+            // the multi-scan store holds every block's coefficients;
+            // 2^18 blocks (a 4096×4096 frame, 64 MiB of ints) bounds the
+            // per-row allocation a crafted geometry could demand
+            val bw8 = (width + 7) / 8
+            val bh8 = (height + 7) / 8
+            if (bw8.toLong * bh8 > (1L << 18)) return null
+            nBlocks = bw8 * bh8
+            coefs = new Array[Int](nBlocks * 64)
           case 0xc4 => // DHT: one OR MORE tables; build real decoders
             var p = body
             while (p < end) {
@@ -1745,60 +2087,64 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
               p += 17 + total
             }
-          case 0xda => // SOS: read the component's Td/Ta table selectors
-            if (end - body < 4 || (data(body) & 0xff) != 1) return null
-            dcSel = (data(body + 2) & 0xff) >>> 4
-            acSel = data(body + 2) & 0x0f
+          case 0xdd => // DRI: restart intervals are out of scope — only a
+            // zero interval (no RSTn in the entropy stream) is accepted
+            if (len != 4) return null
+            if ((((data(body) & 0xff) << 8) | (data(body + 1) & 0xff)) != 0)
+              return null
+          case 0xda => // SOS: decode this scan into the coefficient store
+            if (!haveSof) return null
+            if (end - body < 6 || (data(body) & 0xff) != 1) return null
+            val dcSel = (data(body + 2) & 0xff) >>> 4
+            val acSel = data(body + 2) & 0x0f
             if (dcSel > 3 || acSel > 3) return null
-            scanStart = mp + 1 + len
-          case x if x >= 0xc1 && x <= 0xcf => return null // non-baseline SOF / DAC
+            val ss = data(body + 3) & 0xff
+            val se = data(body + 4) & 0xff
+            val ah = (data(body + 5) & 0xff) >>> 4
+            val al = data(body + 5) & 0x0f
+            // the scan decodes with ITS OWN tables; fall back to Annex K
+            // only when the stream omits DHT entirely (abbreviated streams)
+            val dcDec = if (dcTabs(dcSel) != null) dcTabs(dcSel) else DcDec
+            val acDec = if (acTabs(acSel) != null) acTabs(acSel) else AcDec
+            val nx = decodeScan(data, mp + 1 + len, coefs, nBlocks,
+              dcDec, acDec, ss, se, ah, al, progressive)
+            if (nx < 0) return null
+            sawScan = true
+            pos = nx
+            // sequential = exactly one full scan; stop here (trailing
+            // bytes after it are tolerated, as they always were)
+            if (!progressive) atEnd = true
+          case x if x >= 0xc1 && x <= 0xcf =>
+            return null // unsupported SOF (extended/lossless/arith) / DAC
           case _ => ()
         }
-        if (scanStart < 0) pos = mp + 1 + len
+        if (m != 0xda) pos = mp + 1 + len
       }
     }
-    if (!haveSof || scanStart < 0 || width <= 0 || height <= 0) return null
+    // a truncated progressive stream (no EOI) still decodes the scans
+    // that arrived — that is the format's defining property
+    if (!haveSof || !sawScan) return null
     val qt = qtabs(sofTq)
     if (qt == null) return null
-    // the scan decodes with ITS OWN tables; fall back to Annex K only when
-    // the stream omits DHT entirely (abbreviated streams)
-    val dcDec = if (dcTabs(dcSel) != null) dcTabs(dcSel) else DcDec
-    val acDec = if (acTabs(acSel) != null) acTabs(acSel) else AcDec
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
-    if (bw8.toLong * bh8 > (1L << 20)) return null // absurd dims: refuse
-    val br = new BitReader(data, scanStart)
     val pixels = new Array[Int](width * height)
     val coef = new Array[Long](64)
     val tmp = new Array[Long](64)
-    var prevDc = 0
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
+        val off = (by * bw8 + bx) * 64
+        // dequantize: qt is stored in zigzag order, so zigzag position k
+        // dequantizes with qt(k), landing at natural Zigzag(k)
         java.util.Arrays.fill(coef, 0L)
-        val s = dcDec.decode(br)
-        prevDc += extend(br.bits(s), s)
-        coef(0) = prevDc.toLong * qt(0)
-        var k = 1
+        var k = 0
         while (k < 64) {
-          val rs = acDec.decode(br)
-          val run = rs >>> 4; val size = rs & 0xf
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            if (k > 63) { br.bad = true; k = 64 }
-            else {
-              // qt is stored in zigzag order: zigzag position k
-              // dequantizes with qt(k), landing at natural Zigzag(k)
-              coef(Zigzag(k)) = extend(br.bits(size), size).toLong * qt(k)
-              k += 1
-            }
-          }
+          val c = coefs(off + k)
+          if (c != 0) coef(Zigzag(k)) = c.toLong * qt(k)
+          k += 1
         }
-        if (br.bad) return null
         // IDCT f = Aᵀ·F·A at scale 2^28: F[v][u] natural layout, v the
         // vertical frequency — f[y][x] = Σ_v Σ_u A[v][y]·F[v][u]·A[u][x]
         var y = 0

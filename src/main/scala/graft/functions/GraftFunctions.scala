@@ -72,6 +72,9 @@ object GraftFunctions {
   def jpegEncode(text: Column, width: Column, height: Column): Column =
     col(JpegEncode(expr(text), expr(width), expr(height)))
 
+  def jpegEncodeProgressive(text: Column, width: Column, height: Column): Column =
+    col(JpegEncode(expr(text), expr(width), expr(height), progressive = true))
+
   def jpegPixelStats(payload: Column): Column =
     col(JpegPixelStats(expr(payload)))
 }

@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   * pixel means, [[graft.functions.PngPixelStats]] is a full PNG pixel
   * decode (zlib IDAT inflate + five-filter scanline reconstruction — PNG's
   * "compression" is plain zlib, no entropy-coding tables needed), and
-  * [[graft.functions.JpegPixelStats]] is a full BASELINE JPEG decode
-  * (Annex K Huffman entropy decode + dequant + fixed-point integer IDCT,
-  * interop-pinned against ImageIO) — all byte-level, pure JVM.
-  * [[packMedia]]/[[packPpm]]/[[packPng]]/[[packJpeg]]
+  * [[graft.functions.JpegPixelStats]] is a full JPEG decode for BOTH
+  * sequential baseline and PROGRESSIVE (SOF2 multi-scan: spectral
+  * selection, successive approximation, EOBn runs) grayscale streams
+  * (Huffman entropy decode honoring in-stream DHT/DQT + dequant +
+  * fixed-point integer IDCT, interop-pinned against ImageIO in both
+  * directions) — all byte-level, pure JVM.
+  * [[packMedia]]/[[packPpm]]/[[packPng]]/[[packJpeg]]/[[packJpegProgressive]]
   * synthesize payloads carrying spec-valid streams so the oracle replays
   * every parsed field AND every decoded sample/pixel statistic. Only
-  * non-baseline codecs (progressive/arithmetic JPEG, compressed audio) and
+  * arithmetic-coded JPEG (patent-era, decoder-rare), compressed audio, and
   * learned feature embeddings need libraries the container lacks; those
   * stay clearly-marked deterministic stubs, while the Spark-side plumbing —
   * binary schema, chunked frame sampling, batch iterator shape,
@@ -292,6 +295,23 @@ object Multimodal {
     df.select(id,
       graft.functions.GraftFunctions
         .jpegEncode(col(textCol), w, h).as("payload"),
+      lit("image/jpeg").as("content_type"))
+  }
+
+  /** [[packJpeg]]'s PROGRESSIVE sibling: the same raster and quantized
+    * coefficients emitted as a spec-valid SOF2 multi-scan stream (six-scan
+    * successive-approximation script — see
+    * [[graft.functions.JpegCodec.encodeProgressive]]). Because progressive
+    * is a lossless reordering, [[jpegPixels]] decodes it to EXACTLY the
+    * baseline payload's statistics; only the payload bytes (and md5)
+    * differ. Map-only. */
+  def packJpegProgressive(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = (pmod(id, lit(16)) + 4).cast("int")
+    val h = (pmod(id * 3, lit(16)) + 4).cast("int")
+    df.select(id,
+      graft.functions.GraftFunctions
+        .jpegEncodeProgressive(col(textCol), w, h).as("payload"),
       lit("image/jpeg").as("content_type"))
   }
 

@@ -644,6 +644,17 @@ object OpsQueries {
         Multimodal.packJpeg(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload")),
 
+    // PROGRESSIVE JPEG end-to-end: the same rasters emitted as SOF2
+    // six-scan successive-approximation streams, decoded by the same
+    // multi-scan entropy decoder. Progressive reorders the identical
+    // quantized coefficients, so every decoded statistic must equal the
+    // baseline query's — while the payload md5 pins the progressive
+    // entropy stream byte-for-byte against an independent Python port
+    "x_mm_jpeg_progressive" -> ((s, d) =>
+      Multimodal.jpegPixels(
+        Multimodal.packJpegProgressive(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload")),
+
     // image near-dup end-to-end over the decoded rasters: perceptual
     // dHash -> 4x14-bit pigeonhole bands -> equi-join -> hamming verify.
     // The oracle recomputes every grayscale sample, every hash bit, and
@@ -2750,6 +2761,17 @@ object OpsQueries {
         |  g.mean_gray_micro
         |FROM documents d
         |JOIN '/root/repo/oracle/jpeg_pixels_golden.parquet' g
+        |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
+
+    // same golden recipe, progressive codec: payload bytes rebuilt by
+    // tools/make_jpeg_progressive_golden.py's independent pure-Python
+    // SOF2 entropy coder; decoded stats are the baseline golden's by
+    // construction (progressive is a lossless coefficient reordering)
+    "x_mm_jpeg_progressive" ->
+      """SELECT d.doc_id, g.jpeg_md5, g.width, g.height, g.n_pixels,
+        |  g.mean_gray_micro
+        |FROM documents d
+        |JOIN '/root/repo/oracle/jpeg_progressive_golden.parquet' g
         |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
 
     "x_mm_embed_pairs" ->

@@ -519,6 +519,104 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("progressive encode decodes to EXACTLY the baseline raster stats") {
+    // the six-scan successive-approximation script is a lossless
+    // reordering of the same quantized coefficients: after the final
+    // refinement pass the reconstruction must be bit-identical
+    val texts = Seq((5L, "progressive alpha bravo " * 3), (12L, "short"),
+      (33L, ""), (7L, "unicode œﬀ 測試 " * 5))
+    for ((id, text) <- texts) {
+      val w = (id % 16 + 4).toInt
+      val h = (id * 3 % 16 + 4).toInt
+      val base = graft.functions.JpegCodec.encode(text.getBytes("UTF-8"), w, h)
+      val prog = graft.functions.JpegCodec.encodeProgressive(text.getBytes("UTF-8"), w, h)
+      assert(!java.util.Arrays.equals(base, prog), s"doc $id: distinct streams")
+      assert((prog(2) & 0xff) == 0xff && prog.containsSlice(
+        Array(0xff.toByte, 0xc2.toByte)), s"doc $id: SOF2 present")
+      val sb = graft.functions.JpegCodec.pixelStats(base)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      val sp = graft.functions.JpegCodec.pixelStats(prog)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert(sp != null, s"doc $id: progressive must decode")
+      assert(sb.getLong(0) === sp.getLong(0) && sb.getLong(1) === sp.getLong(1) &&
+        sb.getLong(2) === sp.getLong(2) && sb.getDouble(3) === sp.getDouble(3),
+        s"doc $id: progressive stats must equal baseline exactly")
+      // a progressive stream truncated before EOI still decodes (the
+      // format's defining property); losing only the EOI is lossless
+      val noEoi = prog.dropRight(2)
+      val st = graft.functions.JpegCodec.pixelStats(noEoi)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert(st != null && st.getDouble(3) === sb.getDouble(3),
+        s"doc $id: EOI-less progressive decodes in full")
+    }
+  }
+
+  test("progressive payloads are spec-valid for the JDK's ImageIO decoder") {
+    val docs = Seq((5L, "interop check payload alpha bravo"),
+      (12L, "short"), (33L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.packJpegProgressive(docs, "doc_id", "text")
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])].collect()
+    assert(rows.length === 3)
+    for ((id, bytes) <- rows) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected progressive doc $id")
+      val expW = (id % 16 + 4).toInt
+      val expH = (id * 3 % 16 + 4).toInt
+      assert(img.getWidth === expW && img.getHeight === expH, s"dims doc $id")
+      val st = Multimodal.jpegPixels(
+          Seq((id, bytes)).toDF("doc_id", "payload"), "doc_id", "payload")
+        .select($"mean_gray_micro").as[Long].head()
+      var sum = 0L
+      for (y <- 0 until expH; x <- 0 until expW)
+        sum += img.getRaster.getSample(x, y, 0)
+      val imageioMeanMicro = math.round(sum.toDouble / (expW * expH) * 1e4)
+      assert(math.abs(st - imageioMeanMicro) < 3 * 1e4,
+        s"doc $id: ours $st vs ImageIO $imageioMeanMicro")
+    }
+  }
+
+  test("decodes ImageIO's OWN progressive output (EOBn runs, custom tables)") {
+    // the reverse interop direction: the JDK writer's progressive mode
+    // uses libjpeg's scan script with OPTIMIZED per-scan Huffman tables
+    // and EOBn end-of-band runs — none of which our encoder emits, so
+    // this exercises the general-spec decoder paths on foreign bytes
+    for ((w, h, seed) <- Seq((40, 24, 7), (128, 96, 42), (16, 16, 1))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until h; x <- 0 until w) {
+        // smooth gradient + texture: long zero runs AND dense blocks,
+        // so both EOBn and ZRL paths appear in the entropy stream
+        val v = (x * 2 + y + (if ((x / 8 + y / 8) % 3 == 0) rnd.nextInt(120) else 0)) % 256
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      assert(bytes.containsSlice(Array(0xff.toByte, 0xc2.toByte)),
+        s"$w x $h: writer must have emitted SOF2")
+      val st = graft.functions.JpegCodec.pixelStats(bytes)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      assert(st != null, s"$w x $h: foreign progressive stream must decode")
+      assert(st.getLong(0) === w.toLong && st.getLong(1) === h.toLong)
+      // round-trip reference: ImageIO decodes its own bytes; two
+      // compliant IDCTs may differ by bounded per-pixel rounding
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += ref.getRaster.getSample(x, y, 0)
+      val refMean = sum.toDouble / (w * h)
+      assert(math.abs(st.getDouble(3) - refMean) < 3.0,
+        s"$w x $h: ours ${st.getDouble(3)} vs ImageIO $refMean")
+    }
+  }
+
   test("jpegPixels is bit-deterministic and rejects non-baseline input") {
     val docs = Seq.tabulate(12)(i => (i.toLong, s"doc $i " * (i + 1)))
       .toDF("doc_id", "text")
