@@ -75,6 +75,15 @@ object GraftFunctions {
   def jpegEncodeProgressive(text: Column, width: Column, height: Column): Column =
     col(JpegEncode(expr(text), expr(width), expr(height), progressive = true))
 
+  def ulawFrameStats(payload: Column, frameSamples: Int): Column =
+    col(UlawFrameStats(expr(payload), frameSamples))
+
+  def adpcmWavEncode(text: Column): Column =
+    col(AdpcmWavEncode(expr(text)))
+
+  def adpcmFrameStats(payload: Column, frameSamples: Int): Column =
+    col(AdpcmFrameStats(expr(payload), frameSamples))
+
   def jpegPixelStats(payload: Column): Column =
     col(JpegPixelStats(expr(payload)))
 }

@@ -140,6 +140,65 @@ object Multimodal {
         round(col("f.rms"), 4).as("rms"),
         col("f.zero_crossings"), col("f.peak"))
 
+  /** Pack a text column as a COMPLETE spec-valid G.711 μ-LAW WAV
+    * (formatTag 7, 8-bit mono 8 kHz): each text byte IS one μ-law code, so
+    * the compressed stream needs no encoder expression — only the RIFF/fmt
+    * header synthesizes (same hex-literal construction as [[packMedia]]'s
+    * PCM header, fmt size 18 with cbSize 0 as non-PCM requires). Map-only. */
+  def packUlaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def hexb(c: Column) = lpad(hex(pmod(c, lit(256))), 2, "0")
+    def le16h(c: Column) = concat(hexb(c), hexb(floor(c / 256)))
+    def le32h(c: Column) =
+      concat(hexb(c), hexb(floor(c / 256)), hexb(floor(c / 65536)),
+        hexb(floor(c / 16777216)))
+    val dataLen = length(col(textCol).cast("binary"))
+    val hdr = concat(
+      lit("52494646"), le32h(dataLen + 50), lit("57415645"),  // RIFF size WAVE
+      lit("666D7420"), le32h(lit(18)), le16h(lit(7)),         // fmt_ 18 ulaw
+      le16h(lit(1)), le32h(lit(8000)), le32h(lit(8000)),      // mono 8kHz
+      le16h(lit(1)), le16h(lit(8)), le16h(lit(0)),            // align bits cb
+      lit("66616374"), le32h(lit(4)), le32h(dataLen),         // fact samples
+      lit("64617461"), le32h(dataLen))                        // data size
+    df.select(col(idCol),
+      concat(unhex(hdr), col(textCol).cast("binary")).as("payload"),
+      lit("audio/basic").as("content_type"))
+  }
+
+  /** Pack a text column as a COMPLETE spec-valid IMA ADPCM WAV (formatTag
+    * 0x11): the text's int16 LE sample stream 4:1-compressed through the
+    * standard step/index adaptation — see
+    * [[graft.functions.AdpcmWavEncode]]. Map-only. */
+  def packAdpcm(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.adpcmWavEncode(col(textCol)).as("payload"),
+        lit("audio/wav").as("content_type"))
+      .where(col("payload").isNotNull)
+
+  /** REAL μ-law decode + frame stats: [[packUlaw]] payloads expand through
+    * the closed-form G.711 law and fold into the same per-frame
+    * (rms, zero_crossings, peak) rows as [[pcmFrames]] — codec-blind
+    * downstream. Map-only explode, no shuffle at any corpus size. */
+  def ulawFrames(df: DataFrame, idCol: String, payloadCol: String,
+                 frameSamples: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.GraftFunctions
+          .ulawFrameStats(col(payloadCol), frameSamples)).as("f"))
+      .select(col(idCol), col("f.frame_idx"), col("f.n_samples"),
+        round(col("f.rms"), 4).as("rms"),
+        col("f.zero_crossings"), col("f.peak"))
+
+  /** REAL IMA ADPCM decode + frame stats over the reconstructed samples —
+    * the compressed-audio sibling of [[pcmFrames]]. Map-only. */
+  def adpcmFrames(df: DataFrame, idCol: String, payloadCol: String,
+                  frameSamples: Int): DataFrame =
+    df.select(col(idCol),
+        md5(hex(col(payloadCol))).as("wav_md5"),
+        explode(graft.functions.GraftFunctions
+          .adpcmFrameStats(col(payloadCol), frameSamples)).as("f"))
+      .select(col(idCol), col("wav_md5"), col("f.frame_idx"), col("f.n_samples"),
+        round(col("f.rms"), 4).as("rms"),
+        col("f.zero_crossings"), col("f.peak"))
+
   /** Frequency-domain audio features: per 64-sample PCM frame, the
     * quantized-coefficient DFT power at bins 1..8 plus each frame's
     * dominant bin — see [[graft.functions.PcmSpectral]] for why every

@@ -655,6 +655,26 @@ object OpsQueries {
         Multimodal.packJpegProgressive(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload")),
 
+    // COMPRESSED audio #1 — G.711 mu-law: every text byte is one mu-law
+    // code; the decoder expands through the closed-form companding law
+    // (pure integer shifts/masks), so the oracle replays every sample in
+    // SQL with no golden file — the same no-trust contract as the raw
+    // PCM energy query, one codec deeper
+    "x_mm_audio_ulaw" -> ((s, d) =>
+      Multimodal.ulawFrames(
+        Multimodal.packUlaw(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload", frameSamples = 256)),
+
+    // COMPRESSED audio #2 — IMA ADPCM (WAV formatTag 0x11): the text's
+    // int16 stream 4:1-compressed through the standard step/index
+    // adaptation, then decoded back and frame-folded. Sequential state
+    // machine -> golden-file oracle (independent pure-Python port pins
+    // payload md5 AND every decoded frame statistic)
+    "x_mm_audio_adpcm" -> ((s, d) =>
+      Multimodal.adpcmFrames(
+        Multimodal.packAdpcm(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload", frameSamples = 256)),
+
     // image near-dup end-to-end over the decoded rasters: perceptual
     // dHash -> 4x14-bit pigeonhole bands -> equi-join -> hamming verify.
     // The oracle recomputes every grayscale sample, every hash bit, and
@@ -2772,6 +2792,45 @@ object OpsQueries {
         |  g.mean_gray_micro
         |FROM documents d
         |JOIN '/root/repo/oracle/jpeg_progressive_golden.parquet' g
+        |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
+
+    // G.711 mu-law expansion replayed sample-for-sample in SQL:
+    // u = ~code (= 255 - code), t = ((u&15)*8 + 132) << ((u>>4)&7),
+    // pcm = sign ? 132 - t : t - 132 — then the same 256-sample frame
+    // fold as x_mm_audio_energy
+    "x_mm_audio_ulaw" ->
+      """WITH a AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |e AS (SELECT doc_id, hx, unnest(range(n)) AS i FROM a),
+        |c AS (SELECT doc_id, i AS sidx,
+        |    255 - CAST('0x' || substr(hx, CAST(2*i + 1 AS INT), 2) AS INT) AS u
+        |  FROM e),
+        |v AS (SELECT doc_id, sidx,
+        |    CASE WHEN u >= 128
+        |      THEN 132 - (((u & 15) * 8 + 132) << ((u >> 4) & 7))
+        |      ELSE (((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132 END AS v
+        |  FROM c),
+        |w AS (SELECT doc_id, sidx, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY sidx) AS pv FROM v)
+        |SELECT doc_id,
+        |  CAST(sidx // 256 AS INT) AS frame_idx,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 4) AS rms,
+        |  CAST(coalesce(sum(CASE WHEN sidx % 256 <> 0
+        |      AND (v < 0) <> (pv < 0) THEN 1 END), 0) AS INT) AS zero_crossings,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM w GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // golden-file oracle (same recipe as the JPEG goldens): payload bytes
+    // and decoded frame stats rebuilt by tools/make_adpcm_golden.py's
+    // independent pure-Python IMA ADPCM port, keyed by md5(doc_id:md5(text))
+    "x_mm_audio_adpcm" ->
+      """SELECT d.doc_id, g.wav_md5, CAST(g.frame_idx AS INT) AS frame_idx,
+        |  CAST(g.n_samples AS INT) AS n_samples, g.rms,
+        |  CAST(g.zero_crossings AS INT) AS zero_crossings,
+        |  CAST(g.peak AS INT) AS peak
+        |FROM documents d
+        |JOIN '/root/repo/oracle/adpcm_golden.parquet' g
         |  ON md5(CAST(d.doc_id AS VARCHAR) || ':' || md5(d.text)) = g.key""".stripMargin,
 
     "x_mm_embed_pairs" ->

@@ -635,6 +635,77 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.jpegPixels(junk, "doc_id", "payload").count() === 0)
   }
 
+  test("ulawFrames matches the JDK's own javax.sound G.711 expansion bit-for-bit") {
+    val text = "mu-law interop é測 " * 7
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = Multimodal.packUlaw(df, "doc_id", "text")
+      .select($"payload").as[Array[Byte]].head()
+    // independent decode: Java Sound reads the WAV as ULAW and converts
+    // to linear PCM through its own G.711 tables
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    assert(ais.getFormat.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.ULAW)
+    val pcmFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+    val bytes = pcm.readAllBytes()
+    val codes = text.getBytes("UTF-8")
+    assert(bytes.length === codes.length * 2)
+    for (i <- codes.indices) {
+      val jdk = ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort.toInt
+      val ours = graft.functions.G711Codec.ulawToPcm(codes(i) & 0xff)
+      assert(ours === jdk, s"sample $i: code ${codes(i) & 0xff}")
+    }
+    // and the frame-stat fold over those samples is the PcmFrameStats
+    // contract (frame 0 of 256 samples here)
+    val row = Multimodal.ulawFrames(
+        Multimodal.packUlaw(df, "doc_id", "text"), "doc_id", "payload", 256)
+      .where($"frame_idx" === 0).head()
+    assert(row.getInt(2) === codes.length) // one code byte = one sample
+  }
+
+  test("adpcmFrames round-trips the PCM stream within adaptation error") {
+    // a ramp + sine-ish int16 stream: text bytes ARE the samples (LE)
+    val samples = Array.tabulate(1400)(i =>
+      (math.sin(i / 9.0) * 12000 + (i % 701)).toInt)
+    val text = new String(samples.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)), "ISO-8859-1")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // NOTE: packAdpcm casts text through UTF-8, so build the payload
+    // directly from bytes for this byte-exact test
+    val payload = graft.functions.AdpcmCodec.encodeWav(
+      samples.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)))
+    assert(payload != null)
+    val st = graft.functions.AdpcmCodec.frameStats(payload, 1400)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    assert(st != null && st.numElements() === 1)
+    val row = st.getStruct(0, 5)
+    assert(row.getInt(1) === 1400, "fact chunk must bound the padded final block")
+    // reconstruction error: ADPCM is lossy but adaptive — for this signal
+    // the decoded RMS must sit within a few percent of the source RMS
+    val srcRms = math.sqrt(samples.map(v => v.toDouble * v).sum / samples.length)
+    val decRms = row.getDouble(2)
+    assert(math.abs(decRms - srcRms) / srcRms < 0.05,
+      s"decoded rms $decRms vs source rms $srcRms")
+    // block-header samples are carried verbatim: a 1-sample frame view of
+    // the first sample equals the source exactly
+    val st1 = graft.functions.AdpcmCodec.frameStats(payload, 1)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    assert(st1.getStruct(0, 5).getInt(4) === math.abs(samples(0)))
+    // determinism + garbage rejection
+    val payload2 = graft.functions.AdpcmCodec.encodeWav(
+      samples.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)))
+    assert(java.util.Arrays.equals(payload, payload2))
+    assert(graft.functions.AdpcmCodec.frameStats("junk".getBytes, 256) == null)
+    // a mu-law WAV must not decode through the ADPCM path (and vice versa)
+    val ulaw = Multimodal.packUlaw(df, "doc_id", "text")
+      .select($"payload").as[Array[Byte]].head()
+    assert(graft.functions.AdpcmCodec.frameStats(ulaw, 256) == null)
+    assert(graft.functions.G711Codec.frameStats(payload, 256) == null)
+  }
+
   test("sceneCuts segments exact-duplicate frame runs") {
     // frames of 4 bytes: AAAA AAAA BBBB AAAA CCCC CCCC CCCC + short tail
     val payload = "AAAA" * 2 + "BBBB" + "AAAA" + "CCCC" * 3 + "ZZ"
