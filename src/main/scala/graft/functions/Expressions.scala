@@ -775,6 +775,18 @@ object G711Codec {
     if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
+  /** G.711 A-law expansion of one code byte to a linear int16 sample:
+    * even bits invert (the spec's 0x55 toggle), segment 0 is linear
+    * (t = (m << 4) + 8), segments 1..7 shift with the implicit leading
+    * one (t = ((m << 4) + 0x108) << (seg - 1)). */
+  @inline def alawToPcm(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    val seg = (a >>> 4) & 7
+    val m = a & 0x0f
+    val t = if (seg == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** (formatTag, bitsPerSample, blockAlign, extra...) from the `fmt `
     * chunk, or null. Shared by the compressed-audio decoders. */
   private[functions] def fmtChunk(b: Array[Byte]): Array[Int] = {
@@ -854,19 +866,44 @@ object G711Codec {
     new GenericArrayData(out)
   }
 
-  def frameStats(b: Array[Byte], frameSamples: Int): Any = {
+  def frameStats(b: Array[Byte], frameSamples: Int): Any =
+    g711Stats(b, frameSamples, alaw = false)
+
+  /** Shared μ-law/A-law path: WAVE_FORMAT_MULAW = 7, WAVE_FORMAT_ALAW = 6;
+    * both are one-code-byte-per-sample table expansions. */
+  private[functions] def g711Stats(b: Array[Byte], frameSamples: Int,
+                                   alaw: Boolean): Any = {
+    val want = if (alaw) 6 else 7
     val fmt = fmtChunk(b)
-    if (fmt == null || fmt(0) != 7 || fmt(1) == 0 || fmt(2) != 8) return null
+    if (fmt == null || fmt(0) != want || fmt(1) == 0 || fmt(2) != 8) return null
     val span = PcmFrameStats.dataSpanOf(b)
     if (span == null || span(1) <= 0) return null
     val samples = new Array[Int](span(1))
     var i = 0
     while (i < samples.length) {
-      samples(i) = ulawToPcm(b(span(0) + i) & 0xff)
+      val c = b(span(0) + i) & 0xff
+      samples(i) = if (alaw) alawToPcm(c) else ulawToPcm(c)
       i += 1
     }
     statsOver(samples, frameSamples)
   }
+}
+
+/** [[UlawFrameStats]]'s A-law sibling (WAV formatTag 6) — the other G.711
+  * companding law, same closed-form integer expansion, same SQL-replayable
+  * oracle contract, same javax.sound interop pin. */
+case class AlawFrameStats(child: Expression, frameSamples: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+
+  override def dataType: DataType = PcmFrameStats(child, frameSamples).dataType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    G711Codec.g711Stats(input.asInstanceOf[Array[Byte]], frameSamples, alaw = true)
+
+  override protected def withNewChildInternal(newChild: Expression): AlawFrameStats =
+    copy(child = newChild)
 }
 
 /** REAL IMA ADPCM (DVI4 / WAV formatTag 0x11) encode: 4-bit adaptive

@@ -78,6 +78,9 @@ object GraftFunctions {
   def ulawFrameStats(payload: Column, frameSamples: Int): Column =
     col(UlawFrameStats(expr(payload), frameSamples))
 
+  def alawFrameStats(payload: Column, frameSamples: Int): Column =
+    col(AlawFrameStats(expr(payload), frameSamples))
+
   def adpcmWavEncode(text: Column): Column =
     col(AdpcmWavEncode(expr(text)))
 

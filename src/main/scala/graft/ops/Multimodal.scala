@@ -145,7 +145,16 @@ object Multimodal {
     * the compressed stream needs no encoder expression — only the RIFF/fmt
     * header synthesizes (same hex-literal construction as [[packMedia]]'s
     * PCM header, fmt size 18 with cbSize 0 as non-PCM requires). Map-only. */
-  def packUlaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def packUlaw(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    packG711(df, idCol, textCol, formatTag = 7)
+
+  /** [[packUlaw]]'s A-law sibling: WAV formatTag 6, the same
+    * one-code-byte-per-sample layout. */
+  def packAlaw(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    packG711(df, idCol, textCol, formatTag = 6)
+
+  private def packG711(df: DataFrame, idCol: String, textCol: String,
+                       formatTag: Int): DataFrame = {
     def hexb(c: Column) = lpad(hex(pmod(c, lit(256))), 2, "0")
     def le16h(c: Column) = concat(hexb(c), hexb(floor(c / 256)))
     def le32h(c: Column) =
@@ -154,7 +163,7 @@ object Multimodal {
     val dataLen = length(col(textCol).cast("binary"))
     val hdr = concat(
       lit("52494646"), le32h(dataLen + 50), lit("57415645"),  // RIFF size WAVE
-      lit("666D7420"), le32h(lit(18)), le16h(lit(7)),         // fmt_ 18 ulaw
+      lit("666D7420"), le32h(lit(18)), le16h(lit(formatTag)), // fmt_ 18 g711
       le16h(lit(1)), le32h(lit(8000)), le32h(lit(8000)),      // mono 8kHz
       le16h(lit(1)), le16h(lit(8)), le16h(lit(0)),            // align bits cb
       lit("66616374"), le32h(lit(4)), le32h(dataLen),         // fact samples
@@ -183,6 +192,17 @@ object Multimodal {
     df.select(col(idCol),
         explode(graft.functions.GraftFunctions
           .ulawFrameStats(col(payloadCol), frameSamples)).as("f"))
+      .select(col(idCol), col("f.frame_idx"), col("f.n_samples"),
+        round(col("f.rms"), 4).as("rms"),
+        col("f.zero_crossings"), col("f.peak"))
+
+  /** REAL A-law decode + frame stats — [[ulawFrames]] under the other
+    * G.711 companding law. Map-only. */
+  def alawFrames(df: DataFrame, idCol: String, payloadCol: String,
+                 frameSamples: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.GraftFunctions
+          .alawFrameStats(col(payloadCol), frameSamples)).as("f"))
       .select(col(idCol), col("f.frame_idx"), col("f.n_samples"),
         round(col("f.rms"), 4).as("rms"),
         col("f.zero_crossings"), col("f.peak"))

@@ -665,6 +665,13 @@ object OpsQueries {
         Multimodal.packUlaw(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload", frameSamples = 256)),
 
+    // the other G.711 companding law (A-law, formatTag 6) — same
+    // SQL-replayable closed form, toggled bits and a linear segment 0
+    "x_mm_audio_alaw" -> ((s, d) =>
+      Multimodal.alawFrames(
+        Multimodal.packAlaw(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "payload", frameSamples = 256)),
+
     // COMPRESSED audio #2 — IMA ADPCM (WAV formatTag 0x11): the text's
     // int16 stream 4:1-compressed through the standard step/index
     // adaptation, then decoded back and frame-folded. Sequential state
@@ -2810,6 +2817,33 @@ object OpsQueries {
         |      THEN 132 - (((u & 15) * 8 + 132) << ((u >> 4) & 7))
         |      ELSE (((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132 END AS v
         |  FROM c),
+        |w AS (SELECT doc_id, sidx, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY sidx) AS pv FROM v)
+        |SELECT doc_id,
+        |  CAST(sidx // 256 AS INT) AS frame_idx,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 4) AS rms,
+        |  CAST(coalesce(sum(CASE WHEN sidx % 256 <> 0
+        |      AND (v < 0) <> (pv < 0) THEN 1 END), 0) AS INT) AS zero_crossings,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM w GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // G.711 A-law: a = code XOR 0x55; seg = (a>>4)&7; m = a&15;
+    // t = seg == 0 ? (m<<4)+8 : ((m<<4)+264) << (seg-1);
+    // pcm = (a & 0x80) != 0 ? t : -t — then the same frame fold
+    "x_mm_audio_alaw" ->
+      """WITH a AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |e AS (SELECT doc_id, hx, unnest(range(n)) AS i FROM a),
+        |c AS (SELECT doc_id, i AS sidx,
+        |    xor(CAST('0x' || substr(hx, CAST(2*i + 1 AS INT), 2) AS INT), 85) AS u
+        |  FROM e),
+        |t AS (SELECT doc_id, sidx, u,
+        |    CASE WHEN ((u >> 4) & 7) = 0 THEN ((u & 15) << 4) + 8
+        |         ELSE (((u & 15) << 4) + 264) << (((u >> 4) & 7) - 1) END AS m
+        |  FROM c),
+        |v AS (SELECT doc_id, sidx,
+        |    CASE WHEN (u & 128) <> 0 THEN m ELSE -m END AS v FROM t),
         |w AS (SELECT doc_id, sidx, v,
         |    lag(v) OVER (PARTITION BY doc_id ORDER BY sidx) AS pv FROM v)
         |SELECT doc_id,

@@ -666,6 +666,34 @@ class MultimodalSpec extends SparkSuite {
     assert(row.getInt(2) === codes.length) // one code byte = one sample
   }
 
+  test("alawFrames matches the JDK's javax.sound A-law expansion bit-for-bit") {
+    val text = "a-law interop ü試 " * 9
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = Multimodal.packAlaw(df, "doc_id", "text")
+      .select($"payload").as[Array[Byte]].head()
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    assert(ais.getFormat.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.ALAW)
+    val pcmFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+    val bytes = pcm.readAllBytes()
+    val codes = text.getBytes("UTF-8")
+    assert(bytes.length === codes.length * 2)
+    for (i <- codes.indices) {
+      val jdk = ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort.toInt
+      val ours = graft.functions.G711Codec.alawToPcm(codes(i) & 0xff)
+      assert(ours === jdk, s"sample $i: code ${codes(i) & 0xff}")
+    }
+    // the two laws must not cross-decode (format tags 6 vs 7)
+    val ulawDf = Multimodal.packUlaw(df, "doc_id", "text")
+    assert(Multimodal.alawFrames(ulawDf, "doc_id", "payload", 256).count() === 0)
+    assert(Multimodal.ulawFrames(
+      Multimodal.packAlaw(df, "doc_id", "text"), "doc_id", "payload", 256).count() === 0)
+  }
+
   test("adpcmFrames round-trips the PCM stream within adaptation error") {
     // a ramp + sine-ish int16 stream: text bytes ARE the samples (LE)
     val samples = Array.tabulate(1400)(i =>
