@@ -694,6 +694,40 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.packAlaw(df, "doc_id", "text"), "doc_id", "payload", 256).count() === 0)
   }
 
+  test("both G.711 laws agree with javax.sound on the COMPLETE code space") {
+    // exhaustive: every one of the 256 possible code bytes, both laws —
+    // the whole decode surface, not just codes that appear in some text
+    def wav(fmtTag: Int): Array[Byte] = {
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+      "RIFF".getBytes ++ le32(306) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(18) ++ le16(fmtTag) ++ le16(1) ++
+        le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++ le16(0) ++
+        "fact".getBytes ++ le32(4) ++ le32(256) ++
+        "data".getBytes ++ le32(256) ++ Array.tabulate(256)(_.toByte)
+    }
+    for ((fmtTag, enc, ours) <- Seq(
+        (7, javax.sound.sampled.AudioFormat.Encoding.ULAW,
+          graft.functions.G711Codec.ulawToPcm _),
+        (6, javax.sound.sampled.AudioFormat.Encoding.ALAW,
+          graft.functions.G711Codec.alawToPcm _))) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav(fmtTag)))
+      assert(ais.getFormat.getEncoding === enc)
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val bytes = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(pcmFmt, ais).readAllBytes()
+      assert(bytes.length === 512)
+      for (code <- 0 until 256) {
+        val jdk = ((bytes(2 * code) & 0xff) |
+          ((bytes(2 * code + 1) & 0xff) << 8)).toShort.toInt
+        assert(ours(code) === jdk, s"fmt $fmtTag code $code")
+      }
+    }
+  }
+
   test("adpcmFrames round-trips the PCM stream within adaptation error") {
     // a ramp + sine-ish int16 stream: text bytes ARE the samples (LE)
     val samples = Array.tabulate(1400)(i =>
