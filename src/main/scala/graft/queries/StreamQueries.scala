@@ -44,11 +44,14 @@ object StreamQueries {
   }
 
   private def runToParquet(s: SparkSession, streamed: DataFrame, w: String): DataFrame = {
-    // stateful streaming keeps one state-store dir per shuffle partition;
-    // for these incremental micro-batches 8 partitions bound the file
-    // churn without limiting throughput (restored after the run)
+    // stateful streaming keeps one state-store dir per shuffle partition,
+    // and the Probe-measured per-batch state commit cost scales with that
+    // count: 4 partitions cut the harness queries 10-23% vs 8 with no
+    // further gain at 2 (measured isolated, BASELINE.md round 7). Results
+    // are partitioning-independent; production sizes this by state volume,
+    // not by this local-harness constant (restored after the run)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       streamed.writeStream
         .trigger(Trigger.AvailableNow())
