@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
   * directions) — all byte-level, pure JVM.
   * [[packMedia]]/[[packPpm]]/[[packPng]]/[[packJpeg]]/[[packJpegProgressive]]
   * synthesize payloads carrying spec-valid streams so the oracle replays
-  * every parsed field AND every decoded sample/pixel statistic. Only
-  * arithmetic-coded JPEG (patent-era, decoder-rare), compressed audio, and
-  * learned feature embeddings need libraries the container lacks; those
-  * stay clearly-marked deterministic stubs, while the Spark-side plumbing —
+  * every parsed field AND every decoded sample/pixel statistic — and
+  * compressed audio is real too ([[packUlaw]]/[[packAlaw]]'s G.711 laws
+  * replay closed-form in SQL, [[packAdpcm]]'s IMA ADPCM pins against an
+  * independent Python port). Only arithmetic-coded JPEG (patent-era and
+  * decoder-rare — with no independent arithmetic decoder available to
+  * interop against, a self-consistent implementation would be
+  * unverifiable, so the gap stays explicit) and learned feature
+  * embeddings (need model weights the container lacks) remain
+  * clearly-marked deterministic stubs, while the Spark-side plumbing —
   * binary schema, chunked frame sampling, batch iterator shape,
   * partitioning — is real and oracle-tested throughout.
   *
