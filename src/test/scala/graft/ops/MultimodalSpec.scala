@@ -768,6 +768,51 @@ class MultimodalSpec extends SparkSuite {
     assert(graft.functions.G711Codec.frameStats(payload, 256) == null)
   }
 
+  test("adpcm codec properties hold over random streams") {
+    // randomized invariants the round-trip test can't cover: exact sample
+    // counts across block boundaries (505/block), verbatim block-header
+    // samples, and odd-tail truncation — over adversarial waveforms
+    // (white noise, step functions, near-clipping swings)
+    def decodeAll(wav: Array[Byte]): Array[Int] = {
+      val st = graft.functions.AdpcmCodec.frameStats(wav, 1)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      Array.tabulate(st.numElements()) { i =>
+        val r = st.getStruct(i, 5)
+        // 1-sample frames: peak == |sample|, rms == |sample| — recover
+        // magnitude; sign is not observable through stats, so properties
+        // below compare magnitudes where sign matters they use block heads
+        r.getInt(4)
+      }
+    }
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(1300)
+      val samples = Array.tabulate(n) { i =>
+        trial % 3 match {
+          case 0 => rnd.nextInt(65536) - 32768          // white noise
+          case 1 => if (i % 100 < 50) 30000 else -30000 // clipping steps
+          case _ => (math.sin(i / 3.0) * 20000).toInt   // fast swing
+        }
+      }
+      val bytes = samples.flatMap(v =>
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+      val wav = graft.functions.AdpcmCodec.encodeWav(bytes)
+      assert(wav != null, s"trial $trial")
+      val mags = decodeAll(wav)
+      assert(mags.length === n, s"trial $trial: exact count across blocks")
+      // block-header samples decode verbatim (magnitude check)
+      var b = 0
+      while (b * 505 < n) {
+        assert(mags(b * 505) === math.abs(samples(b * 505)),
+          s"trial $trial block $b header")
+        b += 1
+      }
+      // odd trailing byte drops exactly one would-be half sample
+      val odd = graft.functions.AdpcmCodec.encodeWav(bytes :+ 0x7f.toByte)
+      assert(decodeAll(odd).length === n, s"trial $trial odd tail")
+    }
+  }
+
   test("sceneCuts segments exact-duplicate frame runs") {
     // frames of 4 bytes: AAAA AAAA BBBB AAAA CCCC CCCC CCCC + short tail
     val payload = "AAAA" * 2 + "BBBB" + "AAAA" + "CCCC" * 3 + "ZZ"
