@@ -604,9 +604,11 @@ object AudioHeaderMeta {
 
   def parse(b: Array[Byte]): GenericInternalRow = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var i = 12
+    // Long cursor: see PcmFrameStats.dataSpan (Int-wrap OOB on crafted sizes).
+    var li = 12L
     var channels = -1; var sampleRate = -1L; var byteRate = -1L; var bits = -1
-    while (i + 8 <= b.length) {
+    while (li + 8 <= b.length) {
+      val i = li.toInt
       val size = le32(b, i + 4)
       if (tag(b, i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > b.length) return null
@@ -627,9 +629,9 @@ object AudioHeaderMeta {
           UTF8String.fromString("wav"), channels, sampleRate, bits, size,
           size.toDouble / byteRate))
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
       if (size < 0 || size > Int.MaxValue - 16) return null
+      // chunks are word-aligned: odd sizes carry one pad byte
+      li += 8 + size + (size & 1)
     }
     null
   }
@@ -691,15 +693,19 @@ object PcmFrameStats {
 
   private def dataSpan(b: Array[Byte]): Array[Int] = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var i = 12
+    // Long cursor: a crafted chunk size near Int.MaxValue would wrap an Int
+    // cursor negative and index out of bounds; with a Long the advance just
+    // walks past b.length and the loop terminates (null, per the contract).
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
+      val ii = i.toInt
+      val size = le32(b, ii + 4)
       if (size < 0 || size > Int.MaxValue - 16) return null
-      if (tag(b, i, "data")) {
-        val avail = math.min(size.toInt, b.length - i - 8)
-        return Array(i + 8, math.max(avail, 0))
+      if (tag(b, ii, "data")) {
+        val avail = math.min(size, (b.length - i - 8)).toInt
+        return Array(ii + 8, math.max(avail, 0))
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8 + size + (size & 1) // chunks are word-aligned
     }
     null
   }
@@ -795,8 +801,11 @@ object G711Codec {
     def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
     if (b.length < 44 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
       !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
-    var i = 12
-    while (i + 8 <= b.length) {
+    // Long cursor: see PcmFrameStats.dataSpan — an Int cursor can wrap
+    // negative on a crafted near-Int.MaxValue chunk size and index OOB.
+    var li = 12L
+    while (li + 8 <= b.length) {
+      val i = li.toInt
       val size = le32(i + 4)
       if (size < 0 || size > Int.MaxValue - 16) return null
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
@@ -808,7 +817,7 @@ object G711Codec {
         return Array(le16(body), le16(body + 2), le16(body + 14),
           le16(body + 12), spb)
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      li += 8 + size + (size & 1)
     }
     null
   }
@@ -818,15 +827,17 @@ object G711Codec {
     def u8(i: Int) = b(i) & 0xff
     def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    var i = 12
-    while (i + 8 <= b.length) {
+    // Long cursor: see PcmFrameStats.dataSpan (Int-wrap OOB on crafted sizes).
+    var li = 12L
+    while (li + 8 <= b.length) {
+      val i = li.toInt
       val size = le32(i + 4)
       if (size < 0 || size > Int.MaxValue - 16) return -1
       if (b(i) == 'f' && b(i + 1) == 'a' && b(i + 2) == 'c' && b(i + 3) == 't') {
         if (size < 4 || i + 12 > b.length) return -1
         return le32(i + 8)
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      li += 8 + size + (size & 1)
     }
     -1
   }
@@ -2359,6 +2370,99 @@ object JpegCodec {
     if (p + 1 >= data.length) data.length else p
   }
 
+  /** Dequantize one block's zigzag-order raw coefficients (64 ints at
+    * `off`), IDCT at scale 2^28, and return the sum of its clipped pixels
+    * that fall inside the image bounds. `coef`/`tmp` are caller-provided
+    * 64-element scratch so the per-block path allocates nothing. */
+  private def idctBlockSum(raw: Array[Int], off: Int, qt: Array[Int],
+                           by: Int, bx: Int, width: Int, height: Int,
+                           coef: Array[Long], tmp: Array[Long]): Long = {
+    // dequantize: qt is stored in zigzag order, so zigzag position k
+    // dequantizes with qt(k), landing at natural Zigzag(k)
+    java.util.Arrays.fill(coef, 0L)
+    var k = 0
+    while (k < 64) {
+      val c = raw(off + k)
+      if (c != 0) coef(Zigzag(k)) = c.toLong * qt(k)
+      k += 1
+    }
+    // IDCT f = Aᵀ·F·A at scale 2^28: F[v][u] natural layout, v the
+    // vertical frequency — f[y][x] = Σ_v Σ_u A[v][y]·F[v][u]·A[u][x]
+    var y = 0
+    while (y < 8) { // tmp[y][u] = Σ_v A[v][y]·F[v][u]
+      var u = 0
+      while (u < 8) {
+        var sAcc = 0L; var v2 = 0
+        while (v2 < 8) { sAcc += A(v2)(y) * coef(v2 * 8 + u); v2 += 1 }
+        tmp(y * 8 + u) = sAcc
+        u += 1
+      }
+      y += 1
+    }
+    var sum = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val py = by * 8 + y
+        val px = bx * 8 + x
+        if (py < height && px < width) {
+          var sAcc = 0L; var u2 = 0
+          while (u2 < 8) { sAcc += tmp(y * 8 + u2) * A(u2)(x); u2 += 1 }
+          val p = descale(sAcc, 28) + 128
+          sum += math.max(0, math.min(255, p.toInt))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Streaming decode of the single sequential (SOF0) scan: each block's
+    * 64 raw coefficients decode into a reused buffer and IDCT immediately —
+    * memory is O(1) in the geometry, the pre-progressive single-scan shape.
+    * Returns the total clipped-pixel sum, or -1 if the stream is corrupt. */
+  private def decodeSequentialSum(data: Array[Byte], start: Int,
+                                  bw8: Int, bh8: Int, width: Int, height: Int,
+                                  qt: Array[Int], dcDec: HuffDecoder,
+                                  acDec: HuffDecoder): Long = {
+    val br = new BitReader(data, start)
+    val raw = new Array[Int](64)
+    val coef = new Array[Long](64)
+    val tmp = new Array[Long](64)
+    var prevDc = 0
+    var sum = 0L
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        java.util.Arrays.fill(raw, 0)
+        val s = dcDec.decode(br)
+        if (s > 15) br.bad = true
+        else { prevDc += extend(br.bits(s), s); raw(0) = prevDc }
+        var k = 1
+        var done = br.bad
+        while (!done && k <= 63) {
+          val rs = acDec.decode(br)
+          val r = rs >>> 4; val sz = rs & 0xf
+          if (sz == 0) {
+            if (r == 15) k += 16 else done = true // ZRL / EOB
+          } else {
+            k += r
+            if (k > 63) { br.bad = true; done = true }
+            else { raw(k) = extend(br.bits(sz), sz); k += 1 }
+          }
+        }
+        if (br.bad) return -1L
+        sum += idctBlockSum(raw, 0, qt, by, bx, width, height, coef, tmp)
+        bx += 1
+      }
+      by += 1
+    }
+    sum
+  }
+
   def pixelStats(data: Array[Byte]): Any = {
     if (data == null || data.length < 4 ||
       (data(0) & 0xff) != 0xff || (data(1) & 0xff) != 0xd8) return null
@@ -2372,6 +2476,7 @@ object JpegCodec {
     var progressive = false
     var coefs: Array[Int] = null // nBlocks×64, zigzag order, raw pre-dequant
     var nBlocks = 0
+    var seqSum = -1L // sequential scans stream their pixel sum directly
     var sawScan = false
     var atEnd = false
     while (!atEnd && pos + 1 < data.length) {
@@ -2423,14 +2528,22 @@ object JpegCodec {
             if (sofTq > 3 || width <= 0 || height <= 0) return null
             progressive = m == 0xc2
             haveSof = true
-            // the multi-scan store holds every block's coefficients;
-            // 2^18 blocks (a 4096×4096 frame, 64 MiB of ints) bounds the
-            // per-row allocation a crafted geometry could demand
             val bw8 = (width + 7) / 8
             val bh8 = (height + 7) / 8
-            if (bw8.toLong * bh8 > (1L << 18)) return null
-            nBlocks = bw8 * bh8
-            coefs = new Array[Int](nBlocks * 64)
+            if (progressive) {
+              // the multi-scan store holds every block's coefficients;
+              // 2^18 blocks (a 4096×4096 frame, 64 MiB of ints) bounds
+              // the per-row allocation a crafted geometry could demand
+              if (bw8.toLong * bh8 > (1L << 18)) return null
+              nBlocks = bw8 * bh8
+              coefs = new Array[Int](nBlocks * 64)
+            } else {
+              // sequential streams block-by-block through a 64-element
+              // buffer (O(1) memory), so it keeps the wider pre-SOF2
+              // geometry bound: 2^20 blocks = 8192×8192
+              if (bw8.toLong * bh8 > (1L << 20)) return null
+              nBlocks = bw8 * bh8
+            }
           case 0xc4 => // DHT: one OR MORE tables; build real decoders
             var p = body
             while (p < end) {
@@ -2470,14 +2583,26 @@ object JpegCodec {
             // only when the stream omits DHT entirely (abbreviated streams)
             val dcDec = if (dcTabs(dcSel) != null) dcTabs(dcSel) else DcDec
             val acDec = if (acTabs(acSel) != null) acTabs(acSel) else AcDec
-            val nx = decodeScan(data, mp + 1 + len, coefs, nBlocks,
-              dcDec, acDec, ss, se, ah, al, progressive)
-            if (nx < 0) return null
-            sawScan = true
-            pos = nx
-            // sequential = exactly one full scan; stop here (trailing
-            // bytes after it are tolerated, as they always were)
-            if (!progressive) atEnd = true
+            if (!progressive) {
+              // sequential = exactly one full scan, streamed (tables must
+              // precede the scan, per T.81); trailing bytes after it are
+              // tolerated, as they always were
+              if (!(ss == 0 && se == 63 && ah == 0 && al == 0)) return null
+              val qt = qtabs(sofTq)
+              if (qt == null) return null
+              seqSum = decodeSequentialSum(data, mp + 1 + len,
+                (width + 7) / 8, (height + 7) / 8, width, height,
+                qt, dcDec, acDec)
+              if (seqSum < 0) return null
+              sawScan = true
+              atEnd = true
+            } else {
+              val nx = decodeScan(data, mp + 1 + len, coefs, nBlocks,
+                dcDec, acDec, ss, se, ah, al, progressive)
+              if (nx < 0) return null
+              sawScan = true
+              pos = nx
+            }
           case x if x >= 0xc1 && x <= 0xcf =>
             return null // unsupported SOF (extended/lossless/arith) / DAC
           case _ => ()
@@ -2488,63 +2613,29 @@ object JpegCodec {
     // a truncated progressive stream (no EOI) still decodes the scans
     // that arrived — that is the format's defining property
     if (!haveSof || !sawScan) return null
-    val qt = qtabs(sofTq)
-    if (qt == null) return null
-    val bw8 = (width + 7) / 8
-    val bh8 = (height + 7) / 8
-    val pixels = new Array[Int](width * height)
-    val coef = new Array[Long](64)
-    val tmp = new Array[Long](64)
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
-        val off = (by * bw8 + bx) * 64
-        // dequantize: qt is stored in zigzag order, so zigzag position k
-        // dequantizes with qt(k), landing at natural Zigzag(k)
-        java.util.Arrays.fill(coef, 0L)
-        var k = 0
-        while (k < 64) {
-          val c = coefs(off + k)
-          if (c != 0) coef(Zigzag(k)) = c.toLong * qt(k)
-          k += 1
-        }
-        // IDCT f = Aᵀ·F·A at scale 2^28: F[v][u] natural layout, v the
-        // vertical frequency — f[y][x] = Σ_v Σ_u A[v][y]·F[v][u]·A[u][x]
-        var y = 0
-        while (y < 8) { // tmp[y][u] = Σ_v A[v][y]·F[v][u]
-          var u = 0
-          while (u < 8) {
-            var sAcc = 0L; var v2 = 0
-            while (v2 < 8) { sAcc += A(v2)(y) * coef(v2 * 8 + u); v2 += 1 }
-            tmp(y * 8 + u) = sAcc
-            u += 1
+    val n = width.toLong * height
+    val sum =
+      if (!progressive) seqSum // already streamed at the scan
+      else {
+        val qt = qtabs(sofTq)
+        if (qt == null) return null
+        val bw8 = (width + 7) / 8
+        val bh8 = (height + 7) / 8
+        val coef = new Array[Long](64)
+        val tmp = new Array[Long](64)
+        var acc = 0L
+        var by = 0
+        while (by < bh8) {
+          var bx = 0
+          while (bx < bw8) {
+            acc += idctBlockSum(coefs, (by * bw8 + bx) * 64, qt,
+              by, bx, width, height, coef, tmp)
+            bx += 1
           }
-          y += 1
+          by += 1
         }
-        y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var sAcc = 0L; var u2 = 0
-            while (u2 < 8) { sAcc += tmp(y * 8 + u2) * A(u2)(x); u2 += 1 }
-            val p = descale(sAcc, 28) + 128
-            val py = by * 8 + y
-            val px = bx * 8 + x
-            if (py < height && px < width)
-              pixels(py * width + px) = math.max(0, math.min(255, p.toInt))
-            x += 1
-          }
-          y += 1
-        }
-        bx += 1
+        acc
       }
-      by += 1
-    }
-    var sum = 0L
-    var i2 = 0
-    while (i2 < pixels.length) { sum += pixels(i2); i2 += 1 }
-    val n = pixels.length.toLong
     new GenericInternalRow(Array[Any](width.toLong, height.toLong, n,
       sum.toDouble / n))
   }

@@ -166,15 +166,21 @@ object Multimodal {
       concat(hexb(c), hexb(floor(c / 256)), hexb(floor(c / 65536)),
         hexb(floor(c / 16777216)))
     val dataLen = length(col(textCol).cast("binary"))
+    // RIFF chunks are word-aligned: an odd data payload carries one zero
+    // pad byte, excluded from the data chunk size but included in the
+    // RIFF size (decoders clamp to the declared size, so stats are
+    // unchanged; strict parsers that walk past `data` stay aligned).
+    val pad = pmod(dataLen, lit(2))
     val hdr = concat(
-      lit("52494646"), le32h(dataLen + 50), lit("57415645"),  // RIFF size WAVE
+      lit("52494646"), le32h(dataLen + pad + 50), lit("57415645"), // RIFF size WAVE
       lit("666D7420"), le32h(lit(18)), le16h(lit(formatTag)), // fmt_ 18 g711
       le16h(lit(1)), le32h(lit(8000)), le32h(lit(8000)),      // mono 8kHz
       le16h(lit(1)), le16h(lit(8)), le16h(lit(0)),            // align bits cb
       lit("66616374"), le32h(lit(4)), le32h(dataLen),         // fact samples
       lit("64617461"), le32h(dataLen))                        // data size
     df.select(col(idCol),
-      concat(unhex(hdr), col(textCol).cast("binary")).as("payload"),
+      concat(unhex(hdr), col(textCol).cast("binary"),
+        unhex(when(pad === 1, "00").otherwise(""))).as("payload"),
       lit("audio/basic").as("content_type"))
   }
 

@@ -823,4 +823,73 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(r.toSeq == Seq((1L, 8L, 5L, 3L)))
   }
+
+  test("RIFF walks return null on a crafted near-Int.MaxValue chunk size") {
+    // a chunk declaring size Int.MaxValue-17 passes the size guard; an Int
+    // cursor would wrap negative on the advance and index out of bounds
+    // (task crash) — the contract is null for malformed payloads
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val evil = ("RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(Int.MaxValue - 17L) ++
+      Array.fill(24)(0.toByte))
+    val df = Seq((1L, evil)).toDF("id", "payload")
+    import org.apache.spark.sql.functions.col
+    assert(df.select(Multimodal.audioMeta(col("payload"))).head.isNullAt(0))
+    assert(df.select(graft.functions.GraftFunctions
+      .pcmFrameStats(col("payload"), 256)).head.isNullAt(0))
+    assert(df.select(graft.functions.GraftFunctions
+      .ulawFrameStats(col("payload"), 256)).head.isNullAt(0))
+    assert(df.select(graft.functions.GraftFunctions
+      .alawFrameStats(col("payload"), 256)).head.isNullAt(0))
+    assert(df.select(graft.functions.GraftFunctions
+      .adpcmFrameStats(col("payload"), 256)).head.isNullAt(0))
+  }
+
+  test("sequential JPEGs between 4096 and 8192 px decode (streaming path)") {
+    // 4200x4200 = 525x525 blocks > 2^18: rejected by the progressive
+    // store bound, accepted by the sequential streaming path (2^20).
+    // ImageIO writes baseline sequential JPEG by default.
+    val side = 4200
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(180, 180, 180))
+    g.fillRect(0, 0, side, side)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    import org.apache.spark.sql.functions.col
+    val row = df.select(graft.functions.GraftFunctions
+      .jpegPixelStats(col("payload")).as("st")).selectExpr(
+      "st.width", "st.height", "st.mean_gray").head
+    assert(!row.isNullAt(0), "4200px sequential JPEG must decode")
+    assert(row.getLong(0) == side && row.getLong(1) == side)
+    assert(math.abs(row.getDouble(2) - 180.0) < 2.0,
+      s"flat-gray mean should be ~180, got ${row.getDouble(2)}")
+  }
+
+  test("odd-length G.711 payloads carry a RIFF pad byte and even total size") {
+    val df = Seq((1L, "odd"), (2L, "even")).toDF("doc_id", "text") // 3, 4 bytes
+    val out = Multimodal.packUlaw(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // header is 58 bytes; odd data gets one zero pad excluded from the
+    // declared data size but included in the RIFF size
+    assert(out(1L).length == 58 + 3 + 1 && out(1L).last == 0)
+    assert(out(2L).length == 58 + 4)
+    def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    assert(le32(out(1L), 4) == out(1L).length - 8, "RIFF size includes pad")
+    assert(le32(out(1L), 54) == 3, "data chunk size excludes pad")
+    // the decoded frame stats are unchanged by the pad (declared size wins)
+    import org.apache.spark.sql.functions.col
+    val stats = Multimodal.ulawFrames(
+      Multimodal.packUlaw(df, "doc_id", "text"), "doc_id", "payload", 256)
+      .select(col("doc_id"), col("n_samples")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stats(1L) == 3 && stats(2L) == 4)
+  }
 }
