@@ -26,6 +26,23 @@ object LiftQueries {
     dir
   }
 
+  /** Read a DialectLite upsert target back as (o_orderkey, o_orderstatus,
+    * price) — DialectLite serves the write path only (Spark's JDBC reader
+    * needs full driver metadata), so verification reads the final table
+    * state directly, as the reference's tests read theirs over a cursor. */
+  private def dialectLiteReadback(s: SparkSession, db: String, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (_, rows) = graft.blocks.DialectLite.snapshot(db, table)
+    val data = rows.map(r => Row(r(0).asInstanceOf[java.lang.Long],
+      String.valueOf(r(1)), r(2).asInstanceOf[java.lang.Double]))
+    s.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(data).asJava),
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("price", DoubleType))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // load::batch_csv with an explicit schema + transform chain, fed by a
@@ -903,13 +920,20 @@ object LiftQueries {
     // custom::function — the reference's python_codeblock as a host
     // function bound through raw-object parameter substitution
     // (reference custom/entrypoint.py:22-232, lift_definition.py:28-42)
+    // custom::function MULTI-OUTPUT path (reference custom/entrypoint.py:
+    // 110-158): the host function returns a Map of named DataFrames
+    // matched against the block's declared `Output:` names; both outputs
+    // carry data (threshold 910 is non-empty at every sf — 1500 used to
+    // make this row vacuously pass on 0 rows) and the query joins them so
+    // the oracle hash covers BOTH registered sub-outputs.
     "l_custom_function" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{avg, count, lit, round => rnd}
       val fn: Map[String, Any] => Any = { in =>
-        val df = in("Raw").asInstanceOf[DataFrame]
-        df.where("p_retailprice > 1500")
-          .groupBy("p_brand")
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_expensive"))
+        val df = in("Raw").asInstanceOf[DataFrame].where("p_retailprice > 910")
+        Map(
+          "counts" -> df.groupBy("p_brand").agg(count(lit(1)).as("n_expensive")),
+          "stats" -> df.groupBy("p_brand")
+            .agg(rnd(avg("p_retailprice"), 2).as("avg_price")))
       }
       val yaml =
         s"""LiftJob:
@@ -920,10 +944,12 @@ object LiftQueries {
            |  Agg:
            |    Type: custom::function
            |    Input: [Raw]
+           |    Output: [counts, stats]
            |    Properties:
            |      CustomFunction: $${agg_fn}
            |""".stripMargin
-      Lift.lift(s, yaml, Map("agg_fn" -> fn)).getDf("Agg")
+      val log = Lift.lift(s, yaml, Map("agg_fn" -> fn))
+      log.getDf("Agg.counts").join(log.getDf("Agg.stats"), "p_brand")
     }),
 
     // write::batch_jdbc → load::jdbc round-trip against embedded Derby:
@@ -1014,6 +1040,118 @@ object LiftQueries {
            |$common
            |""".stripMargin
       Lift.lift(s, yaml).getDf("Back")
+    }),
+
+    // write::batch_postgres_upsert executed END TO END: the exact
+    // `INSERT … ON CONFLICT (…) DO UPDATE SET c = EXCLUDED.c` statement
+    // runs against the embedded DialectLite engine (which parses the full
+    // conflict grammar and enforces Postgres's unique-target rule) through
+    // the same chunked foreachPartition/retry machinery a live server
+    // sees (reference tests/getl/blocks/write/test_write_postgres_upsert.py
+    // runs this against docker-compose Postgres 14). Three passes: seed
+    // (all inserts), conflicting update (DO UPDATE), and a mixed
+    // DO NOTHING pass that must insert new keys but leave existing rows
+    // untouched.
+    "l_jdbc_upsert_pg" -> ((s, d) => {
+      import graft.blocks.DialectLite
+      Tables.orders(s, d).createOrReplaceTempView("jdbc_ord_src")
+      DialectLite.create("graft_q_pg", "ord_pg",
+        Seq("o_orderkey", "o_orderstatus", "price"), Seq("o_orderkey"))
+      val common =
+        s"""      Driver: graft.blocks.DialectLiteDriver
+           |      ConnUrl: jdbc:dialectlite:graft_q_pg
+           |      User: ""
+           |      Password: """"".stripMargin
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 40 = 0
+           |  Seed:
+           |    Type: write::batch_postgres_upsert
+           |    Input: Base
+           |    Properties:
+           |      Table: ord_pg
+           |      ConflictColumns: [o_orderkey]
+           |$common
+           |  Updates:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 80 = 0
+           |  Ups:
+           |    Type: write::batch_postgres_upsert
+           |    Input: Updates
+           |    Properties:
+           |      Table: ord_pg
+           |      ConflictColumns: [o_orderkey]
+           |$common
+           |  Nothing:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 20 = 0
+           |  Skip:
+           |    Type: write::batch_postgres_upsert
+           |    Input: Nothing
+           |    Properties:
+           |      Table: ord_pg
+           |      ConflictColumns: [o_orderkey]
+           |      UpdateColumns: []
+           |$common
+           |""".stripMargin
+      graft.runtime.Lift.lift(s, yaml)
+      dialectLiteReadback(s, "graft_q_pg", "ord_pg")
+    }),
+
+    // write::batch_mysql_upsert executed END TO END against the same
+    // engine under the MySQL grammar (`ON DUPLICATE KEY UPDATE
+    // c = VALUES(c)`, duplicate resolution against the table's own
+    // primary key — reference getl/common/upsert.py:163-224).
+    "l_jdbc_upsert_mysql" -> ((s, d) => {
+      import graft.blocks.DialectLite
+      Tables.orders(s, d).createOrReplaceTempView("jdbc_ord_src")
+      DialectLite.create("graft_q_my", "ord_my",
+        Seq("o_orderkey", "o_orderstatus", "price"), Seq("o_orderkey"))
+      val common =
+        s"""      Driver: graft.blocks.DialectLiteDriver
+           |      ConnUrl: jdbc:dialectlite:graft_q_my
+           |      User: ""
+           |      Password: """"".stripMargin
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 40 = 0
+           |  Seed:
+           |    Type: write::batch_mysql_upsert
+           |    Input: Base
+           |    Properties:
+           |      Table: ord_my
+           |$common
+           |  Updates:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
+           |        FROM jdbc_ord_src WHERE o_orderkey % 80 = 0
+           |  Ups:
+           |    Type: write::batch_mysql_upsert
+           |    Input: Updates
+           |    Properties:
+           |      Table: ord_my
+           |$common
+           |""".stripMargin
+      graft.runtime.Lift.lift(s, yaml)
+      dialectLiteReadback(s, "graft_q_my", "ord_my")
     }),
 
     // fileregistry::delta_diff: two incremental runs over a growing managed
@@ -1250,6 +1388,23 @@ object LiftQueries {
         |UNION ALL
         |SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
         |FROM orders WHERE o_orderkey % 80 = 0""".stripMargin,
+    // seed (%40) -> DO UPDATE (%80 -> 'U', +5) -> DO NOTHING pass over %20
+    // (new keys insert as 'X', existing rows stay untouched)
+    "l_jdbc_upsert_pg" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
+        |FROM orders WHERE o_orderkey % 80 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 40 <> 0""".stripMargin,
+    "l_jdbc_upsert_mysql" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice + 5, 2) AS price
+        |FROM orders WHERE o_orderkey % 80 = 0""".stripMargin,
     "l_registry_deltadiff" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0""".stripMargin,
@@ -1257,8 +1412,9 @@ object LiftQueries {
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
         |FROM part GROUP BY p_brand""".stripMargin,
     "l_custom_function" ->
-      """SELECT p_brand, count(*) AS n_expensive FROM part
-        |WHERE p_retailprice > 1500 GROUP BY p_brand""".stripMargin,
+      """SELECT p_brand, count(*) AS n_expensive,
+        |  round(avg(p_retailprice), 2) AS avg_price FROM part
+        |WHERE p_retailprice > 910 GROUP BY p_brand""".stripMargin,
     "l_stream_json" ->
       "SELECT doc_id, lang, source FROM documents"
   )

@@ -1,0 +1,137 @@
+package graft.blocks
+
+import java.sql.SQLException
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The conflict-dialect SQL is EXECUTED here, not just pinned: DialectLite
+  * parses the exact statements [[Upsert.postgresSql]]/[[Upsert.mysqlSql]]
+  * emit and applies live upsert semantics (the reference drives these
+  * against docker-compose Postgres 14 / MySQL 8 —
+  * tests/getl/blocks/write/test_write_postgres_upsert.py). */
+class DialectLiteSpec extends AnyFunSuite {
+
+  private def exec(db: String, sql: String, rows: Seq[Any]*): Unit = {
+    DialectLiteDriver.register()
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:dialectlite:$db", "", "")
+    try {
+      val st = conn.prepareStatement(sql)
+      rows.foreach { r =>
+        r.zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
+        st.addBatch()
+      }
+      st.executeBatch()
+      conn.commit()
+    } finally conn.close()
+  }
+
+  test("postgres ON CONFLICT DO UPDATE inserts then updates in place") {
+    DialectLite.create("t1", "ups", Seq("id", "a", "b"), Seq("id"))
+    val sql = Upsert.postgresSql("ups", Seq("id", "a", "b"), Seq("id"), Seq("a", "b"))
+    exec("t1", sql, Seq(1L, "x", 10L), Seq(2L, "y", 20L))
+    exec("t1", sql, Seq(2L, "z", 99L), Seq(3L, "w", 30L))
+    val (_, rows) = DialectLite.snapshot("t1", "ups")
+    assert(rows.toSet === Set(Vector(1L, "x", 10L), Vector(2L, "z", 99L), Vector(3L, "w", 30L)))
+  }
+
+  test("postgres DO UPDATE with a column subset leaves other columns alone") {
+    DialectLite.create("t2", "ups", Seq("id", "a", "b"), Seq("id"))
+    exec("t2", Upsert.postgresSql("ups", Seq("id", "a", "b"), Seq("id"), Seq("a", "b")),
+      Seq(1L, "x", 10L))
+    // update only b; a must keep its seeded value even though the
+    // attempted row carries a different one
+    exec("t2", Upsert.postgresSql("ups", Seq("id", "a", "b"), Seq("id"), Seq("b")),
+      Seq(1L, "CHANGED", 77L))
+    assert(DialectLite.snapshot("t2", "ups")._2 === Vector(Vector(1L, "x", 77L)))
+  }
+
+  test("postgres DO NOTHING inserts new keys, never touches existing rows") {
+    DialectLite.create("t3", "ups", Seq("id", "a"), Seq("id"))
+    val doNothing = Upsert.postgresSql("ups", Seq("id", "a"), Seq("id"), Nil)
+    exec("t3", doNothing, Seq(1L, "orig"))
+    exec("t3", doNothing, Seq(1L, "clobber"), Seq(2L, "new"))
+    assert(DialectLite.snapshot("t3", "ups")._2.toSet ===
+      Set(Vector(1L, "orig"), Vector(2L, "new")))
+  }
+
+  test("postgres rejects a conflict target with no matching unique constraint") {
+    DialectLite.create("t4", "ups", Seq("id", "a"), Seq("id"))
+    val e = intercept[SQLException] {
+      exec("t4", Upsert.postgresSql("ups", Seq("id", "a"), Seq("a"), Seq("id")),
+        Seq(1L, "x"))
+    }
+    assert(e.getMessage.contains("no unique or exclusion constraint"))
+  }
+
+  test("mysql ON DUPLICATE KEY UPDATE resolves against the table's own key") {
+    DialectLite.create("t5", "ups", Seq("id", "a", "b"), Seq("id"))
+    // the reference's mysql default updates EVERY column including the
+    // key (VALUES(id) on the key row is the identity) — same text here
+    val sql = Upsert.mysqlSql("ups", Seq("id", "a", "b"), Seq("id", "a", "b"))
+    exec("t5", sql, Seq(1L, "x", 10L), Seq(2L, "y", 20L))
+    exec("t5", sql, Seq(2L, "z", 99L))
+    assert(DialectLite.snapshot("t5", "ups")._2.toSet ===
+      Set(Vector(1L, "x", 10L), Vector(2L, "z", 99L)))
+  }
+
+  test("composite conflict keys upsert on the full key tuple") {
+    DialectLite.create("t6", "ups", Seq("k1", "k2", "v"), Seq("k1", "k2"))
+    val sql = Upsert.postgresSql("ups", Seq("k1", "k2", "v"), Seq("k1", "k2"), Seq("v"))
+    exec("t6", sql, Seq(1L, 1L, "a"), Seq(1L, 2L, "b"))
+    exec("t6", sql, Seq(1L, 2L, "B2"), Seq(2L, 1L, "c"))
+    assert(DialectLite.snapshot("t6", "ups")._2.toSet ===
+      Set(Vector(1L, 1L, "a"), Vector(1L, 2L, "B2"), Vector(2L, 1L, "c")))
+  }
+
+  test("malformed conflict clauses fail at prepare, like a real server") {
+    DialectLite.create("t7", "ups", Seq("id", "a"), Seq("id"))
+    // clause order swapped
+    intercept[SQLException] { exec("t7",
+      "INSERT INTO ups (id, a) ON CONFLICT (id) VALUES (?, ?) DO NOTHING", Seq(1L, "x")) }
+    // cross-wired EXCLUDED reference (a = EXCLUDED.b)
+    intercept[SQLException] { exec("t7",
+      "INSERT INTO ups (id, a) VALUES (?, ?) ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.id",
+      Seq(1L, "x")) }
+    // parameter count mismatch
+    intercept[SQLException] { exec("t7",
+      "INSERT INTO ups (id, a) VALUES (?) ON CONFLICT (id) DO NOTHING", Seq(1L)) }
+    // unknown relation
+    intercept[SQLException] { exec("t7",
+      Upsert.postgresSql("missing", Seq("id"), Seq("id"), Nil), Seq(1L)) }
+  }
+}
+
+/** End-to-end through Spark: the [[Upsert]] engine (foreachPartition,
+  * 1000-row chunks, executeBatch) drives the pg dialect against
+  * DialectLite from executor threads across multiple partitions. */
+class DialectLiteSparkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multi-partition postgres upsert lands every row exactly once") {
+    DialectLite.create("t8", "wide", Seq("id", "v"), Seq("id"))
+    spark.range(0, 2500).select($"id", ($"id" * 10).as("v"))
+      .repartition(7).createOrReplaceTempView("dlite_src")
+    graft.runtime.Lift.lift(spark,
+      s"""LiftJob:
+         |  Src:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT id, v FROM dlite_src
+         |  Seed:
+         |    Type: write::batch_postgres_upsert
+         |    Input: Src
+         |    Properties:
+         |      Table: wide
+         |      ConflictColumns: [id]
+         |      Driver: graft.blocks.DialectLiteDriver
+         |      ConnUrl: jdbc:dialectlite:t8
+         |      User: ""
+         |      Password: ""
+         |""".stripMargin)
+    val (_, rows) = DialectLite.snapshot("t8", "wide")
+    assert(rows.length === 2500)
+    assert(rows.forall(r => r(1) == r(0).asInstanceOf[Long] * 10))
+  }
+}
