@@ -49,7 +49,8 @@ object Probe {
     args.headOption match {
       case Some("stream")     => streamFixedCost(session(), sfDir)
       case Some("dedupscale") => dedupScale(session(), sfDir, exact = args.contains("exact"))
-      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact])")
+      case Some("textskew") => textSkew(session(), sfDir, exact = args.contains("exact"))
+      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact])")
     }
   }
 
@@ -159,6 +160,40 @@ object Probe {
       val (tc, nc) = time(graft.ops.Dedup.containmentPairs(corpus, "doc_id", "text").count())
       graft.ops.Caches.release(); s.catalog.clearCache()
       println(f"$k%3d $rows%9d $te%8.2f $ne%11d $tc%8.2f $nc%11d")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // textskew: head-key growth for the vocabulary-keyed text aggregations
+  // ------------------------------------------------------------------
+
+  /** How [[graft.ops.TextOps.bigramNovelty]] and [[TextOps.pmiTop]] behave
+    * when the bigram-frequency head grows: `exact` replication multiplies
+    * every head bigram's corpus frequency by k (the adversarial straggler
+    * case — one key owning k× the occurrences), realistic replication
+    * grows the corpus with fresh vocabulary. Linear wall in k in BOTH
+    * modes means no occurrence-level key carries a straggler partition:
+    * every hot key collapses in a map-side combine before its shuffle. */
+  private def textSkew(s: SparkSession, sfDir: String, exact: Boolean): Unit = {
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    graft.ops.TextOps.bigramNovelty(scaled(docs, 1, exact), "doc_id", "text").count()
+    graft.ops.TextOps.pmiTop(scaled(docs, 1, exact), "text", 5L, 20).count()
+    graft.ops.Caches.release(); s.catalog.clearCache()
+    println(f"${"k"}%3s ${"rows"}%9s ${"novelty_s"}%10s ${"nov_rows"}%9s ${"pmi_s"}%8s")
+    for (k <- Seq(1, 2, 5, 10)) {
+      val corpus = scaled(docs, k, exact)
+      val rows = corpus.count()
+      val (tn, nn) = time(graft.ops.TextOps
+        .bigramNovelty(corpus, "doc_id", "text").count())
+      graft.ops.Caches.release(); s.catalog.clearCache()
+      val (tp, _) = time(graft.ops.TextOps.pmiTop(corpus, "text", 5L, 20).count())
+      graft.ops.Caches.release(); s.catalog.clearCache()
+      println(f"$k%3d $rows%9d $tn%10.2f $nn%9d $tp%8.2f")
     }
   }
 }

@@ -141,12 +141,25 @@ object TextOps {
     val bg = df.select(col(idCol),
         explode(Dedup.shingles(col(textCol), 2)).as("bg"))
       .select(col(idCol), Dedup.h60(col("bg")).as("bk"))
-    val dfreq = bg.groupBy(col("bk").as("ck")).agg(count(lit(1)).as("df"))
-    bg.join(dfreq, col("bk") === col("ck"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(count(when(col("df") === 1, lit(1))).cast("double") /
-          count(lit(1)), 4).as("novelty"))
+    // Novelty only needs CORPUS-SINGLETON bigrams, and a singleton (df=1)
+    // has exactly one occurrence — so its owning doc rides along in the
+    // frequency aggregation itself (min(id) over one row IS the owner)
+    // and no occurrence-level join exists anywhere. The old shape joined
+    // every bigram occurrence against the frequency table, which shuffles
+    // the full occurrence stream onto bigram keys: the head bigram
+    // ("of the") lands its entire corpus-wide occurrence list in ONE
+    // partition. Here every shuffle is either doc-keyed or an aggregation
+    // whose map-side combine collapses hot keys per task — skew-immune at
+    // any corpus size.
+    val counts = bg.groupBy(col(idCol)).agg(count(lit(1)).as("n_bigrams"))
+    val singles = bg.groupBy(col("bk"))
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("owner"))
+      .where(col("df") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_single"))
+    counts.join(singles, counts(idCol) === singles("owner"), "left")
+      .select(counts(idCol), col("n_bigrams"),
+        round(coalesce(col("n_single"), lit(0L)).cast("double") /
+          col("n_bigrams"), 4).as("novelty"))
   }
 
   /** Fixed-size token-window passages ("paragraphs" for corpora whose

@@ -913,72 +913,102 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
   }
 
-  /** Per-entry file selection for `condition`: (basePath, surviving file
-    * paths, files before pruning). Entries without collected stats keep
-    * all their files (pruning never affects correctness). The stats
-    * filter runs distributed; only surviving paths reach the driver —
-    * the same driver-side file list Spark's scan planning needs anyway.
+  /** Per-entry file selection for `condition`: (entry, Some(surviving
+    * file paths) or None = read the whole entry unpruned, kept count,
+    * files before pruning). Entries without collected stats prune nothing
+    * (pruning never affects correctness). The stats filter runs
+    * distributed, and the driver only ever collects a kept-list bounded
+    * by [[ManagedTable.MaxPruneFiles]]: when more files than that survive
+    * the stats filter, pruning is SKIPPED for the entry (None) — a
+    * selection that weak saves little scan time, and the full-dir read
+    * hands file enumeration back to Spark's own (distributed) listing
+    * instead of shipping a multi-million-path array through the driver.
+    * This is the same ceiling treatment the registry path handout got
+    * (`PathBatchSize`, SURVEY §2.4).
     * When bloom sidecars exist ([[collectBlooms]]), equality/IN conjuncts
     * additionally drop files whose filters prove the key absent — the
     * point-lookup case min/max can't prune on unclustered data. */
   private def pruneEntries(entries: Seq[Entry],
-                           condition: String): Seq[(Entry, Seq[String], Long)] =
+                           condition: String): Seq[(Entry, Option[Seq[String]], Long, Long)] =
     entries.map { e =>
       val sd = statsDirFor(e)
       val prefix = DataSkipping.canonPath(e.dir)
-      def underEntry(p: String) =
-        e.base.isEmpty || p == prefix || p.startsWith(prefix + "/")
-      val (afterStats, total) = if (FsUtils.exists(spark, sd)) {
-        val stats = spark.read.parquet(sd)
+      // stats sidecars can serve several entries sharing a base dir
+      // (compaction merges); restrict rows to this entry's subtree. The
+      // canonicalization runs distributed so no unbounded path list is
+      // ever collected just to be counted.
+      val canon = org.apache.spark.sql.functions.udf(DataSkipping.canonPath _)
+      def underEntry(df: DataFrame): DataFrame =
+        if (e.base.isEmpty) df
+        else {
+          val p = canon(col(DataSkipping.PathCol))
+          df.where(p === prefix || p.startsWith(prefix + "/"))
+        }
+      if (FsUtils.exists(spark, sd)) {
+        val stats = underEntry(spark.read.parquet(sd))
         val statCols = stats.schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
           .map(c => c.toLowerCase -> c).toMap
         val mm = DataSkipping.mightMatchSql(spark, condition, statCols)
-        val all = stats.select(DataSkipping.PathCol).collect()
-          .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
-        val kept = stats.where(mm).select(DataSkipping.PathCol).collect()
-          .map(r => DataSkipping.canonPath(r.getString(0))).filter(underEntry)
-        (kept.toSeq, all.length.toLong)
-      } else {
-        val files = FsUtils.listFiles(spark, e.dir)
-          .filterNot { f =>
-            val n = new Path(f).getName
-            n.startsWith("_") || n.startsWith(".")
-          }
-        (files, files.length.toLong)
-      }
-      val bd = bloomDirFor(e)
-      val kept =
-        if (afterStats.isEmpty || !FsUtils.exists(spark, bd)) afterStats
-        else {
-          val blooms = spark.read.parquet(bd)
-          val bloomedTypes = {
-            val schema = e.base.fold(spark.read)(b =>
-              spark.read.option("basePath", b)).parquet(e.dir).schema
-            blooms.schema.fieldNames.filter(_.startsWith("bloom_"))
-              .map(_.stripPrefix("bloom_")).flatMap(c =>
-                schema.fields.find(_.name.equalsIgnoreCase(c))
-                  .map(f => f.name -> f.dataType)).toMap
-          }
-          DataSkipping.bloomKeep(spark, condition, bloomedTypes) match {
-            case None => afterStats // no equality conjunct on a bloomed col
-            case Some(keep) =>
-              // files the filters DISPROVE; absent rows (files written
-              // after collection) never land here, so they survive
-              val pruned = blooms.where(org.apache.spark.sql.functions.not(keep))
-                .select(DataSkipping.PathCol).collect()
-                .map(r => DataSkipping.canonPath(r.getString(0))).toSet
-              afterStats.filterNot(pruned.contains)
-          }
+        val total = stats.count()
+        val cap = ManagedTable.maxPruneFiles(spark)
+        val keptRows = stats.where(mm).select(DataSkipping.PathCol)
+          .limit(cap + 1).collect()
+        if (keptRows.length > cap) {
+          org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable])
+            .info(s"prune(${e.dir}): >$cap files survive stats for " +
+              s"'$condition' — skipping pruning (bounded driver list)")
+          (e, None, total, total)
+        } else {
+          val afterStats = keptRows
+            .map(r => DataSkipping.canonPath(r.getString(0))).toSeq
+          val bd = bloomDirFor(e)
+          val kept =
+            if (afterStats.isEmpty || !FsUtils.exists(spark, bd)) afterStats
+            else {
+              val blooms = spark.read.parquet(bd)
+              val bloomedTypes = {
+                val schema = e.base.fold(spark.read)(b =>
+                  spark.read.option("basePath", b)).parquet(e.dir).schema
+                blooms.schema.fieldNames.filter(_.startsWith("bloom_"))
+                  .map(_.stripPrefix("bloom_")).flatMap(c =>
+                    schema.fields.find(_.name.equalsIgnoreCase(c))
+                      .map(f => f.name -> f.dataType)).toMap
+              }
+              DataSkipping.bloomKeep(spark, condition, bloomedTypes) match {
+                case None => afterStats // no equality conjunct on a bloomed col
+                case Some(keep) =>
+                  // files the filters DISPROVE; absent rows (files written
+                  // after collection) never land here, so they survive.
+                  // Bounded: the disproven set is ≤ the (≤cap) kept list,
+                  // so collect only blooms for paths already kept.
+                  val pruned = blooms.where(org.apache.spark.sql.functions.not(keep))
+                    .select(DataSkipping.PathCol).limit(cap + 1).collect()
+                    .map(r => DataSkipping.canonPath(r.getString(0))).toSet
+                  afterStats.filterNot(pruned.contains)
+              }
+            }
+          (e, Some(kept), kept.length.toLong, total)
         }
-      (e, kept, total)
+      } else {
+        // no stats: nothing to prune with — hand the whole dir to Spark's
+        // scan (its InMemoryFileIndex lists large dirs with a distributed
+        // job; no path array crosses this layer). The listing here is for
+        // pruneInfo observability only and is file-count bounded.
+        val n = FsUtils.listFiles(spark, e.dir)
+          .count { f =>
+            val nm = new Path(f).getName
+            !nm.startsWith("_") && !nm.startsWith(".")
+          }
+        (e, None, n.toLong, n.toLong)
+      }
     }
 
   /** (files read, files in snapshot) for `condition` — the observability
     * hook specs and operators use to assert skipping actually happened. */
   def pruneInfo(condition: String): (Long, Long) = {
     val sel = pruneEntries(lastManifest().get.entries, condition)
-    (sel.map(_._2.length.toLong).sum, sel.map(_._3).sum)
+    (sel.map(_._3).sum, sel.map(_._4).sum)
   }
 
   /** Read the current snapshot with file-level data skipping: files whose
@@ -990,15 +1020,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     case None => spark.emptyDataFrame
     case Some(m) =>
       val dfs = pruneEntries(m.entries, condition).map {
-        case (e, files, _) if files.nonEmpty =>
+        case (e, sel, _, _) if sel.forall(_.nonEmpty) =>
+          // Some(kept files) -> pruned scan; None -> full-dir scan
+          // (no/weak stats: Spark enumerates the dir itself)
           val scan = applyRenames(
-            spark.read.option("basePath", e.base.getOrElse(e.dir))
-              .parquet(files: _*),
+            sel.fold(spark.read.option("basePath", e.base.getOrElse(e.dir))
+                .parquet(e.dir)) { files =>
+              spark.read.option("basePath", e.base.getOrElse(e.dir))
+                .parquet(files: _*)
+            },
             m.renames)
           if (m.dvs.isEmpty) scan
           else scan.withColumn(DvFile, col("_metadata.file_path"))
             .withColumn(DvPos, col("_metadata.row_index"))
-        case (e, _, _) =>
+        case (e, _, _, _) =>
           // fully-pruned entry: keep its SCHEMA as a zero-row slice —
           // under schema drift, dropping the entry entirely could lose
           // columns the residual filter (or the caller) references
@@ -1374,6 +1409,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 }
 
 object ManagedTable {
+  /** Ceiling on the pruned file list collected to the driver by
+    * [[ManagedTable.readWhere]]'s stats skipping: when more than this
+    * many files survive the stats filter, pruning is skipped for the
+    * entry and the scan enumerates the directory itself (Spark's
+    * InMemoryFileIndex lists large dirs with a distributed job). At
+    * ~150 bytes/path this bounds the list at ~40 MB; a selection keeping
+    * more files than this prunes too little to pay for shipping the
+    * paths through the driver. Overridable per session with
+    * `graft.prune.maxFiles`. Measured: see PLANS.md (stats-prune cap). */
+  val MaxPruneFiles = 262144
+
+  private[table] def maxPruneFiles(spark: SparkSession): Int =
+    spark.conf.getOption("graft.prune.maxFiles").map(_.toInt)
+      .getOrElse(MaxPruneFiles)
+
   private[table] case class Entry(dir: String, base: Option[String])
   private[table] case class Manifest(version: Long, timestamp: Long,
                                      entries: Seq[Entry],

@@ -176,4 +176,29 @@ class DataSkippingSpec extends SparkSuite {
     assert(total === 12 && kept <= 3)
     assert(sortedRows(t.readWhere(cond)) === sortedRows(t.read().where(cond)))
   }
+
+  test("kept lists over graft.prune.maxFiles skip pruning, results unchanged") {
+    // the driver never collects an unbounded path list: when more files
+    // than the cap survive the stats filter, the entry reads unpruned
+    // (Spark enumerates the dir itself) and pruneInfo reports kept=total
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(spark.range(1000).selectExpr("id", "id * 3 AS v")
+      .repartitionByRange(10, $"id"))
+    t.collectStats()
+    val cond = "id >= 100" // survives in 9 of 10 files
+    val expected = sortedRows(t.read().where(cond))
+    spark.conf.set("graft.prune.maxFiles", "4")
+    try {
+      val (kept, total) = t.pruneInfo(cond)
+      assert(total === 10 && kept === 10, "over-cap selection must not prune")
+      assert(sortedRows(t.readWhere(cond)) === expected)
+      // a selective predicate under the cap still prunes
+      val (keptSel, _) = t.pruneInfo("id < 100")
+      assert(keptSel <= 2)
+      assert(sortedRows(t.readWhere("id < 100")) ===
+        sortedRows(t.read().where("id < 100")))
+    } finally spark.conf.unset("graft.prune.maxFiles")
+    // cap lifted: the same predicate prunes the one dead file again
+    assert(t.pruneInfo(cond)._1 === 9)
+  }
 }
