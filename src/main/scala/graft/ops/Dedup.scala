@@ -300,6 +300,7 @@ object Dedup {
     val exact = pairJaccard(withSh, maxShingleDf)
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
+      .persistTracked() // consumed twice: the recall semi-join AND the denominator count
     val withSig = withSh.select(col("id"),
       minhashSignature(col("sh"), k).as("sig"))
     val banded = withSig.select(col("id"),

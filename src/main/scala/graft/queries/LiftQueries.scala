@@ -105,6 +105,39 @@ object LiftQueries {
         .getDf("Shaped")
     }),
 
+    // write::batch_orc -> load::batch_orc ROUND TRIP through the engine
+    // (DuckDB reads no ORC, so the oracle verifies against the SOURCE
+    // parquet — the same round-trip contract as l_jdbc_roundtrip): any
+    // column drift, row loss, or type coercion through the ORC writer or
+    // reader breaks the hash
+    "l_lift_orc" -> ((s, d) => {
+      val w = scratch(s, "l_lift_orc")
+      Tables.customer(s, d).createOrReplaceTempView("orc_cust_src")
+      val yaml =
+        s"""LiftJob:
+           |  Src:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal
+           |        FROM orc_cust_src WHERE c_custkey % 7 = 0
+           |  Out:
+           |    Type: write::batch_orc
+           |    Input: Src
+           |    Properties:
+           |      Path: $w/orc
+           |      Mode: overwrite
+           |  Back:
+           |    Type: load::batch_orc
+           |    Properties:
+           |      Path: $w/orc
+           |      SparkSchema: $${schema}
+           |""".stripMargin
+      Lift.lift(s, yaml, Map("schema" ->
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, bal DOUBLE"))
+        .getDf("Back")
+    }),
+
     // load::batch_xml over Spark 4's native XML source with BatchSize
     // chunking + allow-missing unionByName (reference load/entrypoint.py:121-192)
     "l_lift_xml" -> ((s, d) => {
@@ -1382,6 +1415,9 @@ object LiftQueries {
     "l_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal FROM supplier
         |WHERE s_suppkey % 3 = 0""".stripMargin,
+    "l_lift_orc" ->
+      """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal
+        |FROM customer WHERE c_custkey % 7 = 0""".stripMargin,
     "l_jdbc_upsert" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 40 = 0 AND o_orderkey % 80 <> 0

@@ -980,8 +980,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                 case Some(keep) =>
                   // files the filters DISPROVE; absent rows (files written
                   // after collection) never land here, so they survive.
-                  // Bounded: the disproven set is ≤ the (≤cap) kept list,
-                  // so collect only blooms for paths already kept.
+                  // The collect is capped like the kept list; if the
+                  // disproven set overflows the cap, the overflow files
+                  // simply stay un-pruned — the safe direction.
                   val pruned = blooms.where(org.apache.spark.sql.functions.not(keep))
                     .select(DataSkipping.PathCol).limit(cap + 1).collect()
                     .map(r => DataSkipping.canonPath(r.getString(0))).toSet
