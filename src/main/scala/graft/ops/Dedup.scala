@@ -433,6 +433,8 @@ object Dedup {
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("c"),
         first(col("l.sz")).as("sz_a"), first(col("r.sz")).as("sz_b"))
+      .persistTracked() // fans into BOTH orientations — without this the
+                        // index self-join runs twice, once per union branch
     val ab = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
       round(col("c").cast("double") / col("sz_a").cast("double"), 4)
         .as("containment"), col("sz_a").as("n_shingles"))
