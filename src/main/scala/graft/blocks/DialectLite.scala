@@ -62,6 +62,23 @@ object DialectLite {
 
   def drop(db: String, table: String): Unit = tables.remove(key(db, table))
 
+  // ---- transient-failure injection (retry-loop verification) ----
+  // A live server drops connections; this engine can simulate that so the
+  // chunk/retry machinery's failure branch is testable in-container. The
+  // counter is per-db: the next `n` connection attempts to it raise
+  // SQLTransientConnectionException, then connections succeed again.
+  private val failNext = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  def injectTransientFailures(db: String, n: Int): Unit =
+    failNext.put(db, new java.util.concurrent.atomic.AtomicInteger(n))
+
+  private def maybeFail(db: String): Unit =
+    failNext.get(db).foreach { c =>
+      if (c.getAndDecrement() > 0)
+        throw new java.sql.SQLTransientConnectionException(
+          s"injected transient failure for $db")
+    }
+
   /** Readback for verification: (columns, rows in insertion order). */
   def snapshot(db: String, table: String): (Vector[String], Vector[Vector[Any]]) = {
     val t = tables.getOrElse(key(db, table),
@@ -156,6 +173,7 @@ object DialectLite {
       }).asInstanceOf[T]
 
   private[blocks] def connection(db: String): Connection = {
+    maybeFail(db)
     var closed = false
     proxy(classOf[Connection]) {
       case ("setAutoCommit", _) => null

@@ -26,7 +26,11 @@ object Upsert {
 
   private val ChunkSize = 1000
   private val MaxRetries = 10           // upsert.py:148-160
-  private val RetrySleepMs = 60 * 1000L // upsert.py:227-233
+  // 60s between attempts, as the reference hardcodes (upsert.py:227-233);
+  // the system property is a TEST seam so the retry loop itself can be
+  // exercised without minute-long sleeps — production never sets it
+  private def retrySleepMs: Long =
+    sys.props.get("graft.upsert.retrySleepMs").map(_.toLong).getOrElse(60 * 1000L)
 
   def postgres(c: BlockConfig): DataFrame = {
     val df = c.inputDf
@@ -156,7 +160,7 @@ object Upsert {
         case e @ (_: SQLTransientException | _: java.sql.SQLNonTransientConnectionException) =>
           attempt += 1
           if (attempt >= MaxRetries) throw e
-          Thread.sleep(RetrySleepMs)
+          Thread.sleep(retrySleepMs)
       }
     }
   }

@@ -134,4 +134,35 @@ class DialectLiteSparkSpec extends SparkSuite {
     assert(rows.length === 2500)
     assert(rows.forall(r => r(1) == r(0).asInstanceOf[Long] * 10))
   }
+
+  test("the retry loop survives injected transient connection failures") {
+    // reference contract: 10 tries with a sleep between (upsert.py:148-160,
+    // 227-233) — inject 2 dropped connections; the 3rd attempt lands the
+    // rows. Millisecond sleep via the documented test seam.
+    sys.props("graft.upsert.retrySleepMs") = "5"
+    try {
+      DialectLite.create("t9", "flaky", Seq("id", "v"), Seq("id"))
+      DialectLite.injectTransientFailures("t9", 2)
+      spark.range(0, 10).select($"id", ($"id" + 100).as("v"))
+        .coalesce(1).createOrReplaceTempView("dlite_flaky_src")
+      graft.runtime.Lift.lift(spark,
+        s"""LiftJob:
+           |  Src:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: SELECT id, v FROM dlite_flaky_src
+           |  Seed:
+           |    Type: write::batch_postgres_upsert
+           |    Input: Src
+           |    Properties:
+           |      Table: flaky
+           |      ConflictColumns: [id]
+           |      Driver: graft.blocks.DialectLiteDriver
+           |      ConnUrl: jdbc:dialectlite:t9
+           |      User: ""
+           |      Password: ""
+           |""".stripMargin)
+      assert(DialectLite.snapshot("t9", "flaky")._2.length === 10)
+    } finally sys.props -= "graft.upsert.retrySleepMs"
+  }
 }
