@@ -140,14 +140,19 @@ object Bench {
     // Capped one-line summary: keep the slowest queries (the ones grading
     // cares about) until the line reaches the tail-window budget.
     val budget = 1700
+    // cpu_total + load in the captured line: wall alone can't distinguish
+    // a regression from a loaded machine, so the committed BENCH_rN.json
+    // itself carries the evidence (cpu ~flat + load high = contention)
+    val cpuTotal = math.round(results.map(_._3).sum * 10) / 10.0
+    val envBits = f""""cpu_total":$cpuTotal,"load":${osBean.getSystemLoadAverage}%.1f"""
     val fixed =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":{},"sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$envBits,"queries":{},"sf":"$sfDir"}""".length
     var used = fixed
     val kept = results.sortBy(-_._2).iterator.map { case (k, v, _) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
     }.takeWhile { ent => val ok = used + ent.length + 1 <= budget; if (ok) used += ent.length + 1; ok }
       .toSeq
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$envBits,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     if (rc != 0) sys.exit(rc)
   }
 
