@@ -109,7 +109,7 @@ object Bench {
           remeasured.get(n).map { case (tw, tc) => (n, tw, tc) }.getOrElse((n, t, c)) }
       case _ => firstPass
     }
-    val total = math.round(results.map(_._2).sum * 1000) / 1000.0
+    val total = math.round(results.filter(_._2 >= 0).map(_._2).sum * 1000) / 1000.0
     // Full per-query map -> committed artifact (the driver's tail capture
     // is 2000 chars; 150+ queries never fit one line, so the line below is
     // capped and the complete numbers live here). "cpu" is the per-query
@@ -118,7 +118,7 @@ object Bench {
     val fullQs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val fullCpu = results.map { case (k, _, c) =>
+    val fullCpu = results.filter(_._3 >= 0).map { case (k, _, c) =>
       "\"" + k + "\":" + (math.round(c * 10) / 10.0) }
       .mkString("{", ",", "}")
     val envJson = f"""{"loadavg_start":$loadStart%.2f,"loadavg_end":${osBean.getSystemLoadAverage}%.2f,"cpus":$cpus}"""
@@ -143,7 +143,8 @@ object Bench {
     // cpu_total + load in the captured line: wall alone can't distinguish
     // a regression from a loaded machine, so the committed BENCH_rN.json
     // itself carries the evidence (cpu ~flat + load high = contention)
-    val cpuTotal = math.round(results.map(_._3).sum * 10) / 10.0
+    // failed queries carry the -1 sentinel — exclude them from the evidence
+    val cpuTotal = math.round(results.filter(_._3 >= 0).map(_._3).sum * 10) / 10.0
     val envBits = f""""cpu_total":$cpuTotal,"load":${osBean.getSystemLoadAverage}%.1f"""
     val fixed =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$envBits,"queries":{},"sf":"$sfDir"}""".length

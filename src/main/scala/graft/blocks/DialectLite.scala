@@ -64,17 +64,21 @@ object DialectLite {
 
   // ---- transient-failure injection (retry-loop verification) ----
   // A live server drops connections; this engine can simulate that so the
-  // chunk/retry machinery's failure branch is testable in-container. The
-  // counter is per-db: the next `n` connection attempts to it raise
-  // SQLTransientConnectionException, then connections succeed again.
-  private val failNext = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  // chunk/retry machinery's failure branch is testable in-container. Per
+  // db: the first `after` connection attempts succeed, the following `n`
+  // raise SQLTransientConnectionException, then connections succeed again
+  // (`after` > 0 proves chunks landed BEFORE a mid-stream drop survive).
+  private val failPlan = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val failLeft = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
-  def injectTransientFailures(db: String, n: Int): Unit =
-    failNext.put(db, new java.util.concurrent.atomic.AtomicInteger(n))
+  def injectTransientFailures(db: String, n: Int, after: Int = 0): Unit = {
+    failPlan.put(db, new java.util.concurrent.atomic.AtomicInteger(after))
+    failLeft.put(db, new java.util.concurrent.atomic.AtomicInteger(n))
+  }
 
   private def maybeFail(db: String): Unit =
-    failNext.get(db).foreach { c =>
-      if (c.getAndDecrement() > 0)
+    failPlan.get(db).foreach { skip =>
+      if (skip.getAndDecrement() <= 0 && failLeft(db).getAndDecrement() > 0)
         throw new java.sql.SQLTransientConnectionException(
           s"injected transient failure for $db")
     }
@@ -96,11 +100,14 @@ object DialectLite {
   private[blocks] final case class Plan(table: Table, insertCols: Vector[String],
                                         keyCols: Vector[String], updateCols: Vector[String]) {
     private val colIdx = table.cols.zipWithIndex.toMap
-    private val insIdx = insertCols.map(colIdx)
+    private def idxOf(c: String): Int = colIdx.getOrElse(c,
+      throw new SQLException(s"column \"$c\" of relation does not exist"))
+    private val insIdx = insertCols.map(idxOf)
     private val keyFromParams = keyCols.map(c => insertCols.indexOf(c))
-    private val updFromParams = updateCols.map(c => (colIdx(c), insertCols.indexOf(c)))
-    require(keyFromParams.forall(_ >= 0) && updFromParams.forall(_._2 >= 0),
-      "conflict/update columns must appear in the insert column list")
+    private val updFromParams = updateCols.map(c => (idxOf(c), insertCols.indexOf(c)))
+    if (!(keyFromParams.forall(_ >= 0) && updFromParams.forall(_._2 >= 0)))
+      throw new SQLException(
+        "conflict/update columns must appear in the insert column list")
 
     /** One attempted row: insert when the key is new, apply the dialect's
       * targeted update (possibly none) when it exists. Returns the JDBC

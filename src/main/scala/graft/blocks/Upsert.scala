@@ -9,18 +9,26 @@ import graft.runtime.BlockConfig
 /** Partition-parallel JDBC upserts (reference getl/common/upsert.py +
   * write/entrypoint.py:97-192).
   *
-  * Execution model matches the reference exactly: one database connection
-  * per Spark partition (`foreachPartition` — this is where `NumPartitions`
-  * upstream bounds DB fan-in), rows streamed through a PreparedStatement in
-  * chunks of 1000 with `executeBatch`, transient failures retried with
-  * backoff. The dialect differs only in the conflict clause:
+  * Execution model matches the reference exactly: `foreachPartition`
+  * (where `NumPartitions` upstream bounds DB fan-in), rows MATERIALIZED a
+  * chunk at a time and each chunk executed-and-committed on its own
+  * connection with its own retry loop (upsert.py:141-160 opens a fresh
+  * `connection_cursor_factory()` per chunk per attempt and commits on
+  * context exit). Per-chunk retry is the part that makes retry SOUND: a
+  * chunk is a re-sendable list, so a connection dropped mid-stream
+  * re-sends exactly that chunk — never a partially consumed row iterator
+  * — and upserts are idempotent, so a chunk that half-landed before the
+  * drop converges on the retry. The dialect differs only in the conflict
+  * clause:
   *   - Postgres: `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`
   *     (upsert.py:100-160)
   *   - MySQL:    `INSERT … ON DUPLICATE KEY UPDATE c = VALUES(c)`
   *     (upsert.py:163-224)
   *
   * At scale this is the correct shape: no driver collect, work distributed
-  * across executors, connection count bounded by partition count.
+  * across executors, CONCURRENT connections bounded by partition count
+  * (one open connection per partition at any moment; sequential chunks
+  * within a partition each open and close their own, like the reference).
   */
 object Upsert {
 
@@ -122,29 +130,32 @@ object Upsert {
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         if (driver.nonEmpty) Class.forName(driver)
-        withRetries { () =>
-          val conn = DriverManager.getConnection(url, user, password)
-          try executePartition(conn, sql, columns, rows)
-          finally conn.close()
+        // grouped() materializes each chunk as a Seq — re-sendable, so the
+        // retry loop never resumes a partially consumed iterator (which
+        // would silently drop every row consumed before the failure)
+        rows.grouped(ChunkSize).foreach { chunk =>
+          withRetries { () =>
+            val conn = DriverManager.getConnection(url, user, password)
+            try executeChunk(conn, sql, columns, chunk)
+            finally conn.close()
+          }
         }
       }
     }
   }
 
-  private def executePartition(conn: Connection, sql: String,
-                               columns: Seq[String], rows: Iterator[Row]): Unit = {
+  private def executeChunk(conn: Connection, sql: String,
+                           columns: Seq[String], chunk: Seq[Row]): Unit = {
     conn.setAutoCommit(false)
     val stmt: PreparedStatement = conn.prepareStatement(sql)
     try {
-      rows.grouped(ChunkSize).foreach { chunk =>
-        chunk.foreach { row =>
-          columns.zipWithIndex.foreach { case (col, i) =>
-            stmt.setObject(i + 1, row.getAs[Any](col))
-          }
-          stmt.addBatch()
+      chunk.foreach { row =>
+        columns.zipWithIndex.foreach { case (col, i) =>
+          stmt.setObject(i + 1, row.getAs[Any](col))
         }
-        stmt.executeBatch()
+        stmt.addBatch()
       }
+      stmt.executeBatch()
       conn.commit()
     } finally stmt.close()
   }

@@ -928,10 +928,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * When bloom sidecars exist ([[collectBlooms]]), equality/IN conjuncts
     * additionally drop files whose filters prove the key absent — the
     * point-lookup case min/max can't prune on unclustered data. */
-  private def pruneEntries(entries: Seq[Entry],
-                           condition: String): Seq[(Entry, Option[Seq[String]], Long, Long)] =
+  private def pruneEntries(entries: Seq[Entry], condition: String,
+                           withCounts: Boolean): Seq[(Entry, Option[Seq[String]], Long, Long)] =
     entries.map { e =>
+      val cap = ManagedTable.maxPruneFiles(spark)
       val sd = statsDirFor(e)
+      val bd = bloomDirFor(e)
       val prefix = DataSkipping.canonPath(e.dir)
       // stats sidecars can serve several entries sharing a base dir
       // (compaction merges); restrict rows to this entry's subtree. The
@@ -944,14 +946,42 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           val p = canon(col(DataSkipping.PathCol))
           df.where(p === prefix || p.startsWith(prefix + "/"))
         }
+      // canonical kept paths minus those the bloom sidecars DISPROVE
+      // (equality/IN point lookups min/max can't prune on unclustered
+      // data). Absent rows — files written after collection — never land
+      // in the disproven set, so they survive.
+      def bloomPrune(afterStats: Seq[String]): Seq[String] =
+        if (afterStats.isEmpty || !FsUtils.exists(spark, bd)) afterStats
+        else {
+          val blooms = spark.read.parquet(bd)
+          val bloomedTypes = {
+            val schema = e.base.fold(spark.read)(b =>
+              spark.read.option("basePath", b)).parquet(e.dir).schema
+            blooms.schema.fieldNames.filter(_.startsWith("bloom_"))
+              .map(_.stripPrefix("bloom_")).flatMap(c =>
+                schema.fields.find(_.name.equalsIgnoreCase(c))
+                  .map(f => f.name -> f.dataType)).toMap
+          }
+          DataSkipping.bloomKeep(spark, condition, bloomedTypes) match {
+            case None => afterStats // no equality conjunct on a bloomed col
+            case Some(keep) =>
+              // capped like the kept list; an over-cap disproven set
+              // leaves the overflow files un-pruned — the safe direction
+              val pruned = blooms.where(org.apache.spark.sql.functions.not(keep))
+                .select(DataSkipping.PathCol).limit(cap + 1).collect()
+                .map(r => DataSkipping.canonPath(r.getString(0))).toSet
+              afterStats.filterNot(pruned.contains)
+          }
+        }
       if (FsUtils.exists(spark, sd)) {
         val stats = underEntry(spark.read.parquet(sd))
         val statCols = stats.schema.fieldNames.toSeq
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
           .map(c => c.toLowerCase -> c).toMap
         val mm = DataSkipping.mightMatchSql(spark, condition, statCols)
-        val total = stats.count()
-        val cap = ManagedTable.maxPruneFiles(spark)
+        // the pre-prune total is observability-only (pruneInfo); readWhere
+        // skips the extra job entirely
+        val total = if (withCounts) stats.count() else -1L
         val keptRows = stats.where(mm).select(DataSkipping.PathCol)
           .limit(cap + 1).collect()
         if (keptRows.length > cap) {
@@ -960,55 +990,43 @@ final class ManagedTable(spark: SparkSession, val path: String) {
               s"'$condition' — skipping pruning (bounded driver list)")
           (e, None, total, total)
         } else {
-          val afterStats = keptRows
-            .map(r => DataSkipping.canonPath(r.getString(0))).toSeq
-          val bd = bloomDirFor(e)
-          val kept =
-            if (afterStats.isEmpty || !FsUtils.exists(spark, bd)) afterStats
-            else {
-              val blooms = spark.read.parquet(bd)
-              val bloomedTypes = {
-                val schema = e.base.fold(spark.read)(b =>
-                  spark.read.option("basePath", b)).parquet(e.dir).schema
-                blooms.schema.fieldNames.filter(_.startsWith("bloom_"))
-                  .map(_.stripPrefix("bloom_")).flatMap(c =>
-                    schema.fields.find(_.name.equalsIgnoreCase(c))
-                      .map(f => f.name -> f.dataType)).toMap
-              }
-              DataSkipping.bloomKeep(spark, condition, bloomedTypes) match {
-                case None => afterStats // no equality conjunct on a bloomed col
-                case Some(keep) =>
-                  // files the filters DISPROVE; absent rows (files written
-                  // after collection) never land here, so they survive.
-                  // The collect is capped like the kept list; if the
-                  // disproven set overflows the cap, the overflow files
-                  // simply stay un-pruned — the safe direction.
-                  val pruned = blooms.where(org.apache.spark.sql.functions.not(keep))
-                    .select(DataSkipping.PathCol).limit(cap + 1).collect()
-                    .map(r => DataSkipping.canonPath(r.getString(0))).toSet
-                  afterStats.filterNot(pruned.contains)
-              }
-            }
+          val kept = bloomPrune(keptRows
+            .map(r => DataSkipping.canonPath(r.getString(0))).toSeq)
           (e, Some(kept), kept.length.toLong, total)
         }
+      } else if (FsUtils.exists(spark, bd)) {
+        // BLOOM-ONLY pruning (collectBlooms without collectStats): the
+        // file list is the dir listing, canonicalized to match the bloom
+        // sidecar's paths, bounded by the same cap
+        val files = FsUtils.listFiles(spark, e.dir)
+          .filterNot { f =>
+            val nm = new Path(f).getName
+            nm.startsWith("_") || nm.startsWith(".")
+          }
+        if (files.length > cap) (e, None, files.length.toLong, files.length.toLong)
+        else {
+          val kept = bloomPrune(files.map(DataSkipping.canonPath))
+          (e, Some(kept), kept.length.toLong, files.length.toLong)
+        }
       } else {
-        // no stats: nothing to prune with — hand the whole dir to Spark's
-        // scan (its InMemoryFileIndex lists large dirs with a distributed
-        // job; no path array crosses this layer). The listing here is for
-        // pruneInfo observability only and is file-count bounded.
-        val n = FsUtils.listFiles(spark, e.dir)
-          .count { f =>
+        // no sidecars: nothing to prune with — hand the whole dir to
+        // Spark's scan (its InMemoryFileIndex lists large dirs with a
+        // distributed job; no path array crosses this layer). The listing
+        // below runs only for pruneInfo observability.
+        val n =
+          if (!withCounts) -1L
+          else FsUtils.listFiles(spark, e.dir).count { f =>
             val nm = new Path(f).getName
             !nm.startsWith("_") && !nm.startsWith(".")
-          }
-        (e, None, n.toLong, n.toLong)
+          }.toLong
+        (e, None, n, n)
       }
     }
 
   /** (files read, files in snapshot) for `condition` — the observability
     * hook specs and operators use to assert skipping actually happened. */
   def pruneInfo(condition: String): (Long, Long) = {
-    val sel = pruneEntries(lastManifest().get.entries, condition)
+    val sel = pruneEntries(lastManifest().get.entries, condition, withCounts = true)
     (sel.map(_._3).sum, sel.map(_._4).sum)
   }
 
@@ -1020,7 +1038,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhere(condition: String): DataFrame = lastManifest() match {
     case None => spark.emptyDataFrame
     case Some(m) =>
-      val dfs = pruneEntries(m.entries, condition).map {
+      val dfs = pruneEntries(m.entries, condition, withCounts = false).map {
         case (e, sel, _, _) if sel.forall(_.nonEmpty) =>
           // Some(kept files) -> pruned scan; None -> full-dir scan
           // (no/weak stats: Spark enumerates the dir itself)

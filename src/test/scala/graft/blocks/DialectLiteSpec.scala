@@ -165,4 +165,50 @@ class DialectLiteSparkSpec extends SparkSuite {
       assert(DialectLite.snapshot("t9", "flaky")._2.length === 10)
     } finally sys.props -= "graft.upsert.retrySleepMs"
   }
+
+  test("a connection dropped between chunks loses no earlier rows") {
+    // 2500 rows in ONE partition = three 1000-row chunks, each on its own
+    // connection (the reference's per-chunk connection factory shape,
+    // upsert.py:141-160). Dropping the SECOND chunk's first attempt must
+    // re-send exactly that chunk: a retry that resumed a shared row
+    // iterator instead would silently lose chunk 1's rows.
+    sys.props("graft.upsert.retrySleepMs") = "5"
+    try {
+      DialectLite.create("t10", "chunks", Seq("id", "v"), Seq("id"))
+      DialectLite.injectTransientFailures("t10", n = 1, after = 1)
+      spark.range(0, 2500).select($"id", ($"id" * 3).as("v"))
+        .coalesce(1).createOrReplaceTempView("dlite_chunk_src")
+      graft.runtime.Lift.lift(spark,
+        s"""LiftJob:
+           |  Src:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: SELECT id, v FROM dlite_chunk_src
+           |  Seed:
+           |    Type: write::batch_postgres_upsert
+           |    Input: Src
+           |    Properties:
+           |      Table: chunks
+           |      ConflictColumns: [id]
+           |      Driver: graft.blocks.DialectLiteDriver
+           |      ConnUrl: jdbc:dialectlite:t10
+           |      User: ""
+           |      Password: ""
+           |""".stripMargin)
+      val (_, rows) = DialectLite.snapshot("t10", "chunks")
+      assert(rows.length === 2500, "mid-stream drop must not lose rows")
+      assert(rows.forall(r => r(1) == r(0).asInstanceOf[Long] * 3))
+    } finally sys.props -= "graft.upsert.retrySleepMs"
+  }
+
+  test("unknown insert columns raise SQLException at prepare, not a raw throw") {
+    DialectLite.create("t11", "narrow", Seq("id"), Seq("id"))
+    val e = intercept[java.sql.SQLException] {
+      val conn = java.sql.DriverManager.getConnection("jdbc:dialectlite:t11", "", "")
+      try conn.prepareStatement(
+        Upsert.postgresSql("narrow", Seq("id", "ghost"), Seq("id"), Seq("ghost")))
+      finally conn.close()
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
 }

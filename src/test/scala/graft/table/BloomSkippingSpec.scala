@@ -87,4 +87,20 @@ class BloomSkippingSpec extends SparkSuite {
     assert(t.readWhere("id = 4").count() === 0)
     assert(t.readWhere("id = 6").count() === 1)
   }
+
+  test("bloom-ONLY tables prune point lookups without any stats sidecar") {
+    // collectBlooms and collectStats are independent APIs; a table with
+    // only blooms must still skip, with the dir listing as the file list
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write((0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id") % 2))
+    t.collectBlooms(Seq("id"), itemsPerFile = 1000)
+    assert(t.pruneInfo("id = 4") === ((1L, 2L)), "bloom-only must prune")
+    assert(t.readWhere("id = 4").as[(Long, String)].collect().toSeq
+      === Seq((4L, "v4")))
+    // non-equality predicates leave a bloom-only table unprunable but read
+    // correctly through the full-dir path
+    assert(t.readWhere("id >= 198").count() === 2)
+    assert(t.pruneInfo("id >= 198") === ((2L, 2L)))
+  }
 }
