@@ -121,8 +121,12 @@ object DataSkipping {
       case EqualTo(a, b) => cmp(a, b,
         (c, v) => s"(`${minCol(c)}` <= $v AND `${maxCol(c)}` >= $v)",
         (c, v) => s"(`${minCol(c)}` <= $v AND `${maxCol(c)}` >= $v)")
-      case EqualNullSafe(a, b) => (statOf(a), lited(b)) match {
-        case (Some(c), Some(v)) if v == "NULL" => s"`${nullsCol(c)}` > 0"
+      case EqualNullSafe(a, b) => (statOf(a), lited(b), statOf(b), lited(a)) match {
+        // BOTH literal orders: `NULL <=> c` falling through to the
+        // EqualTo rewrite would emit min <= NULL (always null) and
+        // wrongly prune every stats-covered file
+        case (Some(c), Some(v), _, _) if v == "NULL" => s"`${nullsCol(c)}` > 0"
+        case (_, _, Some(c), Some(v)) if v == "NULL" => s"`${nullsCol(c)}` > 0"
         case _ => go(EqualTo(a, b))
       }
       case LessThan(a, b) => cmp(a, b,

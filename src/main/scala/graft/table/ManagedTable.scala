@@ -3,7 +3,7 @@ package graft.table
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.common.FsUtils
@@ -541,56 +541,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * subdir reference. Returns None when the current snapshot's layout
     * can't be split per-partition (e.g. unpartitioned legacy dirs) or the
     * update touches more than [[MaxPrunedPartitions]] values — callers
-    * fall back to the full rewrite. */
+    * fall back to the full rewrite.
+    *
+    * Pruning contract: the join key must be PARTITION-STABLE — an update
+    * row only ever matches target rows in its own partition (the usual
+    * case: the partition column is part of, or functionally determined
+    * by, the merge key). A key that can match across partitions leaves
+    * the other partition's old row in place; use the unpartitioned full
+    * rewrite for such keys. Same contract as Delta's guidance to put the
+    * partition predicate in the merge condition for pruned merges. */
   private def prunedMerge(updates: DataFrame, condition: String,
                           partitionBy: Seq[String]): Option[Long] = {
-    val pcol = partitionBy.head
-    if (!updates.columns.contains(pcol)) return None
-    val cur = lastManifest().get
-    if (!splittableLayout(cur, pcol)) return None
-    val prefix = pcol + "="
-
-    // touched partition values: bounded driver-side metadata (like the
-    // registries' path lists); each value is one partition key, not data
-    val touchedRows = updates.select(col(pcol)).distinct()
-      .limit(MaxPrunedPartitions + 1).collect()
-    if (touchedRows.length > MaxPrunedPartitions) return None
-    if (touchedRows.isEmpty)
-      return Some(commitAgainst(Some(cur.version), cur.entries, cur.dvs))
-    val touchedVals = touchedRows.map(_.get(0))
-    val nonNull = touchedVals.filter(_ != null)
-    val hasNull = touchedVals.exists(_ == null)
-    var cond = if (nonNull.nonEmpty) col(pcol).isin(nonNull.toIndexedSeq: _*)
-               else lit(false)
-    if (hasNull) cond = cond || col(pcol).isNull
-
-    // the rewritten slice: current rows of touched partitions, merged with
-    // ALL updates — the anti-join reads only touched partitions (the isin
-    // filter prunes the scan before the join)
-    val merged = readSnapshotWhere(cur, cond)
-      .alias("source")
-      .join(updates.alias("updates"), expr(condition), "left_anti")
-      .unionByName(updates, allowMissingColumns = true)
-    val newDir = writeData(merged, partitionBy)
-
-    // the new dir's own subdir names ARE the touched partitions' encoded
-    // dir names (Spark encoded them for us — no value-formatting guesswork)
-    val rewritten = FsUtils.listChildren(spark, newDir)._1
-      .filter(_.startsWith(prefix)).toSet
-    val carried = cur.entries.flatMap { e =>
-      val name = new Path(e.dir).getName
-      if (name.startsWith(prefix)) {
-        if (rewritten.contains(name)) Nil else Seq(e)
-      } else {
-        FsUtils.listChildren(spark, e.dir)._1
-          .filterNot(rewritten.contains)
-          .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
-      }
-    }
-    // carried dirs may still have vectored rows → dvs carry over; a DV row
-    // addressing a file of a rewritten (dropped) partition matches nothing
-    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None),
-      cur.dvs))
+    if (!updates.columns.contains(partitionBy.head)) return None
+    prunedRewrite(lit(false), partitionBy,
+      // the rewritten slice: current rows of touched partitions, merged
+      // with ALL updates — the anti-join reads only touched partitions
+      slice => slice.alias("source")
+        .join(updates.alias("updates"), expr(condition), "left_anti")
+        .unionByName(updates, allowMissingColumns = true),
+      extraTouched = Some(updates.select(col(partitionBy.head))))
   }
 
   /** Apply a CDC batch — rows tagged insert/update/delete in `opCol`
@@ -609,10 +578,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                    orderCol: String, partitionBy: Seq[String] = Nil): Long = {
     requireFreshNames(changes, "applyChanges")
     import org.apache.spark.sql.expressions.Window
+    // key columns = the `updates.<col>` references in the join condition,
+    // extracted as whole identifiers (a substring test would make
+    // `updates.id` also claim column `identifier`, corrupting the dedup
+    // window; backticked and differently-cased references must match too)
+    val referenced = """updates\.`?([A-Za-z_][A-Za-z0-9_]*)""".r
+      .findAllMatchIn(condition).map(_.group(1)).toSeq.distinct
+    val keyCols = changes.columns
+      .filter(c => referenced.exists(_.equalsIgnoreCase(c)))
+    require(keyCols.nonEmpty,
+      s"applyChanges condition must reference updates.<key> columns: $condition")
     val latest = changes
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(changes.columns.filter(c =>
-            condition.contains(s"updates.$c")).map(col).toIndexedSeq: _*)
+        Window.partitionBy(keyCols.map(col).toIndexedSeq: _*)
           .orderBy(col(orderCol).desc)))
       .where(col("__rn") === 1).drop("__rn")
     val upserts = latest.where(!upper(col(opCol)).isin("D"))
@@ -626,17 +604,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case None =>
           commitAgainst(None, Seq(Entry(writeData(upserts, partitionBy), None)))
         case Some(cur) =>
-          val pruned = if (partitionBy.nonEmpty)
-            prunedRewrite(
-              // touched partitions = partitions of ANY change row; discovery
-              // uses the change keys, not a table scan
-              condUsingKeys(allKeys, partitionBy.head), partitionBy,
+          val pruned = if (partitionBy.nonEmpty &&
+              changes.columns.contains(partitionBy.head))
+            // touched partitions = partitions NAMED BY THE BATCH (D keys
+            // included — their rows must leave those partitions; I keys
+            // included — a batch for a partition the table has never seen
+            // must still land). Discovery never scans the table. Pruning
+            // contract (same as [[merge]]'s): the join key must be
+            // partition-stable — a change row only ever matches target
+            // rows in its own partition.
+            prunedRewrite(lit(false), partitionBy,
               slice => slice.alias("source")
                 .join(allKeys.alias("updates"), expr(condition), "left_anti")
                 .unionByName(upserts, allowMissingColumns = true),
-              // a delete-only batch can empty a partition — its old dir must
-              // not be carried, so fall back to the full rewrite in that case
-              requireAllRewritten = true)
+              extraTouched = Some(allKeys.select(col(partitionBy.head))))
           else None
           pruned.getOrElse(
             commitAgainst(Some(cur.version), Seq(Entry(writeData(
@@ -645,24 +626,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                 .unionByName(upserts, allowMissingColumns = true),
               partitionBy), None))))
       }
-    }
-  }
-
-  /** SQL predicate matching table rows whose partition value appears in
-    * the (bounded) change batch — drives touched-partition discovery for
-    * [[applyChanges]] without scanning the table for matches. */
-  private def condUsingKeys(keys: DataFrame, pcol: String): String = {
-    val vals = keys.select(col(pcol)).distinct()
-      .limit(MaxPrunedPartitions + 1).collect().map(_.get(0))
-    if (vals.isEmpty) "false"
-    else {
-      val nonNull = vals.filter(_ != null).map {
-        case s: String => "'" + s.replace("'", "''") + "'"
-        case o         => String.valueOf(o)
-      }
-      val in = if (nonNull.nonEmpty)
-        s"$pcol IN (${nonNull.mkString(", ")})" else "false"
-      if (vals.exists(_ == null)) s"($in OR $pcol IS NULL)" else in
     }
   }
 
@@ -707,15 +670,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** Partition-pruned delete on the FIRST partition column; None → caller
-    * falls back to the full rewrite (layout not splittable, too many
-    * touched partitions, or a partition would be completely emptied). */
+    * falls back to the full rewrite (layout not splittable or too many
+    * touched partitions). A delete that EMPTIES a partition drops its dir
+    * exactly (prunedRewrite learns the encoded dir names from Spark). */
   private def prunedDelete(condition: String,
                            partitionBy: Seq[String]): Option[Long] =
-    prunedRewrite(condition, partitionBy,
-      slice => slice.where(!expr(condition)),
-      // a touched partition with NO survivors writes no subdir — its old
-      // dir would be silently carried (wrong). Detect and fall back.
-      requireAllRewritten = true)
+    prunedRewrite(expr(condition), partitionBy,
+      slice => slice.where(!expr(condition)))
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`): rows matching
     * `condition` leave the snapshot and the batch takes their place, in
@@ -743,10 +704,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         case Some(cur) =>
           val pruned = if (partitionBy.nonEmpty &&
               df.columns.contains(partitionBy.head))
-            prunedRewrite(condition, partitionBy,
+            prunedRewrite(expr(condition), partitionBy,
               slice => slice.where(!expr(condition))
                 .unionByName(df, allowMissingColumns = true),
-              requireAllRewritten = true,
               extraTouched = Some(df.select(col(partitionBy.head))))
           else None
           pruned.getOrElse(
@@ -759,54 +719,95 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** Shared pruned-rewrite engine for DML on the FIRST partition column:
-    * discover partitions holding rows matching `condition` (column-pruned
-    * scan, bounded driver-side value list) plus any `extraTouched` key
-    * rows (replaceWhere: the incoming batch's partitions), run
-    * `rewriteSlice` over ONLY those partitions into a fresh dir, and
-    * carry every other partition dir by manifest reference.
-    * `requireAllRewritten` guards ops (delete) where a touched partition
-    * can vanish from the output. */
-  private def prunedRewrite(condition: String, partitionBy: Seq[String],
+    * discover partitions holding rows matching `cond` (column-pruned scan,
+    * bounded driver-side value list) plus any `extraTouched` key rows (the
+    * incoming batch's partitions for replaceWhere/applyChanges/merge), run
+    * `rewriteSlice` over ONLY those partitions into a fresh dir, and carry
+    * every other partition dir by manifest reference.
+    *
+    * Emptied partitions are handled EXACTLY, not by falling back: the
+    * touched values' encoded dir names are learned from Spark itself (a
+    * one-int marker frame written `partitionBy(pcol)` — no hand-rolled
+    * partition-value encoding, so dates/timestamps/specials/nulls all get
+    * Spark's own escaping), and every touched old dir is dropped whether
+    * or not the rewrite produced a replacement — a touched partition with
+    * no surviving rows simply disappears from the snapshot, which is the
+    * correct result for a partition-emptying delete/replace/CDC batch.
+    * A count-based "did everything get rewritten" guard is NOT sound
+    * here: an op that empties one touched partition while inserting a new
+    * one keeps the counts equal and would silently resurrect the emptied
+    * partition's rows. */
+  private def prunedRewrite(cond: Column, partitionBy: Seq[String],
                             rewriteSlice: DataFrame => DataFrame,
-                            requireAllRewritten: Boolean,
                             extraTouched: Option[DataFrame] = None): Option[Long] = {
     val pcol = partitionBy.head
     val cur = lastManifest().get
     if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
-    val matchKeys = readSnapshotWhere(cur, expr(condition)).select(col(pcol))
-    val touchedRows = extraTouched.fold(matchKeys)(matchKeys.union)
-      .distinct()
+    val matchKeys = readSnapshotWhere(cur, cond).select(col(pcol))
+    // the union's resolved schema (not matchKeys') types the collected
+    // rows: a batch whose key column is wider than the table's coerces
+    val keyed = extraTouched.fold(matchKeys)(matchKeys.union)
+    val touchedRows = keyed.distinct()
       .limit(MaxPrunedPartitions + 1).collect()
     if (touchedRows.length > MaxPrunedPartitions) return None
     if (touchedRows.isEmpty)
       return Some(commitAgainst(Some(cur.version), cur.entries, cur.dvs))
     val touchedVals = touchedRows.map(_.get(0))
+    val encodedTouched = encodePartitionNames(
+      touchedRows.toIndexedSeq, keyed.schema, pcol)
     val nonNull = touchedVals.filter(_ != null)
     val hasNull = touchedVals.exists(_ == null)
-    var cond = if (nonNull.nonEmpty) col(pcol).isin(nonNull.toIndexedSeq: _*)
-               else lit(false)
-    if (hasNull) cond = cond || col(pcol).isNull
+    var sliceCond = if (nonNull.nonEmpty)
+      col(pcol).isin(nonNull.toIndexedSeq: _*) else lit(false)
+    if (hasNull) sliceCond = sliceCond || col(pcol).isNull
 
     // the isin filter prunes the scan to touched partitions before the
     // per-row rewrite applies
-    val out = rewriteSlice(readSnapshotWhere(cur, cond))
+    val out = rewriteSlice(readSnapshotWhere(cur, sliceCond))
     val newDir = writeData(out, partitionBy)
     val rewritten = FsUtils.listChildren(spark, newDir)._1
       .filter(_.startsWith(prefix)).toSet
-    if (requireAllRewritten && rewritten.size < touchedVals.length) return None
+    // every touched old dir leaves the snapshot (rewritten-or-emptied);
+    // `rewritten` also covers partitions the op newly introduced
+    val drop = encodedTouched ++ rewritten
     val carried = cur.entries.flatMap { e =>
       val name = new Path(e.dir).getName
       if (name.startsWith(prefix)) {
-        if (rewritten.contains(name)) Nil else Seq(e)
+        if (drop.contains(name)) Nil else Seq(e)
       } else {
         FsUtils.listChildren(spark, e.dir)._1
-          .filterNot(rewritten.contains)
+          .filterNot(drop.contains)
           .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
       }
     }
-    Some(commitAgainst(Some(cur.version), carried :+ Entry(newDir, None),
-      cur.dvs))
+    // a fresh dir with no data subdirs is unreadable (schema inference has
+    // nothing to see) — commit carried entries only; a table emptied
+    // ENTIRELY falls back to the full rewrite, which owns that edge
+    val entries =
+      if (rewritten.nonEmpty) carried :+ Entry(newDir, None) else carried
+    if (entries.isEmpty) return None
+    Some(commitAgainst(Some(cur.version), entries, cur.dvs))
+  }
+
+  /** Spark's own encoded `pcol=value` dir name for each key row: write a
+    * one-int marker frame partitioned by `pcol` to a scratch dir and read
+    * the subdir names back. Bounded by [[MaxPrunedPartitions]] rows; one
+    * tiny local job per pruned DML call. */
+  private def encodePartitionNames(rows: Seq[org.apache.spark.sql.Row],
+                                   keySchema: org.apache.spark.sql.types.StructType,
+                                   pcol: String): Set[String] = {
+    val probeDir = graft.common.Scratch.dir("table",
+      s"pencode-${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, keySchema)
+        .withColumn("__probe", lit(1))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy(pcol).parquet(probeDir)
+      FsUtils.listChildren(spark, probeDir)._1
+        .filter(_.startsWith(pcol + "=")).toSet
+    } finally FsUtils.deleteFiles(spark, Seq(probeDir))
   }
 
   /** Change-data-feed analogue (reference load/entrypoint.py:222-229):
@@ -860,7 +861,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     withCommitRetry("update") {
       val cur = lastManifest().get
       val pruned = if (partitionBy.nonEmpty && !set.contains(partitionBy.head))
-        prunedRewrite(cond, partitionBy, apply, requireAllRewritten = false)
+        prunedRewrite(expr(cond), partitionBy, apply)
       else None
       pruned.getOrElse(
         commitAgainst(Some(cur.version), Seq(Entry(writeData(
@@ -1266,8 +1267,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .filter { case (_, mod) => mod < horizon }
       .map { case (name, _) => s"$path/_graft_dv/$name" }
       .filter(d => !retainedDvs.contains(normPath(d)))
+    // stats/bloom sidecars are keyed by their data dir's NAME: once no
+    // retained manifest references a dir of that name (directly or as a
+    // base), its sidecars are unreachable — reap them or they leak forever
+    val liveNames = retained.flatMap(_.entries)
+      .flatMap(e => Seq(e.dir) ++ e.base.toSeq)
+      .map(d => new Path(d).getName).toSet
+    val sidecarOrphans = Seq("_graft_stats", "_graft_blooms").flatMap { sc =>
+      FsUtils.listChildDirsWithModTime(spark, s"$path/$sc")
+        .filter { case (name, mod) => mod < horizon && !liveNames.contains(name) }
+        .map { case (name, _) => s"$path/$sc/$name" }
+    }
     FsUtils.deleteFiles(spark,
-      orphanDirs ++ raceOrphans ++ dvOrphans ++
+      orphanDirs ++ raceOrphans ++ dvOrphans ++ sidecarOrphans ++
         dropped.map(m => s"$logDir/${m.version}.json"))
   }
 
@@ -1288,23 +1300,52 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $databaseName")
     val m = lastManifest()
     val dvs = m.map(_.dvs).getOrElse(Nil)
+    val renames = m.map(_.renames).getOrElse(Nil)
     // under deletion vectors each scan must carry per-row provenance so
     // the view can anti-join the vectored positions back out
     val meta = if (dvs.isEmpty) ""
       else s", _metadata.file_path AS $DvFile, _metadata.row_index AS $DvPos"
+    // the view must mirror the READ path exactly: union BY NAME across
+    // schema drift (positional UNION ALL would mis-map or fail on
+    // different-width dirs), live renames applied, tombstoned columns
+    // hidden — so each branch selects the table's LOGICAL columns
+    // explicitly, null-filling the ones its dir predates
+    def logicalName(phys: String): String =
+      renames.foldLeft(phys) { case (n, (f, t)) =>
+        if (n.equalsIgnoreCase(f)) t else n }
+    val finalSchema = read().schema
+    def selectItems(dir: String, base: Option[String]): String = {
+      val phys = base.fold(spark.read)(b =>
+        spark.read.option("basePath", b)).parquet(dir).schema
+      val physByLogical = phys.fieldNames
+        .map(p => logicalName(p).toLowerCase -> p).toMap
+      finalSchema.map { f =>
+        physByLogical.get(f.name.toLowerCase) match {
+          case Some(p) => s"`$p` AS `${f.name}`"
+          case None    => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+        }
+      }.mkString(", ")
+    }
     val selects = m.map(_.entries).getOrElse(Nil) match {
       case Nil => Seq(s"SELECT *$meta FROM parquet.`$path`")
       case es => es.map {
-        case Entry(d, None) => s"SELECT *$meta FROM parquet.`$d`"
+        case Entry(d, None) =>
+          s"SELECT ${selectItems(d, None)}$meta FROM parquet.`$d`"
         case Entry(d, Some(b)) =>
           // decode `pcol=value` path segments below the base into predicates
           val rel = normPath(d).stripPrefix(normPath(b)).stripPrefix("/")
           val preds = rel.split("/").toSeq.map { seg =>
             val Array(c, v) = seg.split("=", 2)
             if (v == "__HIVE_DEFAULT_PARTITION__") s"$c IS NULL"
-            else s"CAST($c AS STRING) = '${unescapePathName(v)}'"
+            else {
+              // '' doubling: a quote inside a partition VALUE must not
+              // break (or inject into) the view body
+              val lit = unescapePathName(v).replace("'", "''")
+              s"CAST($c AS STRING) = '$lit'"
+            }
           }
-          s"SELECT *$meta FROM parquet.`$b` WHERE ${preds.mkString(" AND ")}"
+          s"SELECT ${selectItems(d, Some(b))}$meta FROM parquet.`$b` " +
+            s"WHERE ${preds.mkString(" AND ")}"
       }
     }
     val unioned = selects.mkString(" UNION ALL ")
@@ -1355,14 +1396,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   private def tryCommit(v: Long, entries: Seq[Entry],
                         dvs: Seq[String],
                         renames: Seq[(String, String)]): Boolean = {
+    // Jackson-escaped strings throughout: a quote or backslash in a dir
+    // path or a renamed column name written raw would poison every later
+    // readManifest of this version (reads parse with Jackson; writes must
+    // escape with it too)
+    val mapper = new ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
     val dirsJson = entries.map {
-      case Entry(d, None)    => "\"" + d + "\""
-      case Entry(d, Some(b)) => s"""{"dir":"$d","base":"$b"}"""
+      case Entry(d, None)    => js(d)
+      case Entry(d, Some(b)) => s"""{"dir":${js(d)},"base":${js(b)}}"""
     }.mkString("[", ",", "]")
     val dvJson = if (dvs.isEmpty) ""
-      else dvs.map("\"" + _ + "\"").mkString(""","dv":[""", ",", "]")
+      else dvs.map(js).mkString(""","dv":[""", ",", "]")
     val renJson = if (renames.isEmpty) ""
-      else renames.map { case (f, t) => s"""{"from":"$f","to":"$t"}""" }
+      else renames.map { case (f, t) => s"""{"from":${js(f)},"to":${js(t)}}""" }
         .mkString(""","renames":[""", ",", "]")
     FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
       s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson}""")

@@ -56,12 +56,18 @@ object ZOrder {
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
 
     val ranks = cols.zipWithIndex.map { case (c, i) =>
+      // an all-null column (or an empty snapshot) aggregates to null
+      // bounds — rank the whole column 0 instead of crashing OPTIMIZE
+      // (nulls already rank 0, so this is the degenerate single-cell case)
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val mn = bounds.getDouble(2 * i)
       val mx = bounds.getDouble(2 * i + 1)
       if (mx == mn) lit(0L)
       else coalesce(
         least(width_bucket(doubleView(c), lit(mn), lit(mx), lit(cells)), lit(cells)) - 1L,
         lit(0L))
+      }
     }
     // interleave: output bit j*n+i takes bit j of column i's rank
     (0 until b).flatMap { j =>

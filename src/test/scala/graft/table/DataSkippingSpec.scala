@@ -177,6 +177,18 @@ class DataSkippingSpec extends SparkSuite {
     assert(sortedRows(t.readWhere(cond)) === sortedRows(t.read().where(cond)))
   }
 
+  test("null-safe equality prunes identically in both literal orders") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, None: Option[String])).toDF("id", "v").coalesce(1))
+    t.collectStats()
+    // `NULL <=> v` used to fall through to the EqualTo rewrite, emit
+    // min <= NULL (always null), and wrongly prune EVERY file
+    assert(t.readWhere("NULL <=> v").count() === 1)
+    assert(t.readWhere("v <=> NULL").count() === 1)
+    assert(t.pruneInfo("NULL <=> v") === t.pruneInfo("v <=> NULL"))
+  }
+
   test("kept lists over graft.prune.maxFiles skip pruning, results unchanged") {
     // the driver never collects an unbounded path list: when more files
     // than the cap survive the stats filter, the entry reads unpruned

@@ -196,6 +196,84 @@ class ManagedTableSpec extends SparkSuite {
     assert(d1dirs === Seq("part=p0"))
   }
 
+  test("pruned applyChanges lands inserts for a partition the table has never seen") {
+    // touched-partition discovery must come from the BATCH: discovering
+    // from the table finds nothing for a new partition and used to commit
+    // a no-op version, silently discarding the whole insert batch
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq(("p0", 1, "a")).toDF("part", "id", "v"), partitionBy = Seq("part"))
+    val cdc = Seq(("pNEW", 100, "fresh", "I", 1L), ("pNEW", 101, "fresh2", "I", 2L))
+      .toDF("part", "id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
+      partitionBy = Seq("part"))
+    assert(t.read().count() === 3)
+    assert(t.read().where($"part" === "pNEW").count() === 2)
+  }
+
+  test("pruned applyChanges emptying one partition while inserting another resurrects nothing") {
+    // a count-based all-rewritten guard passes here (1 emptied + 1 new =
+    // counts match) and used to carry the emptied partition's old dir,
+    // resurrecting its deleted rows
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq(("pA", 1, "a1"), ("pA", 2, "a2"), ("pB", 3, "b1"))
+      .toDF("part", "id", "v"), partitionBy = Seq("part"))
+    val cdc = Seq(
+      ("pA", 1, "x", "D", 1L), ("pA", 2, "x", "D", 2L), // empties pA
+      ("pC", 9, "c1", "I", 3L)                          // new partition
+    ).toDF("part", "id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
+      partitionBy = Seq("part"))
+    assert(t.read().select("part", "id", "v").as[(String, Int, String)]
+      .collect().toSet === Set(("pB", 3, "b1"), ("pC", 9, "c1")))
+  }
+
+  test("applyChanges key inference matches whole identifiers, not prefixes") {
+    // columns id and identifier: a condition on identifier alone must
+    // window by identifier ONLY (substring matching would also claim id,
+    // letting two ops for one identifier both survive the dedup)
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, 100L, "a"), (2, 200L, "b")).toDF("id", "identifier", "v"))
+    val cdc = Seq(
+      (7, 100L, "first", "U", 1L),  // same identifier, different id —
+      (8, 100L, "last", "U", 2L)    // last op must WIN, not coexist
+    ).toDF("id", "identifier", "v", "op", "seq")
+    t.applyChanges(cdc, "source.identifier == updates.identifier", "op", "seq")
+    val got = t.read().as[(Int, Long, String)].collect().toSet
+    assert(got === Set((8, 100L, "last"), (2, 200L, "b")))
+  }
+
+  test("date-partitioned pruned applyChanges handles typed partition keys") {
+    // date keys have no valid unquoted SQL literal form; discovery and
+    // dir-name encoding must never round-trip values through SQL text
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq(("2026-08-14", 1, "a"), ("2026-08-15", 2, "b"))
+      .toDF("ds", "id", "v").select($"ds".cast("date").as("dt"), $"id", $"v"),
+      partitionBy = Seq("dt"))
+    val cdc = Seq(("2026-08-15", 2, "b2", "U", 1L), ("2026-08-16", 3, "c", "I", 2L))
+      .toDF("ds", "id", "v", "op", "seq")
+      .select($"ds".cast("date").as("dt"), $"id", $"v", $"op", $"seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
+      partitionBy = Seq("dt"))
+    val got = t.read().select($"dt".cast("string"), $"id", $"v")
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(("2026-08-14", 1, "a"), ("2026-08-15", 2, "b2"),
+      ("2026-08-16", 3, "c")))
+  }
+
+  test("pruned delete drops an emptied partition's dir without a full rewrite") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq.tabulate(20)(i => (s"p${i % 2}", i)).toDF("part", "id"),
+      partitionBy = Seq("part"))
+    val d0 = dataDirOf(root, 0)
+    val p1Before = fileMap(s"$d0/part=p1")
+    t.delete("part = 'p0'", partitionBy = Seq("part"))
+    assert(t.read().select("part").distinct().as[String].collect().toSeq
+      === Seq("p1"))
+    // the untouched partition carried by reference — pruned, not rewritten
+    assert(fileMap(s"$d0/part=p1") === p1Before)
+  }
+
   test("delete that empties a partition falls back and stays correct") {
     val root = tmp() + "/t"
     val t = ManagedTable(spark, root)
@@ -426,6 +504,51 @@ class ManagedTableSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM graft_test_db.reg_spec").head().getLong(0) === 1L)
   }
 
+  test("registerAs survives schema drift and live renames, like the read path") {
+    // the view must union BY NAME (a positional UNION ALL across
+    // different-width dirs either fails or silently mis-maps columns),
+    // apply renames, and hide tombstoned columns
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b", 9.5)).toDF("id", "v", "extra")) // drift: +extra
+    t.renameColumn("v", "val")
+    t.registerAs("graft_test_db", "reg_drift")
+    val got = spark.sql(
+      "SELECT id, val, extra FROM graft_test_db.reg_drift ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq((1, "a", None), (2, "b", Some(9.5))))
+    // tombstoned physical names never leak into the view
+    t.dropColumn("extra")
+    t.registerAs("graft_test_db", "reg_drift")
+    assert(spark.sql("SELECT * FROM graft_test_db.reg_drift").columns.toSet
+      === Set("id", "val"))
+  }
+
+  test("a quoted partition value registers and reads without breaking the view") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq(("O'Brien", 1), ("plain", 2)).toDF("name", "id"),
+      partitionBy = Seq("name"))
+    // force a carried-subdir entry so the view goes through the
+    // decoded-predicate branch
+    t.merge(Seq(("plain", 2, 0)).toDF("name", "id", "x").drop("x")
+      .withColumnRenamed("id", "id"),
+      "source.id == updates.id", partitionBy = Seq("name"))
+    t.registerAs("graft_test_db", "reg_quote")
+    assert(spark.sql(
+      "SELECT id FROM graft_test_db.reg_quote WHERE name = \"O'Brien\"")
+      .head().getInt(0) === 1)
+  }
+
+  test("manifest JSON escapes hostile rename targets") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.renameColumn("v", "v\"q\\w") // quote and backslash in the new name
+    assert(t.read().columns.toSet === Set("id", "v\"q\\w"))
+    t.append(Seq((2, "b")).toDF("id", "v\"q\\w"))
+    assert(t.read().count() === 2) // later manifests still parse
+  }
+
   /** Recursive (relative path → size) listing of a data dir. */
   private def fileMap(dir: String): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
@@ -508,6 +631,28 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.history().map(_._1) === Seq(1L))
     assert(t.read().count() === 11)
     assert(t.read().where($"part" === "p1").count() === 5)
+  }
+
+  test("vacuum reaps stats/bloom sidecars of retired data dirs, keeps live ones") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.collectStats()
+    t.collectBlooms(Seq("id"), itemsPerFile = 100)
+    val statsRoot = s"$root/_graft_stats"
+    assert(graft.common.FsUtils.listChildDirsWithModTime(spark, statsRoot).nonEmpty)
+    Thread.sleep(5)
+    t.write(Seq((9L, "z")).toDF("id", "v").coalesce(1)) // clean write retires d0
+    t.collectStats()
+    val liveStats = graft.common.FsUtils
+      .listChildDirsWithModTime(spark, statsRoot).map(_._1).toSet
+    t.vacuum(0, enforceRetention = false)
+    val after = graft.common.FsUtils
+      .listChildDirsWithModTime(spark, statsRoot).map(_._1).toSet
+    assert(after.size === 1 && after.subsetOf(liveStats),
+      s"retired sidecars must be reaped: $after")
+    // live stats still drive pruning after the vacuum
+    assert(t.pruneInfo("id = 9")._2 === 1L)
   }
 
   test("merge falls back to full rewrite when updates lack the partition column") {

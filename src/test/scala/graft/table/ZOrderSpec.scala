@@ -71,4 +71,13 @@ class ZOrderSpec extends SparkSuite {
     assert(total === 8 && kept <= 4, s"kept=$kept")
     assert(t.readWhere(cond).count() === t.read().where(cond).count())
   }
+
+  test("an all-null z-order column degrades to rank 0 instead of crashing") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1L, None: Option[Double]), (2L, None)).toDF("id", "gap")
+      .coalesce(1))
+    t.optimize(zorderBy = Seq("id", "gap")) // null bounds on gap
+    assert(t.read().count() === 2)
+  }
 }
