@@ -89,8 +89,13 @@ private[registry] abstract class PathRegistry(bconf: BlockConfig) extends FileRe
           }
           handedOut = None
         case None =>
-          table.updateWhere("date_lifted IS NULL",
-            Map("date_lifted" -> "current_timestamp()"))
+          // batched mode NEVER falls back to stamping everything: an
+          // update() that fires before (or without) the load that hands
+          // a batch out must be a no-op — marking every pending path
+          // lifted would permanently skip files no reader ever saw
+          if (batchSize.isEmpty)
+            table.updateWhere("date_lifted IS NULL",
+              Map("date_lifted" -> "current_timestamp()"))
       }
       ()
     }

@@ -39,6 +39,15 @@ final class BlockLog {
       case (bconf, result) if bconf.props.search(key).contains(value) => result
     }
 
+  /** EVERY block output whose config has `key == value`. The reference's
+    * `_find_with_prop` returns only the first match, so a second registry
+    * sharing an UpdateAfter section silently never flushes (its pending
+    * files re-ingest forever) — this deliberately diverges to flush all. */
+  def findAllByProp(key: String, value: Any): Seq[Any] =
+    entries.values.collect {
+      case (bconf, result) if bconf.props.search(key).contains(value) => result
+    }.toSeq
+
   def sections: Seq[String] = entries.keys.toSeq
   def contains(sectionName: String): Boolean = entries.contains(sectionName)
 }
@@ -84,8 +93,8 @@ final class Manager(spark: SparkSession) {
       processBlocks(blocks, graft.blocks.BlockRegistry.registry).foreach {
         case (bconf, result) =>
           processLiftBlockOutput(bconf, result)
-          // flush any registry wired to run after this section
-          fileRegistryLog.findByProp("UpdateAfter", bconf.sectionName).foreach {
+          // flush EVERY registry wired to run after this section
+          fileRegistryLog.findAllByProp("UpdateAfter", bconf.sectionName).foreach {
             case r: graft.registry.FileRegistry => r.update()
             case _ => ()
           }

@@ -103,18 +103,23 @@ object Streaming {
       .outputMode("update")
       .option("checkpointLocation", s"${table.path}/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(orderCol).desc)
-        val deduped = batch
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-        if (vectorized) {
-          table.mergeVectorized(deduped, mergeCondition, partitionBy)
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            table.optimize(partitionBy = partitionBy)
-        } else
-          table.merge(deduped, mergeCondition, upsert = true,
-            partitionBy = partitionBy)
+        // empty micro-batches happen (sources advancing past control
+        // records); without the guard the unpartitioned merge path would
+        // rewrite the WHOLE snapshot as a no-op version
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(orderCol).desc)
+          val deduped = batch
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+          if (vectorized) {
+            table.mergeVectorized(deduped, mergeCondition, partitionBy)
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+              table.optimize(partitionBy = partitionBy)
+          } else
+            table.merge(deduped, mergeCondition, upsert = true,
+              partitionBy = partitionBy)
+        }
         ()
       }
       .start()
@@ -146,12 +151,15 @@ object Streaming {
         val firstInBatch = withDigest
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
-        val fresh =
+        // persisted: the anti-join against the whole index otherwise runs
+        // twice (the emptiness probe AND the append), doubling batch cost
+        val fresh = (
           if (table.exists)
             firstInBatch.join(table.read().select(col("digest")),
               Seq("digest"), "left_anti")
-          else firstInBatch
-        if (!fresh.isEmpty) table.append(fresh)
+          else firstInBatch).persist()
+        try { if (!fresh.isEmpty) table.append(fresh) }
+        finally fresh.unpersist()
         ()
       }
       .start()
@@ -193,6 +201,11 @@ object Streaming {
                          textCol: String, n: Int = 3, k: Int = 64,
                          bands: Int = 32, threshold: Double = 0.7): Unit = {
     import graft.ops.Dedup
+    // bands > k would make every band slice empty (every doc bucket-equal
+    // to every other — an O(n^2) verify explosion); a non-dividing k would
+    // silently discard the signature tail
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k with k/bands >= 1, got k=$k bands=$bands")
     val rows = k / bands
     docs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -244,19 +257,26 @@ object Streaming {
           .join(dropIds.withColumn("__drop", lit(true)), Seq("id"), "left")
           .select(col("id").as(idCol), col("text").as(textCol),
             coalesce(!col("__drop"), lit(true)).as("kept"))
-        // idempotent replay: never re-append an id either table has seen
-        val freshDocs =
+        // idempotent replay: never re-append an id either table has seen.
+        // Both fresh frames persist so the corpus/index anti-joins run
+        // once, not once per emptiness probe plus once per append.
+        val freshDocs = (
           if (corpus.exists)
             flagged.join(corpus.read().select(col(idCol)), Seq(idCol), "left_anti")
-          else flagged
-        if (!freshDocs.isEmpty) corpus.append(freshDocs)
-        val freshBands =
+          else flagged).persist()
+        val freshBands = (
           if (lsh.exists)
             banded.join(lsh.read().select("id").distinct(), Seq("id"), "left_anti")
-          else banded
-        if (!freshBands.isEmpty) lsh.append(freshBands)
-        base.unpersist()
-        banded.unpersist()
+          else banded).persist()
+        try {
+          if (!freshDocs.isEmpty) corpus.append(freshDocs)
+          if (!freshBands.isEmpty) lsh.append(freshBands)
+        } finally {
+          freshDocs.unpersist()
+          freshBands.unpersist()
+          base.unpersist()
+          banded.unpersist()
+        }
         ()
       }
       .start()
@@ -313,16 +333,23 @@ object Streaming {
       case "min" => least(cur, add)    // least/greatest skip nulls
       case "max" => greatest(cur, add)
     }
+    // add-combine is NOT idempotent (every sibling sink here is): a batch
+    // replayed after a crash between the merge commit and the checkpoint
+    // commit would double-count forever. The (appId -> batchId) txn marker
+    // rides IN the data commit (ManagedTable.lastTxn, Delta's txnVersion
+    // pattern), so the guard survives exactly that crash window.
+    val txnApp = s"graft.incr_agg:$checkpoint"
     events.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty && !target.lastTxn(txnApp).exists(_ >= batchId)) {
+          val txn = Map(txnApp -> batchId)
           val partial = batch.groupBy(keyCols.map(col): _*)
             .agg(aggFor(aggSpecs.head._2, aggSpecs.head._3).as(aggSpecs.head._1),
               aggSpecs.tail.map(s => aggFor(s._2, s._3).as(s._1)): _*)
-          if (!target.exists) target.write(partial)
+          if (!target.exists) target.write(partial, txn = txn)
           else {
             val cur = target.read()
             // FULL OUTER on the keys: combined rows for matched groups,
@@ -344,7 +371,7 @@ object Streaming {
                   }: _*)
             val cond = keyCols
               .map(k => s"source.`$k` <=> updates.`$k`").mkString(" AND ")
-            target.mergeVectorized(upserts, cond)
+            target.mergeVectorized(upserts, cond, txn = txn)
           }
         }
         ()
@@ -423,11 +450,23 @@ object Streaming {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { t =>
               open match {
-                case Some(s) if t - s.endUs <= gapUs =>
-                  open = Some(OpenSession(s.startUs, t, s.n + 1))
-                case Some(s) =>
+                // in-window merge: extend the session's BOUNDS (a late
+                // in-watermark arrival inside the window must never
+                // regress endUs — that both mis-reports the session and
+                // can set a timeout below the advanced watermark, which
+                // kills the query)
+                case Some(s) if t >= s.startUs - gapUs && t <= s.endUs + gapUs =>
+                  open = Some(OpenSession(math.min(s.startUs, t),
+                    math.max(s.endUs, t), s.n + 1))
+                // ahead of the window: the open session is over
+                case Some(s) if t > s.endUs + gapUs =>
                   closed += Session(userId, toTs(s.startUs), toTs(s.endUs), s.n)
                   open = Some(OpenSession(t, t, 1))
+                // a straggler PREDATING the window by more than the gap:
+                // it can never merge with the open session or anything
+                // later, so it is its own completed session
+                case Some(_) =>
+                  closed += Session(userId, toTs(t), toTs(t), 1)
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

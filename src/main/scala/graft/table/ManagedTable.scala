@@ -73,8 +73,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           (r.get("from").asText(), r.get("to").asText())
         }
       }.getOrElse(Nil)
+      val txn = Option(node.get("txn")).map { t =>
+        val it = t.properties().iterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+        b.result()
+      }.getOrElse(Map.empty[String, Long])
       Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L),
-        entries, dvs, renames)
+        entries, dvs, renames, txn)
     }
 
   /** Every manifest, parsed — O(versions) reads. Only the ops that truly
@@ -294,20 +300,23 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[merge]] upsert: `condition` is `source.<k> = updates.<k>`-style raw
     * SQL; the result is bit-identical to merge's. */
   def mergeVectorized(updates: DataFrame, condition: String,
-                      partitionBy: Seq[String] = Nil): Long = {
+                      partitionBy: Seq[String] = Nil,
+                      txn: Map[String, Long] = Map.empty): Long = {
     validateBatch(updates)
     requireFreshNames(updates, "mergeVectorized")
     withCommitRetry("mergeVectorized") {
       lastManifest() match {
         case None =>
-          commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
+          commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)),
+            txn = txn)
         case Some(cur) =>
           val matched = readWithMeta(cur).alias("source")
             .join(updates.alias("updates"), expr(condition), "left_semi")
           val dvs = if (matched.isEmpty) cur.dvs
                     else cur.dvs :+ writeDvData(matched)
           commitAgainst(Some(cur.version),
-            cur.entries :+ Entry(writeData(updates, partitionBy), None), dvs)
+            cur.entries :+ Entry(writeData(updates, partitionBy), None), dvs,
+            txn = txn)
       }
     }
   }
@@ -403,14 +412,31 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   }
 
   /** Write a full new snapshot into a fresh dir. `partitionBy` columns
-    * shape the parquet layout (partition pruning for downstream reads). */
-  def write(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    * shape the parquet layout (partition pruning for downstream reads).
+    * `txn` stamps (appId -> version) markers into the commit atomically —
+    * see [[lastTxn]]. */
+  def write(df: DataFrame, partitionBy: Seq[String] = Nil,
+            txn: Map[String, Long] = Map.empty): Long = {
     validateBatch(df)
     // clean_write replaces the table's data AND schema mapping: the batch
     // is the new logical truth, so renames reset (old manifests keep
     // their own renames — time travel is unaffected)
     commitEntries(Entry(writeData(df, partitionBy), None) :: Nil,
-      renames = Some(Nil))
+      renames = Some(Nil), txn = txn)
+  }
+
+  /** The newest (appId -> version) transaction marker committed for
+    * `appId`, or None — Delta's `txnVersion` replay guard: a streaming
+    * sink stamps its batchId into each commit and skips batches at or
+    * below the last stamped one, making at-least-once foreachBatch
+    * delivery exactly-once even when the driver dies between the data
+    * commit and the checkpoint commit. O(versions) manifest reads,
+    * newest-first, stopping at the first hit. */
+  def lastTxn(appId: String): Option[Long] = {
+    if (!exists) return None
+    manifests().reverseIterator
+      .flatMap(_.txn.get(appId))
+      .nextOption()
   }
 
   /** Append: write ONLY the new rows; the next manifest references the
@@ -1395,7 +1421,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * never corrupt the log). */
   private def tryCommit(v: Long, entries: Seq[Entry],
                         dvs: Seq[String],
-                        renames: Seq[(String, String)]): Boolean = {
+                        renames: Seq[(String, String)],
+                        txn: Map[String, Long]): Boolean = {
     // Jackson-escaped strings throughout: a quote or backslash in a dir
     // path or a renamed column name written raw would poison every later
     // readManifest of this version (reads parse with Jackson; writes must
@@ -1411,8 +1438,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val renJson = if (renames.isEmpty) ""
       else renames.map { case (f, t) => s"""{"from":${js(f)},"to":${js(t)}}""" }
         .mkString(""","renames":[""", ",", "]")
+    // Delta's `txn` action analogue: (appId -> version) stamped ATOMICALLY
+    // with the commit, so a streaming sink's replay guard survives a crash
+    // between data commit and checkpoint commit
+    val txnJson = if (txn.isEmpty) ""
+      else txn.map { case (a, tv) => s"${js(a)}:$tv" }
+        .mkString(""","txn":{""", ",", "}")
     FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
-      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson}""")
+      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson$txnJson}""")
   }
 
   /** Blind snapshot commit (clean_write / restore / append-rebase): the
@@ -1421,14 +1454,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * until the manifest lands. */
   private def commitEntries(entries: Seq[Entry],
                             dvs: Seq[String] = Nil,
-                            renames: Option[Seq[(String, String)]] = None): Long = {
+                            renames: Option[Seq[(String, String)]] = None,
+                            txn: Map[String, Long] = Map.empty): Long = {
     var tries = 0
     var v = currentVersion.map(_ + 1).getOrElse(0L)
     // None = inherit the head's renames (re-resolved per attempt so a
     // racing rename is never silently shed); Some = set them outright
     // (clean_write resets, restore restores the target's, rename extends)
     def resolved = renames.getOrElse(lastManifest().map(_.renames).getOrElse(Nil))
-    while (!tryCommit(v, entries, dvs, resolved)) {
+    while (!tryCommit(v, entries, dvs, resolved, txn)) {
       tries += 1
       if (tries > 1000) throw new java.io.IOException(
         s"commit contention on $path: gave up after $tries attempts")
@@ -1448,13 +1482,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * never a silent lost update. */
   private def commitAgainst(base: Option[Long], entries: Seq[Entry],
                             dvs: Seq[String] = Nil,
-                            renames: Option[Seq[(String, String)]] = None): Long = {
+                            renames: Option[Seq[(String, String)]] = None,
+                            txn: Map[String, Long] = Map.empty): Long = {
     val v = base.map(_ + 1).getOrElse(0L)
     // None = carry the BASE snapshot's renames forward (the op was
     // computed against that snapshot, so its mapping is the valid one)
     val resolved = renames.getOrElse(
       base.flatMap(manifestAt).map(_.renames).getOrElse(Nil))
-    if (!tryCommit(v, entries, dvs, resolved))
+    if (!tryCommit(v, entries, dvs, resolved, txn))
       throw new ManagedTable.ConcurrentWriteException(path, base)
     v
   }
@@ -1494,7 +1529,8 @@ object ManagedTable {
   private[table] case class Manifest(version: Long, timestamp: Long,
                                      entries: Seq[Entry],
                                      dvs: Seq[String] = Nil,
-                                     renames: Seq[(String, String)] = Nil)
+                                     renames: Seq[(String, String)] = Nil,
+                                     txn: Map[String, Long] = Map.empty)
 
   /** Tombstone prefix for dropped columns: a drop is a rename to a name
     * reads always exclude, so old data dirs keep their files untouched

@@ -192,4 +192,77 @@ class StreamUpsertSpec extends SparkSuite {
     assert(corpus.read().where(!col("kept")).count() === 3)
     assert(lsh.read().select("id").distinct().count() === 4)
   }
+
+  test("streamIncrementalAgg skips a batch its txn marker says already applied") {
+    // foreachBatch is at-least-once: a crash between the merge commit and
+    // the checkpoint commit replays the batch. The (appId -> batchId)
+    // marker rides IN the data commit, so the replay must be a no-op —
+    // simulated here by pre-stamping batch 0 as applied before the drain.
+    val w = graft.common.Scratch.dir("test", "stream_mv_txn")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val target = ManagedTable(spark, s"$w/mv")
+    val txnApp = s"graft.incr_agg:$w/checkpoint"
+    target.write(Seq(("a", 1L, 999L)).toDF("k", "n", "s"),
+      txn = Map(txnApp -> 0L))
+    assert(target.lastTxn(txnApp) === Some(0L))
+    Seq(("a", 5L)).toDF("k", "v").write.json(s"$w/in")
+    val schema = StructType.fromDDL("k STRING, v BIGINT")
+    Streaming.streamIncrementalAgg(
+      spark.readStream.schema(schema).json(s"$w/in"), target,
+      keyCols = Seq("k"), aggSpecs = Seq(("n", "count", "v"), ("s", "sum", "v")),
+      checkpoint = s"$w/checkpoint")
+    // batch 0 carried ("a", 5) but was pre-stamped applied -> untouched
+    assert(target.read().as[(String, Long, Long)].collect().toSeq
+      === Seq(("a", 1L, 999L)))
+    // a later batch (id 1) applies normally and stamps its own marker
+    Seq(("a", 2L)).toDF("k", "v").write.mode("append").json(s"$w/in")
+    Streaming.streamIncrementalAgg(
+      spark.readStream.schema(schema).json(s"$w/in"), target,
+      keyCols = Seq("k"), aggSpecs = Seq(("n", "count", "v"), ("s", "sum", "v")),
+      checkpoint = s"$w/checkpoint")
+    assert(target.read().as[(String, Long, Long)].collect().toSeq
+      === Seq(("a", 2L, 1001L)))
+    assert(target.lastTxn(txnApp) === Some(1L))
+  }
+
+  test("sessionize handles late in-window and straggler events without regressing") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.sql.Timestamp
+    val w = graft.common.Scratch.dir("test", "stream_sessions_late")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    def drain(): Unit = {
+      val events = spark.readStream
+        .schema(StructType.fromDDL("user_id BIGINT, ts TIMESTAMP"))
+        .json(s"$w/in")
+        .withWatermark("ts", "120 minutes")
+        .as[Streaming.SessionEvent]
+      Streaming.sessionize(events, gapMinutes = 10)
+        .writeStream.trigger(Trigger.AvailableNow()).format("parquet")
+        .option("checkpointLocation", s"$w/ckpt").option("path", s"$w/out")
+        .start().awaitTermination()
+    }
+    // batch 1: open session [60, 65]
+    Seq((7L, ts(60)), (7L, ts(65))).toDF("user_id", "ts")
+      .write.json(s"$w/in")
+    drain()
+    // batch 2: a LATE in-window event (62) — must merge WITHOUT regressing
+    // the session end (the old code set endUs=62 and could then place the
+    // state timeout below the watermark, killing the query) — plus a
+    // straggler (20) predating the window, which closes as its own session
+    Seq((7L, ts(62)), (7L, ts(20))).toDF("user_id", "ts")
+      .write.mode("append").json(s"$w/in")
+    drain()
+    // batch 3: far-future event closes the open session via gap
+    Seq((7L, ts(300))).toDF("user_id", "ts").write.mode("append").json(s"$w/in")
+    drain()
+    val out = spark.read.parquet(s"$w/out")
+      .select($"session_start".cast("long"), $"session_end".cast("long"),
+        $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    def sec(min: Int) = 3600L + min * 60L
+    assert(out.contains((sec(20), sec(20), 1L)), s"straggler session missing: $out")
+    assert(out.contains((sec(60), sec(65), 3L)),
+      s"merged session must keep end=65 with the late event counted: $out")
+  }
 }
