@@ -232,6 +232,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
+    requireBanding(k, bands)
     val rows = k / bands
     val withSig = df
       // signatures are compute-bound: spread rows across the cluster even
@@ -291,6 +292,7 @@ object Dedup {
                      n: Int = 3, k: Int = 32, bands: Int = 2,
                      threshold: Double = 0.7,
                      maxShingleDf: Long = 1000L): DataFrame = {
+    requireBanding(k, bands)
     val rows = k / bands
     val withSh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -364,41 +366,61 @@ object Dedup {
     * wide shingle arrays never cross an exchange, which is what makes this
     * shape survive a 100x corpus scale-up. Input must have distinct
     * shingles per document (shingles() guarantees that). */
-  private def pairJaccard(withSh: DataFrame, maxShingleDf: Long): DataFrame = {
-    // each inverted-index row carries its document's shingle-set size (one
-    // int), so the pair aggregation yields |A|, |B| AND c together — no
-    // per-doc size join, which would mean broadcasting a corpus-sized map
-    val inverted0 = withSh.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
-    // hot-shingle document-frequency cap: a single boilerplate shingle
-    // ("all rights reserved…") shared by m documents yields m^2/2 candidate
-    // pairs — at 10^6 sharers that is 10^12 rows out of ONE join key, a
-    // task no cluster finishes. Shingles above the cap are dropped from the
-    // index before the self-join (standard near-dup practice; a pair at
-    // jaccard >= threshold shares many shingles, so losing its few hottest
-    // ones is recall-neutral). The df count itself is one narrow
-    // aggregation on the shingle key; the cap also bounds the removed
-    // intersection error: |A∩B| undercounts by at most the number of
-    // capped shingles the pair shares.
-    val inverted =
-      if (maxShingleDf <= 0) inverted0
-      else {
-        val hot = inverted0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .where(col("df") > maxShingleDf)
-          .select(col("shingle"))
-        inverted0.join(hot, Seq("shingle"), "left_anti")
-      }
+  /** Hot-shingle document-frequency cap over any inverted-index frame
+    * with a `shingle` column: a single boilerplate shingle ("all rights
+    * reserved…") shared by m documents yields m^2/2 candidate pairs — at
+    * 10^6 sharers that is 10^12 rows out of ONE join key, a task no
+    * cluster finishes. Shingles above the cap are dropped from the index
+    * before the self-join (standard near-dup practice; a pair at
+    * jaccard >= threshold shares many shingles, so losing its few hottest
+    * ones is recall-neutral). The df count itself is one narrow
+    * aggregation on the shingle key; the cap also bounds the removed
+    * intersection error: |A∩B| undercounts by at most the number of
+    * capped shingles the pair shares. ONE shared implementation — the
+    * cap's semantics must not drift between the pair operators. */
+  /** bands must divide k with at least one row per band: bands > k makes
+    * every band slice empty (every doc bucket-equal to every other — the
+    * O(n^2) cross product banding exists to prevent), and a non-dividing
+    * k silently discards the signature tail, changing recall below the
+    * documented contract. */
+  private[ops] def requireBanding(k: Int, bands: Int): Unit =
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k with k/bands >= 1, got k=$k bands=$bands")
+
+  private def dfCapped(inverted: DataFrame, maxShingleDf: Long): DataFrame =
+    if (maxShingleDf <= 0) inverted
+    else {
+      val hot = inverted.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") > maxShingleDf)
+        .select(col("shingle"))
+      inverted.join(hot, Seq("shingle"), "left_anti")
+    }
+
+  /** (id_a, id_b, c, sz_a, sz_b) for every pair sharing ≥ 1 (un-capped)
+    * shingle: the intersection aggregation every set-similarity pair op
+    * builds on. Each inverted-index row carries its document's shingle-set
+    * size (one int), so the pair aggregation yields |A|, |B| AND c
+    * together — no per-doc size join, which would mean broadcasting a
+    * corpus-sized map. */
+  private def pairIntersections(withSh: DataFrame, maxShingleDf: Long): DataFrame = {
+    val inverted = dfCapped(
+      withSh.select(col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle")),
+      maxShingleDf)
     inverted.alias("l")
       .join(inverted.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("c"),
         first(col("l.sz")).as("sz_a"), first(col("r.sz")).as("sz_b"))
+  }
+
+  private def pairJaccard(withSh: DataFrame, maxShingleDf: Long): DataFrame =
+    pairIntersections(withSh, maxShingleDf)
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") /
           (col("sz_a") + col("sz_b") - col("c")).cast("double"), 4).as("jaccard"))
-  }
 
   /** Directed shingle-containment pairs: C(src→dst) = |src ∩ dst| / |src|
     * ≥ threshold — the asymmetric signal symmetric Jaccard under-scores
@@ -416,23 +438,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .persistTracked() // feeds the inverted index once; Bench/Verify clearCache
-    val inverted0 = withSh.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
-    val inverted =
-      if (maxShingleDf <= 0) inverted0
-      else {
-        val hot = inverted0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .where(col("df") > maxShingleDf)
-          .select(col("shingle"))
-        inverted0.join(hot, Seq("shingle"), "left_anti")
-      }
-    val pairs = inverted.alias("l")
-      .join(inverted.alias("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("c"),
-        first(col("l.sz")).as("sz_a"), first(col("r.sz")).as("sz_b"))
+    val pairs = pairIntersections(withSh, maxShingleDf)
       .persistTracked() // fans into BOTH orientations — without this the
                         // index self-join runs twice, once per union branch
     val ab = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
@@ -546,17 +552,10 @@ object Dedup {
       .withColumn("sh", shingles(col("pref"), n))
       .where(size(col("sh")) > 0)
       .persistTracked() // feeds the index build and both verify joins
-    val inverted0 = base.select(col("id"), length(col("pref")).as("len"),
-      explode(col("sh")).as("shingle"))
-    val inverted =
-      if (maxShingleDf <= 0) inverted0
-      else {
-        val hot = inverted0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .where(col("df") > maxShingleDf)
-          .select(col("shingle"))
-        inverted0.join(hot, Seq("shingle"), "left_anti")
-      }
+    val inverted = dfCapped(
+      base.select(col("id"), length(col("pref")).as("len"),
+        explode(col("sh")).as("shingle")),
+      maxShingleDf)
     val cand = inverted.alias("l")
       .join(inverted.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id") &&
@@ -683,6 +682,19 @@ object Dedup {
 
   def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // both label paths operate on LONG node ids (the driver union-find
+    // reads getLong; the distributed loop casts to long, where a
+    // non-numeric id becomes null and every edge silently vanishes — the
+    // dedup would ship the full duplicated corpus with no error). Fail
+    // loudly instead; map string/UUID ids to a dense long surrogate first.
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"dedupClusters needs an integral id column; $idCol is $idType — " +
+        "assign a dense long surrogate id first")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).persistTracked()
     val labels =
       if (edges.count() <= MaxDriverEdges) unionFindLabels(spark, edges)

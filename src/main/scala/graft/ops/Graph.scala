@@ -34,13 +34,22 @@ object Graph {
     * j in 1..outDeg. Self-loops and duplicate targets are kept (they are
     * well-defined under PageRank and keep every out-degree exactly
     * `outDeg`, which in turn keeps the per-edge contribution an exact
-    * integer division). */
-  def deriveEdges(docs: DataFrame, idCol: String, outDeg: Int, n: Long): DataFrame =
+    * integer division).
+    *
+    * ID CONTRACT: targets land in [0, n), so the doc ids must be exactly
+    * the dense range 0..n-1 — with sparse or offset ids every edge points
+    * at a phantom node, pagerank collapses to the bare teleport term and
+    * hits normalizes against mass no real node holds. Densify ids first
+    * (`row_number() - 1`) if the corpus doesn't ship them that way. */
+  def deriveEdges(docs: DataFrame, idCol: String, outDeg: Int, n: Long): DataFrame = {
+    // sequence(1, 0) DESCENDS, emitting [1, 0] — two phantom edges per doc
+    require(outDeg >= 1, s"outDeg must be >= 1, got $outDeg")
     docs.select(col(idCol).cast("long").as("src"))
       .withColumn("j", explode(sequence(lit(1), lit(outDeg))))
       .select(col("src"),
         pmod(Dedup.h32(concat(col("src").cast("string"), lit(":"),
           col("j").cast("string"))), lit(n)).as("dst"))
+  }
 
   /** Fixed-point PageRank with damping 0.85 over the derived link graph.
     *
@@ -108,6 +117,8 @@ object Graph {
     * Returns (idCol, hub_nano, auth_nano, hub, authority). */
   def hits(docs: DataFrame, idCol: String, outDeg: Int = 3,
            iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters (auth scores " +
+      "only exist after a half-step)")
     val ids = docs.select(col(idCol).cast("long").as("id"))
     val n = ids.count()
     require(n > 0, "hits needs a non-empty corpus")

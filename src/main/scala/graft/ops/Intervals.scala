@@ -27,7 +27,14 @@ object Intervals {
     * a residual filter — ONE keyed shuffle, never a cross join; output
     * per key is bounded by that key's interval counts (callers control
     * key granularity). Bounds are numeric; overlap = min(ends) −
-    * max(starts) is exact integer arithmetic for integer bounds. */
+    * max(starts) is exact integer arithmetic for integer bounds.
+    *
+    * Convention note: the PAIR predicate is inclusive (intervals touching
+    * at exactly one point match), but `overlap` is the half-open length —
+    * a point-touch pair appears with overlap 0. Callers wanting inclusive
+    * point COUNTS (the [[coverage]] convention, end - start + 1) should
+    * read `overlap + 1` for matched pairs; filtering `overlap > 0` drops
+    * point-touch pairs by design. */
   def overlapJoin(a: DataFrame, b: DataFrame, keyCols: Seq[String],
                   aStart: String, aEnd: String,
                   bStart: String, bEnd: String): DataFrame =

@@ -86,10 +86,17 @@ object Sampling {
     * (row_number over the per-stratum hash order). The standard "no
     * language/source may exceed N documents" rebalancing step before
     * training-mix assembly. One shuffle on the stratum key; each group
-    * sorts only its own rows, and AQE splits a skewed dominant stratum
-    * across tasks. For caps small enough to matter at 100 TB, the window
-    * input can be pre-pruned with a per-partition top-cap heap, but the
-    * plain window is the correct default shape. */
+    * sorts only its own rows.
+    *
+    * Scale ceiling, stated honestly: a window partition CANNOT be split
+    * across tasks (AQE's skew handling applies to joins, not windows), so
+    * a dominant stratum — English at 40% of a 100 TB corpus — lands in
+    * one task. For that regime, pre-prune per Spark partition first
+    * (sort-within-partitions + a per-partition top-cap take keeps at most
+    * `cap` candidate rows per partition per stratum before the window),
+    * or use the two-level prefix-sum shape [[TextOps.perplexityBuckets]]
+    * and [[Packing.curriculumOrder]] demonstrate. The plain window is
+    * correct and optimal when no stratum dwarfs an executor's slice. */
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
                     cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -28,10 +28,7 @@ object Skew {
                 partials: Map[String, (Column, Column)]): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
     require(partials.nonEmpty, "at least one aggregate required")
-    // deterministic salt (hash of the whole row % buckets) rather than
-    // rand(): reruns and retried tasks produce identical partials
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", rowSalt(saltBuckets))
     val ps = partials.toSeq.sortBy(_._1) // stable column order
     val phase1 = salted
       .groupBy((keyCols :+ "__salt").map(col): _*)
@@ -53,10 +50,20 @@ object Skew {
   def saltedJoin(skewedLeft: DataFrame, right: DataFrame,
                  joinKeys: Seq[String], saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
-    val l = skewedLeft.withColumn("__salt",
-      pmod(hash(skewedLeft.columns.map(col): _*), lit(saltBuckets)))
+    val l = skewedLeft.withColumn("__salt", rowSalt(saltBuckets))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, joinKeys :+ "__salt").drop("__salt")
   }
+
+  /** Per-row salt in [0, buckets) from the row's POSITION, not its
+    * content: hashing the row's columns assigns every byte-identical
+    * duplicate the same salt, so a hot key whose rows are identical (the
+    * common case after projecting to (key, low-cardinality payload)) still
+    * lands on one reducer and the whole mitigation buys nothing.
+    * monotonically_increasing_id derives from (partitionId, row position) —
+    * deterministic for a given input partitioning, unique per row, and it
+    * spreads duplicates evenly. */
+  private def rowSalt(buckets: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(buckets))
 }

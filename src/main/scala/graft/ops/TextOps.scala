@@ -597,9 +597,13 @@ object TextOps {
     * broadcast); only the one-row total-token aggregate is broadcast. */
   def unigramLogProb(df: DataFrame, idCol: String,
                      textCol: String = "text"): DataFrame = {
+    // persisted: tf feeds BOTH the vocabulary aggregation and the scoring
+    // join — without it each branch re-pays the whole-corpus tokenize +
+    // explode + per-doc aggregation
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persistTracked()
     val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("n_tok"))
     tf.join(counts, "token")
@@ -713,6 +717,9 @@ object TextOps {
                     textCol: String = "text"): DataFrame = {
     val t = df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
+    // persisted: bg feeds the bigram-count aggregation AND the scoring
+    // join; ug feeds the unigram counts AND the vocabulary scalar —
+    // unpersisted, each branch re-tokenizes the full corpus
     val bg = t.select(col(idCol), explode(expr(
         "transform(sequence(0, size(toks) - 2)," +
           " i -> struct(element_at(toks, i + 1) AS w1," +
@@ -721,10 +728,13 @@ object TextOps {
       .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
       .groupBy(col(idCol), col("w1"), col("b"))
       .agg(count(lit(1)).as("tf"))
+      .persistTracked()
     val bgCounts = bg.groupBy(col("b").as("bk")).agg(sum(col("tf")).as("cb"))
     val ug = df.select(explode(tokens(col(textCol))).as("w"))
-    val ugCounts = ug.groupBy(col("w").as("wk")).agg(count(lit(1)).as("cw"))
-    val vocab = ug.agg(count_distinct(col("w")).as("v"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .persistTracked()
+    val ugCounts = ug.select(col("w").as("wk"), col("cw"))
+    val vocab = ug.agg(count(lit(1)).as("v"))
     bg.join(bgCounts, col("b") === col("bk"))
       .join(ugCounts, col("w1") === col("wk"))
       .crossJoin(broadcast(vocab))
@@ -902,7 +912,10 @@ object TextOps {
   def bm25(df: DataFrame, idCol: String, queryTerms: Seq[String],
            textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 10): DataFrame = {
+    // persisted: toks feeds the doc-length side AND the tf side — one
+    // corpus tokenize, not two
     val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .persistTracked()
     val dl = toks.select(col(idCol), size(col("toks")).cast("double").as("dl"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
@@ -956,7 +969,9 @@ object TextOps {
                 k1: Double = 1.2, b: Double = 0.75,
                 topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: toks feeds the doc-length side AND the tf side
     val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .persistTracked()
     val dl = toks.select(col(idCol), size(col("toks")).cast("double").as("dl"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
