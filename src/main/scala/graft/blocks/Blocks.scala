@@ -64,14 +64,14 @@ object LoadBlocks {
   /** JSON batch read; schema via JsonSchemaPath/JsonSchema/SparkSchema else
     * inferred; `Suffix` default `.json` (entrypoint.py:75-118). */
   def batchJson(c: BlockConfig): DataFrame =
-    batchRead(c, "json", suffix = c.props.getOrElse("Suffix", ".json"))
+    batchRead(c, "json", suffix = c.props.getStringOr("Suffix", ".json"))
 
   /** XML batch read via Spark 4's native source; `RowTag`; `BatchSize`
     * files per reader call, per-batch frames combined with allow-missing
     * `unionByName` for schema-drift tolerance (entrypoint.py:121-192). */
   def batchXml(c: BlockConfig): DataFrame = {
-    val paths = resolvePaths(c, c.props.getOrElse("Suffix", ".xml"))
-    val batchSize = c.props.getOrElse("BatchSize", 200)
+    val paths = resolvePaths(c, c.props.getStringOr("Suffix", ".xml"))
+    val batchSize = c.props.getIntOr("BatchSize", 200)
     val schema = SchemaUtils.resolve(c.spark, c.props)
     val batches = paths.grouped(batchSize).map { group =>
       val r = c.spark.read.format("xml")
@@ -166,7 +166,7 @@ object LoadBlocks {
   }
 
   private def batchRead(c: BlockConfig, format: String, suffix: String): DataFrame = {
-    val paths = resolvePaths(c, c.props.getOrElse("Suffix", suffix))
+    val paths = resolvePaths(c, c.props.getStringOr("Suffix", suffix))
     val reader = c.spark.read.format(format)
       .options(c.props.stringOptions("Options"))
     val withSchema = SchemaUtils.resolve(c.spark, c.props) match {
@@ -217,19 +217,22 @@ object TransformBlock {
   def generic(c: BlockConfig): DataFrame = {
     val fns = c.props.getSeq("Functions")
     fns.foldLeft(c.inputDf) { (df, meta) =>
-      val (name, kwargs) = meta match {
-        case s: String => (s, Props.empty)
+      meta match {
+        case s: String => apply(c, df, s, Props.empty)
         case m: Map[_, _] =>
-          val mm = m.asInstanceOf[Map[String, Any]]
-          val n = mm.keys.head
-          (n, mm(n) match {
-            case p: Map[_, _] => Props(p.asInstanceOf[Map[String, Any]])
-            case _            => Props.empty
-          })
+          // a multi-key map (usually a YAML indentation slip that turned
+          // a new `- ` item into a sibling key) applies EVERY function in
+          // document order — taking only the first key silently dropped
+          // the rest. snakeyaml preserves insertion order.
+          m.asInstanceOf[Map[String, Any]].foldLeft(df) { case (d, (n, v)) =>
+            apply(c, d, n, v match {
+              case p: Map[_, _] => Props(p.asInstanceOf[Map[String, Any]])
+              case _            => Props.empty
+            })
+          }
         case other => throw new IllegalArgumentException(
           s"Could not process function $other")
       }
-      apply(c, df, name, kwargs)
     }
   }
 
@@ -284,7 +287,7 @@ object TransformBlock {
       Transforms.filterDataframe(df, Predicate.fromAny(p.get[Any]("predicate")))
     case "concat" =>
       Transforms.concat(df, p.getStringSeq("from_columns"),
-        p.getString("to_column"), p.getOrElse("delimiter", "_"))
+        p.getString("to_column"), p.getStringOr("delimiter", "_"))
     case "drop_duplicates" =>
       Transforms.dropDuplicates(df,
         if (p.exists("columns")) p.getStringSeq("columns") else Nil)
@@ -320,8 +323,14 @@ object CustomBlocks {
   /** `custom::sql`: one SQL statement through the full Catalyst surface
     * (entrypoint.py:235-271). */
   def sql(c: BlockConfig): DataFrame = {
-    // expose each input section as a temp view named after the section
-    c.input.foreach(n => c.history.getDf(n).createOrReplaceTempView(n))
+    // expose each input section as a temp view named after the section;
+    // names a view cannot carry (multi-output "Section.Sub", hyphenated
+    // sections) sanitize to underscores — the Statement references the
+    // sanitized name (documented in docs/DSL.md)
+    c.input.foreach { n =>
+      val viewName = n.replaceAll("[^A-Za-z0-9_]", "_")
+      c.history.getDf(n).createOrReplaceTempView(viewName)
+    }
     c.spark.sql(c.props.getString("Statement"))
   }
 
@@ -436,7 +445,7 @@ object WriteBlocks {
         table.setCheck(n, String.valueOf(e)) }
     if (c.props.exists("EnforceSchema"))
       table.setSchemaEnforced(c.props.getBoolean("EnforceSchema"))
-    c.props.getOrElse("Mode", "append") match {
+    c.props.getStringOr("Mode", "append") match {
       case "upsert" =>
         table.merge(df, c.props.getString("Upsert.MergeStatement"),
           upsert = true, partitionBy = partitionBy)
@@ -504,17 +513,24 @@ object WriteBlocks {
     if (c.props.exists("Optimize"))
       table.optimize(
         if (c.props.exists("Optimize.ZorderBy"))
-          c.props.getString("Optimize.ZorderBy").split(",").map(_.trim).toSeq
+          // both spellings: a YAML list ([a, b], like Blooms.Columns) or
+          // the comma-separated string — String.valueOf on a List would
+          // split into garbage names "List(a" / "b)"
+          (c.props.get[Any]("Optimize.ZorderBy") match {
+            case l: java.util.List[_] => c.props.getStringSeq("Optimize.ZorderBy")
+            case l: Seq[_] => c.props.getStringSeq("Optimize.ZorderBy")
+            case s => String.valueOf(s).split(",").map(_.trim).toSeq
+          })
         else Nil,
         partitionBy = partitionBy)
     if (c.props.exists("Vacuum"))
-      table.vacuum(c.props.getOrElse("Vacuum.RetainHours", 168).toDouble,
+      table.vacuum(c.props.getDoubleOr("Vacuum.RetainHours", 168.0),
         enforceRetention = !c.props.getBoolean("Vacuum.Force"))
     // `Compact` → incremental small-file binpacking: only entries whose
     // files run small rewrite; healthy dirs carry by manifest reference
     if (c.props.exists("Compact"))
       table.compactSmall(
-        c.props.getOrElse("Compact.TargetMB", 128).toLong * 1024 * 1024,
+        c.props.getLongOr("Compact.TargetMB", 128L) * 1024 * 1024,
         partitionBy)
     // `Stats: true` (or `Stats.Columns: a,b`) → collect per-file
     // data-skipping stats for dirs that lack them (DataSkipping)
@@ -528,8 +544,8 @@ object WriteBlocks {
     if (c.props.exists("Blooms"))
       table.collectBlooms(
         c.props.getStringSeq("Blooms.Columns"),
-        c.props.getOrElse("Blooms.ItemsPerFile", 1000000L.toString).toString.toLong,
-        c.props.getOrElse("Blooms.Fpp", "0.01").toString.toDouble)
+        c.props.getLongOr("Blooms.ItemsPerFile", 1000000L),
+        c.props.getDoubleOr("Blooms.Fpp", 0.01))
     df
   }
 
@@ -543,7 +559,7 @@ object WriteBlocks {
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .option("checkpointLocation", s"$path/checkpoint")
-      .outputMode(c.props.getOrElse("OutputMode", "append"))
+      .outputMode(c.props.getStringOr("OutputMode", "append"))
       .start(s"$path/data")
       .awaitTermination()
     df

@@ -214,9 +214,13 @@ object DialectLite {
   }
 }
 
-/** `jdbc:dialectlite:<db>` driver. Self-registers on first use (the
-  * engine's `create` call registers too, so `Class.forName` on this name
-  * followed by `DriverManager.getConnection` works from executor code). */
+/** `jdbc:dialectlite:<db>` driver. Registered three ways, belt and
+  * braces: the ServiceLoader entry (META-INF/services/java.sql.Driver —
+  * DriverManager instantiates every classpath driver on first use, and
+  * the constructor below self-registers), the engine's `create` call,
+  * and the constructor itself — so `DriverManager.getConnection` works
+  * from executor code whether or not `Class.forName` constructed
+  * anything (Class.forName alone runs no Scala constructor). */
 class DialectLiteDriver extends Driver {
   DialectLiteDriver.register()
   override def acceptsURL(url: String): Boolean =

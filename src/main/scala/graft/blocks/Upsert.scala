@@ -77,7 +77,7 @@ object Upsert {
     val updateCols =
       if (c.props.exists("UpdateColumns")) c.props.getStringSeq("UpdateColumns")
       else columns.diff(conflictCols)
-    val dual = c.props.getOrElse("DualTable", "SYSIBM.SYSDUMMY1")
+    val dual = c.props.getStringOr("DualTable", "SYSIBM.SYSDUMMY1")
     val sql = mergeSql(c.props.getString("Table"), columns, conflictCols, updateCols, dual)
     // parameter markers appear in ON (conflict cols), UPDATE SET (update
     // cols), then INSERT VALUES (all cols) order
@@ -126,7 +126,7 @@ object Upsert {
     val url = c.props.getString("ConnUrl")
     val user = c.props.getString("User")
     val password = c.props.getString("Password")
-    val driver = c.props.getOrElse("Driver", "")
+    val driver = c.props.getStringOr("Driver", "")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         if (driver.nonEmpty) Class.forName(driver)

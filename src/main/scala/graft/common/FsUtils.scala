@@ -43,6 +43,11 @@ object FsUtils {
     val tmp = s"$path.tmp-${java.util.UUID.randomUUID}"
     writeText(spark, tmp, text)
     val f = fs(path, hadoopConf(spark))
+    // the local ChecksumFileSystem writes a `.<name>.crc` sidecar next to
+    // the tmp file; the NIO move below relocates only the data file, so
+    // reap the sidecar or every atomic write leaks one crc forever
+    val tmpP = new Path(tmp)
+    val crc = new Path(tmpP.getParent, s".${tmpP.getName}.crc")
     if (f.getUri.getScheme == "file") {
       // atomic REPLACE: plain Hadoop rename won't overwrite an existing
       // destination on the local FS, so use rename(2) semantics directly
@@ -50,6 +55,7 @@ object FsUtils {
       Files.move(Paths.get(new Path(tmp).toUri.getPath),
         Paths.get(new Path(path).toUri.getPath),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      if (f.exists(crc)) f.delete(crc, false)
     } else {
       // HDFS-likes: FileContext rename carries an explicit atomic
       // OVERWRITE option (FileSystem.rename's no-overwrite contract
@@ -102,7 +108,11 @@ object FsUtils {
     while (true) {
       try return body
       catch {
-        case e: RuntimeException =>
+        // the vanishing-file race itself surfaces as FileNotFoundException
+        // (an IOException, NOT a RuntimeException) from the lazy stat —
+        // catching only RuntimeException would never engage the retry for
+        // the exact case this wrapper exists for
+        case e @ (_: RuntimeException | _: java.io.IOException) =>
           i += 1
           if (i >= 5) throw e
           Thread.sleep(10L * i)

@@ -40,8 +40,29 @@ final case class Props(underlying: Map[String, Any]) {
           s"""Could not find "$path" in properties."""))
       .asInstanceOf[T]
 
+  /** NOTE: the erased cast materializes as a checkcast AT THE CALL SITE,
+    * so `getOrElse("Fpp", "0.01")` throws ClassCastException when the
+    * YAML says `Fpp: 0.01` (snakeyaml parses a Double). Use the typed
+    * accessors below for scalars a user may spell unquoted. */
   def getOrElse[T](path: String, default: => T): T =
     search(path).map(_.asInstanceOf[T]).getOrElse(default)
+
+  /** String view with a default: any YAML scalar (Integer, Double,
+    * Boolean, String) renders via String.valueOf. */
+  def getStringOr(path: String, default: => String): String =
+    search(path).map(String.valueOf(_)).getOrElse(default)
+
+  def getDoubleOr(path: String, default: Double): Double =
+    search(path).map(v => String.valueOf(v).toDouble).getOrElse(default)
+
+  def getLongOr(path: String, default: Long): Long =
+    search(path).map(v => String.valueOf(v) match {
+      case s if s.contains('.') => s.toDouble.toLong
+      case s => s.toLong
+    }).getOrElse(default)
+
+  def getIntOr(path: String, default: Int): Int =
+    getLongOr(path, default.toLong).toInt
 
   def getString(path: String): String = String.valueOf(get[Any](path))
 

@@ -82,16 +82,23 @@ object PredicateDsl {
     case s: String =>
       // the reference skips quoting when the operator contains "is"
       // (transform.py:358-363)
-      if (op.toLowerCase.contains("is")) s else s"'$s'"
+      if (op.toLowerCase.contains("is")) s else s"'${esc(s)}'"
     case xs: Seq[_] =>
-      if (xs.length == 1) s"('${xs.head}')" // single-element quirk
+      if (xs.length == 1) s"('${esc(String.valueOf(xs.head))}')" // single-element quirk
       else xs.map(sqlLiteral).mkString("(", ", ", ")")
     case b: Boolean => if (b) "true" else "false"
     case other      => String.valueOf(other)
   }
 
+  /** '' doubling: a data value containing an apostrophe ("O'Brien") must
+    * neither break the generated WHERE clause nor rewrite its semantics
+    * (config-driven injection). Backslashes escape too — Spark's default
+    * parser treats them as escapes inside string literals. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
   private def sqlLiteral(v: Any): String = v match {
-    case s: String  => s"'$s'"
+    case s: String  => s"'${esc(s)}'"
     case b: Boolean => if (b) "true" else "false"
     case other      => String.valueOf(other)
   }

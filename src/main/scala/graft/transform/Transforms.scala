@@ -146,11 +146,16 @@ object Transforms {
     * `["a","bc"]` and nulls collapse (concat_ws skips nulls). At scale this
     * is a single hash-aggregate shuffle on the temp key. */
   def dropDuplicates(df: DataFrame, columns: Seq[String] = Nil): DataFrame =
-    if (columns.nonEmpty)
-      df.select(F.concat_ws("-", columns.map(F.col): _*).as("temp"), F.col("*"))
-        .dropDuplicates("temp")
-        .drop("temp")
-    else df.dropDuplicates()
+    if (columns.nonEmpty) {
+      // the reference hardcodes a helper column literally named "temp"
+      // (transform.py:258) and crashes on inputs that already carry one;
+      // a collision-proof name preserves the concat_ws semantics exactly
+      // while surviving such inputs (the column is dropped either way)
+      val key = "__graft_dedup_temp"
+      df.select(F.concat_ws("-", columns.map(F.col): _*).as(key), F.col("*"))
+        .dropDuplicates(key)
+        .drop(key)
+    } else df.dropDuplicates()
 
   // --- add_column.date.* (reference: add_column/date.py) ---
 
