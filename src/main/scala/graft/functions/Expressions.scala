@@ -1084,7 +1084,13 @@ object AdpcmCodec {
     val span = PcmFrameStats.dataSpanOf(b)
     if (span == null || span(1) < blockAlign) return null
     val total = G711Codec.factSamples(b)
-    if (total <= 0 || total > (span(1) / blockAlign).toLong * spb) return null
+    // the capacity bound ties the decode buffer to the actual payload
+    // size (≤ ~2 bytes of samples per payload byte), but a crafted
+    // blockAlign/spb pair on a giant payload can still push the bound
+    // past Int.MaxValue — total.toInt would wrap negative and
+    // new Array[Int] would throw instead of honoring the null contract
+    if (total <= 0 || total > (span(1) / blockAlign).toLong * spb ||
+        total > Int.MaxValue - 8) return null
     val samples = new Array[Int](total.toInt)
     var s = 0
     var blockOff = span(0)
@@ -2243,24 +2249,21 @@ object JpegCodec {
   @inline private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode one scan's entropy segment into `coefs` (per-block zigzag-order
-    * raw coefficient values, successive-approximation bits accumulated in
-    * place — dequantization happens once, after the last scan). Handles
-    * the sequential full-band scan (Ss=0,Se=63,Ah=Al=0) and every
-    * progressive scan kind: DC first/refine, AC first/refine, EOBn runs,
-    * ZRL over zero-history positions (T.81 F.2.2 and G.2 procedures).
-    * Returns the data index where the next marker search begins, or -1 if
-    * the stream is corrupt. */
+  /** Decode one PROGRESSIVE scan's entropy segment into `coefs` (per-block
+    * zigzag-order raw coefficient values, successive-approximation bits
+    * accumulated in place — dequantization happens once, after the last
+    * scan): DC first/refine, AC first/refine, EOBn runs, ZRL over
+    * zero-history positions (T.81 G.2 procedures). Sequential streams
+    * never come here — they stream block-at-a-time through
+    * [[decodeSequentialSum]] with O(1) memory. Returns the data index
+    * where the next marker search begins, or -1 if the stream is
+    * corrupt. */
   private def decodeScan(data: Array[Byte], start: Int, coefs: Array[Int],
                          nBlocks: Int, dcDec: HuffDecoder, acDec: HuffDecoder,
-                         ss: Int, se: Int, ah: Int, al: Int,
-                         progressive: Boolean): Int = {
+                         ss: Int, se: Int, ah: Int, al: Int): Int = {
     val dcScan = ss == 0 && se == 0
-    val fullScan = ss == 0 && se == 63 && ah == 0 && al == 0
-    // scan-shape validity: progressive separates DC and AC bands;
-    // sequential is exactly the one full-band scan
-    if (progressive && !(dcScan || ss >= 1)) return -1
-    if (!progressive && !fullScan) return -1
+    // scan-shape validity: progressive separates DC and AC bands
+    if (!(dcScan || ss >= 1)) return -1
     if (se > 63 || ss > se || al > 13 || ah > 13) return -1
     if (ss == 0 && ah == 0 && dcDec == null) return -1
     if (se >= 1 && acDec == null) return -1
@@ -2285,7 +2288,7 @@ object JpegCodec {
       if (se >= 1) { // AC band (1..63 in the full scan, Ss..Se otherwise)
         val ks = math.max(ss, 1)
         var k = ks
-        if (ah == 0) { // first pass (the sequential scan is this with Al=0)
+        if (ah == 0) { // first pass
           if (eobrun > 0) eobrun -= 1
           else {
             var done = false
@@ -2539,10 +2542,10 @@ object JpegCodec {
               coefs = new Array[Int](nBlocks * 64)
             } else {
               // sequential streams block-by-block through a 64-element
-              // buffer (O(1) memory), so it keeps the wider pre-SOF2
-              // geometry bound: 2^20 blocks = 8192×8192
+              // buffer (O(1) memory — decodeSequentialSum derives its own
+              // geometry), so it keeps the wider pre-SOF2 bound:
+              // 2^20 blocks = 8192×8192
               if (bw8.toLong * bh8 > (1L << 20)) return null
-              nBlocks = bw8 * bh8
             }
           case 0xc4 => // DHT: one OR MORE tables; build real decoders
             var p = body
@@ -2598,7 +2601,7 @@ object JpegCodec {
               atEnd = true
             } else {
               val nx = decodeScan(data, mp + 1 + len, coefs, nBlocks,
-                dcDec, acDec, ss, se, ah, al, progressive)
+                dcDec, acDec, ss, se, ah, al)
               if (nx < 0) return null
               sawScan = true
               pos = nx
