@@ -53,24 +53,27 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val loadStart = osBean.getSystemLoadAverage
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); return (-1.0, -1.0) }
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); return (-1.0, -1.0, -1.0) }
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      // 1-min loadavg sampled right after the query: the gate uses it to
+      // decide whether a flat-cpu wall breach had external load to blame
+      val load = osBean.getSystemLoadAverage
       // queries persist intermediates (signature stages, bucketed sides);
       // drop them so later queries aren't timed under earlier queries'
       // cache pressure
       graft.ops.Caches.release()
       spark.catalog.clearCache()
-      (dt, dc)
+      (dt, dc, load)
     }
     val firstPass = selected.map { case (name, fn) =>
-      val (dt, dc) = timeOne(name, fn)
+      val (dt, dc, load) = timeOne(name, fn)
       System.err.println(f"[bench] $name%-24s $dt%8.2fs cpu=$dc%.1fs")
-      (name, dt, dc)
+      (name, dt, dc, load)
     }
     // Self-exoneration pass: a 250-query suite in one JVM accumulates GC /
     // page-cache / codegen-cache pressure that historically inflated heavy
@@ -83,30 +86,30 @@ object Bench {
     // reproduces in the quiet re-runs, suite pressure does not.
     val baseline = loadBaseline(sfDir)
     val remeasureLog = scala.collection.mutable.ArrayBuffer[String]()
-    val results: Seq[(String, Double, Double)] = baseline match {
+    val results: Seq[(String, Double, Double, Double)] = baseline match {
       case Some(base) if nameFilter.isEmpty =>
-        val suspect = firstPass.filter { case (n, t, _) =>
+        val suspect = firstPass.filter { case (n, t, _, _) =>
           base.contains(n) && t > math.max(3 * base(n), 2.0) }
         if (suspect.nonEmpty) { System.gc(); Thread.sleep(500) }
-        val remeasured = suspect.map { case (name, t1, c1) =>
-          val (t2, c2) = timeOne(name, SparkEntry.queries(name))
+        val remeasured = suspect.map { case (name, t1, c1, l1) =>
+          val (t2, c2, l2) = timeOne(name, SparkEntry.queries(name))
           // still breaching after one quiet run -> one more; transient
           // co-tenant load often clears within the retry window
-          val (t3, c3) = if (t2 >= 0 && t2 > math.max(3 * base(name), 2.0)) {
+          val (t3, c3, l3) = if (t2 >= 0 && t2 > math.max(3 * base(name), 2.0)) {
             System.gc(); Thread.sleep(500)
             timeOne(name, SparkEntry.queries(name))
-          } else (-1.0, -1.0)
-          val runs = Seq((t1, c1), (t2, c2), (t3, c3)).filter(_._1 >= 0)
-          val (tw, tc) = runs.minBy(_._1)
+          } else (-1.0, -1.0, -1.0)
+          val runs = Seq((t1, c1, l1), (t2, c2, l2), (t3, c3, l3)).filter(_._1 >= 0)
+          val (tw, tc, tl) = runs.minBy(_._1)
           val line = f"first=$t1%.2f/${c1}%.1fc quiet=$t2%.2f/${c2}%.1fc" +
             (if (t3 >= 0) f" quiet2=$t3%.2f/${c3}%.1fc" else "") +
             f" load=${osBean.getSystemLoadAverage}%.1f"
           System.err.println(s"[bench] re-measure $name $line")
           remeasureLog += s""""$name":"$line""""
-          name -> ((tw, tc))
+          name -> ((tw, tc, tl))
         }.toMap
-        firstPass.map { case (n, t, c) =>
-          remeasured.get(n).map { case (tw, tc) => (n, tw, tc) }.getOrElse((n, t, c)) }
+        firstPass.map { case (n, t, c, l) =>
+          remeasured.get(n).map { case (tw, tc, tl) => (n, tw, tc, tl) }.getOrElse((n, t, c, l)) }
       case _ => firstPass
     }
     val total = math.round(results.filter(_._2 >= 0).map(_._2).sum * 1000) / 1000.0
@@ -115,10 +118,10 @@ object Bench {
     // capped and the complete numbers live here). "cpu" is the per-query
     // JVM cpu-seconds and "env" the machine state — together they let a
     // later reader separate contention from computation.
-    val fullQs = results.map { case (k, v, _) =>
+    val fullQs = results.map { case (k, v, _, _) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val fullCpu = results.filter(_._3 >= 0).map { case (k, _, c) =>
+    val fullCpu = results.filter(_._3 >= 0).map { case (k, _, c, _) =>
       "\"" + k + "\":" + (math.round(c * 10) / 10.0) }
       .mkString("{", ",", "}")
     val envJson = f"""{"loadavg_start":$loadStart%.2f,"loadavg_end":${osBean.getSystemLoadAverage}%.2f,"cpus":$cpus}"""
@@ -136,7 +139,7 @@ object Bench {
     // Shutdown + gate warnings all print BEFORE the summary line so the
     // JSON is the last content the driver's tail capture sees.
     spark.stop()
-    val rc = regressionGate(results, sfDir, nameFilter.isDefined)
+    val rc = regressionGate(results, sfDir, nameFilter.isDefined, cpus.toDouble)
     // Capped one-line summary: keep the slowest queries (the ones grading
     // cares about) until the line reaches the tail-window budget.
     val budget = 1700
@@ -149,7 +152,7 @@ object Bench {
     val fixed =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$envBits,"queries":{},"sf":"$sfDir"}""".length
     var used = fixed
-    val kept = results.sortBy(-_._2).iterator.map { case (k, v, _) =>
+    val kept = results.sortBy(-_._2).iterator.map { case (k, v, _, _) =>
       "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
     }.takeWhile { ent => val ok = used + ent.length + 1 <= budget; if (ok) used += ent.length + 1; ok }
       .toSeq
@@ -188,40 +191,48 @@ object Bench {
     Some(b.toMap)
   }
 
-  private def regressionGate(results: Seq[(String, Double, Double)], sfDir: String,
-                             filtered: Boolean): Int = {
+  private def regressionGate(results: Seq[(String, Double, Double, Double)], sfDir: String,
+                             filtered: Boolean, cpus: Double): Int = {
     if (filtered) return 0
     val base = loadBaseline(sfDir).getOrElse(return 0)
     val baseCpu = loadCpuBaseline(sfDir)
     var rc = 0
-    val common = results.filter { case (n, t, _) => base.contains(n) && t >= 0 }
-    val baseTotal = common.map { case (n, _, _) => base(n) }.sum
+    val common = results.filter { case (n, t, _, _) => base.contains(n) && t >= 0 }
+    val baseTotal = common.map { case (n, _, _, _) => base(n) }.sum
     val curTotal = common.map(_._2).sum
     if (baseTotal > 0 && curTotal > 2 * baseTotal) {
       System.err.println(
         f"[bench] REGRESSION: total $curTotal%.1fs > 2x baseline $baseTotal%.1fs")
       rc = 1
     }
-    common.foreach { case (n, t, c) =>
+    common.foreach { case (n, t, c, load) =>
       if (t > math.max(3 * base(n), 2.0)) {
         // single small queries swing many-x on machine noise — only a
         // breach by a query that is a meaningful share of the suite
-        // (>= 2% of baseline total) CAN fail the run. And wall alone
-        // can't convict on a shared machine: a query that WAITED (cpu
-        // within 2x its baseline cpu-seconds) is exonerated to a warning
-        // — a real regression computes more, growing cpu with wall
-        // (round-7's 21.7x driver-run swing was exactly this, flat cpu
-        // under external load).
+        // (>= 2% of baseline total) CAN fail the run. Wall alone can't
+        // convict on a shared machine, but flat cpu alone can't acquit
+        // either: lock contention, an accidental sleep, or serialized I/O
+        // all show the waited signature on an IDLE box. So exoneration
+        // needs BOTH halves of the contention story: cpu within 2x its
+        // baseline (the query waited, didn't compute) AND external load
+        // actually present — 1-min loadavg at measurement time exceeding
+        // our own core usage (c/t) by >25% of the machine. A flat-cpu
+        // breach on a quiet box stays a REGRESSION (round-9 gate fix).
         val meaningful = base(n) >= 0.02 * baseTotal
         val waited = baseCpu.get(n)
           .exists(bc => c >= 0 && bc > 0 && c <= 2 * bc)
+        val ownCores = if (t > 0 && c >= 0) c / t else 0.0
+        // loadavg < 0 = platform can't report it -> can't corroborate
+        // either way; keep the legacy waited-only exoneration there
+        val externalLoad = load < 0 || (load - ownCores) > 0.25 * cpus
         val label =
-          if (meaningful && !waited) { rc = 1; "REGRESSION" }
-          else if (waited) "warn (exonerated: waited, cpu within 2x baseline)"
+          if (meaningful && !(waited && externalLoad)) { rc = 1; "REGRESSION" }
+          else if (waited && externalLoad)
+            f"warn (exonerated: waited under external load=$load%.1f, cpu within 2x baseline)"
           else "warn"
         System.err.println(
           f"[bench] $label: $n $t%.2fs > 3x baseline ${base(n)}%.2fs" +
-            baseCpu.get(n).map(bc => f" (cpu $c%.1fs vs baseline $bc%.1fs)").getOrElse(""))
+            baseCpu.get(n).map(bc => f" (cpu $c%.1fs vs baseline $bc%.1fs, load=$load%.1f)").getOrElse(""))
       }
     }
     rc

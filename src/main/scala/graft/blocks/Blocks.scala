@@ -326,9 +326,18 @@ object CustomBlocks {
     // expose each input section as a temp view named after the section;
     // names a view cannot carry (multi-output "Section.Sub", hyphenated
     // sections) sanitize to underscores — the Statement references the
-    // sanitized name (documented in docs/DSL.md)
-    c.input.foreach { n =>
-      val viewName = n.replaceAll("[^A-Za-z0-9_]", "_")
+    // sanitized name (documented in docs/DSL.md). Two distinct inputs
+    // ("A.B" and "A-B") can collide after sanitizing; that would let
+    // createOrReplaceTempView silently clobber one input with the other
+    // before the Statement runs, so collisions are an error, not a race.
+    val sanitized = c.input.map(n => n -> n.replaceAll("[^A-Za-z0-9_]", "_"))
+    val collisions = sanitized.groupBy(_._2).filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      "custom::sql input sections collide after view-name sanitizing: " +
+        collisions.map { case (v, ns) =>
+          ns.map(_._1).mkString("'", "', '", "'") + s" -> $v"
+        }.mkString("; "))
+    sanitized.foreach { case (n, viewName) =>
       c.history.getDf(n).createOrReplaceTempView(viewName)
     }
     c.spark.sql(c.props.getString("Statement"))

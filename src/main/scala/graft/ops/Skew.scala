@@ -28,7 +28,7 @@ object Skew {
                 partials: Map[String, (Column, Column)]): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
     require(partials.nonEmpty, "at least one aggregate required")
-    val salted = df.withColumn("__salt", rowSalt(saltBuckets))
+    val salted = df.withColumn("__salt", rowSalt(df, saltBuckets))
     val ps = partials.toSeq.sortBy(_._1) // stable column order
     val phase1 = salted
       .groupBy((keyCols :+ "__salt").map(col): _*)
@@ -50,20 +50,33 @@ object Skew {
   def saltedJoin(skewedLeft: DataFrame, right: DataFrame,
                  joinKeys: Seq[String], saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be positive, got $saltBuckets")
-    val l = skewedLeft.withColumn("__salt", rowSalt(saltBuckets))
+    val l = skewedLeft.withColumn("__salt", rowSalt(skewedLeft, saltBuckets))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, joinKeys :+ "__salt").drop("__salt")
   }
 
-  /** Per-row salt in [0, buckets) from the row's POSITION, not its
-    * content: hashing the row's columns assigns every byte-identical
-    * duplicate the same salt, so a hot key whose rows are identical (the
-    * common case after projecting to (key, low-cardinality payload)) still
-    * lands on one reducer and the whole mitigation buys nothing.
-    * monotonically_increasing_id derives from (partitionId, row position) —
-    * deterministic for a given input partitioning, unique per row, and it
-    * spreads duplicates evenly. */
-  private def rowSalt(buckets: Int): Column =
-    pmod(hash(monotonically_increasing_id()), lit(buckets))
+  /** Per-row salt in [0, buckets) from (input partition id, row content).
+    *
+    * The salt feeds a shuffle key, so it must be RETRY-DETERMINISTIC: a
+    * partial stage recompute after a fetch failure must assign each row
+    * the salt the already-fetched partitions saw, or join/agg results
+    * silently lose and duplicate rows (the classic repartition-by-rand
+    * hazard — position-based salts like monotonically_increasing_id
+    * break exactly here, because recomputed shuffle partitions can
+    * iterate rows in a different ORDER). hash(partitionId, content) is
+    * order-independent, and partition membership is stable across
+    * retries for both file scans and hash-partitioned exchanges, so a
+    * recomputed row always re-derives the same salt.
+    *
+    * Spreading: byte-identical duplicates co-resident in one input
+    * partition share a salt, but a key hot enough to need salting spans
+    * many input splits by definition (one split is ~128 MB), so its rows
+    * still fan out over ~buckets reducers; content differences spread
+    * within a partition too. Round-robin repartitioning upstream of this
+    * call is the one layout that breaks retry-stability — callers get
+    * deterministic inputs from scans and hash shuffles, which is what
+    * saltedAgg/saltedJoin are documented for. */
+  private def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(hash(spark_partition_id() +: df.columns.map(col): _*), lit(buckets))
 }

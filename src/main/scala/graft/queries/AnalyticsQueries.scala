@@ -285,10 +285,10 @@ object AnalyticsQueries {
     // INTERSECT (distinct set semantics): part keys present in both the
     // high-price catalog slice and the discounted lineitem slice
     "q_intersect" -> ((s, d) =>
-      Tables.part(s, d).where(col("p_retailprice") > 1400)
+      Tables.part(s, d).where(col("p_retailprice") > 980)
         .select(col("p_partkey").as("k"))
         .intersect(
-          Tables.lineitem(s, d).where(col("l_discount") >= 0.08)
+          Tables.lineitem(s, d).where(col("l_discount") >= 0.07)
             .select(col("l_partkey").as("k")))),
 
     // UNPIVOT/melt: wide per-status aggregates into (metric, value) rows
@@ -825,9 +825,9 @@ object AnalyticsQueries {
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_intersect" ->
-      """SELECT p_partkey AS k FROM part WHERE p_retailprice > 1400
+      """SELECT p_partkey AS k FROM part WHERE p_retailprice > 980
         |INTERSECT
-        |SELECT l_partkey AS k FROM lineitem WHERE l_discount >= 0.08""".stripMargin,
+        |SELECT l_partkey AS k FROM lineitem WHERE l_discount >= 0.07""".stripMargin,
     "q_unpivot" ->
       """WITH a AS (SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price,
         |           round(avg(o_totalprice), 2) AS avg_price

@@ -607,9 +607,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // key columns = the `updates.<col>` references in the join condition,
     // extracted as whole identifiers (a substring test would make
     // `updates.id` also claim column `identifier`, corrupting the dedup
-    // window; backticked and differently-cased references must match too)
-    val referenced = """updates\.`?([A-Za-z_][A-Za-z0-9_]*)""".r
-      .findAllMatchIn(condition).map(_.group(1)).toSeq.distinct
+    // window; backticked and differently-cased references must match too).
+    // A backticked identifier is captured up to its CLOSING backtick —
+    // `updates.`order id`` must resolve to "order id", not truncate at
+    // the space (which would either fail the require or, worse, silently
+    // dedup-partition by a different column named by the prefix)
+    val referenced = """updates\.(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))""".r
+      .findAllMatchIn(condition)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq.distinct
     val keyCols = changes.columns
       .filter(c => referenced.exists(_.equalsIgnoreCase(c)))
     require(keyCols.nonEmpty,
@@ -797,16 +802,34 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // every touched old dir leaves the snapshot (rewritten-or-emptied);
     // `rewritten` also covers partitions the op newly introduced
     val drop = encodedTouched ++ rewritten
-    val carried = cur.entries.flatMap { e =>
+    // (name, entry) for every carry-candidate partition dir in the
+    // current snapshot — listed once, used for both the round-trip guard
+    // below and the carried-entry computation
+    val children: Seq[(String, Entry)] = cur.entries.flatMap { e =>
       val name = new Path(e.dir).getName
-      if (name.startsWith(prefix)) {
-        if (drop.contains(name)) Nil else Seq(e)
-      } else {
-        FsUtils.listChildren(spark, e.dir)._1
-          .filterNot(drop.contains)
-          .map(sub => Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
-      }
+      if (name.startsWith(prefix)) Seq(name -> e)
+      else FsUtils.listChildren(spark, e.dir)._1
+        .map(sub => sub -> Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
     }
+    // Round-trip guard: dropping a touched old dir relies on its name
+    // matching the RE-ENCODED touched value. If an existing dir's name
+    // doesn't round-trip through Spark's value-parse/re-encode (a dir
+    // from an external writer's escaping, a timestamp partition under a
+    // changed session timezone, a type-widening batch re-encoding `p=5`
+    // as `p=5.0`), the touched old dir would be silently carried —
+    // deleted rows resurrect, merged rows duplicate. So every touched
+    // encoded name must be accounted for: either it matches an existing
+    // carry-candidate dir (we will drop it) or it appears only in the
+    // rewrite output (a genuinely new partition value). A touched name
+    // matching NOTHING means our encoding disagrees with the dir layout
+    // — bail to the full rewrite, which never matches by name.
+    val existingNames = children.iterator.map(_._1).toSet
+    if (!encodedTouched.forall(n =>
+        existingNames.contains(n) || rewritten.contains(n))) {
+      FsUtils.deleteFiles(spark, Seq(newDir)) // uncommitted — reclaim now
+      return None
+    }
+    val carried = children.collect { case (n, e) if !drop.contains(n) => e }
     // a fresh dir with no data subdirs is unreadable (schema inference has
     // nothing to see) — commit carried entries only; a table emptied
     // ENTIRELY falls back to the full rewrite, which owns that edge

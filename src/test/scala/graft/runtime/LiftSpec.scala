@@ -196,6 +196,25 @@ class LiftSpec extends SparkSuite {
     assert(log.getDf("Agg").head().getLong(0) === 5L)
   }
 
+  test("custom::sql rejects inputs whose sanitized view names collide") {
+    // "Raw.A" and "Raw-A" both sanitize to Raw_A — letting
+    // createOrReplaceTempView clobber one with the other would silently
+    // run the Statement against the wrong input
+    val df = Seq((1, "a")).toDF("id", "v")
+    val history = new BlockLog()
+    val reg = new BlockLog()
+    def conf(name: String, in: Seq[String], props: Map[String, Any]) =
+      BlockConfig(name, spark, in, graft.dsl.Props(props), history, reg)
+    history.add(conf("Raw.A", Nil, Map.empty), df)
+    history.add(conf("Raw-A", Nil, Map.empty), df)
+    val cfg = conf("Agg", Seq("Raw.A", "Raw-A"),
+      Map("Statement" -> "SELECT count(*) AS n FROM Raw_A"))
+    val e = intercept[IllegalArgumentException](
+      graft.blocks.CustomBlocks.sql(cfg))
+    assert(e.getMessage.contains("collide"))
+    assert(e.getMessage.contains("Raw.A") && e.getMessage.contains("Raw-A"))
+  }
+
   test("file registry prunes processed files and short-circuits on no data") {
     val work = tmp()
     // two source files

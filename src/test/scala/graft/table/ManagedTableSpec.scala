@@ -242,6 +242,38 @@ class ManagedTableSpec extends SparkSuite {
     assert(got === Set((8, 100L, "last"), (2, 200L, "b")))
   }
 
+  test("applyChanges resolves backticked keys with non-word chars exactly") {
+    // `updates.`order id`` must capture through the CLOSING backtick;
+    // truncating at the space would fail the require (no column "order")
+    // or, with a column named by the prefix, dedup-window by the wrong key
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1, "a"), (2, "b")).toDF("order id", "v"))
+    val cdc = Seq((1, "first", "U", 1L), (1, "last", "U", 2L))
+      .toDF("order id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.`order id` == updates.`order id`", "op", "seq")
+    assert(t.read().as[(Int, String)].collect().toSet ===
+      Set((1, "last"), (2, "b")))
+  }
+
+  test("pruned applyChanges bails to full rewrite when a widened key re-encodes dirs") {
+    // the table's dirs are p=5 / p=6 (int); a batch whose key column is
+    // DOUBLE widens the touched-value frame, so Spark re-encodes the
+    // touched partition as "p=5.0" — a name matching no existing dir.
+    // Dropping by that name would silently CARRY the real p=5 dir and
+    // resurrect its deleted rows; the round-trip guard must detect the
+    // mismatch and take the full rewrite instead.
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((5, 1, "a1"), (5, 2, "a2"), (6, 3, "b1"))
+      .toDF("p", "id", "v"), partitionBy = Seq("p"))
+    val cdc = Seq((5.0, 1, "x", "D", 1L), (5.0, 2, "x", "D", 2L)) // empties p=5
+      .toDF("p", "id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
+      partitionBy = Seq("p"))
+    // the rewrite's unionByName widens p to double — cast back for decode
+    assert(t.read().select($"p".cast("int"), $"id", $"v").as[(Int, Int, String)]
+      .collect().toSet === Set((6, 3, "b1")))
+  }
+
   test("date-partitioned pruned applyChanges handles typed partition keys") {
     // date keys have no valid unquoted SQL literal form; discovery and
     // dir-name encoding must never round-trip values through SQL text
