@@ -12,6 +12,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Codegen cache sized for the SUITE, not the default 100 entries:
+      // 254 queries x ~30 generated classes cycle the default cache many
+      // times over between the warmup sweep and the timed pass, so heavy
+      // multi-stage plans (the dedup family) re-janino-compile COLD in
+      // the timed section — measured 102.9 cpu-s cold vs 12.5 cpu-s warm
+      // for x_dedup_prefix at sf0.1. Eviction order also made those cpu
+      // numbers swing round-to-round (r8's 141.8c driver-run mystery).
+      // Static conf: must be set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,13 +62,30 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val loadStart = osBean.getSystemLoadAverage
+    // GC + JIT wall-clock attribution: round-8's driver run showed two
+    // dedup queries COMPUTING 1.6-3.1x their gate cpu-seconds in suite
+    // context while replaying at gate cost in isolation — cpu growth that
+    // plain (wall, cpu) can't explain. GC time (old-gen pressure from 250
+    // earlier queries) and JIT recompilation are the two suite-context
+    // cpu sinks; recording both per query makes the artifact name the
+    // culprit instead of leaving "JIT/GC state" a hypothesis.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val gcJitLog = scala.collection.mutable.LinkedHashMap[String, List[String]]()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
+      val g0 = gcMillis()
+      val j0 = jitBean.getTotalCompilationTime
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); return (-1.0, -1.0, -1.0) }
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      val dg = (gcMillis() - g0) / 1e3
+      val dj = (jitBean.getTotalCompilationTime - j0) / 1e3
+      gcJitLog(name) = gcJitLog.getOrElse(name, Nil) :+ f"gc=$dg%.1fs jit=$dj%.1fs"
       // 1-min loadavg sampled right after the query: the gate uses it to
       // decide whether a flat-cpu wall breach had external load to blame
       val load = osBean.getSystemLoadAverage
@@ -125,8 +151,12 @@ object Bench {
       "\"" + k + "\":" + (math.round(c * 10) / 10.0) }
       .mkString("{", ",", "}")
     val envJson = f"""{"loadavg_start":$loadStart%.2f,"loadavg_end":${osBean.getSystemLoadAverage}%.2f,"cpus":$cpus}"""
+    // per-query GC/JIT seconds (every run of the query, first-pass then
+    // re-measures) — the suite-context cpu-growth evidence
+    val gcJitJson = gcJitLog.map { case (n, runs) =>
+      "\"" + n + "\":\"" + runs.mkString("; ") + "\"" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu":$fullCpu,"env":$envJson,"remeasured":${remeasureLog.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu":$fullCpu,"gcjit":$gcJitJson,"env":$envJson,"remeasured":${remeasureLog.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try {
       // Files.writeString THROWS on I/O failure (PrintWriter only sets a
       // silent error flag — a full disk would leave a truncated artifact

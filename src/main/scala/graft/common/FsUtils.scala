@@ -98,6 +98,13 @@ object FsUtils {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(path, hadoopConf(spark)).exists(new Path(path))
 
+  /** Test-visible counter of directory-LISTING operations — the
+    * O(entries) metadata calls whose count the ManagedTable checkpoint
+    * hint exists to bound (ManagedTableSpec pins the read path at zero
+    * listings on a many-version log). Existence probes and single-file
+    * reads are O(1) on any store and deliberately not counted. */
+  val listingOps = new java.util.concurrent.atomic.AtomicLong()
+
   /** Re-run a metadata listing that raced a concurrent writer: Hadoop's
     * listing iterators stat each entry lazily, so a tmp/commit file
     * vanishing between readdir and stat (another writer finishing its
@@ -127,6 +134,7 @@ object FsUtils {
     * never touched.
     */
   def listFiles(spark: SparkSession, prefix: String, suffix: String = ""): Seq[String] = relisting {
+    listingOps.incrementAndGet()
     val f = fs(prefix, hadoopConf(spark))
     val p = new Path(prefix)
     if (!f.exists(p)) Nil
@@ -146,6 +154,7 @@ object FsUtils {
     * marker files (`_SUCCESS`, checksums) excluded. Drives small-file
     * detection for incremental compaction. Metadata-only. */
   def listFilesWithSize(spark: SparkSession, prefix: String): Seq[(String, Long)] = relisting {
+    listingOps.incrementAndGet()
     val f = fs(prefix, hadoopConf(spark))
     val p = new Path(prefix)
     if (!f.exists(p)) Nil
@@ -166,6 +175,7 @@ object FsUtils {
     * One non-recursive metadata listing — used by the managed table's
     * partition-pruned merge to enumerate hive partition dirs. */
   def listChildren(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = relisting {
+    listingOps.incrementAndGet()
     val f = fs(dir, hadoopConf(spark))
     val p = new Path(dir)
     if (!f.exists(p)) (Nil, Nil)
@@ -178,6 +188,7 @@ object FsUtils {
 
   /** Immediate child DIRECTORIES of `dir` as (name, modificationTimeMs). */
   def listChildDirsWithModTime(spark: SparkSession, dir: String): Seq[(String, Long)] = relisting {
+    listingOps.incrementAndGet()
     val f = fs(dir, hadoopConf(spark))
     val p = new Path(dir)
     if (!f.exists(p)) Nil

@@ -507,17 +507,29 @@ object Dedup {
       .withColumn("pos", row_number().over(byRarity))
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select(col("id"), col("sz"), col("shingle"))
+      .select(col("id"), col("sz"), col("pos"), col("shingle"))
       .persistTracked() // both sides of the candidate self-join read it
     // length filter (lossless): J >= t forces t*|a| <= |b| <= |a|/t, so
     // size-incompatible matches drop BEFORE the array-verify join — the
     // shingle sets (the wide payload) are only shipped for pairs that can
-    // still pass
+    // still pass.
+    // positional filter (PPJoin's second lossless guard, Xiao et al.):
+    // J >= t needs overlap o >= ceil(t/(1+t) * (|a|+|b|)), and every
+    // common shingle sits at-or-after the matching one in BOTH rarity
+    // orders, so o <= 1 + min(|a|-pos_a, |b|-pos_b) for the FIRST common
+    // shingle — which the prefix lemma proves lives in both prefixes.
+    // Rows failing the bound drop; a true pair always keeps its
+    // first-common-shingle row, so recall stays exact while candidates
+    // whose shared shingles all sit too deep never reach the verify join.
     val cand = prefix.alias("l")
       .join(prefix.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id") &&
           col("r.sz") >= ceil(lit(threshold) * col("l.sz")) &&
-          col("l.sz") >= ceil(lit(threshold) * col("r.sz")))
+          col("l.sz") >= ceil(lit(threshold) * col("r.sz")) &&
+          (lit(1) + least(col("l.sz") - col("l.pos"),
+            col("r.sz") - col("r.pos"))) >=
+            ceil(lit(threshold / (1.0 + threshold)) *
+              (col("l.sz") + col("r.sz"))))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     cand

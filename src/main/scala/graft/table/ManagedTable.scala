@@ -97,7 +97,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       .sortBy(_.version)
 
   /** Committed version numbers, ascending — one metadata LISTING, no
-    * manifest file is read (versions are the file names). */
+    * manifest file is read (versions are the file names). O(versions)
+    * directory entries: only the cold paths below (history, timestamp
+    * time travel, vacuum, hint-miss fallback) may call this. */
   private def versionsOnDisk(): Seq[Long] =
     FsUtils.listFiles(spark, logDir, ".json")
       .flatMap(p => new Path(p).getName.stripSuffix(".json").toLongOption)
@@ -108,16 +110,52 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (FsUtils.exists(spark, p)) readManifest(p) else None
   }
 
-  /** The current snapshot's manifest: one listing + one read. */
+  // ---------------------------------------------------- version resolution
+  // Delta's `_last_checkpoint` analogue: every successful commit refreshes
+  // a one-line hint file naming its version, and current-version
+  // resolution probes FORWARD from the hint (does v+1.json exist?) instead
+  // of LISTING the whole log directory. A year-long streaming ingest
+  // committing per micro-batch accumulates 10^5-10^6 manifests; an
+  // object-store LIST at that count is a real per-query planning tax,
+  // while the hint path costs O(1) reads + O(commits-since-hint)
+  // existence probes — commits are consecutive integers under the OCC
+  // put-if-absent rule, so the first missing version IS the boundary.
+  // The hint is best-effort and self-healing: torn/missing/stale hints
+  // (crashed writer, out-of-order hint races, an ancient hint whose
+  // manifest vacuum reaped) fall back to the full listing; a hint that
+  // merely LAGS (a racer's hint write landing late) is healed by the
+  // forward probe. Correctness never depends on the hint's content.
+  private def hintPath = s"$logDir/_last_checkpoint"
+
+  private def writeVersionHint(v: Long): Unit =
+    try FsUtils.writeTextAtomic(spark, hintPath, s"""{"version":$v}""")
+    catch { case _: Exception => () } // a lost hint only costs the fallback
+
+  private def readVersionHint(): Option[Long] =
+    try {
+      if (!FsUtils.exists(spark, hintPath)) None
+      else Option(new ObjectMapper()
+        .readTree(FsUtils.readText(spark, hintPath)).get("version"))
+        .map(_.asLong())
+    } catch { case _: Exception => None }
+
+  /** The current snapshot's manifest: O(1) log reads on the hint path. */
   private def lastManifest(): Option[Manifest] =
-    versionsOnDisk().lastOption.flatMap(manifestAt)
+    currentVersion.flatMap(manifestAt)
 
   /** (version, commitTimestampMillis) pairs, ascending. */
   def history(): Seq[(Long, Long)] = manifests().map(m => (m.version, m.timestamp))
 
-  def exists: Boolean = versionsOnDisk().nonEmpty
+  def exists: Boolean = currentVersion.nonEmpty
 
-  def currentVersion: Option[Long] = versionsOnDisk().lastOption
+  def currentVersion: Option[Long] =
+    readVersionHint() match {
+      case Some(h) if FsUtils.exists(spark, s"$logDir/$h.json") =>
+        var v = h
+        while (FsUtils.exists(spark, s"$logDir/${v + 1}.json")) v += 1
+        Some(v)
+      case _ => versionsOnDisk().lastOption
+    }
 
   /** Latest version committed at or before `tsMillis`, if any. */
   def versionAt(tsMillis: Long): Option[Long] =
@@ -1330,6 +1368,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     FsUtils.deleteFiles(spark,
       orphanDirs ++ raceOrphans ++ dvOrphans ++ sidecarOrphans ++
         dropped.map(m => s"$logDir/${m.version}.json"))
+    // fold the reap into the checkpoint hint: an ancient hint could name
+    // a version this vacuum just deleted, which would demote every read
+    // to the full-listing fallback until the next commit — re-point it at
+    // the surviving head now
+    retained.lastOption.foreach(m => writeVersionHint(m.version))
   }
 
   /** Scheme-insensitive path form for containment checks (`file:/x` and
@@ -1467,8 +1510,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val txnJson = if (txn.isEmpty) ""
       else txn.map { case (a, tv) => s"${js(a)}:$tv" }
         .mkString(""","txn":{""", ",", "}")
-    FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
+    val won = FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
       s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson$txnJson}""")
+    // refresh the _last_checkpoint hint AFTER the manifest is durable —
+    // readers probing forward from it must always find the named version
+    if (won) writeVersionHint(v)
+    won
   }
 
   /** Blind snapshot commit (clean_write / restore / append-rebase): the

@@ -318,6 +318,41 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.read().where($"part" === "p0").count() === 0)
   }
 
+  test("hint-path reads touch O(1) log files on a many-version log") {
+    // a year of per-micro-batch streaming commits leaves 10^5-10^6
+    // manifests; current-version resolution must not LIST that directory
+    // per read. 1500 synthetic versions stand in for the deep log.
+    import graft.common.FsUtils
+    val dir = tmp() + "/t"
+    val t = ManagedTable(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v")) // v1
+    val log = s"$dir/_graft_log"
+    val m1 = FsUtils.readText(spark, s"$log/1.json")
+    (2 to 1501).foreach { v =>
+      FsUtils.writeText(spark, s"$log/$v.json",
+        m1.replace("\"version\":1,", s"\"version\":$v,"))
+    }
+    // the hint still names v1: the next op probes forward across the
+    // synthetic gap ONCE (existence checks, not a listing) and its
+    // commit re-points the hint at the head
+    t.append(Seq((3, "c")).toDF("id", "v")) // v1502
+    assert(t.currentVersion.contains(1502L))
+    val before = FsUtils.listingOps.get()
+    assert(t.read().count() === 3)
+    assert(t.currentVersion.contains(1502L))
+    assert(FsUtils.listingOps.get() === before,
+      "hint-path version resolution must not LIST the log directory")
+    // hint gone -> full-listing fallback still resolves the same head
+    FsUtils.deleteFiles(spark, Seq(s"$log/_last_checkpoint"))
+    assert(t.currentVersion.contains(1502L))
+    // and the next commit restores the O(1) path
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    val again = FsUtils.listingOps.get()
+    assert(t.read().count() === 4)
+    assert(FsUtils.listingOps.get() === again)
+  }
+
   test("concurrent appends all land as consecutive versions — no lost update") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq((0, "seed")).toDF("id", "v"))
