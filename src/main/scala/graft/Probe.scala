@@ -50,7 +50,8 @@ object Probe {
       case Some("stream")     => streamFixedCost(session(), sfDir)
       case Some("dedupscale") => dedupScale(session(), sfDir, exact = args.contains("exact"))
       case Some("textskew") => textSkew(session(), sfDir, exact = args.contains("exact"))
-      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact])")
+      case Some("neardupindex") => nearDupIndexScale(session(), sfDir, exact = args.contains("exact"))
+      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact])")
     }
   }
 
@@ -161,6 +162,58 @@ object Probe {
       graft.ops.Caches.release(); s.catalog.clearCache()
       println(f"$k%3d $rows%9d $te%8.2f $ne%11d $tc%8.2f $nc%11d")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // neardupindex: per-batch cost vs index size for the streaming LSH path
+  // ------------------------------------------------------------------
+
+  /** Does [[graft.streaming.Streaming.streamNearDupIndex]]'s per-batch cost
+    * stay bounded by BATCH size as the persistent index grows? 10x the
+    * bench corpus ingests in fixed-size waves; each wave's drain is timed
+    * against a monotonically growing corpus/LSH index. The index-side work
+    * per batch is one columnar scan + an equi-join on the compact bucket
+    * key (the small banded batch is the build side), so the expected shape
+    * is a small per-wave slope from the O(index) scan — superlinear growth
+    * would mean the index join shuffles the index side per batch and needs
+    * a bucket-partitioned layout. `exact` replicates verbatim (every wave
+    * is near-dup-heavy against the index — maximal candidate fan-out);
+    * realistic perturbs replicas into genuinely new text. */
+  private def nearDupIndexScale(s: SparkSession, sfDir: String, exact: Boolean): Unit = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val root = graft.common.Scratch.dir("probe", s"ndi-${if (exact) "exact" else "real"}-${System.nanoTime()}")
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    val waves = 10
+    val corpus10 = scaled(docs, waves, exact).persist()
+    corpus10.count()
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    // codegen/JIT warmup on throwaway tables so wave 0 measures the engine
+    locally {
+      val wr = s"$root/warm"
+      docs.limit(200).write.json(s"$wr/in")
+      graft.streaming.Streaming.streamNearDupIndex(
+        s.readStream.schema(schema).json(s"$wr/in"),
+        graft.table.ManagedTable(s, s"$wr/corpus"),
+        graft.table.ManagedTable(s, s"$wr/lsh"), "doc_id", "text")
+    }
+    val corpusT = graft.table.ManagedTable(s, s"$root/corpus")
+    val lshT = graft.table.ManagedTable(s, s"$root/lsh")
+    val in = s"$root/in"
+    println(f"${"wave"}%4s ${"index_rows"}%10s ${"batch_rows"}%10s ${"wall_s"}%7s ${"cpu_s"}%7s")
+    for (w <- 0 until waves) {
+      val batch = corpus10.where(pmod(col("doc_id"), lit(waves)) === w)
+      val batchRows = batch.count()
+      val indexRows = if (lshT.exists) lshT.read().count() else 0L
+      batch.write.mode("append").json(in)
+      val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      graft.streaming.Streaming.streamNearDupIndex(
+        s.readStream.schema(schema).json(in), corpusT, lshT, "doc_id", "text")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      println(f"$w%4d $indexRows%10d $batchRows%10d $dt%7.2f $dc%7.1f")
+    }
+    corpus10.unpersist()
   }
 
   // ------------------------------------------------------------------

@@ -211,7 +211,13 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("update")
       .option("checkpointLocation", s"${corpus.path}/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: the corpus marker is the LAST thing a fully-landed
+        // batch commits, so seeing it at-or-above this batchId means a
+        // checkpoint-crash replay — recomputing would be harmless (the
+        // seen-id anti-join yields empty) but not free; skip outright
+        val txnApp = s"graft.neardup:${corpus.path}"
+        if (!corpus.lastTxn(txnApp).exists(_ >= batchId)) {
         val base = batch
           .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
           .withColumn("sh", Dedup.shingles(col("text"), n))
@@ -235,7 +241,11 @@ object Streaming {
         val inBatch = banded.alias("l").join(banded.alias("r"),
             expr("l.bucket = r.bucket AND r.id < l.id"))
           .select(col("l.id").as("id"), col("r.id").as("prior_id"))
-        val cand = fromIndex.unionByName(inBatch).distinct()
+        // persisted: cand's plan embeds the O(index-scan) LSH join, and
+        // without the cache it re-executes once per downstream consumer
+        // (corpusPrior's semi-join, dropIds, and again through flagged's
+        // two readers) — measured as the dominant per-batch cost growth
+        val cand = fromIndex.unionByName(inBatch).distinct().persist()
 
         // exact-Jaccard verification, shingling ONLY candidate prior docs
         val corpusPrior =
@@ -257,25 +267,44 @@ object Streaming {
           .join(dropIds.withColumn("__drop", lit(true)), Seq("id"), "left")
           .select(col("id").as(idCol), col("text").as(textCol),
             coalesce(!col("__drop"), lit(true)).as("kept"))
-        // idempotent replay: never re-append an id either table has seen.
-        // Both fresh frames persist so the corpus/index anti-joins run
-        // once, not once per emptiness probe plus once per append.
-        val freshDocs = (
+          .persist() // read twice: the seen-id semi-join and freshDocs
+        // per-batch work stays bounded by BATCH size, not index size
+        // (Probe neardupindex measured the old shape — whole-index
+        // anti-joins — growing linearly with the index per batch): the
+        // seen-id check scans the corpus once MAP-ONLY (the batch's id
+        // set broadcasts into a semi-join, so the corpus never shuffles),
+        // and fresh bands derive from fresh docs instead of anti-joining
+        // the whole LSH table's id column. Both fresh frames persist so
+        // the plans run once, not per emptiness probe plus per append.
+        val seenIds =
           if (corpus.exists)
-            flagged.join(corpus.read().select(col(idCol)), Seq(idCol), "left_anti")
-          else flagged).persist()
-        val freshBands = (
-          if (lsh.exists)
-            banded.join(lsh.read().select("id").distinct(), Seq("id"), "left_anti")
-          else banded).persist()
+            corpus.read().select(col(idCol))
+              .join(broadcast(flagged.select(col(idCol))), Seq(idCol), "left_semi")
+          else flagged.limit(0).select(col(idCol))
+        val freshDocs = flagged
+          .join(broadcast(seenIds), Seq(idCol), "left_anti").persist()
+        val freshBands = banded.join(
+          broadcast(freshDocs.select(col(idCol).cast("long").as("id"))),
+          Seq("id"), "left_semi").persist()
+        val txn = Map(txnApp -> batchId)
         try {
-          if (!freshDocs.isEmpty) corpus.append(freshDocs)
-          if (!freshBands.isEmpty) lsh.append(freshBands)
+          // lsh BEFORE corpus, each stamped with the batch marker: a
+          // crash between the two appends replays the batch (no corpus
+          // marker yet), freshDocs/freshBands recompute identically (the
+          // corpus still lacks the ids), and the lsh marker skips the
+          // duplicate band append. The old corpus-first order stranded a
+          // crashed batch's docs in the corpus with their bands lost.
+          if (!freshBands.isEmpty && !lsh.lastTxn(txnApp).exists(_ >= batchId))
+            lsh.append(freshBands, txn = txn)
+          if (!freshDocs.isEmpty) corpus.append(freshDocs, txn = txn)
         } finally {
           freshDocs.unpersist()
           freshBands.unpersist()
+          cand.unpersist()
+          flagged.unpersist()
           base.unpersist()
           banded.unpersist()
+        }
         }
         ()
       }

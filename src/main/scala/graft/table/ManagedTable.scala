@@ -472,9 +472,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * newest-first, stopping at the first hit. */
   def lastTxn(appId: String): Option[Long] = {
     if (!exists) return None
-    manifests().reverseIterator
-      .flatMap(_.txn.get(appId))
-      .nextOption()
+    // markers carry forward cumulatively since round 9, so the head
+    // manifest answers in O(1); the full-log walk remains only for
+    // markers stranded in pre-carry-forward history (and for genuinely
+    // absent appIds — one cold walk before a stream's first commit)
+    lastManifest().flatMap(_.txn.get(appId))
+      .orElse(manifests().reverseIterator
+        .flatMap(_.txn.get(appId))
+        .nextOption())
   }
 
   /** Append: write ONLY the new rows; the next manifest references the
@@ -482,7 +487,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * once; when the commit loses a race only the MANIFEST is rebased onto
     * the new head (Delta's blind-append fast path — N concurrent appends
     * all land, as N consecutive versions). */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil,
+             txn: Map[String, Long] = Map.empty): Long = {
     validateBatch(df)
     requireFreshNames(df, "append")
     val dir = writeData(df, partitionBy)
@@ -490,7 +496,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val prev = lastManifest()
       commitAgainst(prev.map(_.version),
         prev.map(_.entries).getOrElse(Nil) :+ Entry(dir, None),
-        prev.map(_.dvs).getOrElse(Nil))
+        prev.map(_.dvs).getOrElse(Nil), txn = txn)
     }
   }
 
@@ -1527,16 +1533,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                             renames: Option[Seq[(String, String)]] = None,
                             txn: Map[String, Long] = Map.empty): Long = {
     var tries = 0
-    var v = currentVersion.map(_ + 1).getOrElse(0L)
     // None = inherit the head's renames (re-resolved per attempt so a
     // racing rename is never silently shed); Some = set them outright
-    // (clean_write resets, restore restores the target's, rename extends)
-    def resolved = renames.getOrElse(lastManifest().map(_.renames).getOrElse(Nil))
-    while (!tryCommit(v, entries, dvs, resolved, txn)) {
+    // (clean_write resets, restore restores the target's, rename extends).
+    // txn markers are CUMULATIVE (head's map ++ this commit's) so
+    // [[lastTxn]] resolves from the head manifest alone — O(1) instead of
+    // replaying the whole log per streaming micro-batch. The head is
+    // re-read per attempt so renames and markers always fold over the
+    // manifest this commit actually lands on.
+    var h = lastManifest()
+    var v = h.map(_.version + 1).getOrElse(0L)
+    def resolved = renames.getOrElse(h.map(_.renames).getOrElse(Nil))
+    def carried = h.map(_.txn).getOrElse(Map.empty[String, Long]) ++ txn
+    while (!tryCommit(v, entries, dvs, resolved, carried)) {
       tries += 1
       if (tries > 1000) throw new java.io.IOException(
         s"commit contention on $path: gave up after $tries attempts")
-      v = currentVersion.map(_ + 1).getOrElse(0L)
+      h = lastManifest()
+      v = h.map(_.version + 1).getOrElse(0L)
     }
     v
   }
@@ -1556,10 +1570,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                             txn: Map[String, Long] = Map.empty): Long = {
     val v = base.map(_ + 1).getOrElse(0L)
     // None = carry the BASE snapshot's renames forward (the op was
-    // computed against that snapshot, so its mapping is the valid one)
-    val resolved = renames.getOrElse(
-      base.flatMap(manifestAt).map(_.renames).getOrElse(Nil))
-    if (!tryCommit(v, entries, dvs, resolved, txn))
+    // computed against that snapshot, so its mapping is the valid one);
+    // txn markers fold over the base's cumulative map (see commitEntries)
+    val bm = base.flatMap(manifestAt)
+    val resolved = renames.getOrElse(bm.map(_.renames).getOrElse(Nil))
+    val carried = bm.map(_.txn).getOrElse(Map.empty[String, Long]) ++ txn
+    if (!tryCommit(v, entries, dvs, resolved, carried))
       throw new ManagedTable.ConcurrentWriteException(path, base)
     v
   }
