@@ -353,6 +353,25 @@ class ManagedTableSpec extends SparkSuite {
     assert(FsUtils.listingOps.get() === again)
   }
 
+  test("txn markers carry forward cumulatively; lastTxn answers from the head") {
+    import graft.common.FsUtils
+    val dir = tmp() + "/t"
+    val t = ManagedTable(spark, dir)
+    t.write(Seq((1, "a")).toDF("id", "v"), txn = Map("app1" -> 1L))
+    t.append(Seq((2, "b")).toDF("id", "v")) // marker-less commit between
+    t.append(Seq((3, "c")).toDF("id", "v"), txn = Map("app2" -> 7L))
+    assert(t.lastTxn("app1") === Some(1L))
+    assert(t.lastTxn("app2") === Some(7L))
+    assert(t.lastTxn("never") === None)
+    // the HEAD manifest alone carries both markers — the O(1) property a
+    // per-micro-batch replay guard relies on at deep log sizes
+    val head = FsUtils.readText(spark, s"$dir/_graft_log/2.json")
+    assert(head.contains("\"app1\":1") && head.contains("\"app2\":7"))
+    // a newer marker for the same app supersedes in place
+    t.append(Seq((4, "d")).toDF("id", "v"), txn = Map("app2" -> 9L))
+    assert(t.lastTxn("app2") === Some(9L))
+  }
+
   test("concurrent appends all land as consecutive versions — no lost update") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(Seq((0, "seed")).toDF("id", "v"))
