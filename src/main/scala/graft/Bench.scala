@@ -157,7 +157,9 @@ object Bench {
       "\"" + n + "\":\"" + runs.mkString("; ") + "\"" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cpu":$fullCpu,"gcjit":$gcJitJson,"env":$envJson,"remeasured":${remeasureLog.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    try {
+    // a FILTERED run (isolation / spot-check, possibly at a different SF)
+    // must not clobber the committed full-suite artifact
+    if (nameFilter.isEmpty) try {
       // Files.writeString THROWS on I/O failure (PrintWriter only sets a
       // silent error flag — a full disk would leave a truncated artifact
       // with no warning)
