@@ -74,6 +74,21 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     val gcJitLog = scala.collection.mutable.LinkedHashMap[String, List[String]]()
+    // trailing (wall, process-cpu) samples: 1-min loadavg includes OUR OWN
+    // recent queries (it decays over a minute), so "external load" must be
+    // loadavg minus THIS PROCESS's core rate over the same trailing
+    // window — subtracting only the current query's c/t would exonerate a
+    // flat-cpu regression on a dedicated box still hot from the suite's
+    // previous queries (round-9 review finding).
+    val cpuSamples = scala.collection.mutable.ArrayDeque[(Long, Long)]()
+    def own60(): Double = {
+      val now = System.nanoTime(); val cpu = osBean.getProcessCpuTime
+      while (cpuSamples.nonEmpty && now - cpuSamples.head._1 > 75e9.toLong)
+        cpuSamples.removeHead()
+      val (t0, c0) = cpuSamples.headOption.getOrElse((now, cpu))
+      cpuSamples.append((now, cpu))
+      if (now - t0 < 1e9) 0.0 else (cpu - c0).toDouble / (now - t0)
+    }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
@@ -86,9 +101,11 @@ object Bench {
       val dg = (gcMillis() - g0) / 1e3
       val dj = (jitBean.getTotalCompilationTime - j0) / 1e3
       gcJitLog(name) = gcJitLog.getOrElse(name, Nil) :+ f"gc=$dg%.1fs jit=$dj%.1fs"
-      // 1-min loadavg sampled right after the query: the gate uses it to
-      // decide whether a flat-cpu wall breach had external load to blame
-      val load = osBean.getSystemLoadAverage
+      // EXTERNAL load estimate at measurement time: 1-min loadavg minus
+      // our own trailing-60s core rate. The gate exonerates a waited
+      // breach only when load NOT attributable to this process was present.
+      val rawLoad = osBean.getSystemLoadAverage
+      val load = if (rawLoad < 0) -999.0 else rawLoad - own60()
       // queries persist intermediates (signature stages, bucketed sides);
       // drop them so later queries aren't timed under earlier queries'
       // cache pressure
@@ -96,6 +113,7 @@ object Bench {
       spark.catalog.clearCache()
       (dt, dc, load)
     }
+    own60() // seed the trailing window so query #1 subtracts warmup cpu too
     val firstPass = selected.map { case (name, fn) =>
       val (dt, dc, load) = timeOne(name, fn)
       System.err.println(f"[bench] $name%-24s $dt%8.2fs cpu=$dc%.1fs")
@@ -253,18 +271,18 @@ object Bench {
         val meaningful = base(n) >= 0.02 * baseTotal
         val waited = baseCpu.get(n)
           .exists(bc => c >= 0 && bc > 0 && c <= 2 * bc)
-        val ownCores = if (t > 0 && c >= 0) c / t else 0.0
-        // loadavg < 0 = platform can't report it -> can't corroborate
-        // either way; keep the legacy waited-only exoneration there
-        val externalLoad = load < 0 || (load - ownCores) > 0.25 * cpus
+        // `load` is already loadavg minus OUR trailing-60s core rate
+        // (timeOne); -999 = platform can't report loadavg -> can't
+        // corroborate either way; keep the legacy waited-only exoneration
+        val externalLoad = load < -100 || load > 0.25 * cpus
         val label =
           if (meaningful && !(waited && externalLoad)) { rc = 1; "REGRESSION" }
           else if (waited && externalLoad)
-            f"warn (exonerated: waited under external load=$load%.1f, cpu within 2x baseline)"
+            f"warn (exonerated: waited under external load=$load%.1f cores, cpu within 2x baseline)"
           else "warn"
         System.err.println(
           f"[bench] $label: $n $t%.2fs > 3x baseline ${base(n)}%.2fs" +
-            baseCpu.get(n).map(bc => f" (cpu $c%.1fs vs baseline $bc%.1fs, load=$load%.1f)").getOrElse(""))
+            baseCpu.get(n).map(bc => f" (cpu $c%.1fs vs baseline $bc%.1fs, extload=$load%.1f)").getOrElse(""))
       }
     }
     rc

@@ -330,7 +330,9 @@ object CustomBlocks {
     // ("A.B" and "A-B") can collide after sanitizing; that would let
     // createOrReplaceTempView silently clobber one input with the other
     // before the Statement runs, so collisions are an error, not a race.
-    val sanitized = c.input.map(n => n -> n.replaceAll("[^A-Za-z0-9_]", "_"))
+    // .distinct: the same section listed twice re-registers the same df —
+    // harmless, not a collision
+    val sanitized = c.input.distinct.map(n => n -> n.replaceAll("[^A-Za-z0-9_]", "_"))
     val collisions = sanitized.groupBy(_._2).filter(_._2.size > 1)
     require(collisions.isEmpty,
       "custom::sql input sections collide after view-name sanitizing: " +

@@ -528,8 +528,13 @@ object Dedup {
           col("l.sz") >= ceil(lit(threshold) * col("r.sz")) &&
           (lit(1) + least(col("l.sz") - col("l.pos"),
             col("r.sz") - col("r.pos"))) >=
+            // 1e-9 slack: t/(1+t) then * rounds twice in FP; an exactly-
+            // integer requirement nudged one ulp UP would ceil to o*+1
+            // and drop a true boundary pair. Slack only ever LOWERS the
+            // bound, so the filter stays lossless (a few extra
+            // candidates at worst, which the verify join re-checks).
             ceil(lit(threshold / (1.0 + threshold)) *
-              (col("l.sz") + col("r.sz"))))
+              (col("l.sz") + col("r.sz")) - lit(1e-9)))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     cand

@@ -77,6 +77,18 @@ object Skew {
     * call is the one layout that breaks retry-stability — callers get
     * deterministic inputs from scans and hash shuffles, which is what
     * saltedAgg/saltedJoin are documented for. */
-  private def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(hash(spark_partition_id() +: df.columns.map(col): _*), lit(buckets))
+  private def rowSalt(df: DataFrame, buckets: Int): Column = {
+    // df(name) references columns LITERALLY (col("a.b") would parse as a
+    // struct-field path); map-typed columns are skipped because hash()
+    // rejects MapType anywhere in its inputs — partition id plus the
+    // remaining columns still salt deterministically
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case st: org.apache.spark.sql.types.StructType => st.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => df(f.name))
+    pmod(hash(spark_partition_id() +: cols.toIndexedSeq: _*), lit(buckets))
+  }
 }

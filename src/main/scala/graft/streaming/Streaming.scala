@@ -23,6 +23,25 @@ import graft.streaming.PlanProbe.CapturedRun
   */
 object Streaming {
 
+
+  /** Stable identity of a checkpointed stream: the streaming query id
+    * Spark persists in the checkpoint's `metadata` file. Txn appIds key
+    * on it rather than on a table path so that DELETING the checkpoint
+    * (reprocess-from-scratch) rotates the appId with it — markers from
+    * the previous incarnation can never suppress the new stream's
+    * batches, whose batchIds restart at 0 (path-keyed markers silently
+    * dropped every batch up to the old high-water mark). The file exists
+    * by the time any foreachBatch body runs; an unreadable metadata
+    * falls back to a fresh UUID, which disables cross-restart skipping
+    * (safe: the content-level anti-joins still make appends idempotent)
+    * rather than risking suppression. */
+  private def checkpointId(ckpt: String,
+                           spark: org.apache.spark.sql.SparkSession): String =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.common.FsUtils.readText(spark, s"$ckpt/metadata"))
+      .get("id").asText()
+    catch { case _: Exception => java.util.UUID.randomUUID().toString }
+
   /** Watermarked tumbling-window aggregation: per (window, key) row count
     * and value sum. Append mode emits a window exactly once, when the
     * watermark passes its end — the deterministic at-most-once-per-window
@@ -193,9 +212,18 @@ object Streaming {
     * probe is an equi-join on compact (band, slice-hash) longs; exact
     * verification touches only candidate texts (semi-joined out of the
     * corpus before shingling). The index grows `bands` longs per doc —
-    * O(corpus) rows but tiny ones, the standard LSH memory trade. Replay
-    * after checkpoint recovery is idempotent: both appends anti-join on
-    * already-present ids. */
+    * O(corpus) rows but tiny ones, the standard LSH memory trade.
+    *
+    * Replay after checkpoint recovery is exactly-once via Delta-style
+    * (appId -> batchId) txn markers, appId keyed on the checkpoint's
+    * query id: a fully-landed batch skips outright on the corpus marker;
+    * a crash BETWEEN the lsh and corpus appends replays the batch —
+    * freshDocs recompute identically from the corpus anti-join and the
+    * lsh marker alone suppresses the duplicate band append (the lsh
+    * append deliberately has NO id anti-join any more — that was an
+    * O(index) shuffle per batch). Deleting the checkpoint rotates the
+    * appId, so a reprocess-from-scratch is never suppressed by the old
+    * incarnation's markers. */
   def streamNearDupIndex(docs: DataFrame, corpus: graft.table.ManagedTable,
                          lsh: graft.table.ManagedTable, idCol: String,
                          textCol: String, n: Int = 3, k: Int = 64,
@@ -216,7 +244,7 @@ object Streaming {
         // batch commits, so seeing it at-or-above this batchId means a
         // checkpoint-crash replay — recomputing would be harmless (the
         // seen-id anti-join yields empty) but not free; skip outright
-        val txnApp = s"graft.neardup:${corpus.path}"
+        val txnApp = s"graft.neardup:${checkpointId(s"${corpus.path}/_checkpoint", batch.sparkSession)}"
         if (!corpus.lastTxn(txnApp).exists(_ >= batchId)) {
         val base = batch
           .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -367,12 +395,19 @@ object Streaming {
     // commit would double-count forever. The (appId -> batchId) txn marker
     // rides IN the data commit (ManagedTable.lastTxn, Delta's txnVersion
     // pattern), so the guard survives exactly that crash window.
-    val txnApp = s"graft.incr_agg:$checkpoint"
+    // appId keys on the CHECKPOINT'S identity, not its path: resetting the
+    // checkpoint restarts batchIds at 0, and a path-keyed marker would
+    // silently skip every batch up to the previous incarnation's
+    // high-water mark. With id-keying a reset means a clean reprocess —
+    // the operator must reset the target table with the checkpoint, the
+    // same contract Delta documents for txnAppId.
+    lazy val txnAppByCkpt = s"graft.incr_agg:${checkpointId(checkpoint, events.sparkSession)}"
     events.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val txnApp = txnAppByCkpt
         if (!batch.isEmpty && !target.lastTxn(txnApp).exists(_ >= batchId)) {
           val txn = Map(txnApp -> batchId)
           val partial = batch.groupBy(keyCols.map(col): _*)

@@ -470,17 +470,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * delivery exactly-once even when the driver dies between the data
     * commit and the checkpoint commit. O(versions) manifest reads,
     * newest-first, stopping at the first hit. */
-  def lastTxn(appId: String): Option[Long] = {
-    if (!exists) return None
+  def lastTxn(appId: String): Option[Long] =
     // markers carry forward cumulatively since round 9, so the head
-    // manifest answers in O(1); the full-log walk remains only for
-    // markers stranded in pre-carry-forward history (and for genuinely
-    // absent appIds — one cold walk before a stream's first commit)
-    lastManifest().flatMap(_.txn.get(appId))
-      .orElse(manifests().reverseIterator
-        .flatMap(_.txn.get(appId))
-        .nextOption())
-  }
+    // manifest answers in O(1) — resolved ONCE (an `exists` pre-check
+    // would repeat the hint read + forward probes on this per-micro-batch
+    // hot path). The full-log walk remains only for markers stranded in
+    // pre-carry-forward history (and for genuinely absent appIds — one
+    // cold walk before a stream's first commit on a pre-round-9 log).
+    lastManifest() match {
+      case None => None // absent table: no manifests to walk either
+      case Some(head) => head.txn.get(appId)
+        .orElse(manifests().reverseIterator
+          .flatMap(_.txn.get(appId))
+          .nextOption())
+    }
 
   /** Append: write ONLY the new rows; the next manifest references the
     * previous snapshot's dirs plus the new one. The new rows are written
@@ -837,15 +840,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       col(pcol).isin(nonNull.toIndexedSeq: _*) else lit(false)
     if (hasNull) sliceCond = sliceCond || col(pcol).isNull
 
-    // the isin filter prunes the scan to touched partitions before the
-    // per-row rewrite applies
-    val out = rewriteSlice(readSnapshotWhere(cur, sliceCond))
-    val newDir = writeData(out, partitionBy)
-    val rewritten = FsUtils.listChildren(spark, newDir)._1
-      .filter(_.startsWith(prefix)).toSet
-    // every touched old dir leaves the snapshot (rewritten-or-emptied);
-    // `rewritten` also covers partitions the op newly introduced
-    val drop = encodedTouched ++ rewritten
     // (name, entry) for every carry-candidate partition dir in the
     // current snapshot — listed once, used for both the round-trip guard
     // below and the carried-entry computation
@@ -861,18 +855,35 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // from an external writer's escaping, a timestamp partition under a
     // changed session timezone, a type-widening batch re-encoding `p=5`
     // as `p=5.0`), the touched old dir would be silently carried —
-    // deleted rows resurrect, merged rows duplicate. So every touched
-    // encoded name must be accounted for: either it matches an existing
-    // carry-candidate dir (we will drop it) or it appears only in the
-    // rewrite output (a genuinely new partition value). A touched name
-    // matching NOTHING means our encoding disagrees with the dir layout
-    // — bail to the full rewrite, which never matches by name.
+    // deleted rows resurrect, merged rows duplicate. The sound invariant
+    // is PRESENCE-based: every touched value that actually has rows in
+    // the current snapshot must re-encode to an existing dir name (that
+    // is the dir the drop set will remove). Checking "touched name is in
+    // the rewrite output" instead is NOT safe — a widening batch that
+    // UPDATES rather than empties a partition puts the re-encoded name
+    // into the rewrite output, which would vouch for a name matching no
+    // old dir while the real old dir is silently carried. Touched values
+    // with NO current rows are genuinely new partitions and constrain
+    // nothing. Bail to the full rewrite on any mismatch — BEFORE the
+    // rewrite write, so the bail costs one pruned key scan, not a wasted
+    // data write.
     val existingNames = children.iterator.map(_._1).toSet
-    if (!encodedTouched.forall(n =>
-        existingNames.contains(n) || rewritten.contains(n))) {
-      FsUtils.deleteFiles(spark, Seq(newDir)) // uncommitted — reclaim now
-      return None
-    }
+    val presentRows = readSnapshotWhere(cur, sliceCond)
+      .select(col(pcol).cast(keyed.schema.head.dataType).as(pcol))
+      .distinct().limit(MaxPrunedPartitions + 1).collect()
+    val encodedPresent = encodePartitionNames(
+      presentRows.toIndexedSeq, keyed.schema, pcol)
+    if (!encodedPresent.forall(existingNames.contains)) return None
+
+    // the isin filter prunes the scan to touched partitions before the
+    // per-row rewrite applies
+    val out = rewriteSlice(readSnapshotWhere(cur, sliceCond))
+    val newDir = writeData(out, partitionBy)
+    val rewritten = FsUtils.listChildren(spark, newDir)._1
+      .filter(_.startsWith(prefix)).toSet
+    // every touched old dir leaves the snapshot (rewritten-or-emptied);
+    // `rewritten` also covers partitions the op newly introduced
+    val drop = encodedTouched ++ rewritten
     val carried = children.collect { case (n, e) if !drop.contains(n) => e }
     // a fresh dir with no data subdirs is unreadable (schema inference has
     // nothing to see) — commit carried entries only; a table emptied

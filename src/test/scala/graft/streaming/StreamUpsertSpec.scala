@@ -193,36 +193,66 @@ class StreamUpsertSpec extends SparkSuite {
     assert(lsh.read().select("id").distinct().count() === 4)
   }
 
-  test("streamIncrementalAgg skips a batch its txn marker says already applied") {
+  test("streamIncrementalAgg replays a crashed batch as a no-op via its txn marker") {
     // foreachBatch is at-least-once: a crash between the merge commit and
     // the checkpoint commit replays the batch. The (appId -> batchId)
     // marker rides IN the data commit, so the replay must be a no-op —
-    // simulated here by pre-stamping batch 0 as applied before the drain.
+    // simulated here the way the crash actually happens: batch 0 lands,
+    // then its checkpoint COMMIT marker is deleted, so the restart
+    // re-delivers batch 0 (same batchId, same checkpoint identity).
     val w = graft.common.Scratch.dir("test", "stream_mv_txn")
     graft.common.FsUtils.deleteFiles(spark, Seq(w))
     val target = ManagedTable(spark, s"$w/mv")
-    val txnApp = s"graft.incr_agg:$w/checkpoint"
-    target.write(Seq(("a", 1L, 999L)).toDF("k", "n", "s"),
-      txn = Map(txnApp -> 0L))
-    assert(target.lastTxn(txnApp) === Some(0L))
-    Seq(("a", 5L)).toDF("k", "v").write.json(s"$w/in")
     val schema = StructType.fromDDL("k STRING, v BIGINT")
-    Streaming.streamIncrementalAgg(
+    def drain(): Unit = Streaming.streamIncrementalAgg(
       spark.readStream.schema(schema).json(s"$w/in"), target,
       keyCols = Seq("k"), aggSpecs = Seq(("n", "count", "v"), ("s", "sum", "v")),
       checkpoint = s"$w/checkpoint")
-    // batch 0 carried ("a", 5) but was pre-stamped applied -> untouched
+    Seq(("a", 5L)).toDF("k", "v").write.json(s"$w/in")
+    drain()
     assert(target.read().as[(String, Long, Long)].collect().toSeq
-      === Seq(("a", 1L, 999L)))
-    // a later batch (id 1) applies normally and stamps its own marker
+      === Seq(("a", 1L, 5L)))
+    // crash window: the data commit survived, the checkpoint commit
+    // didn't -> the next drain REPLAYS batch 0; the marker suppresses it
+    graft.common.FsUtils.deleteFiles(spark, Seq(s"$w/checkpoint/commits/0"))
+    drain()
+    assert(target.read().as[(String, Long, Long)].collect().toSeq
+      === Seq(("a", 1L, 5L)))
+    // a later batch applies normally on top
     Seq(("a", 2L)).toDF("k", "v").write.mode("append").json(s"$w/in")
-    Streaming.streamIncrementalAgg(
-      spark.readStream.schema(schema).json(s"$w/in"), target,
-      keyCols = Seq("k"), aggSpecs = Seq(("n", "count", "v"), ("s", "sum", "v")),
-      checkpoint = s"$w/checkpoint")
+    drain()
     assert(target.read().as[(String, Long, Long)].collect().toSeq
-      === Seq(("a", 2L, 1001L)))
-    assert(target.lastTxn(txnApp) === Some(1L))
+      === Seq(("a", 2L, 7L)))
+  }
+
+  test("streamNearDupIndex survives a checkpoint reset without suppressing new batches") {
+    // deleting the checkpoint restarts batchIds at 0; a marker keyed on
+    // the table PATH would then skip every batch up to the previous
+    // incarnation's high-water mark, silently dropping NEW documents.
+    // appIds key on the checkpoint's query id, which rotates with it.
+    val w = graft.common.Scratch.dir("test", "stream_ndi_reset")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val corpus = ManagedTable(spark, s"$w/corpus")
+    val lsh = ManagedTable(spark, s"$w/lsh")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    def drain(): Unit = Streaming.streamNearDupIndex(
+      spark.readStream.schema(schema).json(s"$w/in"), corpus, lsh,
+      "doc_id", "text")
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, a)).toDF("doc_id", "text").write.json(s"$w/in")
+    drain()
+    assert(corpus.read().count() === 1)
+    // reset: reprocess-from-scratch. Old data replays (content anti-join
+    // keeps it single-copy) and the NEW doc in the restarted batch-id
+    // range must land, not be suppressed by the old incarnation's marker.
+    graft.common.FsUtils.deleteFiles(spark, Seq(s"$w/corpus/_checkpoint"))
+    val b = "a completely different document about spark shuffles and parquet"
+    Seq((2L, b)).toDF("doc_id", "text").write.mode("append").json(s"$w/in")
+    drain()
+    assert(corpus.read().select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // and no duplicate band rows for the replayed doc
+    assert(lsh.read().select("id").where(col("id") === 1L).count() === 32L)
   }
 
   test("sessionize handles late in-window and straggler events without regressing") {

@@ -274,6 +274,24 @@ class ManagedTableSpec extends SparkSuite {
       .collect().toSet === Set((6, 3, "b1")))
   }
 
+  test("pruned applyChanges with a widened key never duplicates a surviving partition") {
+    // the NON-emptying variant of the widened-key hazard: the rewrite
+    // output CONTAINS the re-encoded dir (p=5.0), so a guard that accepts
+    // "touched name appears in the rewrite output" would carry the real
+    // p=5 dir alongside it — surviving rows duplicate, updated rows
+    // coexist with their pre-images. The presence-based guard must bail
+    // to the full rewrite instead.
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((5, 1, "a1"), (5, 2, "a2"), (6, 3, "b1"))
+      .toDF("p", "id", "v"), partitionBy = Seq("p"))
+    val cdc = Seq((5.0, 1, "a1x", "U", 1L)) // updates ONE row of p=5
+      .toDF("p", "id", "v", "op", "seq")
+    t.applyChanges(cdc, "source.id == updates.id", "op", "seq",
+      partitionBy = Seq("p"))
+    assert(t.read().select($"p".cast("int"), $"id", $"v").as[(Int, Int, String)]
+      .collect().toSet === Set((5, 1, "a1x"), (5, 2, "a2"), (6, 3, "b1")))
+  }
+
   test("date-partitioned pruned applyChanges handles typed partition keys") {
     // date keys have no valid unquoted SQL literal form; discovery and
     // dir-name encoding must never round-trip values through SQL text
