@@ -256,35 +256,46 @@ object Bench {
       rc = 1
     }
     common.foreach { case (n, t, c, load) =>
-      if (t > math.max(3 * base(n), 2.0)) {
-        // single small queries swing many-x on machine noise — only a
-        // breach by a query that is a meaningful share of the suite
-        // (>= 2% of baseline total) CAN fail the run. Wall alone can't
-        // convict on a shared machine, but flat cpu alone can't acquit
-        // either: lock contention, an accidental sleep, or serialized I/O
-        // all show the waited signature on an IDLE box. So exoneration
-        // needs BOTH halves of the contention story: cpu within 2x its
-        // baseline (the query waited, didn't compute) AND external load
-        // actually present — 1-min loadavg at measurement time exceeding
-        // our own core usage (c/t) by >25% of the machine. A flat-cpu
-        // breach on a quiet box stays a REGRESSION (round-9 gate fix).
-        val meaningful = base(n) >= 0.02 * baseTotal
-        val waited = baseCpu.get(n)
-          .exists(bc => c >= 0 && bc > 0 && c <= 2 * bc)
-        // `load` is already loadavg minus OUR trailing-60s core rate
-        // (timeOne); -999 = platform can't report loadavg -> can't
-        // corroborate either way; keep the legacy waited-only exoneration
-        val externalLoad = load < -100 || load > 0.25 * cpus
-        val label =
-          if (meaningful && !(waited && externalLoad)) { rc = 1; "REGRESSION" }
-          else if (waited && externalLoad)
-            f"warn (exonerated: waited under external load=$load%.1f cores, cpu within 2x baseline)"
-          else "warn"
+      gateLabel(base(n), baseTotal, baseCpu.get(n), t, c, load, cpus).foreach { label =>
+        if (label == "REGRESSION") rc = 1
         System.err.println(
           f"[bench] $label: $n $t%.2fs > 3x baseline ${base(n)}%.2fs" +
             baseCpu.get(n).map(bc => f" (cpu $c%.1fs vs baseline $bc%.1fs, extload=$load%.1f)").getOrElse(""))
       }
     }
     rc
+  }
+
+  /** Per-query gate verdict — None below the breach threshold, otherwise
+    * "REGRESSION" or a "warn…" label. Extracted pure so BenchGateSpec can
+    * pin the decision table.
+    *
+    * A breach = wall > max(3x its baseline, 2 s floor). Single small
+    * queries swing many-x on machine noise — only a breach by a query
+    * that is a meaningful share of the suite (>= 2% of baseline total)
+    * CAN fail the run. Wall alone can't convict on a shared machine, but
+    * flat cpu alone can't acquit either: lock contention, an accidental
+    * sleep, or serialized I/O all show the waited signature on an IDLE
+    * box. So exoneration needs BOTH halves of the contention story: cpu
+    * within 2x its baseline (the query waited, didn't compute) AND
+    * external load actually present — `extLoad` is the 1-min loadavg at
+    * measurement time minus this process's own trailing-60s core rate,
+    * and must exceed 25% of the machine. A flat-cpu breach on a quiet
+    * box stays a REGRESSION (round-9 gate fix); extLoad < -100 means the
+    * platform can't report loadavg, keeping the legacy waited-only
+    * exoneration. */
+  private[graft] def gateLabel(baseWall: Double, baseTotal: Double,
+                               baseCpu: Option[Double], wall: Double,
+                               cpu: Double, extLoad: Double,
+                               cpus: Double): Option[String] = {
+    if (wall <= math.max(3 * baseWall, 2.0)) return None
+    val meaningful = baseWall >= 0.02 * baseTotal
+    val waited = baseCpu.exists(bc => cpu >= 0 && bc > 0 && cpu <= 2 * bc)
+    val externalLoad = extLoad < -100 || extLoad > 0.25 * cpus
+    Some(
+      if (meaningful && !(waited && externalLoad)) "REGRESSION"
+      else if (waited && externalLoad)
+        f"warn (exonerated: waited under external load=$extLoad%.1f cores, cpu within 2x baseline)"
+      else "warn")
   }
 }
