@@ -157,13 +157,14 @@ object Streaming {
     * sizes the anti-join's probe side is cut by a Bloom prefilter
     * ([[graft.ops.Dedup.bloomIncremental]]) — same contract. */
   def streamDedupIndex(docs: DataFrame, table: graft.table.ManagedTable,
-                       idCol: String, textCol: String): Unit = {
+                       idCol: String, textCol: String,
+                       compactEvery: Int = 0): Unit = {
     import org.apache.spark.sql.expressions.Window
     docs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("update")
       .option("checkpointLocation", s"${table.path}/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val withDigest = batch
           .withColumn("digest", md5(col(textCol).cast("binary")))
         val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
@@ -179,6 +180,15 @@ object Streaming {
           else firstInBatch).persist()
         try { if (!fresh.isEmpty) table.append(fresh) }
         finally fresh.unpersist()
+        // append-only ingest grows one dir + one manifest entry per batch:
+        // at 10^5 micro-batches that is a 10^5-way union per read and a
+        // manifest listing every dir. compactSmall folds the small dirs
+        // into ~targetBytes files every `compactEvery` batches (0 = never)
+        // while carrying healthy dirs by reference — Delta's
+        // auto-compaction cadence, same knob streamUpsert exposes.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+            && table.exists)
+          table.compactSmall()
         ()
       }
       .start()
@@ -227,7 +237,8 @@ object Streaming {
   def streamNearDupIndex(docs: DataFrame, corpus: graft.table.ManagedTable,
                          lsh: graft.table.ManagedTable, idCol: String,
                          textCol: String, n: Int = 3, k: Int = 64,
-                         bands: Int = 32, threshold: Double = 0.7): Unit = {
+                         bands: Int = 32, threshold: Double = 0.7,
+                         compactEvery: Int = 0): Unit = {
     import graft.ops.Dedup
     // bands > k would make every band slice empty (every doc bucket-equal
     // to every other — an O(n^2) verify explosion); a non-dividing k would
@@ -332,6 +343,13 @@ object Streaming {
           flagged.unpersist()
           base.unpersist()
           banded.unpersist()
+        }
+        // both tables grow one dir + manifest entry per batch; fold the
+        // small dirs every `compactEvery` batches (0 = never) so reads
+        // stay a bounded union instead of a 10^5-way one at crawl scale
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          if (corpus.exists) corpus.compactSmall()
+          if (lsh.exists) lsh.compactSmall()
         }
         }
         ()

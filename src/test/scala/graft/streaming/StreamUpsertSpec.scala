@@ -225,6 +225,36 @@ class StreamUpsertSpec extends SparkSuite {
       === Seq(("a", 2L, 7L)))
   }
 
+  test("streamDedupIndex compactEvery folds per-batch dirs; results unchanged") {
+    // append-only ingest leaves one dir + one manifest entry per batch —
+    // a 10^5-way union per read at crawl scale. compactEvery must fold
+    // the small dirs without changing the indexed corpus.
+    val w = graft.common.Scratch.dir("test", "stream_dedup_compact")
+    graft.common.FsUtils.deleteFiles(spark, Seq(w))
+    val table = ManagedTable(spark, s"$w/t")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    def drain(): Unit = Streaming.streamDedupIndex(
+      spark.readStream.schema(schema).json(s"$w/in"),
+      table, "doc_id", "text", compactEvery = 2)
+    def entriesAtHead(): Int = {
+      val v = table.currentVersion.get
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.common.FsUtils.readText(spark, s"$w/t/_graft_log/$v.json"))
+        .get("dirs").size()
+    }
+    (0 until 5).foreach { i =>
+      Seq((i.toLong, s"doc number $i"), (100L + i, s"doc number $i")) // dup text
+        .toDF("doc_id", "text").write.mode("append").json(s"$w/in")
+      drain()
+    }
+    // 5 appends; compaction ran at batches 2 and 4 — the head manifest
+    // references fewer dirs than one-per-batch
+    assert(entriesAtHead() < 5)
+    assert(table.read().count() === 5) // one per distinct text, first id wins
+    assert(table.read().select("doc_id").as[Long].collect().toSet
+      === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("streamNearDupIndex survives a checkpoint reset without suppressing new batches") {
     // deleting the checkpoint restarts batchIds at 0; a marker keyed on
     // the table PATH would then skip every batch up to the previous
