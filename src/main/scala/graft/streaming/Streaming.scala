@@ -42,6 +42,17 @@ object Streaming {
       .get("id").asText()
     catch { case _: Exception => java.util.UUID.randomUUID().toString }
 
+  /** Shared auto-compaction cadence for the table-building sinks: every
+    * `compactEvery` batches (0 = never) fold each table's small per-batch
+    * dirs via [[graft.table.ManagedTable.compactSmall]] (healthy dirs
+    * carry by reference; a cadence point with nothing to fold commits
+    * nothing). One definition so the guard/placement can't drift between
+    * sinks. */
+  private def maybeCompact(batchId: Long, compactEvery: Int,
+                           tables: graft.table.ManagedTable*): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      tables.foreach(t => if (t.exists) t.compactSmall())
+
   /** Watermarked tumbling-window aggregation: per (window, key) row count
     * and value sum. Append mode emits a window exactly once, when the
     * watermark passes its end — the deterministic at-most-once-per-window
@@ -182,13 +193,9 @@ object Streaming {
         finally fresh.unpersist()
         // append-only ingest grows one dir + one manifest entry per batch:
         // at 10^5 micro-batches that is a 10^5-way union per read and a
-        // manifest listing every dir. compactSmall folds the small dirs
-        // into ~targetBytes files every `compactEvery` batches (0 = never)
-        // while carrying healthy dirs by reference — Delta's
-        // auto-compaction cadence, same knob streamUpsert exposes.
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
-            && table.exists)
-          table.compactSmall()
+        // manifest listing every dir — Delta's auto-compaction cadence,
+        // same knob streamUpsert exposes.
+        maybeCompact(batchId, compactEvery, table)
         ()
       }
       .start()
@@ -344,14 +351,13 @@ object Streaming {
           base.unpersist()
           banded.unpersist()
         }
+        }
         // both tables grow one dir + manifest entry per batch; fold the
-        // small dirs every `compactEvery` batches (0 = never) so reads
-        // stay a bounded union instead of a 10^5-way one at crawl scale
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          if (corpus.exists) corpus.compactSmall()
-          if (lsh.exists) lsh.compactSmall()
-        }
-        }
+        // small dirs so reads stay a bounded union instead of a 10^5-way
+        // one at crawl scale. OUTSIDE the replay-skip guard: a cadence
+        // point coinciding with a crash-replayed batch must still compact
+        // (the skip guard would silently defer it a whole cadence period).
+        maybeCompact(batchId, compactEvery, corpus, lsh)
         ()
       }
       .start()

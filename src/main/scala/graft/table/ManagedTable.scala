@@ -1300,9 +1300,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       // nothing small, or already as packed as it gets (e.g. ONE small
       // single-file dir, or a just-compacted dir still under target) —
-      // commit a no-op version rather than churn data
+      // return the current version WITHOUT committing: a streaming sink
+      // calling this on a cadence would otherwise mint a no-op manifest
+      // (duplicating the whole entry list + txn map) every cadence point,
+      // pure log churn at 10^5 micro-batches
       if (small.isEmpty || small.map(_._2.length).sum <= n)
-        commitAgainst(Some(cur.version), cur.entries, cur.dvs)
+        cur.version
       else {
         // subtract deletion vectors from the rewritten slice (rewriting
         // from un-vectored files would resurrect deleted rows); carried
