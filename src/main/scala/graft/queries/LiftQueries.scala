@@ -686,6 +686,30 @@ object LiftQueries {
         .select("o_orderkey", "o_orderstatus", "price")
     }),
 
+    // Iceberg-style bucket transform (ManagedTable.setBucket): writes lay
+    // out a hidden pmod(hash(o_orderkey), 16) hive partition, the merge on
+    // the bucket key rewrites only touched bucket dirs, and the final
+    // point lookup scans only its key's bucket — structural pruning with
+    // no sidecar collection (BucketTransformSpec pins the prune evidence)
+    "l_table_bucket" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, min, round}
+      val w = scratch(s, "l_table_bucket")
+      val orders = Tables.orders(s, d)
+        .selectExpr("o_orderkey", "o_orderstatus",
+          "round(o_totalprice, 2) AS price")
+      val t = ManagedTable(s, s"$w/t")
+      t.setBucket("o_orderkey", 16)
+      t.write(orders.where(expr("o_orderkey % 5 = 0")))
+      t.append(orders.where(expr("o_orderkey % 5 = 1")))
+      // updates hit existing rows (% 10 = 0 ⊂ wave 1) AND insert fresh
+      // keys (% 10 = 3 is in neither wave) — both merge arms exercised
+      t.merge(orders.where(expr("o_orderkey % 10 IN (0, 3)"))
+          .withColumn("price", round(col("price") + 50, 2)),
+        "source.o_orderkey == updates.o_orderkey")
+      val k = t.read().agg(min("o_orderkey")).head().getLong(0)
+      t.read().unionByName(t.readWhere(s"o_orderkey = $k"))
+    }),
+
     // multi-column Z-order (bit-interleaved Morton key, table/ZOrder):
     // the read-back predicate filters on o_totalprice — the SECOND
     // z-ordered column, which lexicographic clustering could never prune
@@ -1377,6 +1401,22 @@ object LiftQueries {
     "l_table_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""".stripMargin,
+    "l_table_bucket" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 5 IN (0, 1)),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         round(round(o_totalprice, 2) + 50, 2) AS price
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 3)),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT * FROM merged
+        |UNION ALL
+        |SELECT * FROM merged
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM merged)""".stripMargin,
     "l_table_restore" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 12 = 0""".stripMargin,

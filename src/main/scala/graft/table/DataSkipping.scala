@@ -251,6 +251,68 @@ object DataSkipping {
     if (tests.isEmpty) None else Some(tests.reduce(_ && _))
   }
 
+  // ------------------------------------------------------ bucket skipping
+  // Iceberg-style bucket transform support: the write side stores
+  // `pmod(hash(key), n)` as a hidden hive partition, and a point lookup on
+  // the key prunes to the matching bucket dirs STRUCTURALLY — no sidecar
+  // collection, exact under appends (a new file lands in its key's bucket
+  // by construction, where a bloom sidecar goes stale until re-collected).
+
+  /** Bucket id of literal `l` cast to the bucketed column's type `dt` —
+    * MUST match the write-side expression `pmod(hash(cast(col)), n)`
+    * ([[graft.table.ManagedTable.setBucket]]). Like [[hashLiteral]], the
+    * cast+hash is Catalyst-evaluated so `key = 5` against a LongType key
+    * hashes the long 5, not the int literal. An un-castable literal
+    * yields None (no pruning — the safe direction). */
+  def bucketOfLiteral(l: Literal, dt: org.apache.spark.sql.types.DataType,
+                      n: Int): Option[Int] =
+    try {
+      val cast = Cast(l, dt, Option("UTC"))
+      if (cast.eval(null) == null) None
+      else {
+        val h = new Murmur3Hash(Seq(cast)).eval(null).asInstanceOf[Int]
+        Some(((h % n) + n) % n)
+      }
+    } catch { case _: Exception => None }
+
+  /** Buckets a read for `condition` must scan, from top-level equality/IN
+    * conjuncts on the bucketed `column` — None when no conjunct constrains
+    * the key (or a literal can't hash): read every bucket. Multiple
+    * conjuncts on the key intersect (`k = 5 AND k IN (5, 6)` → bucket of
+    * 5 only). Anything under OR/NOT conservatively contributes nothing —
+    * same shape as [[bloomKeep]]'s conjunct rule. */
+  def bucketsFor(spark: SparkSession, condition: String, column: String,
+                 dt: org.apache.spark.sql.types.DataType,
+                 n: Int): Option[Set[Int]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def onKey(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        a.nameParts.head.equalsIgnoreCase(column)
+      case _ => false
+    }
+    val parsed = try {
+      spark.sessionState.sqlParser.parseExpression(condition)
+    } catch { case _: Exception => return None }
+    val perConjunct = conjuncts(parsed).flatMap {
+      case EqualTo(a, l: Literal) if onKey(a) => Some(Seq(l))
+      case EqualTo(l: Literal, a) if onKey(a) => Some(Seq(l))
+      case In(a, vs) if onKey(a) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map(_.asInstanceOf[Literal]))
+      case _ => None
+    }.flatMap { lits =>
+      val ids = lits.map(bucketOfLiteral(_, dt, n))
+      // one un-hashable literal disables THIS conjunct (it might match a
+      // bucket we can't compute), not the others
+      if (ids.exists(_.isEmpty)) None else Some(ids.flatten.toSet)
+    }
+    if (perConjunct.isEmpty) None
+    else Some(perConjunct.reduce(_ intersect _))
+  }
+
   /** Canonical filesystem path of a raw `input_file_name()` URI (or any
     * path string) for prefix matching and hand-off to the reader. */
   def canonPath(s: String): String = {

@@ -244,9 +244,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * [[readEntries]] when there are none — the common path stays a bare
     * parquet scan with no provenance columns in the plan). */
   private def readSnapshot(m: Manifest): DataFrame =
-    if (m.dvs.isEmpty) readEntries(m.entries, m.renames)
-    else applyDv(readEntriesWithMeta(m.entries, m.renames), m.dvs)
-      .drop(DvFile, DvPos)
+    // the hidden bucket partition ([[setBucket]]) never surfaces in a
+    // logical read; rewrites recompute it in writeData, so dropping it
+    // here keeps it physically-derived only (drop is a no-op on
+    // unbucketed dirs)
+    (if (m.dvs.isEmpty) readEntries(m.entries, m.renames)
+     else applyDv(readEntriesWithMeta(m.entries, m.renames), m.dvs)
+       .drop(DvFile, DvPos))
+      .drop(ManagedTable.BucketCol)
 
   /** Like [[readSnapshot]] but keeps the provenance columns — DML ops use
     * it to derive NEW vectors from matched rows. */
@@ -362,11 +367,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   // ---------------------------------------------------------------- checks
   private def propsPath = s"$logDir/_properties.json"
 
-  /** Table properties: CHECK constraints + schema-enforcement flag.
-    * Stored beside the manifest log; read per write (one tiny file —
-    * same cost class as the manifest listing). */
-  private def readProps(): (Boolean, Map[String, String]) = {
-    if (!FsUtils.exists(spark, propsPath)) return (false, Map.empty)
+  /** Table properties: CHECK constraints + schema-enforcement flag +
+    * optional bucket spec (column, n). Stored beside the manifest log;
+    * read per write (one tiny file — same cost class as the manifest
+    * listing). */
+  private def readProps(): (Boolean, Map[String, String], Option[(String, Int)]) = {
+    if (!FsUtils.exists(spark, propsPath)) return (false, Map.empty, None)
     val node = new ObjectMapper().readTree(FsUtils.readText(spark, propsPath))
     val checks = Option(node.get("checks")).map { c =>
       val it = c.properties().iterator()
@@ -374,20 +380,68 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
       b.result()
     }.getOrElse(Map.empty)
-    (Option(node.get("schemaEnforced")).exists(_.asBoolean(false)), checks)
+    val bucket = Option(node.get("bucket")).map { b =>
+      (b.get("column").asText(), b.get("n").asInt())
+    }
+    (Option(node.get("schemaEnforced")).exists(_.asBoolean(false)), checks,
+      bucket)
   }
 
-  private def writeProps(enforced: Boolean, checks: Map[String, String]): Unit = {
+  private def writeProps(enforced: Boolean, checks: Map[String, String],
+                         bucket: Option[(String, Int)]): Unit = {
     val mapper = new ObjectMapper()
     val body = checks.map { case (k, v) =>
       s"${mapper.writeValueAsString(k)}: ${mapper.writeValueAsString(v)}"
     }.mkString("{", ",", "}")
+    val bucketJson = bucket.fold("") { case (c, n) =>
+      s""","bucket":{"column":${mapper.writeValueAsString(c)},"n":$n}"""
+    }
     FsUtils.writeTextAtomic(spark, propsPath,
-      s"""{"schemaEnforced":$enforced,"checks":$body}""")
+      s"""{"schemaEnforced":$enforced,"checks":$body$bucketJson}""")
   }
 
   /** Registered CHECK constraints (name → SQL expression). */
   def checks: Map[String, String] = readProps()._2
+
+  // ------------------------------------------------------------- bucketing
+
+  /** The table's bucket transform, if set: (key column, bucket count). */
+  def bucketSpec: Option[(String, Int)] = readProps()._3
+
+  /** CLUSTER the table Iceberg-`bucket(n, column)`-style: every subsequent
+    * write adds a hidden `__gbucket = pmod(hash(column), n)` hive
+    * partition (innermost, below any explicit `partitionBy`), and
+    *
+    *   - [[readWhere]] with an equality/IN on the key scans ONLY the
+    *     matching bucket dirs — structural point-lookup pruning to 1/n of
+    *     the files with no sidecar to collect and no staleness under
+    *     appends (new files land in their key's bucket by construction);
+    *   - [[merge]] keyed on the bucketed column rewrites ONLY the buckets
+    *     holding update keys (O(touched buckets), not O(table)) — the
+    *     upsert-heavy-ingest cost model Delta needs partition columns for,
+    *     without requiring a natural partition key.
+    *
+    * The bucket column is internal: every public read drops it, and every
+    * rewrite recomputes it from the key column, so it can never drift from
+    * the data. Existing dirs keep their layout (reads stay correct,
+    * unpruned) until `optimize()`/[[compactSmall]] rewrites them.
+    * Bucket count is a layout constant: to change it, `dropBucket()` +
+    * `setBucket` + `optimize()`. */
+  def setBucket(column: String, n: Int): Unit = {
+    require(n >= 1, s"setBucket: bucket count must be >= 1, got $n")
+    require(!column.startsWith("__"),
+      s"setBucket: cannot bucket by internal column $column")
+    val (enforced, cks, _) = readProps()
+    writeProps(enforced, cks, Some((column, n)))
+  }
+
+  /** Clear the bucket transform: future writes are unbucketed; existing
+    * bucketed dirs keep reading correctly (the hidden column is dropped
+    * on read regardless). */
+  def dropBucket(): Unit = {
+    val (enforced, cks, _) = readProps()
+    writeProps(enforced, cks, None)
+  }
 
   /** Add/replace a CHECK constraint (`ALTER TABLE ADD CONSTRAINT name
     * CHECK (expr)`): every subsequent write/append/merge batch must
@@ -400,13 +454,13 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       require(bad == 0,
         s"cannot add CHECK $name: existing rows violate ($expression)")
     }
-    val (enforced, cur) = readProps()
-    writeProps(enforced, cur + (name -> expression))
+    val (enforced, cur, bucket) = readProps()
+    writeProps(enforced, cur + (name -> expression), bucket)
   }
 
   def dropCheck(name: String): Unit = {
-    val (enforced, cur) = readProps()
-    writeProps(enforced, cur - name)
+    val (enforced, cur, bucket) = readProps()
+    writeProps(enforced, cur - name, bucket)
   }
 
   /** Toggle schema enforcement. Off (default) the table behaves like
@@ -415,15 +469,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * types — the Delta default, failing fast at write time instead of
     * poisoning future reads with an incompatible column type. */
   def setSchemaEnforced(on: Boolean): Unit = {
-    val (_, cur) = readProps()
-    writeProps(on, cur)
+    val (_, cur, bucket) = readProps()
+    writeProps(on, cur, bucket)
   }
 
   /** Write-time validation: CHECK constraints (one scan of the BATCH,
     * never the table) + optional schema enforcement against the current
     * snapshot's schema. */
   private def validateBatch(df: DataFrame): Unit = {
-    val (enforced, cks) = readProps()
+    require(!df.columns.exists(_.equalsIgnoreCase(ManagedTable.BucketCol)),
+      s"batch column ${ManagedTable.BucketCol} collides with the reserved " +
+        "bucket-transform column")
+    val (enforced, cks, _) = readProps()
     if (enforced && exists) {
       val have = read().schema.map(f => f.name.toLowerCase -> f.dataType).toMap
       df.schema.foreach { f =>
@@ -582,7 +639,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         commitAgainst(None, Seq(Entry(writeData(updates, partitionBy), None)))
       case Some(cur) =>
         val pruned = if (upsert && partitionBy.nonEmpty)
-          prunedMerge(updates, condition, partitionBy) else None
+          prunedMerge(updates, condition, partitionBy)
+        else if (upsert && partitionBy.isEmpty)
+          bucketPrunedMerge(updates, condition)
+        else None
         pruned.getOrElse {
           val target = readSnapshot(cur)
           // no explicit broadcast hint on either side: updates batches and
@@ -633,6 +693,34 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         .join(updates.alias("updates"), expr(condition), "left_anti")
         .unionByName(updates, allowMissingColumns = true),
       extraTouched = Some(updates.select(col(partitionBy.head))))
+  }
+
+  /** Bucket-pruned upsert on an UNPARTITIONED bucketed table
+    * ([[setBucket]]): rewrite only the `__gbucket=` dirs whose buckets the
+    * update keys hash into, carry the rest by subdir reference — the
+    * O(touched buckets) merge cost model, with no natural partition key
+    * required. Engages only when the merge condition contains a
+    * `source.key =/== updates.key` equality on the bucketed column (the
+    * hash is a function of the key, so matches can never cross buckets —
+    * the partition-stability contract holds by construction); any other
+    * condition shape falls back to the full rewrite. None → caller falls
+    * back (no spec, layout not splittable — e.g. pre-bucket dirs — or too
+    * many touched buckets). */
+  private def bucketPrunedMerge(updates: DataFrame,
+                                condition: String): Option[Long] = {
+    val (c, n) = bucketSpec.getOrElse(return None)
+    val key = updates.columns.find(_.equalsIgnoreCase(c)).getOrElse(return None)
+    val id = java.util.regex.Pattern.quote(c)
+    val eq = ("(?i)(?:source\\s*\\.\\s*`?" + id + "`?\\s*==?\\s*updates\\s*\\.\\s*`?" + id +
+      "`?|updates\\s*\\.\\s*`?" + id + "`?\\s*==?\\s*source\\s*\\.\\s*`?" + id + "`?)").r
+    if (eq.findFirstIn(condition).isEmpty) return None
+    val bucketed = updates.withColumn(ManagedTable.BucketCol,
+      pmod(hash(col(s"`$key`")), lit(n)))
+    prunedRewrite(lit(false), Seq(ManagedTable.BucketCol),
+      slice => slice.drop(ManagedTable.BucketCol).alias("source")
+        .join(updates.alias("updates"), expr(condition), "left_anti")
+        .unionByName(updates, allowMissingColumns = true),
+      extraTouched = Some(bucketed.select(col(ManagedTable.BucketCol))))
   }
 
   /** Apply a CDC batch — rows tagged insert/update/delete in `opCol`
@@ -1143,17 +1231,38 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhere(condition: String): DataFrame = lastManifest() match {
     case None => spark.emptyDataFrame
     case Some(m) =>
+      val spec = bucketSpec
+      // bucket pruning ([[setBucket]]): an equality/IN conjunct on the
+      // bucketed key constrains the hidden partition to the literals'
+      // computed buckets — Catalyst turns the isin into a partition
+      // filter, so non-matching bucket dirs are pruned at planning time
+      // (per SCAN: dirs written before setBucket lack the column and
+      // read unpruned, which keeps mixed-age snapshots correct)
+      def bucketFilter(scan: DataFrame): DataFrame = spec match {
+        case Some((c, n)) if scan.schema.fieldNames
+            .exists(_.equalsIgnoreCase(ManagedTable.BucketCol)) =>
+          scan.schema.fields.find(_.name.equalsIgnoreCase(c))
+            .flatMap(f => DataSkipping.bucketsFor(spark, condition, c,
+              f.dataType, n)) match {
+            // an EMPTY id set (contradictory conjuncts) correctly prunes
+            // the whole scan — isin() of nothing is false
+            case Some(ids) => scan.where(
+              col(ManagedTable.BucketCol).isin(ids.toSeq.map(Int.box): _*))
+            case None => scan
+          }
+        case _ => scan
+      }
       val dfs = pruneEntries(m.entries, condition, withCounts = false).map {
         case (e, sel, _, _) if sel.forall(_.nonEmpty) =>
           // Some(kept files) -> pruned scan; None -> full-dir scan
           // (no/weak stats: Spark enumerates the dir itself)
-          val scan = applyRenames(
+          val scan = bucketFilter(applyRenames(
             sel.fold(spark.read.option("basePath", e.base.getOrElse(e.dir))
                 .parquet(e.dir)) { files =>
               spark.read.option("basePath", e.base.getOrElse(e.dir))
                 .parquet(files: _*)
             },
-            m.renames)
+            m.renames))
           if (m.dvs.isEmpty) scan
           else scan.withColumn(DvFile, col("_metadata.file_path"))
             .withColumn(DvPos, col("_metadata.row_index"))
@@ -1167,8 +1276,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val unioned = dropTombstones(
         dfs.reduce(_.unionByName(_, allowMissingColumns = true)))
         .where(expr(condition))
-      if (m.dvs.isEmpty) unioned
-      else applyDv(unioned, m.dvs).drop(DvFile, DvPos)
+      (if (m.dvs.isEmpty) unioned
+       else applyDv(unioned, m.dvs).drop(DvFile, DvPos))
+        .drop(ManagedTable.BucketCol)
   }
 
   /** Structured-Streaming SOURCE over an APPEND-ONLY table: a parquet
@@ -1196,6 +1306,11 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       s"streamAppends on $path: table has a live column mapping — a raw " +
         "file-glob source reads physical names and would null out renamed " +
         "columns; OPTIMIZE to materialize the renames first")
+    require(bucketSpec.isEmpty,
+      s"streamAppends on $path: table is bucketed — partition-shaped " +
+        "layouts are unsupported as raw file-glob stream sources (same " +
+        "caveat as explicit partitionBy, see above); stream the unbucketed " +
+        "ingest table and bucket downstream")
     spark.readStream.schema(read().schema).parquet(s"$path/d*")
   }
 
@@ -1271,6 +1386,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // exactly one wins and the other fails loudly
     target.commitAgainst(None, m.map(_.entries).getOrElse(Nil),
       m.map(_.dvs).getOrElse(Nil), Some(m.map(_.renames).getOrElse(Nil)))
+    // table properties travel with the clone: CHECK constraints, schema
+    // enforcement and the bucket spec are part of the table's contract,
+    // not of one snapshot — a clone losing its checks would accept
+    // batches the source rejects, and one losing its bucket spec would
+    // silently write unbucketed dirs
+    if (FsUtils.exists(spark, propsPath)) {
+      val (enforced, cks, bucket) = readProps()
+      target.writeProps(enforced, cks, bucket)
+    }
     target
   }
 
@@ -1311,10 +1435,19 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // from un-vectored files would resurrect deleted rows); carried
         // healthy dirs may still have vectored rows so dvs carry over
         val smallEntries = small.map(_._1)
-        val merged = (if (cur.dvs.isEmpty) readEntries(smallEntries, cur.renames)
+        val folded = (if (cur.dvs.isEmpty) readEntries(smallEntries, cur.renames)
                       else applyDv(readEntriesWithMeta(smallEntries, cur.renames), cur.dvs)
                         .drop(DvFile, DvPos))
-          .repartition(n)
+        // bucketed tables repartition BY BUCKET so each bucket's rows land
+        // in one task — the rewrite then emits one file per non-empty
+        // bucket instead of (tasks × buckets) small files, which would
+        // re-create the small-file tail the compaction exists to fold
+        val merged = bucketSpec match {
+          case Some((c, nb)) if folded.columns.exists(_.equalsIgnoreCase(c)) =>
+            val key = folded.columns.find(_.equalsIgnoreCase(c)).get
+            folded.repartition(n, pmod(hash(col(s"`$key`")), lit(nb)))
+          case _ => folded.repartition(n)
+        }
         commitAgainst(Some(cur.version),
           healthy.map(_._1) :+ Entry(writeData(merged, partitionBy), None),
           cur.dvs)
@@ -1496,8 +1629,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // its race is left unreferenced and reaped by vacuum's orphan sweep.
     val v = currentVersion.map(_ + 1).getOrElse(0L)
     val dir = s"${dataDir(v)}-${java.util.UUID.randomUUID.toString.take(8)}"
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    // bucket transform: the hidden bucket partition is ALWAYS recomputed
+    // from the key column here (any stale __gbucket a rewrite carried in
+    // is dropped first), so the layout can never drift from the data. The
+    // bucket level sits innermost so explicit partition columns keep
+    // their top-level dirs (pruned DML on partitionBy.head unaffected).
+    // No shuffle is added — like Delta, append cost stays O(new data);
+    // a task spanning several buckets writes one file per (task, bucket).
+    val (toWrite, parts) = bucketSpec match {
+      case Some((c, n)) if df.columns.exists(_.equalsIgnoreCase(c)) =>
+        val key = df.columns.find(_.equalsIgnoreCase(c)).get
+        (df.drop(ManagedTable.BucketCol).withColumn(ManagedTable.BucketCol,
+            pmod(hash(col(s"`$key`")), lit(n))),
+          partitionBy.filterNot(_ == ManagedTable.BucketCol) :+
+            ManagedTable.BucketCol)
+      case _ => (df.drop(ManagedTable.BucketCol), partitionBy)
+    }
+    val w = toWrite.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
     dir
   }
 
@@ -1636,6 +1785,11 @@ object ManagedTable {
     * reads always exclude, so old data dirs keep their files untouched
     * and Catalyst's column pruning keeps the dropped bytes unread. */
   private[table] val DroppedPrefix = "__graft_dropped_"
+
+  /** Hidden hive-partition column carrying the bucket transform's
+    * `pmod(hash(key), n)` value ([[ManagedTable.setBucket]]). Reserved:
+    * batches may not use the name; public reads never surface it. */
+  val BucketCol = "__gbucket"
 
   /** Attempts a read-modify-write operation makes before giving up under
     * sustained commit contention. */
