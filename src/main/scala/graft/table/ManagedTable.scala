@@ -706,16 +706,36 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * condition shape falls back to the full rewrite. None → caller falls
     * back (no spec, layout not splittable — e.g. pre-bucket dirs — or too
     * many touched buckets). */
+  /** True iff `condition` contains a whole-identifier equality between
+    * `source.c` and `updates.c` (either order, `=` or `==`, optional
+    * backticks) — the partition-stability evidence bucket-pruned DML
+    * requires. The trailing lookahead stops `updates.kid` from vouching
+    * for key `k`; a leading word char can't false-match because the
+    * alias prefix anchors the start. */
+  private def conditionKeysOnBucket(condition: String, c: String): Boolean = {
+    val id = java.util.regex.Pattern.quote(c)
+    val tail = "`?(?![A-Za-z0-9_])"
+    ("(?i)(?:source\\s*\\.\\s*`?" + id + tail + "\\s*==?\\s*updates\\s*\\.\\s*`?" + id + tail +
+      "|updates\\s*\\.\\s*`?" + id + tail + "\\s*==?\\s*source\\s*\\.\\s*`?" + id + tail + ")").r
+      .findFirstIn(condition).isDefined
+  }
+
+  /** The batch with the table's bucket id computed from its key column —
+    * the extraTouched frame bucket-pruned DML hands to [[prunedRewrite]].
+    * None when the spec is unset or the batch lacks the key. */
+  private def withBucketIds(df: DataFrame): Option[DataFrame] =
+    bucketSpec.flatMap { case (c, n) =>
+      df.columns.find(_.equalsIgnoreCase(c)).map { key =>
+        df.withColumn(ManagedTable.BucketCol,
+          pmod(hash(col(s"`$key`")), lit(n)))
+      }
+    }
+
   private def bucketPrunedMerge(updates: DataFrame,
                                 condition: String): Option[Long] = {
-    val (c, n) = bucketSpec.getOrElse(return None)
-    val key = updates.columns.find(_.equalsIgnoreCase(c)).getOrElse(return None)
-    val id = java.util.regex.Pattern.quote(c)
-    val eq = ("(?i)(?:source\\s*\\.\\s*`?" + id + "`?\\s*==?\\s*updates\\s*\\.\\s*`?" + id +
-      "`?|updates\\s*\\.\\s*`?" + id + "`?\\s*==?\\s*source\\s*\\.\\s*`?" + id + "`?)").r
-    if (eq.findFirstIn(condition).isEmpty) return None
-    val bucketed = updates.withColumn(ManagedTable.BucketCol,
-      pmod(hash(col(s"`$key`")), lit(n)))
+    val (c, _) = bucketSpec.getOrElse(return None)
+    if (!conditionKeysOnBucket(condition, c)) return None
+    val bucketed = withBucketIds(updates).getOrElse(return None)
     prunedRewrite(lit(false), Seq(ManagedTable.BucketCol),
       slice => slice.drop(ManagedTable.BucketCol).alias("source")
         .join(updates.alias("updates"), expr(condition), "left_anti")
@@ -784,6 +804,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                 .join(allKeys.alias("updates"), expr(condition), "left_anti")
                 .unionByName(upserts, allowMissingColumns = true),
               extraTouched = Some(allKeys.select(col(partitionBy.head))))
+          else if (partitionBy.isEmpty &&
+              bucketSpec.exists(b => conditionKeysOnBucket(condition, b._1)))
+            // bucketed CDC mirror: a change batch keyed on the bucketed
+            // column rewrites only the buckets its keys (I, U and D
+            // alike) hash into — partition-stability holds by
+            // construction, the hash is a function of the key
+            withBucketIds(allKeys).flatMap(bk =>
+              prunedRewrite(lit(false), Seq(ManagedTable.BucketCol),
+                slice => slice.drop(ManagedTable.BucketCol).alias("source")
+                  .join(allKeys.alias("updates"), expr(condition), "left_anti")
+                  .unionByName(upserts, allowMissingColumns = true),
+                extraTouched = Some(bk.select(col(ManagedTable.BucketCol)))))
           else None
           pruned.getOrElse(
             commitAgainst(Some(cur.version), Seq(Entry(writeData(
@@ -1342,7 +1374,15 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         } else if (zorderBy.nonEmpty)
           cur.repartitionByRange(n, zorderBy.map(col): _*)
             .sortWithinPartitions(zorderBy.map(col): _*)
-        else cur.repartition(n)
+        else bucketSpec match {
+          // bucketed tables compact BY BUCKET (each bucket's rows in one
+          // task → one file per non-empty bucket, not tasks × buckets —
+          // same shape as [[compactSmall]])
+          case Some((c, nb)) if cur.columns.exists(_.equalsIgnoreCase(c)) =>
+            val key = cur.columns.find(_.equalsIgnoreCase(c)).get
+            cur.repartition(n, pmod(hash(col(s"`$key`")), lit(nb)))
+          case _ => cur.repartition(n)
+        }
       // pass the table's partition columns so compaction keeps the hive
       // layout — otherwise one OPTIMIZE would flatten the dirs and disable
       // both scan-time partition pruning and future pruned merges

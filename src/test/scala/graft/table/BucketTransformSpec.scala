@@ -97,6 +97,41 @@ class BucketTransformSpec extends SparkSuite {
     assert(t2.read().count() === 3L) // no s-match: the row appends
   }
 
+  test("applyChanges on the bucket key rewrites only touched buckets") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 8)
+    t.write(spark.range(400).selectExpr("id AS k", "CAST(0 AS LONG) AS v"))
+    val changes = Seq(
+      (7L, 99L, "U", 1L),   // update an existing key
+      (900L, 5L, "I", 1L),  // insert a fresh key
+      (13L, 0L, "D", 1L)    // delete an existing key
+    ).toDF("k", "v", "op", "seq")
+    t.applyChanges(changes, "source.k == updates.k", "op", "seq")
+    assert(t.read().count() === 400L) // +1 insert, -1 delete
+    assert(sortedRows(t.readWhere("k = 7")) === Seq("[7,99]"))
+    assert(t.readWhere("k = 13").count() === 0L)
+    assert(sortedRows(t.readWhere("k = 900")) === Seq("[900,5]"))
+    val newest = dataDirs(t.path).maxBy(d => new org.apache.hadoop.fs.Path(d)
+      .getName.stripPrefix("d").takeWhile(_.isDigit).toLong)
+    val touched = bucketDirs(newest)
+    assert(touched.nonEmpty && touched.size <= 3,
+      s"expected <=3 touched bucket dirs, got ${touched.size}")
+  }
+
+  test("a merge keyed on a PREFIX-named column never bucket-prunes") {
+    // bucket key is "k"; the merge keys on "kid", whose matches can cross
+    // buckets — a naive substring check would claim partition stability
+    // and strand the old row (duplicate rows after merge)
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 8)
+    t.write(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "kid", "s"))
+    t.merge(Seq((3L, 10L, "z")).toDF("k", "kid", "s"),
+      "source.kid == updates.kid")
+    // kid=10 matched: old (1,10,a) leaves, (3,10,z) lands — 2 rows total
+    assert(t.read().count() === 2L)
+    assert(sortedRows(t.read().where($"kid" === 10L)) === Seq("[3,10,z]"))
+  }
+
   test("pre-bucket dirs stay readable; optimize materializes the layout") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(spark.range(100).selectExpr("id AS k", "id AS v")) // unbucketed
