@@ -698,7 +698,7 @@ object LiftQueries {
         .selectExpr("o_orderkey", "o_orderstatus",
           "round(o_totalprice, 2) AS price")
       val t = ManagedTable(s, s"$w/t")
-      t.setBucket("o_orderkey", 16)
+      t.setBucket("o_orderkey", 16, org.apache.spark.sql.types.LongType)
       t.write(orders.where(expr("o_orderkey % 5 = 0")))
       t.append(orders.where(expr("o_orderkey % 5 = 1")))
       // updates hit existing rows (% 10 = 0 ⊂ wave 1) AND insert fresh

@@ -313,6 +313,37 @@ object DataSkipping {
     else Some(perConjunct.reduce(_ intersect _))
   }
 
+  /** True iff `condition` contains a TOP-LEVEL AND-conjunct equating
+    * `source.column` with `updates.column` (either order; `=`, `==` or
+    * `<=>`) — the partition-stability evidence bucket-pruned DML needs.
+    * Parsed with Catalyst, so backticks, case and whitespace resolve
+    * exactly and an equality buried under OR/NOT proves nothing (a match
+    * through the other arm could live in an untouched bucket). An
+    * unparseable condition proves nothing either. */
+  def keyEquiConjunct(spark: SparkSession, condition: String,
+                      column: String): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def is(e: Expression, alias: String): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.length == 2 &&
+        a.nameParts.head.equalsIgnoreCase(alias) &&
+        a.nameParts(1).equalsIgnoreCase(column)
+      case _ => false
+    }
+    def keyPair(l: Expression, r: Expression): Boolean =
+      (is(l, "source") && is(r, "updates")) ||
+        (is(l, "updates") && is(r, "source"))
+    try conjuncts(spark.sessionState.sqlParser.parseExpression(condition))
+      .exists {
+        case EqualTo(l, r) => keyPair(l, r)
+        case EqualNullSafe(l, r) => keyPair(l, r)
+        case _ => false
+      }
+    catch { case _: Exception => false }
+  }
+
   /** Canonical filesystem path of a raw `input_file_name()` URI (or any
     * path string) for prefix matching and hand-off to the reader. */
   def canonPath(s: String): String = {

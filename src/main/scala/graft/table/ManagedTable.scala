@@ -371,7 +371,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * optional bucket spec (column, n). Stored beside the manifest log;
     * read per write (one tiny file — same cost class as the manifest
     * listing). */
-  private def readProps(): (Boolean, Map[String, String], Option[(String, Int)]) = {
+  private def readProps(): (Boolean, Map[String, String],
+                            Option[ManagedTable.BucketSpec]) = {
     if (!FsUtils.exists(spark, propsPath)) return (false, Map.empty, None)
     val node = new ObjectMapper().readTree(FsUtils.readText(spark, propsPath))
     val checks = Option(node.get("checks")).map { c =>
@@ -380,21 +381,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
       b.result()
     }.getOrElse(Map.empty)
-    val bucket = Option(node.get("bucket")).map { b =>
-      (b.get("column").asText(), b.get("n").asInt())
-    }
+    val bucket = for {
+      b <- Option(node.get("bucket"))
+      t <- Option(b.get("type")).map(_.asText())
+    } yield ManagedTable.BucketSpec(b.get("column").asText(),
+      b.get("n").asInt(),
+      org.apache.spark.sql.types.DataType.fromDDL(t))
     (Option(node.get("schemaEnforced")).exists(_.asBoolean(false)), checks,
       bucket)
   }
 
   private def writeProps(enforced: Boolean, checks: Map[String, String],
-                         bucket: Option[(String, Int)]): Unit = {
+                         bucket: Option[ManagedTable.BucketSpec]): Unit = {
     val mapper = new ObjectMapper()
     val body = checks.map { case (k, v) =>
       s"${mapper.writeValueAsString(k)}: ${mapper.writeValueAsString(v)}"
     }.mkString("{", ",", "}")
-    val bucketJson = bucket.fold("") { case (c, n) =>
-      s""","bucket":{"column":${mapper.writeValueAsString(c)},"n":$n}"""
+    val bucketJson = bucket.fold("") { s =>
+      s""","bucket":{"column":${mapper.writeValueAsString(s.column)},""" +
+        s""""n":${s.n},"type":${mapper.writeValueAsString(s.keyType.catalogString)}}"""
     }
     FsUtils.writeTextAtomic(spark, propsPath,
       s"""{"schemaEnforced":$enforced,"checks":$body$bucketJson}""")
@@ -405,39 +410,75 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   // ------------------------------------------------------------- bucketing
 
-  /** The table's bucket transform, if set: (key column, bucket count). */
-  def bucketSpec: Option[(String, Int)] = readProps()._3
+  /** The table's bucket transform, if set. */
+  def bucketSpec: Option[ManagedTable.BucketSpec] = readProps()._3
+
+  /** Capture the key type from the current snapshot's schema. */
+  def setBucket(column: String, n: Int): Unit = {
+    require(exists, s"setBucket($column, $n) on absent/empty table $path: " +
+      "pass the key type explicitly (setBucket(column, n, keyType))")
+    val dt = read().schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"setBucket: no column $column in $path")).dataType
+    setBucket(column, n, dt)
+  }
 
   /** CLUSTER the table Iceberg-`bucket(n, column)`-style: every subsequent
-    * write adds a hidden `__gbucket = pmod(hash(column), n)` hive
-    * partition (innermost, below any explicit `partitionBy`), and
+    * write adds a hidden `__gbucket = pmod(hash(cast(column AS keyType)),
+    * n)` hive partition (innermost, below any explicit `partitionBy`), and
     *
     *   - [[readWhere]] with an equality/IN on the key scans ONLY the
     *     matching bucket dirs — structural point-lookup pruning to 1/n of
     *     the files with no sidecar to collect and no staleness under
     *     appends (new files land in their key's bucket by construction);
-    *   - [[merge]] keyed on the bucketed column rewrites ONLY the buckets
-    *     holding update keys (O(touched buckets), not O(table)) — the
-    *     upsert-heavy-ingest cost model Delta needs partition columns for,
-    *     without requiring a natural partition key.
+    *   - [[merge]]/[[applyChanges]] keyed on the bucketed column rewrite
+    *     ONLY the buckets holding batch keys (O(touched buckets), not
+    *     O(table)) — the upsert-heavy-ingest cost model Delta needs
+    *     partition columns for, without requiring a natural partition key.
+    *
+    * `keyType` is part of the layout: EVERY side (writes, lookup literals,
+    * DML touched-bucket discovery) hashes the key cast to it, so a batch
+    * whose key column arrives wider/narrower still buckets identically —
+    * without the canonical type, an int-keyed table merged with a
+    * long-keyed batch would compute different buckets for the same logical
+    * key and silently duplicate rows.
     *
     * The bucket column is internal: every public read drops it, and every
     * rewrite recomputes it from the key column, so it can never drift from
     * the data. Existing dirs keep their layout (reads stay correct,
     * unpruned) until `optimize()`/[[compactSmall]] rewrites them.
-    * Bucket count is a layout constant: to change it, `dropBucket()` +
-    * `setBucket` + `optimize()`. */
-  def setBucket(column: String, n: Int): Unit = {
+    * The spec is a layout constant: re-setting a DIFFERENT (column, n,
+    * type) is refused while any current dir still carries the old layout
+    * (its stored bucket values would be pruned with the new function —
+    * silently wrong reads); the migration recipe is `dropBucket()` →
+    * `optimize()` (materializes an unbucketed layout) → `setBucket(new)`. */
+  def setBucket(column: String, n: Int,
+                keyType: org.apache.spark.sql.types.DataType): Unit = {
     require(n >= 1, s"setBucket: bucket count must be >= 1, got $n")
     require(!column.startsWith("__"),
       s"setBucket: cannot bucket by internal column $column")
-    val (enforced, cks, _) = readProps()
-    writeProps(enforced, cks, Some((column, n)))
+    val spec = ManagedTable.BucketSpec(column, n, keyType)
+    val (enforced, cks, cur) = readProps()
+    if (cur.contains(spec)) return // idempotent re-set
+    require(!anyBucketedDirs(),
+      s"setBucket on $path: existing dirs carry a previous bucket layout " +
+        "whose stored values the new spec would mis-prune; dropBucket() " +
+        "then optimize() to materialize an unbucketed layout first")
+    writeProps(enforced, cks, Some(spec))
   }
+
+  /** Any current snapshot entry laid out with a bucket partition? (One
+    * listing per entry — setBucket is rare DDL.) */
+  private def anyBucketedDirs(): Boolean =
+    lastManifest().exists(_.entries.exists { e =>
+      new Path(e.dir).getName.startsWith(ManagedTable.BucketCol + "=") ||
+        FsUtils.listChildren(spark, e.dir)._1
+          .exists(_.startsWith(ManagedTable.BucketCol + "="))
+    })
 
   /** Clear the bucket transform: future writes are unbucketed; existing
     * bucketed dirs keep reading correctly (the hidden column is dropped
-    * on read regardless). */
+    * on read regardless, and with no spec no read ever bucket-prunes). */
   def dropBucket(): Unit = {
     val (enforced, cks, _) = readProps()
     writeProps(enforced, cks, None)
@@ -641,7 +682,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val pruned = if (upsert && partitionBy.nonEmpty)
           prunedMerge(updates, condition, partitionBy)
         else if (upsert && partitionBy.isEmpty)
-          bucketPrunedMerge(updates, condition)
+          bucketPrunedDml(updates, updates, updates, condition)
         else None
         pruned.getOrElse {
           val target = readSnapshot(cur)
@@ -706,40 +747,31 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * condition shape falls back to the full rewrite. None → caller falls
     * back (no spec, layout not splittable — e.g. pre-bucket dirs — or too
     * many touched buckets). */
-  /** True iff `condition` contains a whole-identifier equality between
-    * `source.c` and `updates.c` (either order, `=` or `==`, optional
-    * backticks) — the partition-stability evidence bucket-pruned DML
-    * requires. The trailing lookahead stops `updates.kid` from vouching
-    * for key `k`; a leading word char can't false-match because the
-    * alias prefix anchors the start. */
-  private def conditionKeysOnBucket(condition: String, c: String): Boolean = {
-    val id = java.util.regex.Pattern.quote(c)
-    val tail = "`?(?![A-Za-z0-9_])"
-    ("(?i)(?:source\\s*\\.\\s*`?" + id + tail + "\\s*==?\\s*updates\\s*\\.\\s*`?" + id + tail +
-      "|updates\\s*\\.\\s*`?" + id + tail + "\\s*==?\\s*source\\s*\\.\\s*`?" + id + tail + ")").r
-      .findFirstIn(condition).isDefined
-  }
-
-  /** The batch with the table's bucket id computed from its key column —
-    * the extraTouched frame bucket-pruned DML hands to [[prunedRewrite]].
-    * None when the spec is unset or the batch lacks the key. */
-  private def withBucketIds(df: DataFrame): Option[DataFrame] =
-    bucketSpec.flatMap { case (c, n) =>
-      df.columns.find(_.equalsIgnoreCase(c)).map { key =>
-        df.withColumn(ManagedTable.BucketCol,
-          pmod(hash(col(s"`$key`")), lit(n)))
-      }
-    }
-
-  private def bucketPrunedMerge(updates: DataFrame,
-                                condition: String): Option[Long] = {
-    val (c, _) = bucketSpec.getOrElse(return None)
-    if (!conditionKeysOnBucket(condition, c)) return None
-    val bucketed = withBucketIds(updates).getOrElse(return None)
+  /** Bucket-pruned DML core shared by [[merge]] and [[applyChanges]]:
+    * engages only when the spec is set, the condition carries a TOP-LEVEL
+    * `source.key = updates.key` AND-conjunct ([[DataSkipping
+    * .keyEquiConjunct]] — an equality under OR/NOT proves nothing, a
+    * match through the other arm could live in an untouched bucket), and
+    * the batch has the key column. Touched buckets = `keys` hashed at the
+    * spec's canonical type ([[ManagedTable.BucketSpec.idOf]] — the batch's
+    * own column type is irrelevant, so type-drifted batches bucket
+    * identically to the layout); the rewritten slice anti-joins
+    * `antiFrame` and unions `unionFrame`, exactly the partition-pruned
+    * shapes. */
+  private def bucketPrunedDml(keys: DataFrame, antiFrame: DataFrame,
+                              unionFrame: DataFrame,
+                              condition: String): Option[Long] = {
+    val spec = bucketSpec.getOrElse(return None)
+    if (!DataSkipping.keyEquiConjunct(spark, condition, spec.column))
+      return None
+    val key = keys.columns.find(_.equalsIgnoreCase(spec.column))
+      .getOrElse(return None)
+    val bucketed = keys.withColumn(ManagedTable.BucketCol,
+      spec.idOf(col(s"`$key`")))
     prunedRewrite(lit(false), Seq(ManagedTable.BucketCol),
       slice => slice.drop(ManagedTable.BucketCol).alias("source")
-        .join(updates.alias("updates"), expr(condition), "left_anti")
-        .unionByName(updates, allowMissingColumns = true),
+        .join(antiFrame.alias("updates"), expr(condition), "left_anti")
+        .unionByName(unionFrame, allowMissingColumns = true),
       extraTouched = Some(bucketed.select(col(ManagedTable.BucketCol))))
   }
 
@@ -804,18 +836,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                 .join(allKeys.alias("updates"), expr(condition), "left_anti")
                 .unionByName(upserts, allowMissingColumns = true),
               extraTouched = Some(allKeys.select(col(partitionBy.head))))
-          else if (partitionBy.isEmpty &&
-              bucketSpec.exists(b => conditionKeysOnBucket(condition, b._1)))
+          else if (partitionBy.isEmpty)
             // bucketed CDC mirror: a change batch keyed on the bucketed
             // column rewrites only the buckets its keys (I, U and D
             // alike) hash into — partition-stability holds by
             // construction, the hash is a function of the key
-            withBucketIds(allKeys).flatMap(bk =>
-              prunedRewrite(lit(false), Seq(ManagedTable.BucketCol),
-                slice => slice.drop(ManagedTable.BucketCol).alias("source")
-                  .join(allKeys.alias("updates"), expr(condition), "left_anti")
-                  .unionByName(upserts, allowMissingColumns = true),
-                extraTouched = Some(bk.select(col(ManagedTable.BucketCol)))))
+            bucketPrunedDml(allKeys, allKeys, upserts, condition)
           else None
           pruned.getOrElse(
             commitAgainst(Some(cur.version), Seq(Entry(writeData(
@@ -1263,25 +1289,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def readWhere(condition: String): DataFrame = lastManifest() match {
     case None => spark.emptyDataFrame
     case Some(m) =>
-      val spec = bucketSpec
       // bucket pruning ([[setBucket]]): an equality/IN conjunct on the
       // bucketed key constrains the hidden partition to the literals'
       // computed buckets — Catalyst turns the isin into a partition
       // filter, so non-matching bucket dirs are pruned at planning time
       // (per SCAN: dirs written before setBucket lack the column and
-      // read unpruned, which keeps mixed-age snapshots correct)
-      def bucketFilter(scan: DataFrame): DataFrame = spec match {
-        case Some((c, n)) if scan.schema.fieldNames
+      // read unpruned, which keeps mixed-age snapshots correct). The id
+      // set depends only on (condition, spec) — literals hash at the
+      // spec's CANONICAL type, matching the write layout regardless of
+      // any scan's physical key type — so it is computed once, not per
+      // entry (a bucket-pruned merge leaves up to n carried subdir
+      // entries in the snapshot).
+      val bucketIds: Option[Set[Int]] = bucketSpec.flatMap(spec =>
+        DataSkipping.bucketsFor(spark, condition, spec.column,
+          spec.keyType, spec.n))
+      def bucketFilter(scan: DataFrame): DataFrame = bucketIds match {
+        case Some(ids) if scan.schema.fieldNames
             .exists(_.equalsIgnoreCase(ManagedTable.BucketCol)) =>
-          scan.schema.fields.find(_.name.equalsIgnoreCase(c))
-            .flatMap(f => DataSkipping.bucketsFor(spark, condition, c,
-              f.dataType, n)) match {
-            // an EMPTY id set (contradictory conjuncts) correctly prunes
-            // the whole scan — isin() of nothing is false
-            case Some(ids) => scan.where(
-              col(ManagedTable.BucketCol).isin(ids.toSeq.map(Int.box): _*))
-            case None => scan
-          }
+          // an EMPTY id set (contradictory conjuncts) correctly prunes
+          // the whole scan — isin() of nothing is false
+          scan.where(
+            col(ManagedTable.BucketCol).isin(ids.toSeq.map(Int.box): _*))
         case _ => scan
       }
       val dfs = pruneEntries(m.entries, condition, withCounts = false).map {
@@ -1378,9 +1406,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           // bucketed tables compact BY BUCKET (each bucket's rows in one
           // task → one file per non-empty bucket, not tasks × buckets —
           // same shape as [[compactSmall]])
-          case Some((c, nb)) if cur.columns.exists(_.equalsIgnoreCase(c)) =>
-            val key = cur.columns.find(_.equalsIgnoreCase(c)).get
-            cur.repartition(n, pmod(hash(col(s"`$key`")), lit(nb)))
+          case Some(spec)
+              if cur.columns.exists(_.equalsIgnoreCase(spec.column)) =>
+            val key = cur.columns.find(_.equalsIgnoreCase(spec.column)).get
+            cur.repartition(n, spec.idOf(col(s"`$key`")))
           case _ => cur.repartition(n)
         }
       // pass the table's partition columns so compaction keeps the hive
@@ -1483,9 +1512,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         // bucket instead of (tasks × buckets) small files, which would
         // re-create the small-file tail the compaction exists to fold
         val merged = bucketSpec match {
-          case Some((c, nb)) if folded.columns.exists(_.equalsIgnoreCase(c)) =>
-            val key = folded.columns.find(_.equalsIgnoreCase(c)).get
-            folded.repartition(n, pmod(hash(col(s"`$key`")), lit(nb)))
+          case Some(spec)
+              if folded.columns.exists(_.equalsIgnoreCase(spec.column)) =>
+            val key = folded.columns.find(_.equalsIgnoreCase(spec.column)).get
+            folded.repartition(n, spec.idOf(col(s"`$key`")))
           case _ => folded.repartition(n)
         }
         commitAgainst(Some(cur.version),
@@ -1677,10 +1707,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // No shuffle is added — like Delta, append cost stays O(new data);
     // a task spanning several buckets writes one file per (task, bucket).
     val (toWrite, parts) = bucketSpec match {
-      case Some((c, n)) if df.columns.exists(_.equalsIgnoreCase(c)) =>
-        val key = df.columns.find(_.equalsIgnoreCase(c)).get
+      case Some(spec) if df.columns.exists(_.equalsIgnoreCase(spec.column)) =>
+        val key = df.columns.find(_.equalsIgnoreCase(spec.column)).get
         (df.drop(ManagedTable.BucketCol).withColumn(ManagedTable.BucketCol,
-            pmod(hash(col(s"`$key`")), lit(n))),
+            spec.idOf(col(s"`$key`"))),
           partitionBy.filterNot(_ == ManagedTable.BucketCol) :+
             ManagedTable.BucketCol)
       case _ => (df.drop(ManagedTable.BucketCol), partitionBy)
@@ -1830,6 +1860,18 @@ object ManagedTable {
     * `pmod(hash(key), n)` value ([[ManagedTable.setBucket]]). Reserved:
     * batches may not use the name; public reads never surface it. */
   val BucketCol = "__gbucket"
+
+  /** The bucket transform's layout contract: key column, bucket count and
+    * the CANONICAL key type every side hashes at. */
+  case class BucketSpec(column: String, n: Int,
+                        keyType: org.apache.spark.sql.types.DataType) {
+    /** The single bucket-id expression all sides share — write layout,
+      * DML touched-bucket discovery, compaction clustering. (Lookup
+      * literals evaluate the same cast+hash constant-side in
+      * [[DataSkipping.bucketOfLiteral]].) */
+    def idOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(hash(key.cast(keyType)), lit(n))
+  }
 
   /** Attempts a read-modify-write operation makes before giving up under
     * sustained commit contention. */

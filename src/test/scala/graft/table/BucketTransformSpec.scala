@@ -28,7 +28,7 @@ class BucketTransformSpec extends SparkSuite {
 
   test("bucketed point lookup matches the plain read and plans a partition filter") {
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 8)
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
     t.write(spark.range(4000).selectExpr("id AS k", "id * 3 AS v").repartition(4))
     // the write laid out hidden bucket dirs...
     assert(bucketDirs(dataDirs(t.path).head).size === 8)
@@ -53,7 +53,7 @@ class BucketTransformSpec extends SparkSuite {
 
   test("bucket ids computed for literals match the write-side hash exactly") {
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 16)
+    t.setBucket("k", 16, org.apache.spark.sql.types.LongType)
     val df = spark.range(500).selectExpr("id * 17 AS k", "id AS v")
     t.write(df)
     // every key must be found by its point lookup (a literal hashed into
@@ -64,7 +64,7 @@ class BucketTransformSpec extends SparkSuite {
       assert(t.readWhere(s"k = $k").count() === 1L, s"lost key $k")
     // string keys: cast/coercion path differs from longs
     val s = ManagedTable(spark, tmp() + "/s")
-    s.setBucket("name", 8)
+    s.setBucket("name", 8, org.apache.spark.sql.types.StringType)
     s.write(Seq(("alpha", 1), ("beta", 2), ("gamma", 3), ("delta", 4))
       .toDF("name", "v"))
     for (n <- Seq("alpha", "beta", "gamma", "delta"))
@@ -73,7 +73,7 @@ class BucketTransformSpec extends SparkSuite {
 
   test("merge on the bucket key rewrites only touched buckets") {
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 8)
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
     t.write(spark.range(1000).selectExpr("id AS k", "CAST(0 AS LONG) AS v"))
     val updates = Seq((3L, 100L), (700L, 100L), (2000L, 100L)).toDF("k", "v")
     t.merge(updates, "source.k == updates.k")
@@ -91,7 +91,7 @@ class BucketTransformSpec extends SparkSuite {
       s"expected <=3 touched bucket dirs, got ${touched.size} in $newest")
     // a non-key-equality merge falls back to the full rewrite, correctly
     val t2 = ManagedTable(spark, tmp() + "/t2")
-    t2.setBucket("k", 4)
+    t2.setBucket("k", 4, org.apache.spark.sql.types.LongType)
     t2.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
     t2.merge(Seq((1L, "z")).toDF("k", "s"), "source.s == updates.s")
     assert(t2.read().count() === 3L) // no s-match: the row appends
@@ -99,7 +99,7 @@ class BucketTransformSpec extends SparkSuite {
 
   test("applyChanges on the bucket key rewrites only touched buckets") {
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 8)
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
     t.write(spark.range(400).selectExpr("id AS k", "CAST(0 AS LONG) AS v"))
     val changes = Seq(
       (7L, 99L, "U", 1L),   // update an existing key
@@ -123,7 +123,7 @@ class BucketTransformSpec extends SparkSuite {
     // buckets — a naive substring check would claim partition stability
     // and strand the old row (duplicate rows after merge)
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 8)
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
     t.write(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "kid", "s"))
     t.merge(Seq((3L, 10L, "z")).toDF("k", "kid", "s"),
       "source.kid == updates.kid")
@@ -132,10 +132,64 @@ class BucketTransformSpec extends SparkSuite {
     assert(sortedRows(t.read().where($"kid" === 10L)) === Seq("[3,10,z]"))
   }
 
+  test("a type-drifted batch buckets at the spec's canonical type") {
+    // table keyed INT; the merge batch arrives with a LONG key column.
+    // Without the canonical-type cast, hash(5L) != hash(5: Int) would
+    // compute the wrong touched buckets: the old row survives in a
+    // carried dir while the update inserts elsewhere — silent duplicates.
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 8, org.apache.spark.sql.types.IntegerType)
+    t.write(spark.range(100).selectExpr("CAST(id AS INT) AS k", "CAST(0 AS LONG) AS v"))
+    t.merge(Seq((5L, 99L)).toDF("k", "v"), "source.k == updates.k")
+    assert(t.read().count() === 100L) // updated, NOT duplicated
+    assert(t.read().where($"k" === 5).collect().map(_.getLong(1)).toSeq === Seq(99L))
+    // and the lookup literal hashes to the same canonical bucket
+    assert(t.readWhere("k = 5").count() === 1L)
+  }
+
+  test("an equality under OR never claims partition stability") {
+    // source.k == updates.k OR source.j == updates.j: the j-arm can match
+    // rows in OTHER buckets than the update key's — bucket pruning here
+    // would strand the j-matched row in a carried dir (stale + duplicate)
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
+    t.write(Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("k", "j", "s"))
+    t.merge(Seq((1L, 200L, "z")).toDF("k", "j", "s"),
+      "source.k == updates.k OR source.j == updates.j")
+    // both old rows match (k=1 via k-arm, k=2 via j=200) → exactly 1 row
+    assert(sortedRows(t.read()) === Seq("[1,200,z]"))
+    // a top-level AND with extra arms still prunes and stays correct
+    val t3 = ManagedTable(spark, tmp() + "/t3")
+    t3.setBucket("k", 8, org.apache.spark.sql.types.LongType)
+    t3.write(Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("k", "j", "s"))
+    t3.merge(Seq((1L, 100L, "z")).toDF("k", "j", "s"),
+      "source.k == updates.k AND source.j == updates.j")
+    assert(sortedRows(t3.read()).toSet === Set("[1,100,z]", "[2,200,b]"))
+  }
+
+  test("re-bucketing a laid-out table is refused until the layout is cleared") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 4, org.apache.spark.sql.types.LongType)
+    t.write(spark.range(50).selectExpr("id AS k", "id AS v"))
+    t.setBucket("k", 4, org.apache.spark.sql.types.LongType) // idempotent: ok
+    // a different n (or column/type) would mis-prune the stored values
+    intercept[IllegalArgumentException] {
+      t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
+    }
+    // the documented migration recipe
+    t.dropBucket()
+    t.optimize() // materializes an unbucketed layout
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
+    t.append(spark.range(50, 60).selectExpr("id AS k", "id AS v"))
+    assert(t.read().count() === 60L)
+    assert(t.readWhere("k = 7").count() === 1L)
+    assert(t.readWhere("k = 55").count() === 1L)
+  }
+
   test("pre-bucket dirs stay readable; optimize materializes the layout") {
     val t = ManagedTable(spark, tmp() + "/t")
     t.write(spark.range(100).selectExpr("id AS k", "id AS v")) // unbucketed
-    t.setBucket("k", 4)
+    t.setBucket("k", 4, org.apache.spark.sql.types.LongType)
     t.append(spark.range(100, 200).selectExpr("id AS k", "id AS v"))
     // mixed-age snapshot: lookups on both sides correct
     assert(t.readWhere("k = 50").count() === 1L)  // legacy dir, unpruned
@@ -151,7 +205,7 @@ class BucketTransformSpec extends SparkSuite {
 
   test("compactSmall folds bucketed appends into one file per bucket") {
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 4)
+    t.setBucket("k", 4, org.apache.spark.sql.types.LongType)
     for (i <- 0 until 5)
       t.append(spark.range(i * 50, (i + 1) * 50).selectExpr("id AS k", "id AS v")
         .repartition(2))
@@ -169,14 +223,14 @@ class BucketTransformSpec extends SparkSuite {
 
   test("reserved column, clone carries the spec, dropBucket ends the layout") {
     val t = ManagedTable(spark, tmp() + "/t")
-    t.setBucket("k", 4)
+    t.setBucket("k", 4, org.apache.spark.sql.types.LongType)
     intercept[IllegalArgumentException] {
       t.write(Seq((1L, 2)).toDF("k", ManagedTable.BucketCol))
     }
     t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
     t.setCheck("k_pos", "k > 0")
     val c = t.cloneTo(tmp() + "/clone")
-    assert(c.bucketSpec === Some(("k", 4)))
+    assert(c.bucketSpec === Some(ManagedTable.BucketSpec("k", 4, org.apache.spark.sql.types.LongType)))
     assert(c.checks.keySet === Set("k_pos"))
     c.append(Seq((3L, "c")).toDF("k", "s"))
     assert(c.readWhere("k = 3").count() === 1L)
@@ -188,7 +242,7 @@ class BucketTransformSpec extends SparkSuite {
     assert(t.readWhere("k = 1").count() === 1L)
     // a bucketed table refuses to be a raw file-glob stream source
     val b = ManagedTable(spark, tmp() + "/b")
-    b.setBucket("k", 2)
+    b.setBucket("k", 2, org.apache.spark.sql.types.LongType)
     b.write(Seq((1L, "a")).toDF("k", "s"))
     intercept[IllegalArgumentException] { b.streamAppends() }
   }

@@ -48,7 +48,7 @@ object ProbeBucket {
     val flat = ManagedTable(spark, s"$w/flat")
     flat.write(orders.repartition(16))
     val bucketed = ManagedTable(spark, s"$w/bucketed")
-    bucketed.setBucket("o_orderkey", 64)
+    bucketed.setBucket("o_orderkey", 64, org.apache.spark.sql.types.LongType)
     bucketed.write(orders.repartition(16))
 
     def totalFiles(t: ManagedTable): Long = filesScanned(t.read())
