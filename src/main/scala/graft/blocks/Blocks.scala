@@ -456,6 +456,21 @@ object WriteBlocks {
         table.setCheck(n, String.valueOf(e)) }
     if (c.props.exists("EnforceSchema"))
       table.setSchemaEnforced(c.props.getBoolean("EnforceSchema"))
+    // `Bucket` → Iceberg-style bucket transform (ManagedTable.setBucket),
+    // declared BEFORE the mode runs so the very first write already lays
+    // out bucket dirs: point lookups prune structurally, keyed upserts/CDC
+    // rewrite only touched buckets. `Type` is the canonical key type in
+    // Spark DDL ("bigint", "string", …); omitted, the type is captured
+    // from an existing table's schema. Idempotent per lift re-run; a
+    // DIFFERENT spec on a laid-out table fails loudly (see setBucket).
+    if (c.props.exists("Bucket")) {
+      val bcol = c.props.getString("Bucket.Column")
+      val bn = c.props.getLongOr("Bucket.N", 16L).toInt
+      if (c.props.exists("Bucket.Type"))
+        table.setBucket(bcol, bn, org.apache.spark.sql.types.DataType
+          .fromDDL(c.props.getString("Bucket.Type")))
+      else table.setBucket(bcol, bn)
+    }
     c.props.getStringOr("Mode", "append") match {
       case "upsert" =>
         table.merge(df, c.props.getString("Upsert.MergeStatement"),

@@ -281,6 +281,39 @@ class LiftSpec extends SparkSuite {
     assert(ManagedTable(spark, s"$work/t").read().count() === 1)
   }
 
+  test("batch_delta Bucket property lays out and prunes through the DSL") {
+    val work = Files.createTempDirectory("graft-lift-bucket").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("bkt_src")
+    val yaml =
+      s"""LiftJob:
+         |  Src:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT * FROM bkt_src
+         |  W:
+         |    Type: write::batch_delta
+         |    Input: Src
+         |    Properties:
+         |      Path: $work/t
+         |      Mode: clean_write
+         |      Bucket:
+         |        Column: id
+         |        N: 4
+         |        Type: bigint
+         |""".stripMargin
+    Lift.lift(spark, yaml)
+    val t = ManagedTable(spark, s"$work/t")
+    assert(t.bucketSpec ===
+      Some(ManagedTable.BucketSpec("id", 4, org.apache.spark.sql.types.LongType)))
+    assert(t.read().columns.toSeq === Seq("id", "v")) // hidden partition
+    assert(t.readWhere("id = 2").as[(Long, String)].collect().toSeq ===
+      Seq((2L, "b")))
+    // the lift re-runs idempotently (same spec re-set is a no-op)
+    Lift.lift(spark, yaml)
+    assert(t.read().count() === 3)
+  }
+
   test("delta upsert write merges on the MergeStatement") {
     val work = tmp()
     ManagedTable(spark, s"$work/t")
