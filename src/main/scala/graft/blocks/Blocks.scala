@@ -559,12 +559,18 @@ object WriteBlocks {
         c.props.getLongOr("Compact.TargetMB", 128L) * 1024 * 1024,
         partitionBy)
     // `Stats: true` (or `Stats.Columns: a,b`) → collect per-file
-    // data-skipping stats for dirs that lack them (DataSkipping)
-    if (c.props.exists("Stats"))
-      table.collectStats(
+    // data-skipping stats for dirs that lack them (DataSkipping).
+    // `Stats.Mode: footers` reads parquet footers instead of data bytes
+    // (fixed-width columns only — see collectStatsFromFooters)
+    if (c.props.exists("Stats")) {
+      val statCols =
         if (c.props.exists("Stats.Columns"))
           c.props.getStringSeq("Stats.Columns")
-        else Nil)
+        else Nil
+      if (c.props.getStringOr("Stats.Mode", "scan") == "footers")
+        table.collectStatsFromFooters(statCols)
+      else table.collectStats(statCols)
+    }
     // `Blooms.Columns: a,b` → per-file bloom filters for equality/IN file
     // skipping on unclustered high-cardinality columns (DataSkipping)
     if (c.props.exists("Blooms"))

@@ -167,6 +167,238 @@ object DataSkipping {
     go(spark.sessionState.sqlParser.parseExpression(condition))
   }
 
+  // ------------------------------------------------------- footer stats
+  // Delta computes per-file stats inline in its WRITER; [[fileStats]] is a
+  // separate pass that RE-SCANS every data byte of a dir. Parquet footers
+  // already hold per-column-chunk min/max/null-count, so stats collection
+  // can instead read ~KB of footer per file — at 100 TB that is the
+  // difference between a second full pass over the table and a metadata
+  // sweep. Restricted to fixed-width types (numeric/boolean/date/
+  // timestamp): BINARY min/max can be writer-truncated, and an invalid
+  // bound silently mis-prunes. The output schema and conventions are
+  // IDENTICAL to [[fileStats]] (null min/max ⇔ no non-null rows; exact
+  // null counts), so [[ManagedTable]]'s pruning consumes either sidecar
+  // interchangeably.
+
+  // Float/Double are NOT footer-safe despite having chunk statistics: the
+  // parquet spec tells writers to EXCLUDE NaN from float min/max bounds,
+  // while Spark's comparison semantics order NaN above every double — a
+  // file holding {1.0, NaN} gets footer max=1.0, and `d > 5` (which its
+  // NaN row satisfies in Spark) would prune the file. The footer can't
+  // say whether NaNs are present, so the only safe bound is none. The
+  // scan-based [[fileStats]] path has no such gap (Spark's own max()
+  // returns NaN) and remains the route for floating-point stats.
+  private def footerSafe(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Per-file (minOpt, maxOpt, nulls, valid) for one column across a
+    * footer's row groups; invalid when any block lacks usable statistics
+    * (unset null counts, INT96 timestamps, physical/logical mismatch). */
+  private case class ColStat(min: Any, max: Any, nulls: Long, valid: Boolean)
+
+  /** Convert a parquet chunk-statistics bound to the external Spark value
+    * for `dt`; None = this (physical, logical, spark-type) combination is
+    * not safely convertible. */
+  private def bound(v: Any,
+                    lta: org.apache.parquet.schema.LogicalTypeAnnotation,
+                    dt: org.apache.spark.sql.types.DataType,
+                    isMax: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    (v, dt) match {
+      case (i: java.lang.Integer, IntegerType) => Some(i)
+      case (i: java.lang.Integer, ByteType) => Some(i.byteValue())
+      case (i: java.lang.Integer, ShortType) => Some(i.shortValue())
+      case (i: java.lang.Integer, DateType) =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue())))
+      case (l: java.lang.Long, LongType) => Some(l)
+      case (l: java.lang.Long, TimestampType | TimestampNTZType) =>
+        val micros = lta match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Some(Math.multiplyExact(l.longValue(), 1000L))
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some(l.longValue())
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
+              // floor the min, ceil the max: a bound tightened the wrong
+              // way would prune a file whose row is a true match
+              Some(if (isMax) Math.floorDiv(l.longValue() + 999L, 1000L)
+                   else Math.floorDiv(l.longValue(), 1000L))
+          }
+          case _ => None
+        }
+        micros.map { us =>
+          if (dt == TimestampType) DateTimeUtils.toJavaTimestamp(us)
+          else DateTimeUtils.microsToLocalDateTime(us)
+        }
+      case (b: java.lang.Boolean, BooleanType) => Some(b)
+      case _ => None // incl. float/double: see footerSafe's NaN note
+    }
+  }
+
+  /** [[fileStats]]-shaped per-file stats computed from parquet FOOTERS —
+    * no data bytes are read. Runs distributed (one footer read per file).
+    * Columns any file can't vouch for with valid, convertible statistics
+    * are dropped from the sidecar entirely (pruning then simply skips
+    * them — never a wrong bound). Hive-partition columns, which live in
+    * paths rather than footers, get exact min = max = value stats parsed
+    * from the file's path segments. */
+  def fileStatsFromFooters(spark: SparkSession, dir: String,
+                           basePath: Option[String],
+                           cols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val scanSchema = basePath.fold(spark.read)(b =>
+      spark.read.option("basePath", b)).parquet(dir).schema
+    val eligible = scanSchema.fields.filter(f => footerSafe(f.dataType))
+    val picked =
+      (if (cols.nonEmpty) eligible.filter(f => cols.exists(_.equalsIgnoreCase(f.name)))
+       else eligible.take(MaxStatsColumns)).toSeq
+    val files = graft.common.FsUtils.listFiles(spark, dir, ".parquet")
+      .filterNot { f =>
+        val nm = new Path(f).getName
+        nm.startsWith("_") || nm.startsWith(".")
+      }
+    val confBc = spark.sparkContext.broadcast(
+      org.apache.spark.sql.GraftShim.serializableConf(
+        spark.sessionState.newHadoopConf()))
+    val pickedInfo = picked.map(f => (f.name, f.dataType))
+    val statsSchema = StructType(
+      StructField(PathCol, StringType) +:
+      StructField(RowsCol, LongType) +:
+      pickedInfo.flatMap { case (n, dt) => Seq(
+        StructField(minCol(n), dt), StructField(maxCol(n), dt),
+        StructField(nullsCol(n), LongType),
+        // per-file validity flag, consumed (and stripped) below
+        StructField(s"__valid_$n", BooleanType))
+      })
+    val rows = spark.sparkContext.parallelize(files,
+        math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { paths =>
+        val conf = confBc.value.value
+        paths.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val footer = reader.getFooter
+            val blocks = scala.jdk.CollectionConverters
+              .ListHasAsScala(footer.getBlocks).asScala.toSeq
+            val fileRows = blocks.map(_.getRowCount).sum
+            val perCol = pickedInfo.map { case (name, dt) =>
+              // one chunk per block for a top-level column
+              val chunks = blocks.flatMap { b =>
+                scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
+                  .asScala.find { c =>
+                    val path = c.getPath.toArray
+                    path.length == 1 && path(0).equalsIgnoreCase(name)
+                  }.map(c => (c, b.getRowCount))
+              }
+              if (chunks.length != blocks.length) {
+                // not in the files: a hive-partition column — exact stats
+                // from the path segment (Spark's own %xx escaping undone)
+                val marker = s"/$name="
+                val at = p.indexOf(marker)
+                val seg = if (at < 0) None
+                  else Some(p.substring(at + marker.length).takeWhile(_ != '/'))
+                seg match {
+                  case Some(raw) =>
+                    if (raw == "__HIVE_DEFAULT_PARTITION__")
+                      ColStat(null, null, fileRows, valid = true)
+                    else {
+                      val ext = try {
+                        val cast = Cast(Literal(
+                            org.apache.spark.unsafe.types.UTF8String
+                              .fromString(unescapePath(raw)), StringType),
+                          dt, Option("UTC"))
+                        Option(cast.eval(null)).map(
+                          org.apache.spark.sql.catalyst.CatalystTypeConverters
+                            .convertToScala(_, dt))
+                      } catch { case _: Exception => None }
+                      ext.fold(ColStat(null, null, 0L, valid = false))(v =>
+                        ColStat(v, v, 0L, valid = true))
+                    }
+                  case None => ColStat(null, null, 0L, valid = false)
+                }
+              } else {
+                val stats = chunks.map { case (c, blockRows) =>
+                  val s = c.getStatistics
+                  val ok = s != null && s.isNumNullsSet &&
+                    (s.hasNonNullValue || s.getNumNulls == blockRows)
+                  if (!ok) ColStat(null, null, 0L, valid = false)
+                  else if (!s.hasNonNullValue) // all-null chunk
+                    ColStat(null, null, s.getNumNulls, valid = true)
+                  else {
+                    val lta = c.getPrimitiveType.getLogicalTypeAnnotation
+                    (bound(s.genericGetMin, lta, dt, isMax = false),
+                     bound(s.genericGetMax, lta, dt, isMax = true)) match {
+                      case (Some(mn), Some(mx)) =>
+                        ColStat(mn, mx, s.getNumNulls, valid = true)
+                      case _ => ColStat(null, null, 0L, valid = false)
+                    }
+                  }
+                }
+                if (stats.exists(!_.valid)) ColStat(null, null, 0L, valid = false)
+                else {
+                  // every footer-safe external type is Comparable
+                  val nonNull = stats.filter(_.min != null)
+                  def lt(a: Any, b: Any) =
+                    a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+                  val mn = nonNull.map(_.min).reduceOption((a, b) => if (lt(a, b)) a else b)
+                  val mx = nonNull.map(_.max).reduceOption((a, b) => if (lt(a, b)) b else a)
+                  ColStat(mn.orNull, mx.orNull, stats.map(_.nulls).sum, valid = true)
+                }
+              }
+            }
+            org.apache.spark.sql.Row.fromSeq(
+              p +: fileRows +:
+                perCol.flatMap(s => Seq(s.min, s.max, s.nulls, s.valid)))
+          } finally reader.close()
+        }
+      }
+    val raw = spark.createDataFrame(rows, statsSchema)
+    // a column ANY file can't vouch for is dropped from the sidecar —
+    // within this schema null min/max asserts "no non-null rows", so a
+    // partial column would mis-prune rather than under-prune
+    val validity =
+      if (pickedInfo.isEmpty) Map.empty[String, Boolean]
+      else {
+        val aggs = pickedInfo.map { case (n, _) =>
+          min(col(s"`__valid_$n`")).as(n) }
+        val head = raw.agg(aggs.head, aggs.tail: _*).head()
+        pickedInfo.zipWithIndex.map { case ((n, _), i) =>
+          n -> (head.isNullAt(i) || head.getBoolean(i)) }.toMap
+      }
+    val keepCols =
+      col(PathCol) +: col(RowsCol) +:
+        pickedInfo.collect { case (n, _) if validity(n) =>
+          Seq(col(s"`${minCol(n)}`"), col(s"`${maxCol(n)}`"),
+            col(s"`${nullsCol(n)}`")) }.flatten
+    raw.select(keepCols: _*)
+  }
+
+  /** Inverse of Spark's partition-path escaping (`%xx` sequences only). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // ------------------------------------------------------- bloom skipping
   // Min/max stats cannot prune point lookups on high-cardinality columns
   // that aren't clustered (a doc_id equality hits every file's [min,max]

@@ -1164,6 +1164,27 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       }
   }
 
+  /** Like [[collectStats]] but computed from parquet FOOTERS — ZERO data
+    * bytes are read (one ~KB footer per file, distributed), where the
+    * scan-based pass re-reads every data byte of the dir. At 100 TB that
+    * is a metadata sweep instead of a second full table pass. Same
+    * sidecar format and conventions, so pruning consumes either.
+    * Limits (see [[DataSkipping.fileStatsFromFooters]]): fixed-width
+    * columns only (strings/binary excluded — writer-truncated bounds
+    * would mis-prune); a column any file can't vouch for is left out of
+    * that dir's sidecar entirely (pruning skips it, never wrong). */
+  def collectStatsFromFooters(cols: Seq[String] = Nil): Unit = {
+    require(exists, s"collectStatsFromFooters on absent table $path")
+    lastManifest().get.entries
+      .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
+      .distinct
+      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
+      .foreach { case (sd, dataDir) =>
+        DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols)
+          .write.mode("overwrite").parquet(sd)
+      }
+  }
+
   /** Per-entry file selection for `condition`: (entry, Some(surviving
     * file paths) or None = read the whole entry unpruned, kept count,
     * files before pruning). Entries without collected stats prune nothing

@@ -25,6 +25,12 @@ object GraftShim {
       Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
   }
 
+  /** Ship a hadoop Configuration to executors (the class is
+    * `private[spark]`; this is the standard library bridge). */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
   /** Register a function on a LIVE session's registry (extensions only
     * apply at session build time). */
   def registerFunction(
