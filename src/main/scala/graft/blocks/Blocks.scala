@@ -567,9 +567,14 @@ object WriteBlocks {
         if (c.props.exists("Stats.Columns"))
           c.props.getStringSeq("Stats.Columns")
         else Nil
-      if (c.props.getStringOr("Stats.Mode", "scan") == "footers")
-        table.collectStatsFromFooters(statCols)
-      else table.collectStats(statCols)
+      c.props.getStringOr("Stats.Mode", "scan") match {
+        case "footers" => table.collectStatsFromFooters(statCols)
+        case "scan" => table.collectStats(statCols)
+        // a typo silently falling back to the scan pass would re-read
+        // every data byte — the exact cost the option exists to avoid
+        case other => throw new IllegalArgumentException(
+          s"Stats.Mode must be 'scan' or 'footers', got '$other'")
+      }
     }
     // `Blooms.Columns: a,b` → per-file bloom filters for equality/IN file
     // skipping on unclustered high-cardinality columns (DataSkipping)

@@ -228,8 +228,12 @@ object DataSkipping {
               Some(l.longValue())
             case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS =>
               // floor the min, ceil the max: a bound tightened the wrong
-              // way would prune a file whose row is a true match
-              Some(if (isMax) Math.floorDiv(l.longValue() + 999L, 1000L)
+              // way would prune a file whose row is a true match. Ceil is
+              // computed without `+999` so a bound within 999ns of
+              // Long.MaxValue can't overflow into a far-past max.
+              Some(if (isMax)
+                     Math.floorDiv(l.longValue(), 1000L) +
+                       (if (Math.floorMod(l.longValue(), 1000L) == 0L) 0L else 1L)
                    else Math.floorDiv(l.longValue(), 1000L))
           }
           case _ => None
@@ -265,9 +269,21 @@ object DataSkipping {
         val nm = new Path(f).getName
         nm.startsWith("_") || nm.startsWith(".")
       }
+    // the path list transits the driver once (one-shot, unlike the
+    // per-query kept lists MaxPruneFiles bounds); warn at the same
+    // ceiling so a multi-million-file dir names its cost
+    if (files.length > maxStatsListWarn)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"fileStatsFromFooters($dir): ${files.length} paths " +
+          "staged through the driver for the footer sweep")
     val confBc = spark.sparkContext.broadcast(
       org.apache.spark.sql.GraftShim.serializableConf(
         spark.sessionState.newHadoopConf()))
+    // partition values parse with the SESSION timezone — the same rule
+    // Spark applies when it reads the partition dir and the same one the
+    // scan-based fileStats therefore aggregates under; a hard-coded UTC
+    // would shift timestamp bounds by the TZ offset and mis-prune
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     val pickedInfo = picked.map(f => (f.name, f.dataType))
     val statsSchema = StructType(
       StructField(PathCol, StringType) +:
@@ -302,9 +318,12 @@ object DataSkipping {
               }
               if (chunks.length != blocks.length) {
                 // not in the files: a hive-partition column — exact stats
-                // from the path segment (Spark's own %xx escaping undone)
+                // from the path segment (Spark's own %xx escaping undone).
+                // DEEPEST occurrence: a `name=value` segment in the
+                // table's own base path must not shadow the real
+                // partition dir (partition values can't contain '/')
                 val marker = s"/$name="
-                val at = p.indexOf(marker)
+                val at = p.lastIndexOf(marker)
                 val seg = if (at < 0) None
                   else Some(p.substring(at + marker.length).takeWhile(_ != '/'))
                 seg match {
@@ -316,7 +335,7 @@ object DataSkipping {
                         val cast = Cast(Literal(
                             org.apache.spark.unsafe.types.UTF8String
                               .fromString(unescapePath(raw)), StringType),
-                          dt, Option("UTC"))
+                          dt, Option(sessionTz))
                         Option(cast.eval(null)).map(
                           org.apache.spark.sql.catalyst.CatalystTypeConverters
                             .convertToScala(_, dt))
@@ -356,13 +375,27 @@ object DataSkipping {
                 }
               }
             }
+            // stored URI-ENCODED ONCE above the on-disk name (what
+            // `Path.toUri.toString` produces and what input_file_name()
+            // rows carry), so canonPath's single decode lands exactly on
+            // the on-disk path — storing the listing's literal form would
+            // decode a literal '%xx' dir name into a path that doesn't
+            // exist (verified empirically for %xx, space and literal %)
             org.apache.spark.sql.Row.fromSeq(
-              p +: fileRows +:
+              new Path(p).toUri.toString +: fileRows +:
                 perCol.flatMap(s => Seq(s.min, s.max, s.nulls, s.valid)))
           } finally reader.close()
         }
       }
-    val raw = spark.createDataFrame(rows, statsSchema)
+    // ONE footer job: the raw rows (with validity flags) materialize to a
+    // scratch parquet, and the validity aggregation + final projection
+    // run over that tiny table — without the round-trip, the validity
+    // agg and the caller's sidecar write would each re-open every footer
+    val scratch = graft.common.Scratch.dir("table",
+      s"fstats-${java.util.UUID.randomUUID().toString.take(12)}")
+    spark.createDataFrame(rows, statsSchema)
+      .write.mode("overwrite").parquet(scratch)
+    val raw = spark.read.parquet(scratch)
     // a column ANY file can't vouch for is dropped from the sidecar —
     // within this schema null min/max asserts "no non-null rows", so a
     // partial column would mis-prune rather than under-prune
@@ -382,6 +415,10 @@ object DataSkipping {
             col(s"`${nullsCol(n)}`")) }.flatten
     raw.select(keepCols: _*)
   }
+
+  /** Ceiling above which the one-shot driver path staging logs a warning
+    * (same magnitude as [[ManagedTable.MaxPruneFiles]]). */
+  private val maxStatsListWarn = ManagedTable.MaxPruneFiles
 
   /** Inverse of Spark's partition-path escaping (`%xx` sequences only). */
   private def unescapePath(s: String): String = {
@@ -435,10 +472,13 @@ object DataSkipping {
   /** xxhash64 of `l` cast to the bloomed column's type `dt` — MUST match
     * the hash fed to [[fileBlooms]]'s aggregate (`id = 5` parses an INT
     * literal but a LongType column hashed longs; hashing the raw literal
-    * would never match). Catalyst-evaluated, so coercion is Spark's own. */
-  private def hashLiteral(l: Literal, dt: org.apache.spark.sql.types.DataType): Option[Long] =
+    * would never match). Catalyst-evaluated, so coercion is Spark's own;
+    * `tz` is the SESSION timezone so a string-literal→timestamp cast
+    * parses exactly like the residual filter will. */
+  private def hashLiteral(l: Literal, dt: org.apache.spark.sql.types.DataType,
+                          tz: String): Option[Long] =
     try {
-      val cast = Cast(l, dt, Option("UTC"))
+      val cast = Cast(l, dt, Option(tz))
       if (cast.eval(null) == null) None // un-castable literal → no pruning
       else Some(new XxHash64(Seq(cast)).eval(null).asInstanceOf[Long])
     } catch { case _: Exception => None }
@@ -475,7 +515,8 @@ object DataSkipping {
     }.flatMap { case (name, lits) =>
       bloomed.collectFirst { case (c, dt) if c.toLowerCase == name =>
         // a literal that can't hash (un-castable) disables THIS conjunct
-        val hashes = lits.map(hashLiteral(_, dt))
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val hashes = lits.map(hashLiteral(_, dt, tz))
         if (hashes.exists(_.isEmpty)) lit(true)
         else might(col(bloomCol(c)), typedLit(hashes.flatten))
       }
@@ -494,12 +535,14 @@ object DataSkipping {
     * MUST match the write-side expression `pmod(hash(cast(col)), n)`
     * ([[graft.table.ManagedTable.setBucket]]). Like [[hashLiteral]], the
     * cast+hash is Catalyst-evaluated so `key = 5` against a LongType key
-    * hashes the long 5, not the int literal. An un-castable literal
-    * yields None (no pruning — the safe direction). */
+    * hashes the long 5, not the int literal; `tz` is the session timezone
+    * so string→timestamp literals parse like the write side's cast did.
+    * An un-castable literal yields None (no pruning — the safe
+    * direction). */
   def bucketOfLiteral(l: Literal, dt: org.apache.spark.sql.types.DataType,
-                      n: Int): Option[Int] =
+                      n: Int, tz: String): Option[Int] =
     try {
-      val cast = Cast(l, dt, Option("UTC"))
+      val cast = Cast(l, dt, Option(tz))
       if (cast.eval(null) == null) None
       else {
         val h = new Murmur3Hash(Seq(cast)).eval(null).asInstanceOf[Int]
@@ -536,7 +579,8 @@ object DataSkipping {
         Some(vs.map(_.asInstanceOf[Literal]))
       case _ => None
     }.flatMap { lits =>
-      val ids = lits.map(bucketOfLiteral(_, dt, n))
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val ids = lits.map(bucketOfLiteral(_, dt, n, tz))
       // one un-hashable literal disables THIS conjunct (it might match a
       // bucket we can't compute), not the others
       if (ids.exists(_.isEmpty)) None else Some(ids.flatten.toSet)

@@ -1134,15 +1134,24 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def collectBlooms(cols: Seq[String], itemsPerFile: Long = 1000000L,
                     fpp: Double = 0.01): Unit = {
     require(exists, s"collectBlooms on absent table $path")
-    lastManifest().get.entries
-      .map(e => (bloomDirFor(e), e.base.getOrElse(e.dir)))
-      .distinct
-      .filterNot { case (bd, _) => FsUtils.exists(spark, bd) }
-      .foreach { case (bd, dataDir) =>
-        DataSkipping.fileBlooms(spark, dataDir, None, cols, itemsPerFile, fpp)
-          .write.mode("overwrite").parquet(bd)
-      }
+    collectSidecars(bloomDirFor,
+      dataDir => DataSkipping.fileBlooms(spark, dataDir, None, cols,
+        itemsPerFile, fpp))
   }
+
+  /** Shared sidecar-collection loop: one producer pass per data dir of
+    * the current snapshot that lacks its sidecar (dirs carried across
+    * versions — including pruned-merge partition subdirs, which share
+    * their base dir's sidecar — are produced once, ever). */
+  private def collectSidecars(sidecarFor: Entry => String,
+                              produce: String => DataFrame): Unit =
+    lastManifest().get.entries
+      .map(e => (sidecarFor(e), e.base.getOrElse(e.dir)))
+      .distinct
+      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
+      .foreach { case (sd, dataDir) =>
+        produce(dataDir).write.mode("overwrite").parquet(sd)
+      }
 
   /** Collect per-file data-skipping stats (see [[DataSkipping]]) for every
     * data dir of the current snapshot that doesn't have them yet. Stats are
@@ -1154,14 +1163,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * costs one distributed, column-pruned aggregation pass. */
   def collectStats(cols: Seq[String] = Nil): Unit = {
     require(exists, s"collectStats on absent table $path")
-    lastManifest().get.entries
-      .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
-      .distinct
-      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
-      .foreach { case (sd, dataDir) =>
-        DataSkipping.fileStats(spark, dataDir, None, cols)
-          .write.mode("overwrite").parquet(sd)
-      }
+    collectSidecars(statsDirFor,
+      dataDir => DataSkipping.fileStats(spark, dataDir, None, cols))
   }
 
   /** Like [[collectStats]] but computed from parquet FOOTERS — ZERO data
@@ -1175,14 +1178,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * that dir's sidecar entirely (pruning skips it, never wrong). */
   def collectStatsFromFooters(cols: Seq[String] = Nil): Unit = {
     require(exists, s"collectStatsFromFooters on absent table $path")
-    lastManifest().get.entries
-      .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
-      .distinct
-      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
-      .foreach { case (sd, dataDir) =>
-        DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols)
-          .write.mode("overwrite").parquet(sd)
-      }
+    collectSidecars(statsDirFor,
+      dataDir => DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols))
   }
 
   /** Per-entry file selection for `condition`: (entry, Some(surviving

@@ -91,6 +91,41 @@ class FooterStatsSpec extends SparkSuite {
       canon(scan))
   }
 
+  test("partition values with escaped characters survive the path round-trip") {
+    // 'a:b' encodes as name=a%3Ab on disk; the sidecar path must decode
+    // back to the ON-DISK name through canonPath, and the partition stat
+    // must carry the unescaped value
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1L, "a:b"), (2L, "plain"), (3L, "a:b")).toDF("id", "name"),
+      partitionBy = Seq("name"))
+    t.collectStatsFromFooters()
+    val got = t.readWhere("id = 2")
+    assert(got.collect().map(_.toString).toSeq === Seq("[2,plain]"))
+    assert(t.readWhere("id >= 1").count() === 3L)
+  }
+
+  test("timestamp partition stats parse with the session timezone") {
+    // Spark reads a ts=... partition dir with the SESSION timezone; a
+    // UTC-pinned footer parse would shift the bound by the offset and
+    // prune every matching file under a non-UTC session
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val t = ManagedTable(spark, tmp() + "/t")
+      t.write(
+        spark.sql(
+          """SELECT id, TIMESTAMP '2020-06-01 00:00:00' AS ts FROM range(5)
+            |UNION ALL
+            |SELECT id, TIMESTAMP '2020-06-02 00:00:00' FROM range(5, 10)""".stripMargin)
+          .coalesce(1),
+        partitionBy = Seq("ts"))
+      t.collectStatsFromFooters()
+      val cond = "ts = TIMESTAMP '2020-06-01 00:00:00'"
+      val (kept, total) = t.pruneInfo(cond)
+      assert(total === 2 && kept === 1, s"kept=$kept total=$total")
+      assert(t.readWhere(cond).count() === 5L)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("INT96 timestamps are dropped from the sidecar, never mis-bounded") {
     val dir = tmp() + "/d"
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
