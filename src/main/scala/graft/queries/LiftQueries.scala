@@ -686,6 +686,24 @@ object LiftQueries {
         .select("o_orderkey", "o_orderstatus", "price")
     }),
 
+    // DESCRIBE HISTORY analogue: every commit stamps its operation name
+    // into the manifest; the history surface reports (version, operation,
+    // snapshot footprint) — Delta's operational observability
+    "l_table_history" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, round}
+      val w = scratch(s, "l_table_history")
+      val orders = Tables.orders(s, d)
+        .selectExpr("o_orderkey", "round(o_totalprice, 2) AS price")
+      val t = ManagedTable(s, s"$w/t")
+      t.write(orders.where(expr("o_orderkey % 6 = 0")))
+      t.append(orders.where(expr("o_orderkey % 6 = 1")))
+      t.merge(orders.where(expr("o_orderkey % 12 = 0"))
+          .withColumn("price", round(col("price") + 1, 2)),
+        "source.o_orderkey == updates.o_orderkey")
+      t.delete("o_orderkey % 6 = 1")
+      t.describeHistory().select("version", "operation", "num_entries")
+    }),
+
     // Iceberg-style bucket transform (ManagedTable.setBucket): writes lay
     // out a hidden pmod(hash(o_orderkey), 16) hive partition, the merge on
     // the bucket key rewrites only touched bucket dirs, and the final
@@ -1401,6 +1419,13 @@ object LiftQueries {
     "l_table_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)""".stripMargin,
+    "l_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'write',  CAST(1 AS BIGINT)),
+        |  (1, 'append', 2),
+        |  (2, 'merge',  1),
+        |  (3, 'delete', 1))
+        |AS t(version, operation, num_entries)""".stripMargin,
     "l_table_bucket" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price

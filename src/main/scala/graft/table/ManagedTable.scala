@@ -80,7 +80,8 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         b.result()
       }.getOrElse(Map.empty[String, Long])
       Manifest(v, Option(node.get("timestamp")).map(_.asLong()).getOrElse(0L),
-        entries, dvs, renames, txn)
+        entries, dvs, renames, txn,
+        Option(node.get("op")).map(_.asText()).getOrElse(""))
     }
 
   /** Every manifest, parsed — O(versions) reads. Only the ops that truly
@@ -145,6 +146,21 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** (version, commitTimestampMillis) pairs, ascending. */
   def history(): Seq[(Long, Long)] = manifests().map(m => (m.version, m.timestamp))
+
+  /** `DESCRIBE HISTORY` analogue: one row per commit with the operation
+    * name the writer stamped ([[withCommitRetry]]'s op context) and the
+    * snapshot's entry/DV/rename/txn footprint. O(versions) manifest reads
+    * — a cold observability path, like [[history]]. Pre-op manifests
+    * (older log versions) surface an empty operation string. */
+  def describeHistory(): DataFrame = {
+    import spark.implicits._
+    manifests().map { m =>
+      (m.version, new java.sql.Timestamp(m.timestamp), m.op,
+        m.entries.size.toLong, m.dvs.size.toLong, m.renames.size.toLong,
+        m.txn.size.toLong)
+    }.toDF("version", "timestamp", "operation",
+      "num_entries", "num_dvs", "num_renames", "num_txn")
+  }
 
   def exists: Boolean = currentVersion.nonEmpty
 
@@ -557,8 +573,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     // clean_write replaces the table's data AND schema mapping: the batch
     // is the new logical truth, so renames reset (old manifests keep
     // their own renames — time travel is unaffected)
-    commitEntries(Entry(writeData(df, partitionBy), None) :: Nil,
-      renames = Some(Nil), txn = txn)
+    ManagedTable.currentOp.withValue("write") {
+      commitEntries(Entry(writeData(df, partitionBy), None) :: Nil,
+        renames = Some(Nil), txn = txn)
+    }
   }
 
   /** The newest (appId -> version) transaction marker committed for
@@ -1452,7 +1470,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND",
         Map("relationName" -> s"$path@v$v")))
     // the restored snapshot's column mapping travels with its data
-    commitEntries(m.entries, m.dvs, Some(m.renames))
+    ManagedTable.currentOp.withValue("restore") {
+      commitEntries(m.entries, m.dvs, Some(m.renames))
+    }
   }
 
   /** Delta-style shallow CLONE: create a table at `targetPath` whose
@@ -1471,8 +1491,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val m = lastManifest()
     // CAS at the target's version 0: of two racing clones to one path,
     // exactly one wins and the other fails loudly
-    target.commitAgainst(None, m.map(_.entries).getOrElse(Nil),
-      m.map(_.dvs).getOrElse(Nil), Some(m.map(_.renames).getOrElse(Nil)))
+    ManagedTable.currentOp.withValue("clone") {
+      target.commitAgainst(None, m.map(_.entries).getOrElse(Nil),
+        m.map(_.dvs).getOrElse(Nil), Some(m.map(_.renames).getOrElse(Nil)))
+    }
     // table properties travel with the clone: CHECK constraints, schema
     // enforcement and the bucket spec are part of the table's contract,
     // not of one snapshot — a clone losing its checks would accept
@@ -1767,8 +1789,12 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     val txnJson = if (txn.isEmpty) ""
       else txn.map { case (a, tv) => s"${js(a)}:$tv" }
         .mkString(""","txn":{""", ",", "}")
+    // DESCRIBE HISTORY's operation column, stamped from the op context
+    // the public entry point set ([[withCommitRetry]] / the blind-commit
+    // wrappers) — observability only, nothing parses it back
+    val opJson = s""","op":${js(ManagedTable.currentOp.value)}"""
     val won = FsUtils.writeTextIfAbsent(spark, s"$logDir/$v.json",
-      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson$txnJson}""")
+      s"""{"version":$v,"timestamp":${System.currentTimeMillis()},"dirs":$dirsJson$dvJson$renJson$txnJson$opJson}""")
     // refresh the _last_checkpoint hint AFTER the manifest is durable —
     // readers probing forward from it must always find the named version
     if (won) writeVersionHint(v)
@@ -1833,17 +1859,18 @@ final class ManagedTable(spark: SparkSession, val path: String) {
 
   /** Bounded re-run loop around a read-modify-write operation body whose
     * commit is a [[commitAgainst]] CAS. */
-  private def withCommitRetry[T](op: String)(body: => T): T = {
-    var last: ManagedTable.ConcurrentWriteException = null
-    var attempt = 0
-    while (attempt < ManagedTable.MaxCommitAttempts) {
-      try return body
-      catch { case e: ManagedTable.ConcurrentWriteException =>
-        last = e; attempt += 1 }
+  private def withCommitRetry[T](op: String)(body: => T): T =
+    ManagedTable.currentOp.withValue(op) {
+      var last: ManagedTable.ConcurrentWriteException = null
+      var attempt = 0
+      while (attempt < ManagedTable.MaxCommitAttempts) {
+        try return body
+        catch { case e: ManagedTable.ConcurrentWriteException =>
+          last = e; attempt += 1 }
+      }
+      throw new java.io.IOException(
+        s"$op on $path lost ${ManagedTable.MaxCommitAttempts} optimistic-commit races", last)
     }
-    throw new java.io.IOException(
-      s"$op on $path lost ${ManagedTable.MaxCommitAttempts} optimistic-commit races", last)
-  }
 }
 
 object ManagedTable {
@@ -1867,7 +1894,13 @@ object ManagedTable {
                                      entries: Seq[Entry],
                                      dvs: Seq[String] = Nil,
                                      renames: Seq[(String, String)] = Nil,
-                                     txn: Map[String, Long] = Map.empty)
+                                     txn: Map[String, Long] = Map.empty,
+                                     op: String = "")
+
+  /** Operation name the in-flight commit stamps into its manifest
+    * (`DESCRIBE HISTORY`'s operation column). Thread-local so concurrent
+    * writers on one JVM each record their own op. */
+  private val currentOp = new scala.util.DynamicVariable[String]("commit")
 
   /** Tombstone prefix for dropped columns: a drop is a rename to a name
     * reads always exclude, so old data dirs keep their files untouched

@@ -834,4 +834,26 @@ class ManagedTableSpec extends SparkSuite {
     assert(c.read().columns.toSeq === Seq("id", "c"))
     assert(c.read().count() === 2)
   }
+
+  test("describeHistory reports every commit's operation and footprint") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.merge(Seq((1L, "z")).toDF("id", "v"), "source.id == updates.id")
+    t.delete("id = 3")
+    t.restore(1)
+    val c = t.cloneTo(tmp() + "/clone")
+    val h = t.describeHistory()
+      .select("version", "operation", "num_entries")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(h === Seq(
+      (0L, "write", 1L), (1L, "append", 2L), (2L, "merge", 1L),
+      (3L, "delete", 1L), (4L, "restore", 2L)))
+    assert(c.describeHistory().select("operation").as[String].collect()
+      .toSeq === Seq("clone"))
+    // timestamps are commit times, monotone non-decreasing
+    val ts = t.describeHistory().select("timestamp")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts === ts.sorted)
+  }
 }
