@@ -717,12 +717,15 @@ object LiftQueries {
           "round(o_totalprice, 2) AS price")
       val t = ManagedTable(s, s"$w/t")
       t.setBucket("o_orderkey", 16, org.apache.spark.sql.types.LongType)
-      t.write(orders.where(expr("o_orderkey % 5 = 0")))
-      t.append(orders.where(expr("o_orderkey % 5 = 1")))
+      // writer tasks are right-sized before the bucket-partitioned write:
+      // each task emits one file per bucket it holds, so 32 tasks x 16
+      // buckets would spray ~512 tiny files where 4 tasks make ~64
+      t.write(orders.where(expr("o_orderkey % 5 = 0")).coalesce(4))
+      t.append(orders.where(expr("o_orderkey % 5 = 1")).coalesce(4))
       // updates hit existing rows (% 10 = 0 ⊂ wave 1) AND insert fresh
       // keys (% 10 = 3 is in neither wave) — both merge arms exercised
       t.merge(orders.where(expr("o_orderkey % 10 IN (0, 3)"))
-          .withColumn("price", round(col("price") + 50, 2)),
+          .withColumn("price", round(col("price") + 50, 2)).coalesce(4),
         "source.o_orderkey == updates.o_orderkey")
       val k = t.read().agg(min("o_orderkey")).head().getLong(0)
       t.read().unionByName(t.readWhere(s"o_orderkey = $k"))
