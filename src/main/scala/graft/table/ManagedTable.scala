@@ -276,15 +276,10 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (m.dvs.isEmpty) base else applyDv(base, m.dvs)
   }
 
-  /** Filtered snapshot read, DV-aware: the filter applies BEFORE the
-    * anti-join so scan-level pushdown/pruning is unaffected. The pruned
-    * DML paths route their slice reads through this — rewriting a slice
-    * from un-vectored data would resurrect deleted rows. */
-  private def readSnapshotWhere(m: Manifest,
-                                cond: org.apache.spark.sql.Column): DataFrame =
-    if (m.dvs.isEmpty) readEntries(m.entries, m.renames).where(cond)
-    else applyDv(readEntriesWithMeta(m.entries, m.renames).where(cond), m.dvs)
-      .drop(DvFile, DvPos)
+  // Filtered snapshot reads for the pruned DML paths are built inside
+  // [[prunedRewrite]] from ONE shared snapshot relation (filter applied
+  // BEFORE the DV anti-join so scan-level pushdown/pruning is unaffected;
+  // rewriting a slice from un-vectored data would resurrect deleted rows).
 
   /** DV sidecars live under `_graft_dv/` — outside the `d*` data-dir
     * namespace, so data-dir globs (streamAppends) and the race-orphan
@@ -639,10 +634,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         s"renameColumn: column '$to' already exists in $path")
       require(!to.startsWith(ManagedTable.DroppedPrefix),
         s"renameColumn: '$to' collides with the drop-tombstone namespace")
+      requireNotBucketKey(from, "renameColumn")
       commitAgainst(Some(cur.version), cur.entries, cur.dvs,
         Some(cur.renames :+ (from, to)))
     }
   }
+
+  /** Renaming/dropping the bucket-spec key would silently break the
+    * feature's cost model: batches no longer carry `spec.column`, so
+    * writeData writes unbucketed dirs while the spec stays set — reads
+    * remain correct but point-lookup pruning and bucket-pruned DML stop
+    * for all new data, and the stale layout blocks a future setBucket.
+    * Loud guard, mirroring the partition-column rename restriction. */
+  private def requireNotBucketKey(name: String, op: String): Unit =
+    bucketSpec.foreach(s => require(!s.column.equalsIgnoreCase(name),
+      s"$op on $path: '$name' is the bucket transform's key column " +
+        s"(bucket(${s.n}, ${s.column})); dropBucket() first"))
 
   /** ALTER TABLE DROP COLUMN, manifest-only: a rename into the tombstone
     * namespace reads always exclude — old files keep their bytes (never
@@ -657,6 +664,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val schema = readSnapshot(cur).schema.fieldNames
       require(schema.exists(_.equalsIgnoreCase(name)),
         s"dropColumn: no column '$name' in $path (have ${schema.mkString(", ")})")
+      requireNotBucketKey(name, "dropColumn")
       commitAgainst(Some(cur.version), cur.entries, cur.dvs,
         Some(cur.renames :+
           (name, s"${ManagedTable.DroppedPrefix}v${cur.version + 1}_$name")))
@@ -871,20 +879,6 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
-  /** splittable = every entry is either already a single-partition subdir
-    * reference or a dir containing ONLY pcol=… subdirs (+ marker files). */
-  private def splittableLayout(cur: Manifest, pcol: String): Boolean = {
-    val prefix = pcol + "="
-    cur.entries.forall { e =>
-      if (new Path(e.dir).getName.startsWith(prefix)) true
-      else {
-        val (dirs, files) = FsUtils.listChildren(spark, e.dir)
-        dirs.forall(_.startsWith(prefix)) &&
-          files.forall(f => f.startsWith("_") || f.startsWith("."))
-      }
-    }
-  }
-
   /** Delta-style row-level DELETE (`DELETE FROM t WHERE condition` — the
     * GDPR/right-to-erasure primitive). Rows matching `condition` (raw SQL
     * over the table's columns) are removed in a new snapshot version; time
@@ -984,9 +978,55 @@ final class ManagedTable(spark: SparkSession, val path: String) {
                             extraTouched: Option[DataFrame] = None): Option[Long] = {
     val pcol = partitionBy.head
     val cur = lastManifest().get
-    if (!splittableLayout(cur, pcol)) return None
     val prefix = pcol + "="
-    val matchKeys = readSnapshotWhere(cur, cond).select(col(pcol))
+    // ONE metadata listing answers BOTH layout splittability and the
+    // carry-candidate (name, entry) list — the separate splittableLayout
+    // walk re-listed every entry a second time, and those per-dir round
+    // trips were a dominant fixed cost of a small bucketed merge
+    // (round-9 verdict item 3; PLANS.md "bucketed-merge fixed costs").
+    // splittable = every entry is either already a single-partition subdir
+    // reference or a dir containing ONLY pcol=… subdirs (+ marker files).
+    val childBuilder = Seq.newBuilder[(String, Entry)]
+    val splittable = cur.entries.forall { e =>
+      val name = new Path(e.dir).getName
+      if (name.startsWith(prefix)) { childBuilder += name -> e; true }
+      else {
+        val (dirs, files) = FsUtils.listChildren(spark, e.dir)
+        dirs.foreach(sub => childBuilder +=
+          sub -> Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
+        dirs.forall(_.startsWith(prefix)) &&
+          files.forall(f => f.startsWith("_") || f.startsWith("."))
+      }
+    }
+    if (!splittable) return None
+    val children: Seq[(String, Entry)] = childBuilder.result()
+    val isBucket = pcol == ManagedTable.BucketCol
+    // Bucket dirs are written exclusively by this layer from an INT bucket
+    // id, so a dir name is canonical iff it re-encodes from its parsed int
+    // (`__gbucket=5`, never `05`/`+5`/non-numeric). A non-canonical name
+    // means an external writer laid the dir out; its rows could dodge the
+    // drop set below, so bail to the full rewrite. This pure string check
+    // IS the bucket path's presence guard: with every name canonical, rows
+    // holding bucket value v live exactly in dir `__gbucket=v`, so a
+    // touched value with current rows always re-encodes to an existing
+    // dir — the invariant the partition path below must pay a scan and
+    // two encode jobs to establish.
+    if (isBucket && !children.forall { case (n, _) =>
+        n.stripPrefix(prefix).toIntOption.exists(v => prefix + v == n) })
+      return None
+    // ONE logical snapshot relation serves key discovery, the presence
+    // guard and the rewrite slice: each readEntries construction re-lists
+    // and re-infers schemas per entry, so building the snapshot read three
+    // times tripled the fixed metadata cost of every pruned DML call.
+    val baseRead =
+      if (cur.dvs.isEmpty) readEntries(cur.entries, cur.renames)
+      else readEntriesWithMeta(cur.entries, cur.renames)
+    def snapWhere(c: Column): DataFrame =
+      if (cur.dvs.isEmpty) baseRead.where(c)
+      else applyDv(baseRead.where(c), cur.dvs).drop(DvFile, DvPos)
+    // with cond = lit(false) (the merge/CDC paths) Catalyst folds this
+    // branch of the union to an empty relation — no scan tasks run
+    val matchKeys = snapWhere(cond).select(col(pcol))
     // the union's resolved schema (not matchKeys') types the collected
     // rows: a batch whose key column is wider than the table's coerces
     val keyed = extraTouched.fold(matchKeys)(matchKeys.union)
@@ -996,52 +1036,53 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     if (touchedRows.isEmpty)
       return Some(commitAgainst(Some(cur.version), cur.entries, cur.dvs))
     val touchedVals = touchedRows.map(_.get(0))
-    val encodedTouched = encodePartitionNames(
-      touchedRows.toIndexedSeq, keyed.schema, pcol)
+    // bucket ids are non-null ints by construction (pmod(hash(k), n) is
+    // non-null even for null keys); anything else means a caller handed a
+    // foreign frame — fall back rather than mis-encode
+    if (isBucket && !touchedVals.forall(_.isInstanceOf[java.lang.Integer]))
+      return None
+    val encodedTouched: Set[String] =
+      if (isBucket) touchedVals.map(v => prefix + v).toSet
+      else encodePartitionNames(touchedRows.toIndexedSeq, keyed.schema, pcol)
     val nonNull = touchedVals.filter(_ != null)
     val hasNull = touchedVals.exists(_ == null)
     var sliceCond = if (nonNull.nonEmpty)
       col(pcol).isin(nonNull.toIndexedSeq: _*) else lit(false)
     if (hasNull) sliceCond = sliceCond || col(pcol).isNull
 
-    // (name, entry) for every carry-candidate partition dir in the
-    // current snapshot — listed once, used for both the round-trip guard
-    // below and the carried-entry computation
-    val children: Seq[(String, Entry)] = cur.entries.flatMap { e =>
-      val name = new Path(e.dir).getName
-      if (name.startsWith(prefix)) Seq(name -> e)
-      else FsUtils.listChildren(spark, e.dir)._1
-        .map(sub => sub -> Entry(s"${e.dir}/$sub", Some(e.base.getOrElse(e.dir))))
+    // Round-trip guard (non-bucket partitions): dropping a touched old dir
+    // relies on its name matching the RE-ENCODED touched value. If an
+    // existing dir's name doesn't round-trip through Spark's
+    // value-parse/re-encode (a dir from an external writer's escaping, a
+    // timestamp partition under a changed session timezone, a
+    // type-widening batch re-encoding `p=5` as `p=5.0`), the touched old
+    // dir would be silently carried — deleted rows resurrect, merged rows
+    // duplicate. The sound invariant is PRESENCE-based: every touched
+    // value that actually has rows in the current snapshot must re-encode
+    // to an existing dir name (that is the dir the drop set will remove).
+    // Checking "touched name is in the rewrite output" instead is NOT
+    // safe — a widening batch that UPDATES rather than empties a
+    // partition puts the re-encoded name into the rewrite output, which
+    // would vouch for a name matching no old dir while the real old dir
+    // is silently carried. Touched values with NO current rows are
+    // genuinely new partitions and constrain nothing. Bail to the full
+    // rewrite on any mismatch — BEFORE the rewrite write, so the bail
+    // costs one pruned key scan, not a wasted data write. The bucket path
+    // established the same invariant structurally above (canonical int
+    // names), so it skips the scan and both encode jobs.
+    if (!isBucket) {
+      val existingNames = children.iterator.map(_._1).toSet
+      val presentRows = snapWhere(sliceCond)
+        .select(col(pcol).cast(keyed.schema.head.dataType).as(pcol))
+        .distinct().limit(MaxPrunedPartitions + 1).collect()
+      val encodedPresent = encodePartitionNames(
+        presentRows.toIndexedSeq, keyed.schema, pcol)
+      if (!encodedPresent.forall(existingNames.contains)) return None
     }
-    // Round-trip guard: dropping a touched old dir relies on its name
-    // matching the RE-ENCODED touched value. If an existing dir's name
-    // doesn't round-trip through Spark's value-parse/re-encode (a dir
-    // from an external writer's escaping, a timestamp partition under a
-    // changed session timezone, a type-widening batch re-encoding `p=5`
-    // as `p=5.0`), the touched old dir would be silently carried —
-    // deleted rows resurrect, merged rows duplicate. The sound invariant
-    // is PRESENCE-based: every touched value that actually has rows in
-    // the current snapshot must re-encode to an existing dir name (that
-    // is the dir the drop set will remove). Checking "touched name is in
-    // the rewrite output" instead is NOT safe — a widening batch that
-    // UPDATES rather than empties a partition puts the re-encoded name
-    // into the rewrite output, which would vouch for a name matching no
-    // old dir while the real old dir is silently carried. Touched values
-    // with NO current rows are genuinely new partitions and constrain
-    // nothing. Bail to the full rewrite on any mismatch — BEFORE the
-    // rewrite write, so the bail costs one pruned key scan, not a wasted
-    // data write.
-    val existingNames = children.iterator.map(_._1).toSet
-    val presentRows = readSnapshotWhere(cur, sliceCond)
-      .select(col(pcol).cast(keyed.schema.head.dataType).as(pcol))
-      .distinct().limit(MaxPrunedPartitions + 1).collect()
-    val encodedPresent = encodePartitionNames(
-      presentRows.toIndexedSeq, keyed.schema, pcol)
-    if (!encodedPresent.forall(existingNames.contains)) return None
 
     // the isin filter prunes the scan to touched partitions before the
     // per-row rewrite applies
-    val out = rewriteSlice(readSnapshotWhere(cur, sliceCond))
+    val out = rewriteSlice(snapWhere(sliceCond))
     val newDir = writeData(out, partitionBy)
     val rewritten = FsUtils.listChildren(spark, newDir)._1
       .filter(_.startsWith(prefix)).toSet

@@ -246,4 +246,21 @@ class BucketTransformSpec extends SparkSuite {
     b.write(Seq((1L, "a")).toDF("k", "s"))
     intercept[IllegalArgumentException] { b.streamAppends() }
   }
+
+  test("renaming or dropping the bucket key is refused while the spec is set") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 4, org.apache.spark.sql.types.LongType)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // silently un-bucketing new data (batches would stop carrying the key
+    // under its spec name) must be loud — dropBucket() first
+    intercept[IllegalArgumentException] { t.renameColumn("k", "kk") }
+    intercept[IllegalArgumentException] { t.dropColumn("K") } // case-blind
+    // non-key columns rename/drop freely
+    t.renameColumn("s", "s2")
+    assert(t.read().schema.fieldNames.toSeq.sorted === Seq("k", "s2"))
+    // after dropBucket the key is an ordinary column again
+    t.dropBucket()
+    t.renameColumn("k", "kk")
+    assert(t.readWhere("kk = 1").count() === 1L)
+  }
 }
