@@ -51,8 +51,47 @@ object Probe {
       case Some("dedupscale") => dedupScale(session(), sfDir, exact = args.contains("exact"))
       case Some("textskew") => textSkew(session(), sfDir, exact = args.contains("exact"))
       case Some("neardupindex") => nearDupIndexScale(session(), sfDir, exact = args.contains("exact"))
-      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact])")
+      case Some("recursive") => recursiveCost(session(), sfDir)
+      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive)")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // recursive: where does q_recursive's wall go (r9 verdict item 2) —
+  // per-run wall/cpu/gc/jit across consecutive in-JVM executions, with
+  // and without whole-stage codegen, mirroring Bench's warmup protocol
+  // (one sf0.001 run first). The recursion is depth x per-step DRIVER
+  // cost (r7 autopsy), so the interesting split is how much of a step
+  // is janino codegen vs plan/schedule.
+  // ------------------------------------------------------------------
+  private def recursiveCost(s: SparkSession, sfDir: String): Unit = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    def run(dir: String): (Double, Double, Double, Double) = {
+      val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      val g0 = gcMillis(); val j0 = jit.getTotalCompilationTime
+      SparkEntry.queries("q_recursive")(s, dir).count()
+      graft.ops.Caches.release(); s.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9,
+        (gcMillis() - g0) / 1e3, (jit.getTotalCompilationTime - j0) / 1e3)
+    }
+    def sweep(label: String): Unit = {
+      println(s"-- $label")
+      val (ww, wc, _, wj) = run("/root/testdata/sf0.001")
+      println(f"warm(sf0.001): wall=$ww%.2f cpu=$wc%.1f jit=$wj%.1f")
+      for (i <- 1 to 4) {
+        val (t, c, g, j) = run(sfDir)
+        println(f"run$i: wall=$t%.2f cpu=$c%.1f gc=$g%.1f jit=$j%.1f load=${osBean.getSystemLoadAverage}%.1f")
+      }
+    }
+    sweep("whole-stage codegen ON (bench shape)")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    sweep("whole-stage codegen OFF")
+    s.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
   // ------------------------------------------------------------------

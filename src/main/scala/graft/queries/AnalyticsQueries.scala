@@ -199,7 +199,7 @@ object AnalyticsQueries {
     // date-ordered order chain — an acyclic recursion (UNION-distinct
     // closure over cyclic graphs is not supported yet, so the cluster
     // closure stays on the distributed label-propagation path)
-    "q_recursive" -> ((s, d) => {
+    "q_recursive" -> ((s0, d) => {
       // the walked relation is cached OUTSIDE the recursion: each
       // UNION ALL step joins against `o`, and an inline CTE would re-run
       // the window + scan once per recursion depth. Round-7 regression
@@ -211,10 +211,24 @@ object AnalyticsQueries {
       // task scheduling was the dominant term), and the explicit BROADCAST
       // hint is gone (the cached single-partition base auto-broadcasts by
       // size; the hint forced a per-step broadcast rebuild, +0.6 s).
-      // Remaining floor (~3-5 s cold at depth 20, ~2 s steady-state) is
-      // Spark's recursive-CTE per-iteration plan+schedule cost, absorbed
-      // by the gate's MAX entry. At larger SFs size the base partitioning
-      // by rows, not a constant.
+      //
+      // Whole-stage codegen is OFF for this query (round-10 probe matrix
+      // in BASELINE.md, `Probe recursive`): every EXECUTION of a
+      // recursive CTE re-plans and re-janino-compiles its per-iteration
+      // step plans — 12.6 s of JIT inside an 8.1 s first timed run even
+      // after a full warmup pass, decaying but never reaching zero across
+      // repeats — while interpreted mode runs the same ≤3k-row steps at
+      // the same steady-state wall (4.1–4.5 s vs 4.6–4.7 s) with no
+      // compile spike (first run 4.5 s vs 8.1 s). The conf is scoped to a
+      // cloned session (shared context, own SQLConf) so the rest of the
+      // suite keeps codegen; at SFs where a recursion step carries real
+      // data volume, codegen pays its compile cost back — leave it on
+      // there. Remaining floor is Spark's recursive-CTE per-iteration
+      // plan+schedule cost (~230 ms/step here), absorbed by the gate's
+      // MAX entry. At larger SFs size the base partitioning by rows, not
+      // a constant.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
       val walked = Tables.orders(s, d).where(col("o_custkey") % 50 === 0)
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(
