@@ -577,6 +577,43 @@ object LiftQueries {
         .select("o_orderkey", "o_orderdate", "price")
     }),
 
+    // footer-mode data skipping over a STRING predicate (round-10: string
+    // ids / ISO-date strings are the most common real-world predicate
+    // columns; footer bounds carry truncation-safe widened maxima, see
+    // table/DataSkipping.scala string-bounds note + FooterStatsSpec) —
+    // the metadata-only stats sweep prunes a string range exactly like
+    // the scan-based mode
+    "l_table_skipping_str" -> ((s, d) => {
+      val w = scratch(s, "l_table_skipping_str")
+      Tables.orders(s, d).createOrReplaceTempView("orders_skipstr_src")
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: >-
+           |        SELECT concat('ORD', lpad(CAST(o_orderkey AS STRING), 10, '0')) AS okey,
+           |        round(o_totalprice, 2) AS price
+           |        FROM orders_skipstr_src
+           |  W:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      Optimize:
+           |        ZorderBy: okey
+           |      Stats:
+           |        Mode: footers
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      Where: okey >= 'ORD0000000100' AND okey < 'ORD0000001000'
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack").select("okey", "price")
+    }),
+
     // RESTORE: v0 clean_write, v1 botched upsert, restore to v0 as a NEW
     // commit (manifest-only rollback, no data movement), then read back
     // through a shallow CLONE of the restored table (zero-copy snapshot)
@@ -1456,6 +1493,12 @@ object LiftQueries {
       """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'""".stripMargin,
+    "l_table_skipping_str" ->
+      """SELECT concat('ORD', lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS okey,
+        |round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE concat('ORD', lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) >= 'ORD0000000100'
+        |AND concat('ORD', lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) < 'ORD0000001000'""".stripMargin,
     "l_table_timetravel" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price, CAST(0 AS BIGINT) AS version
         |FROM orders WHERE o_orderkey % 6 = 0

@@ -1232,13 +1232,32 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * is a metadata sweep instead of a second full table pass. Same
     * sidecar format and conventions, so pruning consumes either.
     * Limits (see [[DataSkipping.fileStatsFromFooters]]): fixed-width
-    * columns only (strings/binary excluded — writer-truncated bounds
-    * would mis-prune); a column any file can't vouch for is left out of
-    * that dir's sidecar entirely (pruning skips it, never wrong). */
+    * columns plus UTF8 strings (string max bounds are truncation-safely
+    * WIDENED, so boundary equality keeps a file scan mode would prune —
+    * never the wrong direction); float/double/decimal/binary are excluded
+    * (requested-but-excluded columns warn); a column any file can't vouch
+    * for is left out of that dir's sidecar entirely (pruning skips it,
+    * never wrong). */
   def collectStatsFromFooters(cols: Seq[String] = Nil): Unit = {
     require(exists, s"collectStatsFromFooters on absent table $path")
-    collectSidecars(statsDirFor,
-      dataDir => DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols))
+    lastManifest().get.entries
+      .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
+      .distinct
+      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
+      .foreach { case (sd, dataDir) =>
+        // raw footer rows stage on the TABLE's own filesystem — not
+        // process-local scratch, which on a multi-node deployment would
+        // hand the driver a partial stats table and silently drop files
+        // from every pruned read. `_tmp-` under _graft_stats is outside
+        // the sidecar namespace (dirs are named d<N>…) and vacuum's
+        // sidecar-orphan sweep reaps any crash leftovers.
+        val staging = s"$path/_graft_stats/_tmp-${
+          java.util.UUID.randomUUID().toString.take(12)}"
+        try DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols,
+            Some(staging))
+          .write.mode("overwrite").parquet(sd)
+        finally FsUtils.deleteFiles(spark, Seq(staging))
+      }
   }
 
   /** Per-entry file selection for `condition`: (entry, Some(surviving

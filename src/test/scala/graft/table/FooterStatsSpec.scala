@@ -59,14 +59,14 @@ class FooterStatsSpec extends SparkSuite {
       canon(scan.select(shared.map(col).toIndexedSeq: _*)))
   }
 
-  test("all-null columns, string exclusion and 0-row semantics") {
+  test("all-null columns, float exclusion and 0-row semantics") {
     val dir = tmp() + "/d"
     spark.range(100).selectExpr(
-        "id", "CAST(NULL AS BIGINT) AS allnull", "CAST(id AS STRING) AS s")
+        "id", "CAST(NULL AS BIGINT) AS allnull", "CAST(id AS DOUBLE) AS s")
       .coalesce(2).write.parquet(dir)
     val foot = DataSkipping.fileStatsFromFooters(spark, dir, None)
-    // strings never get footer bounds (truncation hazard); the convention
-    // for an all-null column is null min/max + exact null count
+    // doubles never get footer bounds (NaN gap); the convention for an
+    // all-null column is null min/max + exact null count
     assert(!foot.columns.exists(_.endsWith("_s")))
     val r = foot.select(DataSkipping.minCol("allnull"),
       DataSkipping.maxCol("allnull"), DataSkipping.nullsCol("allnull"),
@@ -78,6 +78,55 @@ class FooterStatsSpec extends SparkSuite {
       Seq("id", "allnull"))
     assert(canon(footShared.select(scan.columns.map(col).toIndexedSeq: _*)) ===
       canon(scan))
+  }
+
+  test("string footer bounds: valid lower bound, widened upper bound") {
+    val dir = tmp() + "/d"
+    // multibyte + supplementary chars exercise the UTF-8 byte-order reduce
+    // and the code-point increment (java.lang.String ordering would pick
+    // the wrong max for the supplementary row)
+    Seq("apple", "banana", "cherry", "zzétail", "中文",
+        "emoji😀", "aaa", "zzz")
+      .toDF("s").withColumn("id", monotonically_increasing_id())
+      .coalesce(1).write.parquet(dir)
+    val foot = DataSkipping.fileStatsFromFooters(spark, dir, None)
+    val r = foot.select(DataSkipping.minCol("s"), DataSkipping.maxCol("s")).head()
+    val (mn, mx) = (r.getString(0), r.getString(1))
+    // min is exact-or-prefix (a valid lower bound), max strictly exceeds
+    // every value in UTF8 binary order (the truncation-safe widening)
+    val vals = Seq("apple", "banana", "cherry", "zzétail", "中文",
+      "emoji😀", "aaa", "zzz")
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(x: String) = UTF8String.fromString(x)
+    assert(vals.forall(v => u(mn).compareTo(u(v)) <= 0), s"min=$mn")
+    assert(vals.forall(v => u(mx).compareTo(u(v)) > 0), s"max=$mx")
+  }
+
+  test("string stats prune readWhere like scan stats, equality at the max kept") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(spark.range(1000)
+      .selectExpr("concat('doc', lpad(CAST(id AS STRING), 6, '0')) AS k", "id AS v")
+      .repartitionByRange(10, $"k"))
+    t.collectStatsFromFooters()
+    val cond = "k >= 'doc000100' AND k < 'doc000200'"
+    val (kept, total) = t.pruneInfo(cond)
+    assert(total === 10 && kept <= 3, s"kept=$kept total=$total")
+    assert(t.readWhere(cond).collect().map(_.toString).sorted.toSeq ===
+      t.read().where(expr(cond)).collect().map(_.toString).sorted.toSeq)
+    // widening keeps equality AT each file's true max (the loosened
+    // boundary must never prune the file holding the value)
+    assert(t.readWhere("k = 'doc000999'").count() === 1L)
+    val (keptEq, _) = t.pruneInfo("k = 'doc000500'")
+    assert(keptEq <= 2, s"keptEq=$keptEq")
+    // parity with the scan-based pass on the same layout
+    val t2 = ManagedTable(spark, tmp() + "/t2")
+    t2.write(spark.range(1000)
+      .selectExpr("concat('doc', lpad(CAST(id AS STRING), 6, '0')) AS k", "id AS v")
+      .repartitionByRange(10, $"k"))
+    t2.collectStats()
+    val (kept2, total2) = t2.pruneInfo(cond)
+    assert(total2 === 10 && kept === kept2,
+      s"footer kept=$kept vs scan kept=$kept2")
   }
 
   test("hive-partition columns get exact path-derived stats") {
