@@ -536,8 +536,8 @@ object WriteBlocks {
       table.registerAs(
         c.props.getString("HiveTable.DatabaseName"),
         c.props.getString("HiveTable.TableName"))
-    if (c.props.exists("Optimize"))
-      table.optimize(
+    if (c.props.exists("Optimize")) {
+      val zcols =
         if (c.props.exists("Optimize.ZorderBy"))
           // both spellings: a YAML list ([a, b], like Blooms.Columns) or
           // the comma-separated string — String.valueOf on a List would
@@ -547,8 +547,13 @@ object WriteBlocks {
             case l: Seq[_] => c.props.getStringSeq("Optimize.ZorderBy")
             case s => String.valueOf(s).split(",").map(_.trim).toSeq
           })
-        else Nil,
-        partitionBy = partitionBy)
+        else Nil
+      // `Incremental: true` → compact/cluster only dirs written since the
+      // last optimize watermark (O(new data)); default is the full rewrite
+      if (c.props.getBoolean("Optimize.Incremental"))
+        table.optimizeIncremental(zcols, partitionBy = partitionBy)
+      else table.optimize(zcols, partitionBy = partitionBy)
+    }
     if (c.props.exists("Vacuum"))
       table.vacuum(c.props.getDoubleOr("Vacuum.RetainHours", 168.0),
         enforceRetention = !c.props.getBoolean("Vacuum.Force"))

@@ -801,6 +801,64 @@ object LiftQueries {
         .select("o_orderkey", "o_orderdate", "price")
     }),
 
+    // INCREMENTAL optimize (round-10): base z-ordered full, two appends,
+    // then `Optimize: {Incremental: true}` clusters ONLY the appended
+    // dirs — the base dir carries by manifest reference (ManagedTableSpec
+    // pins the carried entry), O(new data) maintenance where the full
+    // rewrite is O(table). Content ≡ the full-optimize result by oracle.
+    "l_table_zorder_inc" -> ((s, d) => {
+      val w = scratch(s, "l_table_zorder_inc")
+      Tables.orders(s, d).createOrReplaceTempView("orders_zi_src")
+      val sel = "SELECT o_orderkey, o_orderdate, round(o_totalprice, 2)" +
+        " AS price FROM orders_zi_src"
+      val yaml =
+        s"""LiftJob:
+           |  Base:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: $sel WHERE o_orderkey % 3 = 0
+           |  W0:
+           |    Type: write::batch_delta
+           |    Input: Base
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: clean_write
+           |      Optimize:
+           |        ZorderBy: o_orderdate, price
+           |  A1:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: $sel WHERE o_orderkey % 3 = 1
+           |  W1:
+           |    Type: write::batch_delta
+           |    Input: A1
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: append
+           |  A2:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: $sel WHERE o_orderkey % 3 = 2
+           |  W2:
+           |    Type: write::batch_delta
+           |    Input: A2
+           |    Properties:
+           |      Path: $w/t
+           |      Mode: append
+           |      Optimize:
+           |        ZorderBy: o_orderdate, price
+           |        Incremental: true
+           |      Stats: true
+           |  ReadBack:
+           |    Type: load::batch_delta
+           |    Properties:
+           |      Path: $w/t
+           |      Where: price >= 100000.0 AND price < 120000.0
+           |""".stripMargin
+      Lift.lift(s, yaml).getDf("ReadBack")
+        .select("o_orderkey", "o_orderdate", "price")
+    }),
+
     // versions back through load::batch_delta's Version property and union
     // them version-tagged — Delta's versionAsOf over the manifest log
     "l_table_timetravel" -> ((s, d) => {
@@ -1486,6 +1544,10 @@ object LiftQueries {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 12 = 0""".stripMargin,
     "l_table_zorder" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+        |FROM orders WHERE round(o_totalprice, 2) >= 100000.0
+        |AND round(o_totalprice, 2) < 120000.0""".stripMargin,
+    "l_table_zorder_inc" ->
       """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
         |FROM orders WHERE round(o_totalprice, 2) >= 100000.0
         |AND round(o_totalprice, 2) < 120000.0""".stripMargin,

@@ -1470,14 +1470,61 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     spark.readStream.schema(read().schema).parquet(s"$path/d*")
   }
 
+  /** Shared OPTIMIZE clustering: a z-order request approximates to
+    * range-partition + sortWithinPartitions (multi-column via the
+    * bit-interleaved Morton key, see [[ZOrder]] — per-file min/max stats
+    * then prune on EVERY z-ordered column, not just the leading one);
+    * bucketed tables compact BY BUCKET (one file per non-empty bucket,
+    * not tasks × buckets — same shape as [[compactSmall]]). */
+  private def clusterFor(cur: DataFrame, zorderBy: Seq[String],
+                         n: Int): DataFrame =
+    if (zorderBy.size > 1) {
+      val zk = ZOrder.zOrderKey(cur, zorderBy)
+      cur.withColumn("__zkey", zk)
+        .repartitionByRange(n, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+    } else if (zorderBy.nonEmpty)
+      cur.repartitionByRange(n, zorderBy.map(col): _*)
+        .sortWithinPartitions(zorderBy.map(col): _*)
+    else bucketSpec match {
+      case Some(spec)
+          if cur.columns.exists(_.equalsIgnoreCase(spec.column)) =>
+        val key = cur.columns.find(_.equalsIgnoreCase(spec.column)).get
+        cur.repartition(n, spec.idOf(col(s"`$key`")))
+      case _ => cur.repartition(n)
+    }
+
+  // Optimize watermark: a one-line hint naming the last version an
+  // optimize (full or incremental) produced, so [[optimizeIncremental]]
+  // can tell already-clustered dirs from post-optimize arrivals without
+  // replaying the log. Advisory metadata like the version hint:
+  // missing/stale/vacuumed → the incremental path degrades to the full
+  // footprint, never to a wrong result.
+  private def optimizeWatermarkPath = s"$logDir/_optimize_watermark"
+
+  private def writeOptimizeWatermark(v: Long): Unit =
+    try FsUtils.writeTextAtomic(spark, optimizeWatermarkPath, s"""{"version":$v}""")
+    catch { case _: Exception => () }
+
+  private def readOptimizeWatermark(): Option[Long] =
+    try {
+      if (!FsUtils.exists(spark, optimizeWatermarkPath)) None
+      else Option(new ObjectMapper()
+        .readTree(FsUtils.readText(spark, optimizeWatermarkPath)).get("version"))
+        .map(_.asLong())
+    } catch { case _: Exception => None }
+
   /** OPTIMIZE [ZORDER BY cols]: compact the current snapshot's dir list
     * into ONE dir; a z-order request approximates to range-partition +
     * sortWithinPartitions on those columns — same data-skipping effect for
-    * parquet min/max stats (reference batch_delta.py:116-134). */
+    * parquet min/max stats (reference batch_delta.py:116-134). O(table)
+    * per run — at 100 TB prefer [[optimizeIncremental]] on a cadence with
+    * this full pass reserved for restoring global clustering. */
   def optimize(zorderBy: Seq[String] = Nil, targetPartitions: Int = 0,
                partitionBy: Seq[String] = Nil): Long = {
     if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
-    withCommitRetry("optimize") {
+    val v = withCommitRetry("optimize") {
       val curM = lastManifest().get
       // readSnapshot: a full compaction MATERIALIZES the deletion vectors
       // (vectored rows drop out of the rewrite) and the fresh manifest
@@ -1485,29 +1532,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
       val cur = readSnapshot(curM)
       val n = if (targetPartitions > 0) targetPartitions
               else math.max(1, spark.sparkContext.defaultParallelism / 2)
-      val compacted =
-        if (zorderBy.size > 1) {
-          // true multi-column Z-order: cluster on the bit-interleaved
-          // Morton key so per-file min/max stats prune on EVERY z-ordered
-          // column, not just the leading one (see [[ZOrder]])
-          val zk = ZOrder.zOrderKey(cur, zorderBy)
-          cur.withColumn("__zkey", zk)
-            .repartitionByRange(n, col("__zkey"))
-            .sortWithinPartitions(col("__zkey"))
-            .drop("__zkey")
-        } else if (zorderBy.nonEmpty)
-          cur.repartitionByRange(n, zorderBy.map(col): _*)
-            .sortWithinPartitions(zorderBy.map(col): _*)
-        else bucketSpec match {
-          // bucketed tables compact BY BUCKET (each bucket's rows in one
-          // task → one file per non-empty bucket, not tasks × buckets —
-          // same shape as [[compactSmall]])
-          case Some(spec)
-              if cur.columns.exists(_.equalsIgnoreCase(spec.column)) =>
-            val key = cur.columns.find(_.equalsIgnoreCase(spec.column)).get
-            cur.repartition(n, spec.idOf(col(s"`$key`")))
-          case _ => cur.repartition(n)
-        }
+      val compacted = clusterFor(cur, zorderBy, n)
       // pass the table's partition columns so compaction keeps the hive
       // layout — otherwise one OPTIMIZE would flatten the dirs and disable
       // both scan-time partition pruning and future pruned merges
@@ -1519,6 +1544,62 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         Seq(Entry(writeData(compacted, partitionBy), None)),
         renames = Some(Nil))
     }
+    writeOptimizeWatermark(v)
+    v
+  }
+
+  /** Incremental OPTIMIZE [ZORDER BY cols]: compact/cluster ONLY the dirs
+    * written since the last optimize watermark; every dir the snapshot at
+    * the watermark already held carries over by manifest reference —
+    * O(data landed since the last optimize), not O(table). This is the
+    * maintenance cost model a 100 TB ingest table needs: the full
+    * [[optimize]] rewrite is a per-run table scan it cannot pay, while
+    * the append tail it actually accumulates stays small. Clustering
+    * quality matches Delta's incremental OPTIMIZE: each optimized dir is
+    * internally clustered (per-file min/max stats prune within it); run
+    * the full pass in a maintenance window if global clustering ever
+    * degrades. Differences from the full pass, by necessity: column
+    * renames are NOT materialized (carried dirs keep physical names) and
+    * deletion vectors are materialized only for the rewritten slice —
+    * both mappings stay live. Output is sized by the fresh slice's bytes
+    * (`targetBytes`-sized files), not the cluster's parallelism. Returns
+    * the current version unchanged when nothing new landed. */
+  def optimizeIncremental(zorderBy: Seq[String] = Nil,
+                          targetPartitions: Int = 0,
+                          partitionBy: Seq[String] = Nil,
+                          targetBytes: Long = 128L * 1024 * 1024): Long = {
+    if (!exists) throw new AnalysisException("TABLE_OR_VIEW_NOT_FOUND", Map("relationName" -> path))
+    val v = withCommitRetry("optimizeIncremental") {
+      val cur = lastManifest().get
+      val baseline: Set[Entry] = (for {
+        w <- readOptimizeWatermark()
+        m <- manifestAt(w)
+      } yield m.entries.toSet).getOrElse(Set.empty)
+      val (carried, fresh) = cur.entries.partition(baseline.contains)
+      if (fresh.isEmpty) cur.version // nothing landed since the watermark
+      else {
+        // DV-aware read of ONLY the fresh entries (rewriting from
+        // un-vectored files would resurrect deleted rows); DVs carry
+        // over for the carried dirs — vector rows addressing rewritten
+        // files become inert, exactly like [[compactSmall]]
+        val folded =
+          if (cur.dvs.isEmpty) readEntries(fresh, cur.renames)
+          else applyDv(readEntriesWithMeta(fresh, cur.renames), cur.dvs)
+            .drop(DvFile, DvPos)
+        val n = if (targetPartitions > 0) targetPartitions
+          else {
+            val bytes = fresh.map(e =>
+              FsUtils.listFilesWithSize(spark, e.dir).map(_._2).sum).sum
+            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          }
+        commitAgainst(Some(cur.version),
+          carried :+ Entry(writeData(clusterFor(folded, zorderBy, n),
+            partitionBy), None),
+          cur.dvs)
+      }
+    }
+    writeOptimizeWatermark(v)
+    v
   }
 
   /** Delta-style RESTORE: roll the table back to snapshot `v` by

@@ -856,4 +856,44 @@ class ManagedTableSpec extends SparkSuite {
       .collect().map(_.getTimestamp(0).getTime).toSeq
     assert(ts === ts.sorted)
   }
+
+  test("incremental optimize rewrites only post-watermark dirs") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(spark.range(300).selectExpr("id", "id % 7 AS v"))
+    t.optimize(zorderBy = Seq("v", "id")) // v1: the watermark baseline
+    def manifestText(v: Long) =
+      graft.common.FsUtils.readText(spark, s"$root/_graft_log/$v.json")
+    // the baseline's single optimized dir, from its manifest
+    val baseDir = """"dirs":\["([^"]+)"""".r
+      .findFirstMatchIn(manifestText(1)).get.group(1)
+    t.append(spark.range(300, 500).selectExpr("id", "id % 7 AS v"))
+    t.append(spark.range(500, 650).selectExpr("id", "id % 7 AS v"))
+    val v = t.optimizeIncremental(zorderBy = Seq("v", "id"))
+    assert(v === 4L)
+    // content ≡ the full-optimize result (clustering never changes rows)
+    assert(t.read().collect().map(_.toString).sorted.toSeq ===
+      spark.range(650).selectExpr("id", "id % 7 AS v")
+        .collect().map(_.toString).sorted.toSeq)
+    // the baseline dir is carried BY REFERENCE (same path string in the
+    // new manifest) and exactly one fresh dir joins it — the two append
+    // dirs left the snapshot
+    val m4 = manifestText(4)
+    assert(m4.contains(s""""$baseDir""""), s"baseline $baseDir not carried in $m4")
+    assert("\"dirs\":\\[(.*?)\\]".r.findFirstMatchIn(m4).get.group(1)
+      .split(",").length === 2, s"expected 2 entries in $m4")
+    // nothing new since the watermark → no-op, no fresh commit
+    assert(t.optimizeIncremental(zorderBy = Seq("v", "id")) === 4L)
+    // a further append then incremental again: baseline now BOTH dirs
+    t.append(spark.range(650, 700).selectExpr("id", "id % 7 AS v"))
+    val v2 = t.optimizeIncremental(zorderBy = Seq("v", "id"))
+    val m6 = manifestText(v2)
+    assert(m6.contains(s""""$baseDir"""") &&
+      "\"dirs\":\\[(.*?)\\]".r.findFirstMatchIn(m6).get.group(1)
+        .split(",").length === 3)
+    assert(t.read().count() === 700L)
+    // DESCRIBE HISTORY stamps the op
+    assert(t.describeHistory().where("operation = 'optimizeIncremental'")
+      .count() === 2L)
+  }
 }
