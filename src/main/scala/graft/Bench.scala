@@ -21,6 +21,15 @@ object Bench {
       // numbers swing round-to-round (r8's 141.8c driver-run mystery).
       // Static conf: must be set before the first session is created.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Spark 4's codegen cache keys on (CLASSLOADER, source), and every
+      // streaming query runs on a cloned session whose ArtifactManager
+      // supplies a fresh classloader — so identical per-batch plans
+      // re-janino-compiled on every drain (Probe streamjit, round 10:
+      // s_stream_neardup_index +72 new classes per repeat, hotspotJit
+      // 10.8 s; with shared loaders +0 and 6.9 s). No session here adds
+      // artifacts, so isolation buys nothing and costs the entire
+      // streaming-warmup benefit.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -116,7 +125,8 @@ object Bench {
     own60() // seed the trailing window so query #1 subtracts warmup cpu too
     val firstPass = selected.map { case (name, fn) =>
       val (dt, dc, load) = timeOne(name, fn)
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs cpu=$dc%.1fs")
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs cpu=$dc%.1fs " +
+        gcJitLog.get(name).map(_.last).getOrElse(""))
       (name, dt, dc, load)
     }
     // Self-exoneration pass: a 250-query suite in one JVM accumulates GC /

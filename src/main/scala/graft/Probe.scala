@@ -39,6 +39,16 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's suite-sized codegen cache: with the 100-entry
+      // default a single ~118-class query cycles the cache and every
+      // probe repeat re-compiles from scratch, measuring the cache size
+      // instead of the query (the r9 codegen-cache lesson)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // shared classloader → codegen-cache reuse across streaming drains
+      // (the streamjit probe's own discovery; flip via env to reproduce
+      // the churn: SPARK_GRAFT_ARTIFACT_ISOLATION=true)
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -52,7 +62,70 @@ object Probe {
       case Some("textskew") => textSkew(session(), sfDir, exact = args.contains("exact"))
       case Some("neardupindex") => nearDupIndexScale(session(), sfDir, exact = args.contains("exact"))
       case Some("recursive") => recursiveCost(session(), sfDir)
+      case Some("streamjit") => streamJit(session(), sfDir)
       case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive)")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // streamjit: is the heavy streaming rows' JIT wall share (r9 verdict
+  // item 5) janino codegen churn — per-batch plans generating NEW
+  // sources every drain — or plain HotSpot tier-up of stable code?
+  // CodegenMetrics counts janino compilations directly; HotSpot's
+  // CompilationMXBean counts everything. If run 2 of the same query
+  // generates ~zero new janino classes, the codegen cache works across
+  // drains and the JIT share is tier-up, which deeper warmup (not plan
+  // pinning) addresses.
+  // ------------------------------------------------------------------
+  private def streamJit(s: SparkSession, sfDir: String): Unit = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    // the codegen cache's key set, via reflection — new keys between two
+    // runs of the SAME query are exactly the sources that vary per run
+    def cacheKeys(): Set[String] = {
+      val module = Class.forName(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$")
+      val inst = module.getField("MODULE$").get(null)
+      val f = module.getDeclaredField("cache")
+      f.setAccessible(true)
+      val nfs = f.get(inst) // NonFateSharingLoadingCache wraps shaded guava
+      val guava = nfs.getClass.getMethod("loadingCache").invoke(nfs)
+      // invoke asMap through the public Cache INTERFACE — the impl class
+      // (LocalManualCache) is package-private and rejects direct reflection
+      val iface = Class.forName("org.sparkproject.guava.cache.Cache")
+      val asMap = iface.getMethod("asMap").invoke(guava)
+        .asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+      import scala.jdk.CollectionConverters._
+      asMap.keySet().asScala.map(_.toString).toSet
+    }
+    for (q <- Seq("s_stream_neardup_index", "s_stream_session_window")) {
+      println(s"-- $q")
+      var prevKeys = Set.empty[String]
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+        val j0 = jit.getTotalCompilationTime
+        val g0 = cg.METRIC_COMPILATION_TIME.getCount
+        SparkEntry.queries(q)(s, sfDir).count()
+        graft.ops.Caches.release(); s.catalog.clearCache()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val dj = (jit.getTotalCompilationTime - j0) / 1e3
+        val dg = cg.METRIC_COMPILATION_TIME.getCount - g0
+        println(f"run$i: wall=$wall%.2f cpu=$cpu%.1f hotspotJit=$dj%.1fs " +
+          f"janinoClasses=+$dg load=${osBean.getSystemLoadAverage}%.1f")
+        val keys = cacheKeys()
+        if (i == 3) {
+          val fresh = (keys -- prevKeys).toSeq.sortBy(_.length)
+          println(s"run3 added ${fresh.size} new cached sources; samples:")
+          fresh.take(4).foreach { k =>
+            println("=== source (first 1200 chars) ===")
+            println(k.take(1200))
+          }
+        }
+        prevKeys = keys
+      }
     }
   }
 

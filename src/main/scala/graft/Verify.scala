@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shared classloader so the (loader, source)-keyed codegen cache
+      // reuses per-batch plans across streaming drains (see Bench.scala)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -43,6 +43,9 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
       .config("spark.ui.enabled", "false")
+      // shared classloader so the (loader, source)-keyed codegen cache
+      // reuses per-batch plans across streaming drains (see Bench.scala)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
