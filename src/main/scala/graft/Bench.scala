@@ -145,6 +145,8 @@ object Bench {
     // no quiet figure).
     val baseline = loadBaseline(sfDir)
     val remeasureLog = scala.collection.mutable.ArrayBuffer[String]()
+    // name -> "first>published@extload", emitted inside the summary line
+    val rmSummary = scala.collection.mutable.LinkedHashMap[String, String]()
     val results: Seq[(String, Double, Double, Double)] = baseline match {
       case Some(base) if nameFilter.isEmpty =>
         val suspect = firstPass.filter { case (n, t, _, _) =>
@@ -165,6 +167,12 @@ object Bench {
             f" load=${osBean.getSystemLoadAverage}%.1f"
           System.err.println(s"[bench] re-measure $name $line")
           remeasureLog += s""""$name":"$line""""
+          // compact first>published triplet for the one-line summary: the
+          // driver's artifact is a 2000-char TAIL, so the quiet evidence
+          // must live in the summary JSON itself, not in scrolled-away
+          // stderr lines (r9: four >2x rows shipped unexonerated because
+          // their re-measure evidence didn't fit the tail window)
+          rmSummary += name -> f"$t1%.1f>$tw%.1f@$tl%.1f"
           name -> ((tw, tc, tl))
         }.toMap
         firstPass.map { case (n, t, c, l) =>
@@ -213,7 +221,24 @@ object Bench {
     // itself carries the evidence (cpu ~flat + load high = contention)
     // failed queries carry the -1 sentinel — exclude them from the evidence
     val cpuTotal = math.round(results.filter(_._3 >= 0).map(_._3).sum * 10) / 10.0
-    val envBits = f""""cpu_total":$cpuTotal,"load":${osBean.getSystemLoadAverage}%.1f"""
+    // "rm" rides in the summary line: every re-measured row's
+    // first>published@extload triplet — the self-exoneration evidence the
+    // driver's tail capture must carry (full detail in BENCH_FULL.json)
+    val rmJson = {
+      // capped at ~600 chars so a catastrophically loaded run (dozens of
+      // breaches) can't push the summary line past the tail window; the
+      // worst offenders (by first-pass wall) keep their slots
+      val ents = rmSummary.toSeq.sortBy { case (k, v) =>
+        -v.takeWhile(_ != '>').toDoubleOption.getOrElse(0.0) }
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      val (kept, dropped) = {
+        var len = 0
+        ents.span { e => len += e.length + 1; len <= 600 }
+      }
+      (kept ++ (if (dropped.nonEmpty) Seq("\"_more\":" + dropped.size) else Nil))
+        .mkString("{", ",", "}")
+    }
+    val envBits = f""""cpu_total":$cpuTotal,"load":${osBean.getSystemLoadAverage}%.1f,"rm":$rmJson"""
     val fixed =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},$envBits,"queries":{},"sf":"$sfDir"}""".length
     var used = fixed
