@@ -52,13 +52,22 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       // warm only the SELECTED queries: an isolation run (filter given)
       // must not pay — or sit behind — the full-suite warmup sweep
-      selected.foreach { case (name, fn) =>
-        try fn(spark, warmDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
-        graft.ops.Caches.release()
-        spark.catalog.clearCache()
-      }
+      def warm(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
+        qs.foreach { case (name, fn) =>
+          try fn(spark, warmDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+          graft.ops.Caches.release()
+          spark.catalog.clearCache()
+        }
+      warm(selected)
+      // second warm pass for the streaming family only: their generated
+      // classes now SURVIVE across drains (shared-classloader codegen
+      // cache, round 10), so a second execution is what pushes them
+      // through HotSpot tier-up — first-execution jit was 11.4 s vs 2.7 s
+      // on the repeat (Probe streamjit). Batch queries re-exercise shared
+      // paths all suite long and don't need it.
+      warm(selected.filter(_._1.startsWith("s_")))
     }
     // Wall time alone cannot distinguish a real regression from a loaded
     // machine (round 7: the driver's closing run measured 404.8s for a
