@@ -63,8 +63,52 @@ object Probe {
       case Some("neardupindex") => nearDupIndexScale(session(), sfDir, exact = args.contains("exact"))
       case Some("recursive") => recursiveCost(session(), sfDir)
       case Some("streamjit") => streamJit(session(), sfDir)
+      case Some("incopt") => incrementalOptimize(session(), sfDir)
       case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive)")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // incopt: does optimizeIncremental's cost track the APPEND TAIL while
+  // full optimize tracks the TABLE (the claimed O(new data) vs O(table)
+  // maintenance model)? Grow a z-ordered table k×, append a fixed-size
+  // tail each round, and time incremental vs full per round — the
+  // incremental wall should stay flat as the table grows; the full
+  // rewrite should grow with it.
+  // ------------------------------------------------------------------
+  private def incrementalOptimize(s: SparkSession, sfDir: String): Unit = {
+    import graft.table.ManagedTable
+    val one = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+        "round(l_extendedprice, 2) AS price")
+    // 10× replicated base (distinct keys per replica) so the full
+    // rewrite's O(table) term dominates visibly; the appended tail stays
+    // ONE fixed ~0.6%-of-base slice
+    val lineitem = one.crossJoin(s.range(10).toDF("rep"))
+      .selectExpr("l_orderkey + rep * 10000000 AS l_orderkey",
+        "l_partkey", "l_quantity", "price")
+    val tail = one.where(expr("l_orderkey % 16 = 0")) // fixed slice
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = graft.common.Scratch.dir("probe", "incopt")
+    println(f"${"round"}%5s ${"tableRows"}%10s ${"inc_s"}%7s ${"full_s"}%7s")
+    val ti = ManagedTable(s, s"$base/ti") // incremental-maintained
+    val tf = ManagedTable(s, s"$base/tf") // full-optimize-maintained
+    ti.write(lineitem); ti.optimize(zorderBy = Seq("l_partkey", "price"))
+    tf.write(lineitem); tf.optimize(zorderBy = Seq("l_partkey", "price"))
+    for (round <- 1 to 4) {
+      // each round the tables have grown by (round-1) tails; the new tail
+      // is identical each time, so per-round cost differences are purely
+      // the maintenance footprint
+      ti.append(tail)
+      tf.append(tail)
+      val inc = time(ti.optimizeIncremental(zorderBy = Seq("l_partkey", "price")))
+      val full = time(tf.optimize(zorderBy = Seq("l_partkey", "price")))
+      println(f"$round%5d ${ti.read().count()}%10d $inc%7.2f $full%7.2f")
+    }
+    // both maintenance styles converge to the same content
+    assert(ti.read().count() == tf.read().count())
   }
 
   // ------------------------------------------------------------------
