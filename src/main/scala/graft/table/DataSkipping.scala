@@ -284,7 +284,7 @@ object DataSkipping {
     * be invalid UTF-8 at the end via a split multi-byte char; anything
     * deeper means a non-UTF8 writer and the column drops) that decodes as
     * strict UTF-8. A prefix only ever lowers a bound in byte order. */
-  private def validUtf8Prefix(bytes: Array[Byte]): Option[String] = {
+  private[table] def validUtf8Prefix(bytes: Array[Byte]): Option[String] = {
     var k = bytes.length
     val floor = math.max(0, bytes.length - 3)
     while (k >= floor) {
@@ -301,7 +301,7 @@ object DataSkipping {
     * prefix (and for `s` itself): increment the last code point, carrying
     * past U+10FFFF (skipping the surrogate gap — those aren't code
     * points). None when no such string exists (empty, or all U+10FFFF). */
-  private def incrementLastCodePoint(s: String): Option[String] = {
+  private[table] def incrementLastCodePoint(s: String): Option[String] = {
     val cps = s.codePoints().toArray
     var i = cps.length - 1
     while (i >= 0) {
