@@ -64,7 +64,7 @@ object Probe {
       case Some("recursive") => recursiveCost(session(), sfDir)
       case Some("streamjit") => streamJit(session(), sfDir)
       case Some("incopt") => incrementalOptimize(session(), sfDir)
-      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive)")
+      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive | streamjit | incopt)")
     }
   }
 
@@ -205,10 +205,12 @@ object Probe {
         println(f"run$i: wall=$t%.2f cpu=$c%.1f gc=$g%.1f jit=$j%.1f load=${osBean.getSystemLoadAverage}%.1f")
       }
     }
-    sweep("whole-stage codegen ON (bench shape)")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    sweep("whole-stage codegen OFF")
-    s.conf.set("spark.sql.codegen.wholeStage", "true")
+    // ONE sweep: the query itself clones a session and pins whole-stage
+    // codegen OFF internally (the round-10 fix), so a probe-level conf
+    // toggle changes nothing — two "ON vs OFF" sweeps would measure the
+    // identical configuration and mislead. The historical ON-vs-OFF
+    // matrix (pre-pin) lives in BASELINE.md round 10.
+    sweep("bench shape (query pins codegen OFF internally)")
   }
 
   // ------------------------------------------------------------------

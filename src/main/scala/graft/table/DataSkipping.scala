@@ -245,7 +245,18 @@ object DataSkipping {
       case (b: org.apache.parquet.io.api.Binary, StringType)
           if lta.isInstanceOf[org.apache.parquet.schema
             .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes))
+        // truncation-safe conversion PER CHUNK, before the cross-row-group
+        // reduce: a raw-prefix-truncated chunk max compares LOW in byte
+        // order, so it can lose the reduce to an exact-but-smaller chunk
+        // bound — widening only the reduce winner would then under-state
+        // the file max and mis-prune (round-10 review find). Widening each
+        // chunk first keeps the reduce sound: every widened bound strictly
+        // exceeds its own chunk's true max, so their maximum exceeds the
+        // file's. Mins prefix-truncate, which only ever lowers them.
+        val bytes = b.getBytes
+        (if (isMax) validUtf8Prefix(bytes).flatMap(incrementLastCodePoint)
+         else validUtf8Prefix(bytes))
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString)
       case (i: java.lang.Integer, IntegerType) => Some(i)
       case (i: java.lang.Integer, ByteType) => Some(i.byteValue())
       case (i: java.lang.Integer, ShortType) => Some(i.shortValue())
@@ -316,24 +327,17 @@ object DataSkipping {
     None
   }
 
-  /** Post-reduce conversion for a STRING column's per-file stat: min →
-    * longest valid-UTF-8 prefix (still a lower bound); max → valid prefix
-    * then last-code-point increment (a strict upper bound whether the
-    * writer stored the max exactly or truncated it either way — see the
-    * footer-stats header note). Unconvertible bounds drop the column. */
+  /** Post-reduce conversion for a STRING column's per-file stat: the
+    * truncation-safe prefix/widen already happened PER CHUNK in [[bound]]
+    * (it must — see the comment there), so this only converts the
+    * byte-order-reduced UTF8String bounds to the external String the
+    * stats Row carries. */
   private def finalizeStringStat(s: ColStat): ColStat =
-    if (!s.valid || (s.min == null && s.max == null)) s
-    else {
-      val mn = validUtf8Prefix(
-        s.min.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-      val mx = validUtf8Prefix(
-        s.max.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-        .flatMap(incrementLastCodePoint)
-      (mn, mx) match {
-        case (Some(a), Some(b)) => ColStat(a, b, s.nulls, valid = true)
-        case _ => ColStat(null, null, 0L, valid = false)
-      }
-    }
+    if (!s.valid) s
+    else ColStat(
+      if (s.min == null) null else s.min.toString,
+      if (s.max == null) null else s.max.toString,
+      s.nulls, valid = true)
 
   /** [[fileStats]]-shaped per-file stats computed from parquet FOOTERS —
     * no data bytes are read. Runs distributed (one footer read per file).

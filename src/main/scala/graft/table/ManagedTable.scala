@@ -634,6 +634,14 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         s"renameColumn: column '$to' already exists in $path")
       require(!to.startsWith(ManagedTable.DroppedPrefix),
         s"renameColumn: '$to' collides with the drop-tombstone namespace")
+      // the whole `__` prefix is the engine's internal namespace: a rename
+      // onto __gbucket would be silently dropped by every read (and a
+      // later optimize would destroy the column's data); __dv_file/__dv_pos
+      // would collide with deletion-vector provenance. The 'already
+      // exists' check can't catch these — internal columns never surface
+      // in a logical schema. Mirrors setBucket's reserved-prefix rule.
+      require(!to.startsWith("__"),
+        s"renameColumn: '$to' is in the reserved internal namespace (__*)")
       requireNotBucketKey(from, "renameColumn")
       commitAgainst(Some(cur.version), cur.entries, cur.dvs,
         Some(cur.renames :+ (from, to)))
@@ -1193,24 +1201,25 @@ final class ManagedTable(spark: SparkSession, val path: String) {
   def collectBlooms(cols: Seq[String], itemsPerFile: Long = 1000000L,
                     fpp: Double = 0.01): Unit = {
     require(exists, s"collectBlooms on absent table $path")
-    collectSidecars(bloomDirFor,
-      dataDir => DataSkipping.fileBlooms(spark, dataDir, None, cols,
-        itemsPerFile, fpp))
+    collectSidecars(bloomDirFor, (dataDir, sd) =>
+      DataSkipping.fileBlooms(spark, dataDir, None, cols, itemsPerFile, fpp)
+        .write.mode("overwrite").parquet(sd))
   }
 
   /** Shared sidecar-collection loop: one producer pass per data dir of
     * the current snapshot that lacks its sidecar (dirs carried across
     * versions — including pruned-merge partition subdirs, which share
-    * their base dir's sidecar — are produced once, ever). */
+    * their base dir's sidecar — are produced once, ever). The producer
+    * receives (dataDir, sidecarDir) and owns the write, so collectors
+    * with extra staging (the footer path) share this keying/existence
+    * logic instead of re-implementing it. */
   private def collectSidecars(sidecarFor: Entry => String,
-                              produce: String => DataFrame): Unit =
+                              produce: (String, String) => Unit): Unit =
     lastManifest().get.entries
       .map(e => (sidecarFor(e), e.base.getOrElse(e.dir)))
       .distinct
       .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
-      .foreach { case (sd, dataDir) =>
-        produce(dataDir).write.mode("overwrite").parquet(sd)
-      }
+      .foreach { case (sd, dataDir) => produce(dataDir, sd) }
 
   /** Collect per-file data-skipping stats (see [[DataSkipping]]) for every
     * data dir of the current snapshot that doesn't have them yet. Stats are
@@ -1222,8 +1231,9 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * costs one distributed, column-pruned aggregation pass. */
   def collectStats(cols: Seq[String] = Nil): Unit = {
     require(exists, s"collectStats on absent table $path")
-    collectSidecars(statsDirFor,
-      dataDir => DataSkipping.fileStats(spark, dataDir, None, cols))
+    collectSidecars(statsDirFor, (dataDir, sd) =>
+      DataSkipping.fileStats(spark, dataDir, None, cols)
+        .write.mode("overwrite").parquet(sd))
   }
 
   /** Like [[collectStats]] but computed from parquet FOOTERS — ZERO data
@@ -1240,24 +1250,20 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * never wrong). */
   def collectStatsFromFooters(cols: Seq[String] = Nil): Unit = {
     require(exists, s"collectStatsFromFooters on absent table $path")
-    lastManifest().get.entries
-      .map(e => (statsDirFor(e), e.base.getOrElse(e.dir)))
-      .distinct
-      .filterNot { case (sd, _) => FsUtils.exists(spark, sd) }
-      .foreach { case (sd, dataDir) =>
-        // raw footer rows stage on the TABLE's own filesystem — not
-        // process-local scratch, which on a multi-node deployment would
-        // hand the driver a partial stats table and silently drop files
-        // from every pruned read. `_tmp-` under _graft_stats is outside
-        // the sidecar namespace (dirs are named d<N>…) and vacuum's
-        // sidecar-orphan sweep reaps any crash leftovers.
-        val staging = s"$path/_graft_stats/_tmp-${
-          java.util.UUID.randomUUID().toString.take(12)}"
-        try DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols,
-            Some(staging))
-          .write.mode("overwrite").parquet(sd)
-        finally FsUtils.deleteFiles(spark, Seq(staging))
-      }
+    collectSidecars(statsDirFor, (dataDir, sd) => {
+      // raw footer rows stage on the TABLE's own filesystem — not
+      // process-local scratch, which on a multi-node deployment would
+      // hand the driver a partial stats table and silently drop files
+      // from every pruned read. `_tmp-` under _graft_stats is outside
+      // the sidecar namespace (dirs are named d<N>…) and vacuum's
+      // sidecar-orphan sweep reaps any crash leftovers.
+      val staging = s"$path/_graft_stats/_tmp-${
+        java.util.UUID.randomUUID().toString.take(12)}"
+      try DataSkipping.fileStatsFromFooters(spark, dataDir, None, cols,
+          Some(staging))
+        .write.mode("overwrite").parquet(sd)
+      finally FsUtils.deleteFiles(spark, Seq(staging))
+    })
   }
 
   /** Per-entry file selection for `condition`: (entry, Some(surviving

@@ -791,6 +791,11 @@ class ManagedTableSpec extends SparkSuite {
     // validation
     intercept[IllegalArgumentException](t.renameColumn("ghost", "x"))
     intercept[IllegalArgumentException](t.renameColumn("id", "amount"))
+    // the reserved internal namespace: a rename onto __gbucket would be
+    // silently dropped by every read (and optimize would then destroy the
+    // data); __dv_* would collide with deletion-vector provenance
+    intercept[IllegalArgumentException](t.renameColumn("id", "__gbucket"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "__dv_file"))
   }
 
   test("dropColumn tombstones without rewrites; optimize frees the name") {

@@ -96,6 +96,43 @@ class StringBoundsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("per-chunk widening before the byte-order reduce bounds multi-chunk files") {
+    // round-10 review find: a raw-prefix-truncated chunk max compares LOW,
+    // so it can lose the reduce to an exact-but-smaller chunk bound —
+    // widening only the reduce winner then under-states the file max.
+    // Concrete regression shape: chunk A true max "abz" stored "ab"
+    // (truncated), chunk B max "abc" stored exactly.
+    def widen(storedBytes: Array[Byte]): Option[String] =
+      DataSkipping.validUtf8Prefix(storedBytes)
+        .flatMap(DataSkipping.incrementLastCodePoint)
+    val wrongOrder = // reduce stored bounds first, widen the winner
+      widen(Seq("ab", "abc").maxBy(u)(Ordering.ordered[UTF8String]).getBytes).get
+    assert(u(wrongOrder).compareTo(u("abz")) < 0) // the bug: bound < true max
+    val rightOrder = // widen per chunk, then reduce — what bound() now does
+      Seq(widen(u("ab").getBytes).get, widen(u("abc").getBytes).get)
+        .maxBy(u)(Ordering.ordered[UTF8String])
+    assert(u(rightOrder).compareTo(u("abz")) > 0)
+    // property: for arbitrary chunk maxes with arbitrary truncations, the
+    // per-chunk-widened maximum bounds the true file max
+    val chunkGen = for {
+      n <- Gen.choose(1, 5)
+      ms <- Gen.listOfN(n, strGen.suchThat(_.nonEmpty))
+      ks <- Gen.listOfN(n, Gen.choose(1, 60))
+    } yield ms.zip(ks)
+    samples(chunkGen, 400, 71L).foreach { chunks =>
+      val trueMax = chunks.map(_._1).maxBy(u)(Ordering.ordered[UTF8String])
+      val widened = chunks.map { case (m, kRaw) =>
+        val bytes = u(m).getBytes
+        widen(bytes.take(math.min(kRaw, bytes.length)))
+      }
+      if (widened.forall(_.isDefined)) {
+        val fileMax = widened.flatten.maxBy(u)(Ordering.ordered[UTF8String])
+        assert(u(fileMax).compareTo(u(trueMax)) > 0,
+          s"fileMax=$fileMax trueMax=$trueMax chunks=$chunks")
+      }
+    }
+  }
+
   test("explicit edges: empty, surrogate-adjacent, carry chain") {
     assert(DataSkipping.incrementLastCodePoint("") === None)
     assert(DataSkipping.incrementLastCodePoint("a") === Some("b"))
