@@ -901,4 +901,41 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.describeHistory().where("operation = 'optimizeIncremental'")
       .count() === 2L)
   }
+
+  test("incremental optimize composes with the bucket transform") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.setBucket("k", 8, org.apache.spark.sql.types.LongType)
+    t.write(spark.range(400).selectExpr("id AS k", "CAST(1 AS LONG) AS v"))
+    t.optimize() // bucketed compaction → watermark baseline
+    t.append(spark.range(400, 500).selectExpr("id AS k", "CAST(2 AS LONG) AS v"))
+    t.optimizeIncremental()
+    // the fresh dir re-clustered BY BUCKET with canonical names: a merge
+    // after the incremental pass must still take the bucket-pruned path
+    // (the canonical-int guard sees only layer-written dirs)
+    t.merge(Seq((3L, 9L), (450L, 9L)).toDF("k", "v"), "source.k == updates.k")
+    assert(t.read().count() === 500L)
+    assert(t.read().where($"v" === 9L).count() === 2L)
+    assert(t.readWhere("k = 450").collect().map(_.toString).toSeq === Seq("[450,9]"))
+    // point lookup still bucket-prunes after the maintenance chain
+    assert(t.readWhere("k = 7").count() === 1L)
+  }
+
+  test("incremental optimize materializes DVs only for the rewritten slice") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(spark.range(100).selectExpr("id", "id % 3 AS v"))
+    t.optimize() // baseline
+    t.deleteVectorized("id = 5") // vector against the CARRIED baseline dir
+    t.append(spark.range(100, 200).selectExpr("id", "id % 3 AS v"))
+    t.deleteVectorized("id = 150") // vector against the FRESH append dir
+    val v = t.optimizeIncremental()
+    // both deletions hold: the fresh slice rewrote WITH its vector applied,
+    // the baseline dir still subtracts its carried vector at read time
+    assert(t.read().count() === 198L)
+    assert(t.read().where("id IN (5, 150)").count() === 0L)
+    assert(t.readVersion(v).where("id = 99").count() === 1L)
+    // a full optimize afterwards purges all vectors
+    t.optimize()
+    assert(t.dvInfo() === ((0, 0L)))
+    assert(t.read().count() === 198L)
+  }
 }
