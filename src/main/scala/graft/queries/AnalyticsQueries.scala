@@ -238,6 +238,20 @@ object AnalyticsQueries {
         .coalesce(1)
         .persist()
       walked.createOrReplaceTempView("orders_rec_ranked")
+      // the cached base is released as soon as the FIRST action on this
+      // (dedicated, cloned) session completes — callers outside the
+      // Bench/Verify harnesses (which clearCache between queries) must
+      // not accumulate cached blocks per invocation (round-10 advice).
+      // A re-execution after the release recomputes the base uncached —
+      // slower, never wrong; unpersist is idempotent.
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        def onSuccess(funcName: String,
+                      qe: org.apache.spark.sql.execution.QueryExecution,
+                      durationNs: Long): Unit = walked.unpersist()
+        def onFailure(funcName: String,
+                      qe: org.apache.spark.sql.execution.QueryExecution,
+                      exception: Exception): Unit = walked.unpersist()
+      })
       s.sql("""WITH RECURSIVE
         chain(o_custkey, o_orderkey, depth) AS (
           SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT)

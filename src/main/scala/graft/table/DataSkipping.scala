@@ -289,7 +289,20 @@ object DataSkipping {
       case (b: java.lang.Boolean, BooleanType) => Some(b)
       case _ => None // incl. float/double: see footerSafe's NaN note
     }
-  } catch { case _: Exception => None }
+  } catch {
+    // the MILLIS→micros multiplyExact sentinel (a Long.MIN/MAX bound is
+    // routine in the wild) — drops the column silently by design
+    case _: ArithmeticException => None
+    // anything else is an unexpected conversion failure: still drop the
+    // column (pruning must never fail the job), but say so — a silent
+    // catch-all would hide a future conversion bug as "column never
+    // prunes" with no signal (round-10 advice)
+    case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"footer stats: dropping unconvertible $dt bound " +
+          s"(${v.getClass.getName}): $e")
+      None
+  }
 
   /** Longest prefix of `bytes` (within 3 trailing bytes — a bound can only
     * be invalid UTF-8 at the end via a split multi-byte char; anything
