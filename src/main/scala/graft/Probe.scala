@@ -144,7 +144,12 @@ object Probe {
       import scala.jdk.CollectionConverters._
       asMap.keySet().asScala.map(_.toString).toSet
     }
-    for (q <- Seq("s_stream_neardup_index", "s_stream_session_window")) {
+    // round-11 (r10 verdict #5): the WHOLE streaming family plus the
+    // Derby upsert row — any remaining per-drain compile source must be
+    // named, not sampled from two representatives
+    val qs = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith("s_")) :+
+      "l_jdbc_upsert"
+    for (q <- qs) {
       println(s"-- $q")
       var prevKeys = Set.empty[String]
       for (i <- 1 to 3) {
@@ -157,15 +162,17 @@ object Probe {
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val dj = (jit.getTotalCompilationTime - j0) / 1e3
         val dg = cg.METRIC_COMPILATION_TIME.getCount - g0
-        println(f"run$i: wall=$wall%.2f cpu=$cpu%.1f hotspotJit=$dj%.1fs " +
-          f"janinoClasses=+$dg load=${osBean.getSystemLoadAverage}%.1f")
         val keys = cacheKeys()
-        if (i == 3) {
+        val freshN = if (i == 1) -1 else (keys -- prevKeys).size
+        println(f"run$i: wall=$wall%.2f cpu=$cpu%.1f hotspotJit=$dj%.1fs " +
+          f"janinoClasses=+$dg freshSources=$freshN%d " +
+          f"load=${osBean.getSystemLoadAverage}%.1f")
+        if (i == 3 && freshN > 0) {
           val fresh = (keys -- prevKeys).toSeq.sortBy(_.length)
           println(s"run3 added ${fresh.size} new cached sources; samples:")
-          fresh.take(4).foreach { k =>
-            println("=== source (first 1200 chars) ===")
-            println(k.take(1200))
+          fresh.take(2).foreach { k =>
+            println("=== source (first 800 chars) ===")
+            println(k.take(800))
           }
         }
         prevKeys = keys

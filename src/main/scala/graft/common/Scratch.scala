@@ -34,4 +34,21 @@ object Scratch {
 
   /** `<root>/<ns>/<name>`, e.g. `scratch("lift", "l_lift_csv")`. */
   def dir(ns: String, name: String): String = s"$root/$ns/$name"
+
+  /** Loud guard for scratch uses that are only sound single-node: on a
+    * cluster, a path under [[root]] names a DIFFERENT directory on every
+    * executor, so distributed writes land scattered across machines and a
+    * driver read-back silently sees a partial (or empty) result — the
+    * failure mode round-9's footer-staging fix closed. Call this before
+    * any Spark JOB reads or writes a scratch path (driver-only file I/O
+    * is fine without it). Production paths must stage on the table/job
+    * filesystem instead (round-10 verdict #4 inventory in PLANS.md). */
+  def requireLocalMaster(spark: org.apache.spark.sql.SparkSession,
+                         what: String): Unit = {
+    val m = spark.sparkContext.master
+    require(m.startsWith("local"),
+      s"$what stages data in process-local scratch ($root), which is " +
+        s"sound only with a local master; got master=$m. Stage on a " +
+        "shared filesystem (the table's own path) or run the local harness")
+  }
 }

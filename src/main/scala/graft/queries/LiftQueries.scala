@@ -19,8 +19,12 @@ import graft.table.ManagedTable
   */
 object LiftQueries {
 
-  /** Per-query scratch dir, wiped at the start of each invocation. */
+  /** Per-query scratch dir, wiped at the start of each invocation. The
+    * fixture pipelines run Spark jobs against this process-local path, so
+    * they are local-harness-only — loud guard, not silent partial reads
+    * on a cluster (PLANS.md round-11 driver-local inventory). */
   private def scratch(s: SparkSession, name: String): String = {
+    graft.common.Scratch.requireLocalMaster(s, s"lift fixture $name")
     val dir = graft.common.Scratch.dir("lift", name)
     FsUtils.deleteFiles(s, Seq(dir))
     dir

@@ -829,6 +829,8 @@ object OpsQueries {
     // join plans exchange-free (BucketedSpec asserts the plan property;
     // this verifies the result equals the plain join)
     "x_bucket_join" -> ((s, d) => {
+      // local-harness-only fixture write (see LiftQueries.scratch)
+      graft.common.Scratch.requireLocalMaster(s, "x_bucket_join fixture")
       val w = graft.common.Scratch.dir("ops", "bucket_join")
       graft.common.FsUtils.deleteFiles(s, Seq(w))
       graft.table.Bucketed.writeBucketed(

@@ -28,6 +28,10 @@ object StreamQueries {
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   private def scratch(s: SparkSession, name: String): String = {
+    // local-harness-only fixtures (see LiftQueries.scratch): streaming
+    // checkpoints + inputs under a process-local path are only sound
+    // single-node — fail loudly off a local master
+    graft.common.Scratch.requireLocalMaster(s, s"stream fixture $name")
     val dir = graft.common.Scratch.dir("stream", name)
     FsUtils.deleteFiles(s, Seq(dir))
     dir

@@ -523,8 +523,15 @@ object DataSkipping {
     // read-back would silently see a partial stats table, dropping files
     // from every pruned read (round-9 advice). ManagedTable passes a dir
     // under the table path; the bare default remains local-harness-only.
-    val scratch = stagingDir.getOrElse(graft.common.Scratch.dir("table",
-      s"fstats-${java.util.UUID.randomUUID().toString.take(12)}"))
+    val scratch = stagingDir.getOrElse {
+      // loud, not silent: without a caller-provided staging dir this
+      // round-trip would scatter across executor-local disks on a
+      // cluster and the read-back would see a partial stats table
+      graft.common.Scratch.requireLocalMaster(spark,
+        "fileStatsFromFooters without a stagingDir")
+      graft.common.Scratch.dir("table",
+        s"fstats-${java.util.UUID.randomUUID().toString.take(12)}")
+    }
     spark.createDataFrame(rows, statsSchema)
       .write.mode("overwrite").parquet(scratch)
     val raw = spark.read.parquet(scratch)

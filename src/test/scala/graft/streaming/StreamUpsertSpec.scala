@@ -236,11 +236,13 @@ class StreamUpsertSpec extends SparkSuite {
     def drain(): Unit = Streaming.streamDedupIndex(
       spark.readStream.schema(schema).json(s"$w/in"),
       table, "doc_id", "text", compactEvery = 2)
+    // MATERIALIZED head entry count via DESCRIBE HISTORY (the head log
+    // FILE is a delta under the round-11 delta-encoded log — its raw
+    // text no longer lists the snapshot)
     def entriesAtHead(): Int = {
       val v = table.currentVersion.get
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(graft.common.FsUtils.readText(spark, s"$w/t/_graft_log/$v.json"))
-        .get("dirs").size()
+      table.describeHistory().where(col("version") === v)
+        .select("num_entries").collect().head.getLong(0).toInt
     }
     (0 until 5).foreach { i =>
       Seq((i.toLong, s"doc number $i"), (100L + i, s"doc number $i")) // dup text

@@ -346,18 +346,25 @@ class ManagedTableSpec extends SparkSuite {
     t.write(Seq((1, "a")).toDF("id", "v"))
     t.append(Seq((2, "b")).toDF("id", "v")) // v1
     val log = s"$dir/_graft_log"
-    val m1 = FsUtils.readText(spark, s"$log/1.json")
+    // synthesize the deep log from the FULL v0 manifest (v1 is a delta
+    // under the round-11 delta-encoded log; a copied delta would chain
+    // to a parent that repeats the same add 1500 times) — each synthetic
+    // version is self-contained, like a checkpoint-cadence commit
+    val m0 = FsUtils.readText(spark, s"$log/0.json")
     (2 to 1501).foreach { v =>
       FsUtils.writeText(spark, s"$log/$v.json",
-        m1.replace("\"version\":1,", s"\"version\":$v,"))
+        m0.replace("\"version\":0,", s"\"version\":$v,"))
     }
     // the hint still names v1: the next op probes forward across the
     // synthetic gap ONCE (existence checks, not a listing) and its
     // commit re-points the hint at the head
-    t.append(Seq((3, "c")).toDF("id", "v")) // v1502
+    t.append(Seq((3, "c")).toDF("id", "v")) // v1502, delta onto full v1501
     assert(t.currentVersion.contains(1502L))
     val before = FsUtils.listingOps.get()
-    assert(t.read().count() === 3)
+    // snapshot = v1501's (the synthetic full manifest: d0's one row) plus
+    // the appended dir — delta resolution walks ≤ checkpointInterval
+    // files by EXISTENCE+READ, never a listing
+    assert(t.read().count() === 2)
     assert(t.currentVersion.contains(1502L))
     assert(FsUtils.listingOps.get() === before,
       "hint-path version resolution must not LIST the log directory")
@@ -367,7 +374,7 @@ class ManagedTableSpec extends SparkSuite {
     // and the next commit restores the O(1) path
     t.append(Seq((4, "d")).toDF("id", "v"))
     val again = FsUtils.listingOps.get()
-    assert(t.read().count() === 4)
+    assert(t.read().count() === 3)
     assert(FsUtils.listingOps.get() === again)
   }
 
@@ -381,10 +388,14 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.lastTxn("app1") === Some(1L))
     assert(t.lastTxn("app2") === Some(7L))
     assert(t.lastTxn("never") === None)
-    // the HEAD manifest alone carries both markers — the O(1) property a
-    // per-micro-batch replay guard relies on at deep log sizes
+    // the materialized HEAD manifest alone carries both markers (the
+    // delta fold keeps txn cumulative) — the bounded-read property a
+    // per-micro-batch replay guard relies on at deep log sizes; the head
+    // DELTA file itself carries only ITS commit's marker (O(changed))
     val head = FsUtils.readText(spark, s"$dir/_graft_log/2.json")
-    assert(head.contains("\"app1\":1") && head.contains("\"app2\":7"))
+    assert(head.contains("\"app2\":7") && !head.contains("\"app1\""))
+    assert(t.describeHistory().where("version = 2")
+      .select("num_txn").collect().head.getLong(0) === 2L)
     // a newer marker for the same app supersedes in place
     t.append(Seq((4, "d")).toDF("id", "v"), txn = Map("app2" -> 9L))
     assert(t.lastTxn("app2") === Some(9L))
@@ -867,11 +878,10 @@ class ManagedTableSpec extends SparkSuite {
     val t = ManagedTable(spark, root)
     t.write(spark.range(300).selectExpr("id", "id % 7 AS v"))
     t.optimize(zorderBy = Seq("v", "id")) // v1: the watermark baseline
-    def manifestText(v: Long) =
-      graft.common.FsUtils.readText(spark, s"$root/_graft_log/$v.json")
-    // the baseline's single optimized dir, from its manifest
-    val baseDir = """"dirs":\["([^"]+)"""".r
-      .findFirstMatchIn(manifestText(1)).get.group(1)
+    def entriesAt(v: Long): Seq[String] =
+      t.manifestAt(v).get.entries.map(_.dir)
+    // the baseline's single optimized dir, from its materialized manifest
+    val baseDir = entriesAt(1).head
     t.append(spark.range(300, 500).selectExpr("id", "id % 7 AS v"))
     t.append(spark.range(500, 650).selectExpr("id", "id % 7 AS v"))
     val v = t.optimizeIncremental(zorderBy = Seq("v", "id"))
@@ -881,21 +891,23 @@ class ManagedTableSpec extends SparkSuite {
       spark.range(650).selectExpr("id", "id % 7 AS v")
         .collect().map(_.toString).sorted.toSeq)
     // the baseline dir is carried BY REFERENCE (same path string in the
-    // new manifest) and exactly one fresh dir joins it — the two append
-    // dirs left the snapshot
-    val m4 = manifestText(4)
-    assert(m4.contains(s""""$baseDir""""), s"baseline $baseDir not carried in $m4")
-    assert("\"dirs\":\\[(.*?)\\]".r.findFirstMatchIn(m4).get.group(1)
-      .split(",").length === 2, s"expected 2 entries in $m4")
+    // materialized snapshot) and exactly one fresh dir joins it — the two
+    // append dirs left the snapshot
+    val m4 = entriesAt(4)
+    assert(m4.contains(baseDir), s"baseline $baseDir not carried in $m4")
+    assert(m4.length === 2, s"expected 2 entries in $m4")
+    // delta-encoded log: the commit FILE carries only the actions — the
+    // carried baseline dir's path is NOT rewritten into it (O(changed
+    // dirs) commit bytes, round-11)
+    val m4Text = graft.common.FsUtils.readText(spark, s"$root/_graft_log/4.json")
+    assert(m4Text.contains("\"parent\":3") && !m4Text.contains(baseDir))
     // nothing new since the watermark → no-op, no fresh commit
     assert(t.optimizeIncremental(zorderBy = Seq("v", "id")) === 4L)
     // a further append then incremental again: baseline now BOTH dirs
     t.append(spark.range(650, 700).selectExpr("id", "id % 7 AS v"))
     val v2 = t.optimizeIncremental(zorderBy = Seq("v", "id"))
-    val m6 = manifestText(v2)
-    assert(m6.contains(s""""$baseDir"""") &&
-      "\"dirs\":\\[(.*?)\\]".r.findFirstMatchIn(m6).get.group(1)
-        .split(",").length === 3)
+    val m6 = entriesAt(v2)
+    assert(m6.contains(baseDir) && m6.length === 3)
     assert(t.read().count() === 700L)
     // DESCRIBE HISTORY stamps the op
     assert(t.describeHistory().where("operation = 'optimizeIncremental'")
@@ -933,9 +945,105 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.read().count() === 198L)
     assert(t.read().where("id IN (5, 150)").count() === 0L)
     assert(t.readVersion(v).where("id = 99").count() === 1L)
+    // DV fold (round-10 advice): the fresh dir's vector (id=150) was
+    // materialized by the rewrite and SHED; only the baseline dir's live
+    // vector (id=5) survives — incremental-only maintenance can't
+    // accumulate dead vectors
+    assert(t.dvInfo() === ((1, 1L)))
+    // repeated incremental maintenance keeps the DV set sized by LIVE
+    // deletions, not by maintenance history
+    t.append(spark.range(200, 250).selectExpr("id", "id % 3 AS v"))
+    t.deleteVectorized("id = 220")
+    t.optimizeIncremental()
+    assert(t.dvInfo() === ((1, 1L)))
+    assert(t.read().count() === 247L)
+    assert(t.read().where("id IN (5, 150, 220)").count() === 0L)
     // a full optimize afterwards purges all vectors
     t.optimize()
     assert(t.dvInfo() === ((0, 0L)))
-    assert(t.read().count() === 198L)
+    assert(t.read().count() === 247L)
+  }
+
+  test("delta-encoded log: append commit bytes are O(changed dirs), not O(snapshot)") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(spark.range(10).selectExpr("id", "id % 3 AS v"))
+    (1 to 40).foreach { i =>
+      t.append(spark.range(10L * i, 10L * i + 10).selectExpr("id", "id % 3 AS v"))
+    }
+    def logBytes(v: Long): Long =
+      new java.io.File(s"$root/_graft_log/$v.json").length()
+    val interval = ManagedTable.checkpointInterval(spark)
+    val deltas = (1L to 40L).filterNot(_ % interval == 0)
+    val checkpoints = (1L to 40L).filter(_ % interval == 0)
+    assert(checkpoints.nonEmpty, "test needs at least one checkpoint commit")
+    // delta commits stay FLAT while the snapshot grows to 41 dirs: the
+    // late deltas may not exceed the early ones by more than trivial
+    // growth (version digits), and every delta is far below the full
+    // snapshot bytes its version's checkpoint form would cost
+    val early = deltas.filter(_ <= 5).map(logBytes).max
+    val late = deltas.filter(_ >= 35).map(logBytes).max
+    assert(late <= early + 64,
+      s"delta commit bytes grew with snapshot size: early<=$early late=$late")
+    // checkpoint commits DO carry the snapshot (the replay bound)
+    assert(checkpoints.map(logBytes).min > late,
+      "checkpoint manifests must be full snapshots")
+    // correctness across the delta/checkpoint mix: head, time travel
+    // before/at/after a checkpoint, restore onto a delta-encoded head
+    assert(t.read().count() === 410)
+    assert(t.readVersion(interval - 1).count() === 10L * interval)
+    assert(t.readVersion(interval).count() === 10L * (interval + 1))
+    assert(t.readVersion(interval + 1).count() === 10L * (interval + 2))
+    t.restore(3)
+    assert(t.read().count() === 40)
+    // history sees every commit materialized (fold-forward path)
+    assert(t.history().map(_._1) === (0L to 41L))
+  }
+
+  test("vacuum checkpoints the earliest retained delta; reaped versions fail loudly") {
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(spark.range(5).toDF("id"))                       // v0 (full)
+    (1 to 6).foreach(i => t.append(Seq(100L * i).toDF("id"))) // v1..v6 deltas
+    val headBefore = t.read().count()
+    Thread.sleep(20)
+    t.vacuum(0, enforceRetention = false) // drops v0..v5, retains head v6
+    // the head was a DELTA whose whole parent chain dropped: vacuum must
+    // have written its checkpoint shadow, so the head stays readable
+    assert(graft.common.FsUtils.exists(spark, s"$root/_graft_log/6.checkpoint.json"))
+    assert(t.read().count() === headBefore)
+    assert(t.currentVersion.contains(6L))
+    // reading or restoring a reaped version fails LOUDLY naming vacuum —
+    // never a partial/empty frame
+    val e1 = intercept[IllegalStateException](t.readVersion(3))
+    assert(e1.getMessage.contains("VACUUM") && e1.getMessage.contains("6"))
+    val e2 = intercept[IllegalStateException](t.restore(2))
+    assert(e2.getMessage.contains("VACUUM"))
+    // a version beyond the head stays a plain not-found, not a vacuum claim
+    intercept[org.apache.spark.sql.AnalysisException](t.readVersion(99))
+    // life goes on: appends after the repair keep delta-encoding against
+    // the checkpointed head
+    t.append(Seq(999L).toDF("id"))
+    assert(t.read().count() === headBefore + 1)
+    assert(t.readVersion(6).count() === headBefore)
+  }
+
+  test("delta-encoded log survives racing writers (OCC rebase onto delta heads)") {
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((0, "seed")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futures = (1 to 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            if (i % 2 == 0) t.append(Seq((i, s"a$i")).toDF("id", "v"))
+            else t.merge(Seq((i, s"m$i")).toDF("id", "v"), "source.id == updates.id")
+        })
+      }
+      assert(futures.map(_.get()).toSet === (1L to 6L).toSet)
+    } finally pool.shutdown()
+    // every delta folded onto the version it actually landed on
+    assert(t.read().select("id").as[Int].collect().toSet === (0 to 6).toSet)
+    assert(t.history().map(_._1) === (0L to 6L))
   }
 }
