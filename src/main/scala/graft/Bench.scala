@@ -7,6 +7,11 @@ object Bench {
       String.valueOf(Runtime.getRuntime.availableProcessors))
     System.setProperty("derby.system.home",
       graft.common.Scratch.dir("spark", s"derby-${ProcessHandle.current().pid()}"))
+    // Embedded-Derby fixtures: detect a lock-wait deadlock in 2s and time
+    // out waits at 10s instead of the 20s/60s defaults — the retry loop
+    // (Upsert.withRetries) converges the victim; these bound the STALL.
+    System.setProperty("derby.locks.deadlockTimeout", "2")
+    System.setProperty("derby.locks.waitTimeout", "10")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,13 +66,18 @@ object Bench {
           spark.catalog.clearCache()
         }
       warm(selected)
-      // second warm pass for the streaming family only: their generated
-      // classes now SURVIVE across drains (shared-classloader codegen
-      // cache, round 10), so a second execution is what pushes them
-      // through HotSpot tier-up — first-execution jit was 11.4 s vs 2.7 s
-      // on the repeat (Probe streamjit). Batch queries re-exercise shared
-      // paths all suite long and don't need it.
-      warm(selected.filter(_._1.startsWith("s_")))
+      // second warm pass for the streaming family + the embedded-JDBC
+      // upsert rows only: streaming generated classes now SURVIVE across
+      // drains (shared-classloader codegen cache, round 10), so a second
+      // execution is what pushes them through HotSpot tier-up —
+      // first-execution jit was 11.4 s vs 2.7 s on the repeat (Probe
+      // streamjit). The Derby/DialectLite upserts compile a large
+      // engine-private class surface nothing else in the suite touches
+      // (r10 BENCH_FULL: l_jdbc_upsert jit=3.5 s of a 3.5 s wall), so
+      // they get the same treatment. Other batch queries re-exercise
+      // shared paths all suite long and don't need it.
+      warm(selected.filter { case (n, _) =>
+        n.startsWith("s_") || n.startsWith("l_jdbc_upsert") })
     }
     // Wall time alone cannot distinguish a real regression from a loaded
     // machine (round 7: the driver's closing run measured 404.8s for a

@@ -8,6 +8,11 @@ object Explain {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     System.setProperty("derby.system.home",
       graft.common.Scratch.dir("spark", s"derby-${ProcessHandle.current().pid()}"))
+    // Embedded-Derby fixtures: detect a lock-wait deadlock in 2s and time
+    // out waits at 10s instead of the 20s/60s defaults — the retry loop
+    // (Upsert.withRetries) converges the victim; these bound the STALL.
+    System.setProperty("derby.locks.deadlockTimeout", "2")
+    System.setProperty("derby.locks.waitTimeout", "10")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -76,6 +76,30 @@ object DialectLite {
     failLeft.put(db, new java.util.concurrent.atomic.AtomicInteger(n))
   }
 
+  // Deadlock injection: the next `n` executeBatch calls for `db` fail the
+  // way a real engine reports a deadlock VICTIM — a BatchUpdateException
+  // whose getNextException chains the SQLTransactionRollbackException
+  // (SQLState 40001). Derby at sf1 produced exactly this shape; a bare
+  // instanceof-SQLTransientException retry loop misses it because
+  // BatchUpdateException itself is neither transient nor chained via
+  // getCause.
+  private val deadlockLeft = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  def injectDeadlocks(db: String, n: Int): Unit =
+    deadlockLeft.put(db, new java.util.concurrent.atomic.AtomicInteger(n))
+
+  private def maybeDeadlock(db: String): Unit =
+    deadlockLeft.get(db).foreach { left =>
+      if (left.getAndDecrement() > 0) {
+        val e = new java.sql.BatchUpdateException(
+          s"injected batch failure for $db", "40001", 0, Array.emptyIntArray,
+          null)
+        e.setNextException(new java.sql.SQLTransactionRollbackException(
+          s"injected deadlock victim for $db", "40001"))
+        throw e
+      }
+    }
+
   private def maybeFail(db: String): Unit =
     failPlan.get(db).foreach { skip =>
       if (skip.getAndDecrement() <= 0 && failLeft(db).getAndDecrement() > 0)
@@ -204,6 +228,7 @@ object DialectLite {
       case ("addBatch", _) =>
         batch += current; current = new Array[Any](nParams); null
       case ("executeBatch", _) =>
+        maybeDeadlock(db)
         val counts = batch.map(p.apply(_)).toArray
         batch.clear()
         counts

@@ -127,7 +127,12 @@ object Upsert {
     val user = c.props.getString("User")
     val password = c.props.getString("Password")
     val driver = c.props.getStringOr("Driver", "")
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    // `NumPartitions` bounds DB fan-in (concurrent connections == input
+    // partitions): a 1000-task stage must not open 1000 server sessions.
+    // coalesce, not repartition — merging partitions needs no shuffle.
+    val bounded = c.props.getStringOpt("NumPartitions")
+      .map(n => df.coalesce(n.toInt)).getOrElse(df)
+    bounded.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         if (driver.nonEmpty) Class.forName(driver)
         // grouped() materializes each chunk as a Seq — re-sendable, so the
@@ -157,21 +162,68 @@ object Upsert {
       }
       stmt.executeBatch()
       conn.commit()
+    } catch { case e: Throwable =>
+      // leave the connection transaction-clean before close: embedded
+      // engines (Derby) refuse to close a connection holding an active
+      // transaction, and that close error would MASK the real failure
+      try conn.rollback() catch { case _: Throwable => () }
+      throw e
     } finally stmt.close()
   }
 
+  /** Walk cause + SQLException.getNextException chains: `executeBatch`
+    * failures surface as `BatchUpdateException` with the actual
+    * deadlock/serialization/connection error CHAINED, not thrown — a bare
+    * instanceof on the top exception misses every batched failure (found
+    * at sf1: 32 concurrent partitions upserting into embedded Derby
+    * deadlock, and the `SQLTransactionRollbackException` rides inside a
+    * `BatchUpdateException`). */
+  private def chain(e: Throwable): Iterator[Throwable] = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    def walk(t: Throwable): Iterator[Throwable] =
+      if (t == null || !seen.add(t)) Iterator.empty
+      else Iterator(t) ++ (t match {
+        case s: java.sql.SQLException =>
+          walk(s.getNextException) ++ walk(s.getCause)
+        case _ => walk(t.getCause)
+      })
+    walk(e)
+  }
+
+  /** SQLState 40xxx = transaction rollback (deadlock victim / serialization
+    * failure): the tx is already rolled back and an immediate re-send
+    * converges (chunks are idempotent MERGEs), so the victim backs off
+    * briefly — the 60s sleep models a remote-DB OUTAGE, not lock juggling. */
+  private def isLockVictim(e: Throwable): Boolean = chain(e).exists {
+    case s: java.sql.SQLException =>
+      s.isInstanceOf[java.sql.SQLTransactionRollbackException] ||
+        Option(s.getSQLState).exists(_.startsWith("40"))
+    case _ => false
+  }
+
+  private def isTransient(e: Throwable): Boolean = chain(e).exists {
+    case s: java.sql.SQLException =>
+      s.isInstanceOf[SQLTransientException] ||
+        s.isInstanceOf[java.sql.SQLNonTransientConnectionException] ||
+        Option(s.getSQLState).exists(_.startsWith("08")) // connection errors
+    case _ => false
+  }
+
   /** 10 tries with a 60s sleep on transient/connection errors
-    * (upsert.py:148-160, 212-224, 227-233). */
+    * (upsert.py:148-160, 212-224, 227-233); deadlock victims retry
+    * promptly with linear backoff capped at 1s. */
   private def withRetries(body: () => Unit): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
       try { body(); done = true }
       catch {
-        case e @ (_: SQLTransientException | _: java.sql.SQLNonTransientConnectionException) =>
+        case e: Throwable if isLockVictim(e) || isTransient(e) =>
           attempt += 1
           if (attempt >= MaxRetries) throw e
-          Thread.sleep(retrySleepMs)
+          Thread.sleep(
+            if (isLockVictim(e)) math.min(50L * attempt, 1000L)
+            else retrySleepMs)
       }
     }
   }

@@ -1181,7 +1181,7 @@ object LiftQueries {
            |      ConnUrl: $url
            |      User: ""
            |      Password: """"".stripMargin
-      val yaml =
+      val seedYaml =
         s"""LiftJob:
            |  Base:
            |    Type: custom::sql
@@ -1197,6 +1197,28 @@ object LiftQueries {
            |      Table: ord_ups
            |      NumPartitions: 4
            |$common
+           |""".stripMargin
+      val seedLog = Lift.lift(s, seedYaml)
+      // An upsert target's conflict columns are BY DEFINITION a unique
+      // key (Postgres ON CONFLICT refuses to run without one); Spark's
+      // JDBC writer creates a bare table, so mirror the real-world schema
+      // here. Without it every MERGE probe is a full table scan whose
+      // read locks escalate — at sf1 (37.5k seed rows, 19 concurrent
+      // chunks) Derby deadlocked and crawled; with the index each probe
+      // locks one key. One driver-side DDL, bounded.
+      assert(seedLog != null)
+      val ddlConn = java.sql.DriverManager.getConnection(url)
+      try ddlConn.createStatement().execute(
+        """CREATE UNIQUE INDEX ord_ups_pk ON ord_ups ("o_orderkey")""")
+      finally ddlConn.close()
+      // NumPartitions: 1 below — embedded Derby's MERGE is not
+      // concurrency-safe (internal page-latch NPEs under 4+ concurrent
+      // writers at sf1; its deadlocks surface fine and retry, the latch
+      // NPE corrupts). Concurrent chunk/retry semantics are raced against
+      // DialectLite instead; real MERGE targets (DB2/Oracle/SQL Server)
+      // take whatever fan-in NumPartitions grants.
+      val yaml =
+        s"""LiftJob:
            |  Updates:
            |    Type: custom::sql
            |    Properties:
@@ -1209,6 +1231,7 @@ object LiftQueries {
            |    Properties:
            |      Table: ord_ups
            |      ConflictColumns: [o_orderkey]
+           |      NumPartitions: 1
            |$common
            |  Back:
            |    Type: load::jdbc

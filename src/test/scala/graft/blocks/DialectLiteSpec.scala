@@ -201,6 +201,41 @@ class DialectLiteSparkSpec extends SparkSuite {
     } finally sys.props -= "graft.upsert.retrySleepMs"
   }
 
+  test("a deadlock victim chained inside BatchUpdateException retries and converges") {
+    // Derby at sf1 (32 concurrent upsert partitions) reported deadlocks as
+    // BatchUpdateException -> getNextException ->
+    // SQLTransactionRollbackException (SQLState 40001). The retry loop
+    // must walk that chain: matching only the TOP exception type misses
+    // every batched failure and aborts the whole write.
+    sys.props("graft.upsert.retrySleepMs") = "5"
+    try {
+      DialectLite.create("t13", "victim", Seq("id", "v"), Seq("id"))
+      DialectLite.injectDeadlocks("t13", 2) // first two executeBatch calls lose
+      spark.range(0, 10).select($"id", ($"id" + 7).as("v"))
+        .coalesce(1).createOrReplaceTempView("dlite_deadlock_src")
+      graft.runtime.Lift.lift(spark,
+        s"""LiftJob:
+           |  Src:
+           |    Type: custom::sql
+           |    Properties:
+           |      Statement: SELECT id, v FROM dlite_deadlock_src
+           |  Seed:
+           |    Type: write::batch_postgres_upsert
+           |    Input: Src
+           |    Properties:
+           |      Table: victim
+           |      ConflictColumns: [id]
+           |      Driver: graft.blocks.DialectLiteDriver
+           |      ConnUrl: jdbc:dialectlite:t13
+           |      User: ""
+           |      Password: ""
+           |""".stripMargin)
+      val (_, rows) = DialectLite.snapshot("t13", "victim")
+      assert(rows.length === 10, "deadlock victim must converge on retry")
+      assert(rows.forall(r => r(1) == r(0).asInstanceOf[Long] + 7))
+    } finally sys.props -= "graft.upsert.retrySleepMs"
+  }
+
   test("unknown insert columns raise SQLException at prepare, not a raw throw") {
     DialectLite.create("t11", "narrow", Seq("id"), Seq("id"))
     val e = intercept[java.sql.SQLException] {

@@ -62,8 +62,14 @@ COMPUTED = {"x_text_compress_ratio": computed_compress_ratio}
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is a single parquet FILE per table; synthesized
+        # sets (tools/MakeSf1) are Spark-written DIRECTORIES — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     names = sorted(set(oracles) | set(COMPUTED))
