@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness check.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [name_regex]
 
 Reads each <name>/ parquet result produced by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sf_dir tables,
 sorts columns by name and rows by all columns, and compares values.
+
+Env:
+  ORACLE_TIMEOUT_SEC — per-query wall cap; an oracle still running after
+  this long is interrupted and recorded as TIMEOUT (used by the sf1 sweep,
+  where a handful of brute-force pair-join oracles are quadratic in DuckDB
+  while the Spark side finishes: a timeout is an oracle-cost statement,
+  not a correctness failure).
 """
 import json
 import sys
@@ -60,7 +67,9 @@ def computed_compress_ratio(con):
 COMPUTED = {"x_text_compress_ratio": computed_compress_ratio}
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, name_re=None):
+    import re
+    import threading
     con = duckdb.connect()
     import os as _os
     for t in TABLES:
@@ -71,16 +80,44 @@ def main(out_dir, sf_dir):
             p = f"{p}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = fail = 0
+    timeout = float(_os.environ.get("ORACLE_TIMEOUT_SEC", "0"))
+    ok = fail = timed_out = 0
     names = sorted(set(oracles) | set(COMPUTED))
+    if name_re:
+        names = [n for n in names if re.search(name_re, n)]
     import os
+
+    def with_timeout(fn):
+        """Run fn(); if ORACLE_TIMEOUT_SEC is set and elapses first,
+        con.interrupt() the running statement (DuckDB raises)."""
+        if not timeout:
+            return fn()
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(timeout):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            return fn()
+        finally:
+            done.set()
+
     for name in names:
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue  # graft.Verify was run with a name filter
         try:
             got = canon(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            want = (canon_df(COMPUTED[name](con)) if name in COMPUTED
-                    else canon(con, oracles[name]))
+            try:
+                want = with_timeout(lambda: (
+                    canon_df(COMPUTED[name](con)) if name in COMPUTED
+                    else canon(con, oracles[name])))
+            except duckdb.InterruptException:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s "
+                      f"(spark result: {len(got)} rows)")
+                timed_out += 1
+                continue
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
                 fail += 1
@@ -103,9 +140,11 @@ def main(out_dir, sf_dir):
         except Exception as e:
             print(f"ERR  {name}: {type(e).__name__}: {e}")
             fail += 1
-    print(f"\n{ok} ok, {fail} failed")
+    print(f"\n{ok} ok, {fail} failed"
+          + (f", {timed_out} oracle-timeout" if timed_out else ""))
     return 1 if fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
