@@ -199,6 +199,26 @@ object Similarity {
     * Pairs are canonicalised to id_a < id_b (cosine is symmetric); the
     * i == j diagonal block keeps the ordered half only, so every
     * unordered pair appears exactly once. */
+  /** [[allPairsCosine]] with the block count DERIVED from the largest
+    * group instead of pinned by the caller: a fixed block count is a
+    * 100-TB defect — per-task pair work grows as (group/blocks)², so the
+    * constant that balances 5k docs straggles (or OOMs a task) at 50M.
+    * blocks = ceil(maxGroup / targetBlockRows) bounds every triangle
+    * block-pair at ~targetBlockRows² comparisons regardless of corpus
+    * size; the price is one column-pruned count aggregate (group-count
+    * rows, one scalar to the driver). Capped at 512 blocks — beyond that
+    * (>131k block-pairs per group) the explode fan-out itself dominates
+    * and the LSH/IVF family is the right tool, not the exact baseline. */
+  def allPairsCosineAuto(df: DataFrame, idCol: String, vecCol: String,
+                         grpCols: Seq[String],
+                         targetBlockRows: Int = 2048): DataFrame = {
+    require(targetBlockRows >= 1, s"targetBlockRows must be >= 1")
+    val maxGroup = df.groupBy(grpCols.map(col): _*).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val blocks = math.min(512L, (maxGroup + targetBlockRows - 1) / targetBlockRows)
+    allPairsCosine(df, idCol, vecCol, grpCols, math.max(1L, blocks).toInt)
+  }
+
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
                      grpCols: Seq[String], blocks: Int): DataFrame = {
     // blocks = 0 would make pmod null under non-ANSI eval and silently

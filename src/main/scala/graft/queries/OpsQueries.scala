@@ -720,13 +720,16 @@ object OpsQueries {
     // The lang block bounds candidates exactly like x_embed_neardup; the
     // cosine runs on the codegen'd vector kernels
     "x_mm_embed_pairs" -> ((s, d) => {
-      // exact all-pairs within language, but block-decomposed: the naive
-      // lang self-join put the dominant language's ~2M pairs in ONE task
-      // (measured 5.9-20 s); 8x8 triangle blocking spreads them across
-      // the shuffle (measured sub-second, identical result)
+      // exact all-pairs within language, block-decomposed ADAPTIVELY: the
+      // naive lang self-join put the dominant language's ~2M pairs in ONE
+      // task (measured 5.9-20 s); a FIXED block count balances one SF and
+      // straggles at the next (blocks=8 measured 15.0x wall at 10x docs —
+      // per-task pair work is (group/blocks)^2), so the block count now
+      // derives from the largest group and bounds per-task comparisons at
+      // any corpus size. Identical result either way.
       val emb = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         Multimodal.featureStub(col("text").cast("binary"), 16).as("emb"))
-      Similarity.allPairsCosine(emb, "doc_id", "emb", Seq("lang"), blocks = 8)
+      Similarity.allPairsCosineAuto(emb, "doc_id", "emb", Seq("lang"))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(10)

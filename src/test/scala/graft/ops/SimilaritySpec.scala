@@ -215,6 +215,23 @@ class SimilaritySpec extends SparkSuite {
     assert(blocked.nonEmpty)
   }
 
+  test("allPairsCosineAuto derives blocks from the largest group, same pairs") {
+    val docs = Tables.documents(spark, sf1).limit(120)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Multimodal.featureStub(col("text").cast("binary"), 8).as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = pairs(Similarity.allPairsCosine(docs, "doc_id", "v", Seq("lang"), 5))
+    // tiny target → more blocks than any group has rows; still exact
+    val fine = pairs(Similarity.allPairsCosineAuto(docs, "doc_id", "v", Seq("lang"), 7))
+    // huge target → collapses to 1 block (the naive self-join); still exact
+    val coarse = pairs(Similarity.allPairsCosineAuto(docs, "doc_id", "v", Seq("lang"), 1 << 20))
+    assert(fine === fixed)
+    assert(coarse === fixed)
+    assert(fixed.nonEmpty)
+  }
+
   test("standardize whitens each dim; zero-variance dims yield z = 0") {
     val vecs = Seq(
       (1L, Array(1.0, 5.0, 7.0)), (2L, Array(2.0, 5.0, 9.0)),
