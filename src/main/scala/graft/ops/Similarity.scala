@@ -199,24 +199,62 @@ object Similarity {
     * Pairs are canonicalised to id_a < id_b (cosine is symmetric); the
     * i == j diagonal block keeps the ordered half only, so every
     * unordered pair appears exactly once. */
-  /** [[allPairsCosine]] with the block count DERIVED from the largest
-    * group instead of pinned by the caller: a fixed block count is a
-    * 100-TB defect — per-task pair work grows as (group/blocks)², so the
-    * constant that balances 5k docs straggles (or OOMs a task) at 50M.
-    * blocks = ceil(maxGroup / targetBlockRows) bounds every triangle
-    * block-pair at ~targetBlockRows² comparisons regardless of corpus
-    * size; the price is one column-pruned count aggregate (group-count
-    * rows, one scalar to the driver). Capped at 512 blocks — beyond that
-    * (>131k block-pairs per group) the explode fan-out itself dominates
-    * and the LSH/IVF family is the right tool, not the exact baseline. */
+  /** [[allPairsCosine]] with PER-GROUP block counts derived from each
+    * group's size instead of one constant pinned by the caller. A fixed
+    * block count is a 100-TB defect twice over: per-task pair work grows
+    * as (group/blocks)² — the constant that balances 5k docs straggles
+    * (or OOMs a task) at 50M — and under group SKEW one global count
+    * makes the dominant group's block-pairs arbitrarily heavier than the
+    * rest (measured: a 2.8x-dominant language → 8x-heavier shuffle keys,
+    * wall stuck at ~2.5x the cpu/slots floor). Here blocks(g) =
+    * ceil(|g| / targetBlockRows), so EVERY triangle block-pair in every
+    * group carries ~targetBlockRows² comparisons — uniform task weights
+    * at any corpus size or skew. The per-group count table is
+    * group-cardinality-sized and joins UNHINTED (AQE broadcasts it when
+    * small — same policy as the tfidf vocabulary join: a forced
+    * broadcast would OOM on a high-cardinality group column). Capped at
+    * 512 blocks/group — beyond that (>131k block-pairs) the explode
+    * fan-out dominates and the LSH/IVF family is the right tool, not
+    * the exact baseline. */
   def allPairsCosineAuto(df: DataFrame, idCol: String, vecCol: String,
                          grpCols: Seq[String],
                          targetBlockRows: Int = 2048): DataFrame = {
     require(targetBlockRows >= 1, s"targetBlockRows must be >= 1")
-    val maxGroup = df.groupBy(grpCols.map(col): _*).count()
-      .agg(max(col("count"))).head.getLong(0)
-    val blocks = math.min(512L, (maxGroup + targetBlockRows - 1) / targetBlockRows)
-    allPairsCosine(df, idCol, vecCol, grpCols, math.max(1L, blocks).toInt)
+    val g = struct(grpCols.map(col): _*)
+    val counts = df.groupBy(g.as("__g")).agg(count(lit(1)).as("__cnt"))
+    // parallelism floor: size alone puts a small corpus (or the small
+    // groups of a skewed one) in a handful of triangle blocks — ~k²/2
+    // block-pairs per group must still fill the cluster's slots, so k
+    // never drops below ~sqrt(2·slots) (k(k+1)/2 ≥ slots). Empty blocks
+    // in sub-kmin groups cost nothing; the explode factor is (k+1)/2 on
+    // rows that are tiny by definition.
+    val kmin = math.ceil(math.sqrt(
+      2.0 * df.sparkSession.sparkContext.defaultParallelism)).toLong
+    val base = df.select(g.as("__g"),
+        col(idCol).as("__id"), dbl(col(vecCol)).as("__v"))
+      .withColumn("__n", l2norm(col("__v")))
+      .join(counts, Seq("__g"))
+      .withColumn("__k", least(lit(512L), greatest(lit(kmin),
+        ceil(col("__cnt").cast("double") / targetBlockRows))).cast("int"))
+      .withColumn("__b",
+        pmod(xxhash64(col("__id").cast("string")), col("__k")).cast("int"))
+      .persistTracked()
+    val lhs = base
+      .withColumn("__j", explode(expr("sequence(__b, __k - 1)")))
+      .select(col("__g"), col("__b").as("__i"), col("__j"),
+        col("__id").as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+    val rhs = base
+      .withColumn("__i", explode(expr("sequence(0, __b)")))
+      .select(col("__g"), col("__i"), col("__b").as("__j"),
+        col("__id").as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    lhs.repartition(col("__g"), col("__i"), col("__j"))
+      .join(rhs, Seq("__g", "__i", "__j"))
+      .where(col("__i") =!= col("__j") || col("__ida") < col("__idb"))
+      .select(
+        least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        cosinePrenormed(col("__va"), col("__na"), col("__vb"), col("__nb"))
+          .as("cosine"))
   }
 
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,

@@ -729,7 +729,8 @@ object OpsQueries {
       // any corpus size. Identical result either way.
       val emb = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         Multimodal.featureStub(col("text").cast("binary"), 16).as("emb"))
-      Similarity.allPairsCosineAuto(emb, "doc_id", "emb", Seq("lang"))
+      Similarity.allPairsCosineAuto(emb, "doc_id", "emb", Seq("lang"),
+        targetBlockRows = 1024)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(10)
