@@ -203,14 +203,37 @@ object DialectLite {
           throw new SQLFeatureNotSupportedException(s"DialectLite: ${x._1}"))
       }).asInstanceOf[T]
 
+  // concurrency observability: high-water mark of simultaneously-open
+  // connections per db — lets specs PROVE NumPartitions bounds DB fan-in
+  // instead of trusting the coalesce (a real server's connection cap is
+  // the resource the bound protects)
+  private val openNow = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val openPeak = TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  def resetPeakConnections(db: String): Unit = {
+    openNow.put(db, new java.util.concurrent.atomic.AtomicInteger(0))
+    openPeak.put(db, new java.util.concurrent.atomic.AtomicInteger(0))
+  }
+
+  def peakConnections(db: String): Int =
+    openPeak.get(db).map(_.get()).getOrElse(0)
+
   private[blocks] def connection(db: String): Connection = {
     maybeFail(db)
+    val now = openNow.getOrElseUpdate(db,
+      new java.util.concurrent.atomic.AtomicInteger(0))
+    val peak = openPeak.getOrElseUpdate(db,
+      new java.util.concurrent.atomic.AtomicInteger(0))
+    val n = now.incrementAndGet()
+    peak.getAndAccumulate(n, math.max(_, _))
     var closed = false
     proxy(classOf[Connection]) {
       case ("setAutoCommit", _) => null
       case ("commit", _) => null      // ops apply eagerly; commit is a no-op
       case ("rollback", _) => null
-      case ("close", _) => closed = true; null
+      case ("close", _) =>
+        if (!closed) now.decrementAndGet()
+        closed = true; null
       case ("isClosed", _) => java.lang.Boolean.valueOf(closed)
       case ("prepareStatement", Array(sql: String)) => statement(db, sql)
       case ("toString", _) => s"DialectLiteConnection($db)"

@@ -236,6 +236,38 @@ class DialectLiteSparkSpec extends SparkSuite {
     } finally sys.props -= "graft.upsert.retrySleepMs"
   }
 
+  test("NumPartitions bounds concurrent upsert connections to the cap") {
+    // 8 input partitions, NumPartitions: 2 — the coalesce must hold the
+    // connection high-water mark at <= 2 (one open connection per live
+    // partition; a real server's session cap is what this protects).
+    DialectLite.create("t14", "fanin", Seq("id", "v"), Seq("id"))
+    DialectLite.resetPeakConnections("t14")
+    spark.range(0, 4000).select($"id", ($"id" * 2).as("v"))
+      .repartition(8).createOrReplaceTempView("dlite_fanin_src")
+    graft.runtime.Lift.lift(spark,
+      s"""LiftJob:
+         |  Src:
+         |    Type: custom::sql
+         |    Properties:
+         |      Statement: SELECT id, v FROM dlite_fanin_src
+         |  Seed:
+         |    Type: write::batch_postgres_upsert
+         |    Input: Src
+         |    Properties:
+         |      Table: fanin
+         |      ConflictColumns: [id]
+         |      NumPartitions: 2
+         |      Driver: graft.blocks.DialectLiteDriver
+         |      ConnUrl: jdbc:dialectlite:t14
+         |      User: ""
+         |      Password: ""
+         |""".stripMargin)
+    assert(DialectLite.snapshot("t14", "fanin")._2.length === 4000)
+    val peak = DialectLite.peakConnections("t14")
+    assert(peak >= 1 && peak <= 2,
+      s"NumPartitions: 2 must cap concurrent connections at 2, saw $peak")
+  }
+
   test("unknown insert columns raise SQLException at prepare, not a raw throw") {
     DialectLite.create("t11", "narrow", Seq("id"), Seq("id"))
     val e = intercept[java.sql.SQLException] {
