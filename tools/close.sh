@@ -39,7 +39,10 @@ python3 tools/check_oracle.py "$OUT" "$SF_DIR"
 echo "== close 4/5: regenerate docs/OPERATORS.md"
 python3 tools/gen_operators.py "$OUT/oracle_sql.json"
 # row-count cross-check: the generated index must cover every query
-GEN=$(grep -c '^| `' docs/OPERATORS.md || true)
+# (count only between the BEGIN/END markers — the hand-written prose
+# above them contains its own tables)
+GEN=$(awk '/BEGIN GENERATED INDEX/,/END GENERATED INDEX/' docs/OPERATORS.md \
+  | grep -c '^| `' || true)
 SQL=$(python3 - "$OUT/oracle_sql.json" <<'EOF'
 import json, sys
 print(len(json.load(open(sys.argv[1]))))
