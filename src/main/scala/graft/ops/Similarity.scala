@@ -181,24 +181,6 @@ object Similarity {
                    blockCol: String, threshold: Double): DataFrame =
     Dedup.embeddingNearDupPairs(df, idCol, vecCol, blockCol, threshold)
 
-  /** EXACT all-pairs cosine within a grouping column, parallelised by
-    * triangle block-decomposition. A plain self-join on the group key puts
-    * every pair of one group into a single task — with a dominant group
-    * (e.g. 40% of a corpus sharing one language) that task computes
-    * O(n_g²) cosines serially while the rest of the cluster idles. Here
-    * each row hashes into one of `blocks` sub-blocks; a row in block i
-    * fans out as the LEFT of block-pairs (i, i..B-1) and as the RIGHT of
-    * (0..i, i); the equi-join on (group, i, j) then spreads the B(B+1)/2
-    * block-pairs of each group across the shuffle, so per-task work drops
-    * to (n_g/B)² and scales out with the partition count. Replication
-    * cost is (B+1)/2 copies per side — bounded and tunable; work (the
-    * pair count) is identical to the naive join. Norms are computed once
-    * per replicated row BEFORE pairing, so each pair pays one fused dot
-    * (native expression), not two array re-scans.
-    *
-    * Pairs are canonicalised to id_a < id_b (cosine is symmetric); the
-    * i == j diagonal block keeps the ordered half only, so every
-    * unordered pair appears exactly once. */
   /** [[allPairsCosine]] with PER-GROUP block counts derived from each
     * group's size instead of one constant pinned by the caller. A fixed
     * block count is a 100-TB defect twice over: per-task pair work grows
@@ -257,6 +239,24 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** EXACT all-pairs cosine within a grouping column, parallelised by
+    * triangle block-decomposition. A plain self-join on the group key puts
+    * every pair of one group into a single task — with a dominant group
+    * (e.g. 40% of a corpus sharing one language) that task computes
+    * O(n_g²) cosines serially while the rest of the cluster idles. Here
+    * each row hashes into one of `blocks` sub-blocks; a row in block i
+    * fans out as the LEFT of block-pairs (i, i..B-1) and as the RIGHT of
+    * (0..i, i); the equi-join on (group, i, j) then spreads the B(B+1)/2
+    * block-pairs of each group across the shuffle, so per-task work drops
+    * to (n_g/B)² and scales out with the partition count. Replication
+    * cost is (B+1)/2 copies per side — bounded and tunable; work (the
+    * pair count) is identical to the naive join. Norms are computed once
+    * per replicated row BEFORE pairing, so each pair pays one fused dot
+    * (native expression), not two array re-scans.
+    *
+    * Pairs are canonicalised to id_a < id_b (cosine is symmetric); the
+    * i == j diagonal block keeps the ordered half only, so every
+    * unordered pair appears exactly once. */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
                      grpCols: Seq[String], blocks: Int): DataFrame = {
     // blocks = 0 would make pmod null under non-ANSI eval and silently

@@ -89,20 +89,37 @@ def main(out_dir, sf_dir, name_re=None):
 
     def with_timeout(fn):
         """Run fn(); if ORACLE_TIMEOUT_SEC is set and elapses first,
-        con.interrupt() the running statement (DuckDB raises)."""
+        con.interrupt() the running statement (DuckDB raises).
+
+        Race guard (ADVICE r11): if fn() returns right as the timeout
+        elapses, the watchdog's interrupt can land on an IDLE connection
+        and abort the NEXT query. So: re-check done immediately before
+        interrupting, join the watchdog after fn() returns (wait() exits
+        as soon as done is set, so the join is prompt), and if an
+        interrupt was issued but fn() had already succeeded, absorb the
+        stale flag with a sacrificial query."""
         if not timeout:
             return fn()
         done = threading.Event()
+        fired = []
 
         def watchdog():
-            if not done.wait(timeout):
+            if not done.wait(timeout) and not done.is_set():
+                fired.append(True)
                 con.interrupt()
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
         try:
-            return fn()
+            result = fn()
         finally:
             done.set()
+            w.join()
+        if fired:  # fn() succeeded but an interrupt raced in late
+            try:
+                con.sql("SELECT 1").fetchall()
+            except duckdb.InterruptException:
+                pass
+        return result
 
     for name in names:
         if not os.path.isdir(f"{out_dir}/{name}"):
@@ -142,7 +159,10 @@ def main(out_dir, sf_dir, name_re=None):
             fail += 1
     print(f"\n{ok} ok, {fail} failed"
           + (f", {timed_out} oracle-timeout" if timed_out else ""))
-    return 1 if fail else 0
+    # rc contract (ADVICE r11): 1 = comparison failures; 2 = no failures
+    # but some oracles timed out (comparisons SKIPPED — gate callers must
+    # not treat this as green); 0 = everything compared and matched.
+    return 1 if fail else (2 if timed_out else 0)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,12 @@ rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 
 echo "== close 3/5: DuckDB oracle mirror"
-python3 tools/check_oracle.py "$OUT" "$SF_DIR"
+# ADVICE r11: ORACLE_TIMEOUT_SEC is an sf1-sweep convenience; if it leaks
+# into a closing run, timed-out oracles would be SKIPPED comparisons. The
+# gate must compare everything — unset it here. (check_oracle.py also
+# returns rc=2 on any timeout now, so even a future regression here fails
+# the close under set -e.)
+env -u ORACLE_TIMEOUT_SEC python3 tools/check_oracle.py "$OUT" "$SF_DIR"
 
 echo "== close 4/5: regenerate docs/OPERATORS.md"
 python3 tools/gen_operators.py "$OUT/oracle_sql.json"
@@ -54,9 +59,20 @@ if [ "$GEN" -ne "$N" ]; then
   echo "CLOSE FAILED: OPERATORS.md rows ($GEN) != SparkEntry.queries ($N)" >&2
   exit 1
 fi
+# family-count header cross-check (VERDICT r11 #6): the generated header
+# table's total row must equal the generated index row count
+TOT=$(awk '/BEGIN GENERATED FAMILY COUNTS/,/END GENERATED FAMILY COUNTS/' docs/OPERATORS.md \
+  | grep '^| \*\*total\*\*' | grep -o '[0-9]\+' || echo 0)
+echo "   family-count header total: $TOT"
+if [ "$TOT" -ne "$GEN" ]; then
+  echo "CLOSE FAILED: OPERATORS.md family-count total ($TOT) != index rows ($GEN)" >&2
+  exit 1
+fi
 
 echo "== close 5/5: docs in sync with HEAD"
-git diff --exit-code docs/ || {
+# diff against HEAD (not just the worktree) so staged-but-uncommitted
+# docs/ changes also fail the close (ADVICE r11)
+git diff --exit-code HEAD -- docs/ || {
   echo "CLOSE FAILED: regenerated docs differ from HEAD — commit them" >&2
   exit 1
 }
