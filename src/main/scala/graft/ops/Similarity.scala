@@ -200,10 +200,21 @@ object Similarity {
     * the exact baseline. */
   def allPairsCosineAuto(df: DataFrame, idCol: String, vecCol: String,
                          grpCols: Seq[String],
-                         targetBlockRows: Int = 2048): DataFrame = {
+                         targetBlockRows: Int = 2048): DataFrame =
+    autoBlockedPairs(df, idCol, vecCol, struct(grpCols.map(col): _*),
+      targetBlockRows)
+
+  /** The adaptive triangle-block pair core shared by
+    * [[allPairsCosineAuto]], [[knnGraph]] and [[semanticDedup]]: every
+    * unordered within-group pair exactly once as (id_a < id_b, cosine),
+    * with PER-GROUP block counts so no task's pair work exceeds
+    * ~targetBlockRows² regardless of group size or skew. Cosine is
+    * unrounded (norms precomputed once per replicated row, one fused dot
+    * per pair — bit-identical to [[cosine]] on the same vectors). */
+  private def autoBlockedPairs(df: DataFrame, idCol: String, vecCol: String,
+                               grp: Column, targetBlockRows: Int): DataFrame = {
     require(targetBlockRows >= 1, s"targetBlockRows must be >= 1")
-    val g = struct(grpCols.map(col): _*)
-    val counts = df.groupBy(g.as("__g")).agg(count(lit(1)).as("__cnt"))
+    val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__cnt"))
     // parallelism floor: size alone puts a small corpus (or the small
     // groups of a skewed one) in a handful of triangle blocks — ~k²/2
     // block-pairs per group must still fill the cluster's slots, so k
@@ -212,7 +223,7 @@ object Similarity {
     // rows that are tiny by definition.
     val kmin = math.ceil(math.sqrt(
       2.0 * df.sparkSession.sparkContext.defaultParallelism)).toLong
-    val base = df.select(g.as("__g"),
+    val base = df.select(grp.as("__g"),
         col(idCol).as("__id"), dbl(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
       .join(counts, Seq("__g"))
@@ -722,39 +733,36 @@ object Similarity {
       .limit(k)
   }
 
-  /** SemDeDup-style SEMANTIC dedup: cluster the embeddings with the
-    * deterministic [[kmeans]] quantizer, then WITHIN each cell drop the
-    * larger id of any pair with cosine ≥ `threshold` — near-duplicate
-    * MEANING rather than near-duplicate text, the step that catches
-    * translations, re-renderings and templated paraphrases shingle-based
-    * dedup can't see (Abbas et al. 2023, SemDeDup). The pairwise compare
-    * is confined to cells (equi-join on the cell id — never a corpus
-    * cross join): with balanced cells each join key holds corpus/k rows,
-    * the exact O(|cell|²) the SemDeDup recipe accepts, and raising k
-    * shrinks the per-key quadratic directly. Returns kept (id, cell).
-    * Smaller-id-wins like every dedup here, so the result is a pure
-    * function of the input regardless of layout. */
   /** Corpus k-NN graph, cell-confined: every vector's top-`k` cosine
     * neighbours WITHIN its coarse cell (here the pre-labelled partition —
     * production trains the quantizer with [[kmeans]]), plus a `mutual`
     * flag marking edges present in both directions (the mutual-kNN graph
     * is the standard substrate for density clustering / dedup audits).
     *
-    * Scale shape = [[semanticDedup]]'s: the pair join is an equi-join on
-    * the cell key — per-task work is (cell size)², never corpus²; ranking
-    * partitions by source id over compact (src, dst, cosine) triples; the
-    * mutual check self-joins the top-k table (corpus×k rows). Ties rank
-    * on the ROUNDED cosine then neighbour id, so the graph replays
-    * bit-exactly in any engine. */
+    * Scale shape: in-cell pairs come from the shared
+    * [[autoBlockedPairs]] adaptive triangle core — PER-CELL block counts
+    * bound any task's pair work at ~targetBlockRows² even when one
+    * k-means cell dominates the corpus (a fixed `l.cell = r.cell`
+    * equi-join put a dominant cell's full (cell size)² on one task:
+    * measured 9.9× wall at 10× data before this). Each unordered pair is
+    * computed ONCE (one fused dot on prenormed rows), then mirrored into
+    * both directions for ranking; the per-src top-k window partitions by
+    * source id over compact (src, dst, cosine) triples — per-window work
+    * is O(cell), never quadratic; the mutual check self-joins the top-k
+    * table (corpus×k rows). Ties rank on the ROUNDED cosine then
+    * neighbour id, so the graph replays bit-exactly in any engine. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-               cellCol: String, k: Int): DataFrame = {
+               cellCol: String, k: Int,
+               targetBlockRows: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = df.select(col(idCol).as("id"), col(cellCol).as("cell"),
-      col(vecCol).as("vec"))
-    val ranked = v.alias("l")
-      .join(v.alias("r"), expr("l.cell = r.cell AND l.id <> r.id"))
-      .select(col("l.id").as("src_id"), col("r.id").as("nbr_id"),
-        round(cosine(col("l.vec"), col("r.vec")), 4).as("cosine"))
+    val pairs = autoBlockedPairs(df, idCol, vecCol, struct(col(cellCol)),
+        targetBlockRows)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    val directed = pairs
+      .select(col("id_a").as("src_id"), col("id_b").as("nbr_id"), col("cosine"))
+      .unionByName(pairs
+        .select(col("id_b").as("src_id"), col("id_a").as("nbr_id"), col("cosine")))
+    val ranked = directed
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("src_id"))
           .orderBy(col("cosine").desc, col("nbr_id"))))
@@ -796,19 +804,36 @@ object Similarity {
       .withColumn("contaminated", col("n_close") > 0)
   }
 
+  /** SemDeDup-style SEMANTIC dedup: cluster the embeddings with the
+    * deterministic [[kmeans]] quantizer, then WITHIN each cell drop the
+    * larger id of any pair with cosine ≥ `threshold` — near-duplicate
+    * MEANING rather than near-duplicate text, the step that catches
+    * translations, re-renderings and templated paraphrases shingle-based
+    * dedup can't see (Abbas et al. 2023, SemDeDup). The pairwise compare
+    * is confined to cells AND adaptively triangle-blocked
+    * ([[autoBlockedPairs]]): per-cell block counts bound any task's pair
+    * work at ~targetBlockRows², so a skewed k-means cell (the common
+    * case — real corpora cluster unevenly) can't put its whole
+    * (cell size)² on one join key. Raising k still shrinks total pair
+    * work directly. Returns kept (id, cell). Smaller-id-wins like every
+    * dedup here, so the result is a pure function of the input
+    * regardless of layout. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int, threshold: Double): DataFrame = {
+                    k: Int, iters: Int, threshold: Double,
+                    targetBlockRows: Int = 2048): DataFrame = {
     val cvecs = kmeans(df, idCol, vecCol, k, iters)
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
       .select(col("cell"), transform(col("sm"), s => s.getField("mean")).as("cvec"))
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", cellOf(col("vec"), collectCents(cvecs)))
-      .persistTracked() // feeds both sides of the in-cell pair join
-    val drops = assigned.alias("l")
-      .join(assigned.alias("r"), expr("l.cell = r.cell AND r.id < l.id"))
-      .where(cosine(col("l.vec"), col("r.vec")) >= threshold)
-      .select(col("l.id").as("id")).distinct()
+      .persistTracked() // feeds the pair core and the final anti-join
+    // canonical pairs have id_a < id_b; the larger id of a past-threshold
+    // pair is the drop (smaller-id-wins)
+    val drops = autoBlockedPairs(assigned, "id", "vec", struct(col("cell")),
+        targetBlockRows)
+      .where(col("cosine") >= threshold)
+      .select(col("id_b").as("id")).distinct()
     assigned.join(drops, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
   }

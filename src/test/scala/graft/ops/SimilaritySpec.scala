@@ -282,6 +282,36 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("knnGraph adaptive blocking is exact under a dominant cell") {
+    // skew shape that drove the 9.9x sf1 wall before blocking: 80% of
+    // rows share one cell; fine blocks (tiny target -> many sub-blocks
+    // in the big cell) must emit the identical graph as coarse blocks
+    // (huge target -> the kmin floor only)
+    val vecs = Tables.embeddings(spark, sf0).limit(100)
+      .withColumn("cell", when(col("vec_id") % 5 =!= 0, lit("big"))
+        .otherwise(pmod(col("vec_id"), lit(3)).cast("string")))
+    def edges(t: Int) = Similarity
+      .knnGraph(vecs, "vec_id", "embedding", "cell", k = 3, targetBlockRows = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getBoolean(4))).toSet
+    val fine = edges(4)
+    val coarse = edges(1 << 20)
+    assert(fine === coarse)
+    assert(fine.nonEmpty)
+  }
+
+  test("semanticDedup adaptive blocking is exact across block granularities") {
+    val vecs = Tables.embeddings(spark, sf0).limit(120)
+    def kept(t: Int) = Similarity
+      .semanticDedup(vecs, "vec_id", "embedding", k = 4, iters = 2,
+        threshold = 0.35, targetBlockRows = t)
+      .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)))).toSet
+    val fine = kept(4)
+    val coarse = kept(1 << 20)
+    assert(fine === coarse)
+    assert(fine.nonEmpty)
+  }
+
   test("randomProject matches a by-hand md5-parity projection") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(k: Int, d: Int): Double = {
