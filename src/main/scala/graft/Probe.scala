@@ -64,8 +64,33 @@ object Probe {
       case Some("recursive") => recursiveCost(session(), sfDir)
       case Some("streamjit") => streamJit(session(), sfDir)
       case Some("incopt") => incrementalOptimize(session(), sfDir)
+      case Some("knngraph") => knnGraphStages(session(), sfDir)
       case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive | streamjit | incopt)")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // knngraph: stage-by-stage cost of the adaptive-blocked kNN graph —
+  // which phase (blocked pair join, direction mirror, top-k window,
+  // mutual self-join) dominates at a given SF, to separate the O(sum
+  // cell^2) pair semantics from any plan-shape overhead.
+  // ------------------------------------------------------------------
+  private def knnGraphStages(s: SparkSession, sfDir: String): Unit = {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(s, sfDir)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warm (read + count)")(emb.count())
+    val pairs = Similarity.allPairsCosineAuto(
+      emb.withColumnRenamed("label", "cell"), "vec_id", "embedding", Seq("cell"))
+    timed("pairs (blocked join)")(pairs.count())
+    s.sharedState.cacheManager.clearCache()
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 3)
+    timed("full knnGraph")(g.count())
+    s.sharedState.cacheManager.clearCache()
   }
 
   // ------------------------------------------------------------------
