@@ -190,8 +190,22 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     * A broken chain (parents reaped by a vacuum that failed before
     * checkpointing, or hand-deleted log files) fails LOUDLY naming the
     * vacuum horizon rather than returning a partial snapshot.
-    * `private[table]` for spec access to materialized snapshots. */
+    * `private[table]` for spec access to materialized snapshots.
+    *
+    * LIVE-VACUUM race: a concurrent vacuum reaps a retained delta's
+    * parents only AFTER writing the boundary version's self-contained
+    * `.checkpoint.json` shadow (repair-before-reap). But this walk can
+    * interleave — read the boundary's DELTA file before the shadow
+    * landed, then hit the parent after it was reaped. One re-resolution
+    * from scratch is exact recovery: the second pass prefers the shadow
+    * ([[logFileAt]]) and never reaches the reaped parents. Only a chain
+    * still broken on the clean second pass is REAL breakage (a vacuum
+    * that crashed mid-repair, or a hand-edited log) — that one throws. */
   private[table] def manifestAt(v: Long): Option[Manifest] =
+    try manifestAtOnce(v)
+    catch { case _: IllegalStateException => manifestAtOnce(v) }
+
+  private def manifestAtOnce(v: Long): Option[Manifest] =
     logFileAt(v) match {
       case None => None
       case Some(Right(m)) => Some(m)
@@ -200,6 +214,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         var pv = v - 1
         var base: Option[Manifest] = None
         while (base.isEmpty) {
+          ManagedTable.chainWalkHook.get()(pv) // fault-injection seam (specs)
           logFileAt(pv) match {
             case Some(Right(m))  => base = Some(m)
             case Some(Left(d)) => deltas = d :: deltas; pv -= 1
@@ -2293,6 +2308,14 @@ object ManagedTable {
                                         dvRemove: Seq[String],
                                         renames: Option[Seq[(String, String)]],
                                         txn: Map[String, Long], op: String)
+
+  /** Fault-injection seam for the chain-walk specs: called with the
+    * parent version about to be read during a delta-chain walk. Lets a
+    * spec run a REAL vacuum inside the exact repair-then-reap window the
+    * walk can race with (no sleep-based scheduling luck). No-op in
+    * production — one volatile read per chain step. */
+  private[table] val chainWalkHook =
+    new java.util.concurrent.atomic.AtomicReference[Long => Unit](_ => ())
 
   /** Commits between FULL (self-contained) manifests in the log: every
     * Nth version is written full, the rest as O(changed dirs) action

@@ -1046,4 +1046,91 @@ class ManagedTableSpec extends SparkSuite {
     assert(t.read().select("id").as[Int].collect().toSet === (0 to 6).toSet)
     assert(t.history().map(_._1) === (0L to 6L))
   }
+
+  test("chain walk crossing a live vacuum's repair-then-reap window recovers via the shadow") {
+    // Deterministic replay of the narrow race the concurrent spec below
+    // can only hit by luck: a reader resolves the head DELTA file while
+    // no shadow exists, and a vacuum then repairs (writes the boundary's
+    // .checkpoint.json) and reaps the parents BEFORE the walk reads
+    // them. The one-retry resolution in manifestAt must recover through
+    // the shadow — the reader/committer lands, nothing fails.
+    val root = tmp() + "/t"
+    val t = ManagedTable(spark, root)
+    t.write(spark.range(3).toDF("id"))                        // v0 (full)
+    (1 to 6).foreach(i => t.append(Seq(100L * i).toDF("id"))) // v1..v6 deltas
+    val expect = t.read().count()
+    Thread.sleep(20)
+    val fired = new java.util.concurrent.atomic.AtomicInteger
+    ManagedTable.chainWalkHook.set { _ =>
+      if (fired.incrementAndGet() == 1) {
+        // one-shot: the vacuum's own log reads must not re-enter
+        ManagedTable.chainWalkHook.set(_ => ())
+        t.vacuum(0, enforceRetention = false) // shadow v6, reap v0..v5
+      }
+    }
+    try {
+      // this walk read 6.json (a delta) BEFORE the vacuum ran; by the
+      // time it asks for the parent, v5..v0 are reaped and only the
+      // fresh 6.checkpoint.json shadow can resolve it
+      assert(t.readVersion(6).count() === expect)
+    } finally ManagedTable.chainWalkHook.set(_ => ())
+    assert(fired.get() >= 1, "the injected vacuum never ran — race not exercised")
+    assert(graft.common.FsUtils.exists(spark, s"$root/_graft_log/6.checkpoint.json"))
+    // and a committer folding forward from the repaired head still lands
+    t.append(Seq(999L).toDF("id"))
+    assert(t.read().count() === expect + 1)
+  }
+
+  test("vacuum racing live OCC writers: no lost commit, loud-only failures") {
+    // VERDICT r11 #1: vacuum reaps parent chains and writes checkpoint
+    // shadows WHILE committers fold forward from those chains. Contract:
+    // every acknowledged write is in the final head (no lost commit, no
+    // phantom), every surviving version stays readable, and any writer
+    // failure is LOUD and names VACUUM — never a delta whose parent is
+    // silently gone.
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.write(Seq((0, "seed")).toDF("id", "v"))
+    val landed = scala.collection.mutable.Set[Int](0)
+    val failures = scala.collection.mutable.ArrayBuffer[Throwable]()
+    for (round <- 1 to 4) {
+      val ids = (1 to 6).map(i => round * 10 + i)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+      try {
+        val wfs = ids.map { i =>
+          i -> pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              if (i % 2 == 0) t.append(Seq((i, s"a$i")).toDF("id", "v"))
+              else t.merge(Seq((i, s"m$i")).toDF("id", "v"),
+                "source.id == updates.id")
+          })
+        }
+        // vacuum(0) mid-flight: everything below the head at listing time
+        // drops, so racing walkers cross the repair-then-reap window
+        val vf = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { Thread.sleep(5); t.vacuum(0, enforceRetention = false) }
+        })
+        wfs.foreach { case (i, f) =>
+          try { f.get(); landed += i }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            failures += e.getCause }
+        }
+        vf.get() // the vacuum itself must never corrupt or crash
+      } finally pool.shutdown()
+    }
+    // loud-only: any writer failure must name VACUUM somewhere in its
+    // cause chain (spurious quiet losses would show up below instead)
+    failures.foreach { root =>
+      val chain = Iterator.iterate(root)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("VACUUM"),
+        s"writer failed without naming VACUUM: $chain")
+    }
+    info(s"landed=${landed.size - 1}/24 writers, loud-vacuum failures=${failures.size}")
+    // no lost commit, no phantom: head content == acknowledged writes
+    val got = t.read().select("id").as[Int].collect().toSet
+    assert(got === landed.toSet)
+    // every surviving version stays readable (vacuum repaired each chain
+    // before reaping it)
+    t.history().map(_._1).foreach(v => t.readVersion(v).count())
+  }
 }
