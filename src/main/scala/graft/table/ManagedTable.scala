@@ -460,6 +460,26 @@ final class ManagedTable(spark: SparkSession, val path: String) {
     }
   }
 
+  /** Bound the LIVE DV sidecar-dir count per snapshot (Delta's DV-file
+    * merge analogue): when a vectorized DML op would push the set past
+    * [[ManagedTable.dvCompactThreshold]], merge the whole set into ONE
+    * sidecar for the new snapshot. Without this, a table maintained by
+    * vectorized DML alone accumulates one sidecar dir per op forever and
+    * every read's anti-join scans an ever-longer union (round-11 verdict
+    * #4); with it the read side lists O(threshold) dirs at ANY DML
+    * count, and the merge reads O(live dv rows) once per threshold ops —
+    * amortized O(rows/threshold) per op. Replaced dirs remain on disk
+    * for the old snapshots that reference them (time travel intact) and
+    * age out through vacuum's dv-orphan sweep, exactly like
+    * [[foldDvs]]'s replaced sidecars. */
+  private def compactedDvs(dvs: Seq[String]): Seq[String] = {
+    if (dvs.size <= ManagedTable.dvCompactThreshold(spark)) return dvs
+    val dir = s"$path/_graft_dv/dv${currentVersion.map(_ + 1).getOrElse(0L)}" +
+      s"-merge-${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.read.parquet(dvs: _*).write.mode("overwrite").parquet(dir)
+    Seq(dir)
+  }
+
   /** (dv dir count, deleted-position rows) of the current snapshot — the
     * observability hook specs assert against. */
   def dvInfo(): (Int, Long) = lastManifest() match {
@@ -485,7 +505,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         commitAgainst(Some(cur.version), cur.entries, cur.dvs)
       else
         commitAgainst(Some(cur.version), cur.entries,
-          cur.dvs :+ writeDvData(matched))
+          compactedDvs(cur.dvs :+ writeDvData(matched)))
     }
   }
 
@@ -510,7 +530,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
         val dvDir = writeDvData(matched)
         commitAgainst(Some(cur.version),
           cur.entries :+ Entry(writeData(images, partitionBy), None),
-          cur.dvs :+ dvDir)
+          compactedDvs(cur.dvs :+ dvDir))
       }
     }
   }
@@ -536,7 +556,7 @@ final class ManagedTable(spark: SparkSession, val path: String) {
           val matched = readWithMeta(cur).alias("source")
             .join(updates.alias("updates"), expr(condition), "left_semi")
           val dvs = if (matched.isEmpty) cur.dvs
-                    else cur.dvs :+ writeDvData(matched)
+                    else compactedDvs(cur.dvs :+ writeDvData(matched))
           commitAgainst(Some(cur.version),
             cur.entries :+ Entry(writeData(updates, partitionBy), None), dvs,
             txn = txn)
@@ -2308,6 +2328,17 @@ object ManagedTable {
                                         dvRemove: Seq[String],
                                         renames: Option[Seq[(String, String)]],
                                         txn: Map[String, Long], op: String)
+
+  /** Live DV sidecar dirs allowed per snapshot before a vectorized DML
+    * op merges the set into one ([[compactedDvs]]). 32 keeps read-side
+    * sidecar listing trivial while amortizing the merge to ~3% of DML
+    * ops. Overridable per session with `graft.table.dvCompactThreshold`
+    * (specs use a small value to exercise the merge cheaply). */
+  val DefaultDvCompactThreshold = 32
+
+  private[table] def dvCompactThreshold(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption("graft.table.dvCompactThreshold")
+      .map(_.toInt).getOrElse(DefaultDvCompactThreshold))
 
   /** Fault-injection seam for the chain-walk specs: called with the
     * parent version about to be read during a delta-chain walk. Lets a
