@@ -390,7 +390,33 @@ object Probe {
     val corpusT = graft.table.ManagedTable(s, s"$root/corpus")
     val lshT = graft.table.ManagedTable(s, s"$root/lsh")
     val in = s"$root/in"
-    println(f"${"wave"}%4s ${"index_rows"}%10s ${"batch_rows"}%10s ${"wall_s"}%7s ${"cpu_s"}%7s")
+    // offline candidate census, same banding as the op: per wave, how many
+    // bucket-equal smaller-id pairs the drain will verify (prior = earlier
+    // wave, or same wave with smaller id). Printed beside the wall so the
+    // slope can be read against CANDIDATE volume — the confound that makes
+    // "wall grows with waves" ambiguous (index size and candidate count
+    // both grow linearly by construction in this replay).
+    val census = {
+      import graft.ops.Dedup
+      val bands = 32; val k = 64; val rows = k / bands
+      val b = corpus10
+        .select(col("doc_id").as("id"),
+          pmod(col("doc_id"), lit(waves)).cast("int").as("wave"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
+        .select(col("id"), col("wave"), explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          bb => xxhash64(bb, slice(col("sig"), bb * rows + 1, lit(rows)))))
+          .as("bucket"))
+      b.alias("l").join(b.alias("r"),
+          expr("l.bucket = r.bucket AND r.id < l.id AND r.wave <= l.wave"))
+        .select(col("l.wave").as("wave"), col("l.id"), col("r.id").as("pid"))
+        .distinct()
+        .groupBy("wave").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    println(f"${"wave"}%4s ${"index_rows"}%10s ${"batch_rows"}%10s ${"cand_pairs"}%10s ${"wall_s"}%7s ${"cpu_s"}%7s")
     for (w <- 0 until waves) {
       val batch = corpus10.where(pmod(col("doc_id"), lit(waves)) === w)
       val batchRows = batch.count()
@@ -401,7 +427,7 @@ object Probe {
         s.readStream.schema(schema).json(in), corpusT, lshT, "doc_id", "text")
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = (osBean.getProcessCpuTime - c0) / 1e9
-      println(f"$w%4d $indexRows%10d $batchRows%10d $dt%7.2f $dc%7.1f")
+      println(f"$w%4d $indexRows%10d $batchRows%10d ${census.getOrElse(w, 0L)}%10d $dt%7.2f $dc%7.1f")
     }
     corpus10.unpersist()
   }

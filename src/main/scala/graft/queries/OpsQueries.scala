@@ -102,7 +102,8 @@ object OpsQueries {
       Similarity.standardize(Tables.embeddings(s, d), "vec_id", "embedding")),
 
     // cell-confined corpus k-NN graph with mutual-edge flags — the
-    // substrate for density clustering; pair work is (cell size)^2
+    // substrate for density clustering; in-cell pairs are adaptively
+    // triangle-blocked so no task exceeds ~targetBlockRows^2 work
     "x_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", k = 3)),
