@@ -65,6 +65,7 @@ object Probe {
       case Some("streamjit") => streamJit(session(), sfDir)
       case Some("incopt") => incrementalOptimize(session(), sfDir)
       case Some("knngraph") => knnGraphStages(session(), sfDir)
+      case Some("editdist") => editDistStages(session(), sfDir)
       case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive | streamjit | incopt)")
     }
   }
@@ -91,6 +92,56 @@ object Probe {
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 3)
     timed("full knnGraph")(g.count())
     s.sharedState.cacheManager.clearCache()
+  }
+
+  // ------------------------------------------------------------------
+  // editdist: stage-by-stage cost of editDistancePairs — candidate
+  // volume from the df-capped inverted index vs the Levenshtein verify,
+  // to see which phase owns the suite's slowest row.
+  // ------------------------------------------------------------------
+  private def editDistStages(s: SparkSession, sfDir: String): Unit = {
+    import graft.ops.Dedup
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warm (read + count)")(docs.count())
+    val full = Dedup.editDistancePairs(docs, "doc_id", "text")
+    timed("full run 1")(full.count())
+    graft.ops.Caches.release(); s.catalog.clearCache()
+    timed("full run 2 (warm)")(full.count())
+    graft.ops.Caches.release(); s.catalog.clearCache()
+    // decomposition: rebuild the internal stages the public op hides, so
+    // the wall attributes to index build / candidate join / verify
+    val base = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"),
+        substring(col("text"), 1, 80).as("pref"))
+      .withColumn("sh", Dedup.shingles(col("pref"), 3))
+      .where(size(col("sh")) > 0)
+      .persist()
+    timed("base build")(base.count())
+    val inverted = base.select(col("id"), length(col("pref")).as("len"),
+        explode(col("sh")).as("shingle"))
+    val counted = timed("inverted rows")(inverted.count())
+    println(s"[probe]   inverted index rows = $counted")
+    val cap = inverted.join(broadcast(inverted.groupBy("shingle").count()
+        .where(col("count") <= 1000L).select("shingle")), "shingle")
+    val cand = cap.alias("l").join(cap.alias("r"),
+        expr("l.shingle = r.shingle AND l.id < r.id AND abs(l.len - r.len) <= 20"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val rawPairs = timed("cand pairs (pre-distinct)")(cand.count())
+    val distinctPairs = timed("cand distinct")(cand.distinct().count())
+    println(s"[probe]   cand raw = $rawPairs  distinct = $distinctPairs")
+    val d = cand.distinct()
+      .join(base.select(col("id").as("id_a"), col("pref").as("pref_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("pref").as("pref_b")), "id_b")
+      .select(levenshtein(col("pref_a"), col("pref_b")).as("ed"))
+      .where(col("ed") <= 20)
+    timed("verify (lev) from cand")(d.count())
+    base.unpersist()
   }
 
   // ------------------------------------------------------------------
