@@ -66,6 +66,7 @@ object Probe {
       case Some("incopt") => incrementalOptimize(session(), sfDir)
       case Some("knngraph") => knnGraphStages(session(), sfDir)
       case Some("editdist") => editDistStages(session(), sfDir)
+      case Some("textstages") => textStages(session(), sfDir)
       case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive | streamjit | incopt)")
     }
   }
@@ -92,6 +93,83 @@ object Probe {
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k = 3)
     timed("full knnGraph")(g.count())
     s.sharedState.cacheManager.clearCache()
+  }
+
+  // ------------------------------------------------------------------
+  // textstages: per-stage cost of the shared text/shingle kernels that
+  // feed the cpu-heaviest bench rows (x_dedup_audit 34c, x_dedup_
+  // containment 33c, x_dedup_prefix 21c, x_text_train_lr 17c): how much
+  // of the cpu is tokenization, the h32 hash chain, the shingle build,
+  // the inverted-index string shuffle, and the pair aggregation — so a
+  // per-task-work fix (guide §1.2 step 2) targets the real kernel.
+  // Every timing drives a noop sink (guide §1.4), not count(), so column
+  // pruning can't skip the kernel under test.
+  // ------------------------------------------------------------------
+  private def textStages(s: SparkSession, sfDir: String): Unit = {
+    import graft.ops.{Dedup, TextOps}
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text", "source")
+      .persist()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[probe] $label%-34s ${(System.nanoTime - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("warm (read + count)")(docs.count())
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    timed("tokens + explode")(noop(tok))
+    timed("tokens + explode (warm)")(noop(tok))
+    timed("  + h32(token)")(noop(tok.select(col("doc_id"), Dedup.h32(col("token")).as("b"))))
+    timed("  + xxhash64(token) [floor ref]")(noop(tok.select(col("doc_id"), xxhash64(col("token")).as("b"))))
+    val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    timed("shingles build")(noop(sh))
+    val inv = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    timed("inverted explode (string key)")(noop(inv))
+    timed("inverted explode -> h64 key")(noop(inv.select(col("id"), col("sz"), xxhash64(col("shingle")).as("k"))))
+    val shP = sh.where(size(col("sh")) > 0).persist()
+    shP.count()
+    val invP = shP.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val pairAgg = invP.alias("l")
+      .join(invP.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("l.sz")).as("sz_a"), first(col("r.sz")).as("sz_b"))
+    timed("pair self-join + agg (string)")(noop(pairAgg))
+    val invH = shP.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+      .select(col("id"), col("sz"), xxhash64(col("shingle")).as("shingle"))
+    val pairAggH = invH.alias("l")
+      .join(invH.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("l.sz")).as("sz_a"), first(col("r.sz")).as("sz_b"))
+    timed("pair self-join + agg (h64 key)")(noop(pairAggH))
+    timed("minhash sig k=32")(noop(shP.select(col("id"),
+      Dedup.minhashSignature(col("sh"), 32).as("sig"))))
+    timed("full lshRecallAudit")(noop(
+      Dedup.lshRecallAudit(docs, "doc_id", "text", n = 3, k = 32, bands = 2,
+        threshold = 0.7)))
+    graft.ops.Caches.release()
+    timed("full containmentPairs")(noop(
+      Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.6,
+        minShingles = 3)))
+    graft.ops.Caches.release()
+    timed("full prefixJaccardPairs")(noop(
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)))
+    graft.ops.Caches.release()
+    timed("full trainHashedLogReg")(noop(
+      TextOps.trainHashedLogReg(docs, "doc_id", col("source") === "src1",
+        dim = 64, iters = 2, lrInv = 100.0)))
+    graft.ops.Caches.release()
+    timed("full bigramLogProb")(noop(TextOps.bigramLogProb(docs, "doc_id")))
+    graft.ops.Caches.release()
+    timed("full perplexityBuckets")(noop(
+      TextOps.perplexityBuckets(docs, "doc_id", "source")))
+    graft.ops.Caches.release()
+    shP.unpersist(); docs.unpersist()
   }
 
   // ------------------------------------------------------------------

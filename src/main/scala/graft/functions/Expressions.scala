@@ -41,21 +41,62 @@ object Hashes {
   /** First 8 md5 hex chars as a long — equals
     * `conv(substring(md5(x),1,8),16,10)`: the first 4 digest bytes read
     * big-endian as an unsigned 32-bit value (no hex string materialized). */
-  def h32(s: UTF8String): Long = {
-    val d = md5(s.getBytes)
+  def h32(s: UTF8String): Long = h32(s.getBytes)
+
+  def h32(bytes: Array[Byte]): Long = {
+    val d = md5(bytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   /** First 15 md5 hex chars (60 bits, positive) as a long: bytes 0..6 fully
     * plus the high nibble of byte 7. */
-  def h60(s: UTF8String): Long = {
-    val d = md5(s.getBytes)
+  def h60(s: UTF8String): Long = h60(s.getBytes)
+
+  def h60(bytes: Array[Byte]): Long = {
+    val d = md5(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
+}
+
+/** `conv(substring(md5(x),1,8),16,10)` cast long, without the intermediate
+  * hex string: md5 the input bytes once and read the first 4 digest bytes
+  * big-endian as an unsigned 32-bit value. The built-in chain materializes a
+  * 32-char hex UTF8String per row, copies 8 chars of it, and re-parses them
+  * base-16 — three expression nodes and two allocations that this removes
+  * from every hashed-token hot path (guide §1.2 step 2 / §4 built-ins). The
+  * value is bit-identical to the chain for every input, so no query result
+  * changes. */
+case class Md5Prefix32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashes.h32(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+    copy(child = newChild)
+}
+
+/** First 15 md5 hex chars (60 bits, always positive) as a long — the native
+  * form of `conv(substring(md5(x),1,15),16,10)` cast long; see
+  * [[Md5Prefix32]]. */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashes.h60(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
 }
 
 /** Distinct word n-gram shingles over a token array, first-occurrence

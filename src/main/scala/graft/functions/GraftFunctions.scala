@@ -20,6 +20,12 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     col(SimHash64(expr(tokens)))
 
+  def md5Prefix32(bytes: Column): Column =
+    col(Md5Prefix32(expr(bytes)))
+
+  def md5Prefix60(bytes: Column): Column =
+    col(Md5Prefix60(expr(bytes)))
+
   def dotDouble(a: Column, b: Column): Column =
     col(DotDouble(expr(a), expr(b)))
 
@@ -127,6 +133,12 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      (args: Seq[Expression]) => Md5Prefix32(args(0))),
+    (FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (args: Seq[Expression]) => Md5Prefix60(args(0))),
     (FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
       (args: Seq[Expression]) => DotDouble(args(0), args(1))),

@@ -23,13 +23,16 @@ object Dedup {
   val P = 4294967311L
 
   /** 32-bit md5-derived hash of a string column (portable: DuckDB mirrors
-    * it as `CAST('0x' || substr(md5(s),1,8) AS BIGINT)`). */
+    * it as `CAST('0x' || substr(md5(s),1,8) AS BIGINT)`). Native
+    * [[graft.functions.Md5Prefix32]]: one digest per row, no hex-string
+    * materialize/substring/base-16 re-parse — value bit-identical to the
+    * built-in chain `conv(substring(md5(x),1,8),16,10)::long`. */
   def h32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.GraftFunctions.md5Prefix32(c.cast("binary"))
 
   /** 60-bit md5-derived hash (15 hex chars — fits a positive BIGINT). */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.md5Prefix60(c.cast("binary"))
 
   // ------------------------------------------------------------------
   // Exact dedup
@@ -402,7 +405,19 @@ object Dedup {
     * builds on. Each inverted-index row carries its document's shingle-set
     * size (one int), so the pair aggregation yields |A|, |B| AND c
     * together — no per-doc size join, which would mean broadcasting a
-    * corpus-sized map. */
+    * corpus-sized map.
+    *
+    * The self-join stays keyed on the shingle STRING deliberately. A
+    * hashed-key variant (xxhash64 join key + lossless exact re-verify of
+    * the survivor pairs) was built and measured in round 12: the bare
+    * join+aggregation is ~40% cheaper on long keys (Probe textstages,
+    * 3.02 → 1.76 s at sf0.1), but the verify machinery it forces (survivor
+    * persist, ids semi-join, one extra corpus explode pass, a second
+    * string-keyed mini join) cost more than the narrower key saved at BOTH
+    * sf0.1 (x_dedup_audit 3.64 → 4.58 s median of 3 alternating runs) and
+    * 10× data (Probe dedupscale containment k=10: 14.2 → 19.5 s) — word
+    * n-gram shingles are short enough that the string key's overhead never
+    * dominates the extra passes. Reverted; see OPTIMIZATION_r12.md. */
   private def pairIntersections(withSh: DataFrame, maxShingleDf: Long): DataFrame = {
     val inverted = dfCapped(
       withSh.select(col("id"), size(col("sh")).as("sz"),
@@ -503,11 +518,19 @@ object Dedup {
     // plain shuffle join — the df table is vocabulary-sized, never broadcast
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df"), col("shingle"))
+    // the candidate self-join keys on xxhash64(shingle), not the string:
+    // 8-byte join key, narrower persisted prefix table (guide §2.3). A
+    // collision only ADDS a candidate pair, which the exact-Jaccard verify
+    // below re-checks; every true pair is still found via its genuinely
+    // shared prefix shingle (equal strings always hash equal), so the
+    // prefix lemma's completeness is untouched. The rarity ORDER stays on
+    // the true (df, shingle-string) key.
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("pos", row_number().over(byRarity))
       .where(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select(col("id"), col("sz"), col("pos"), col("shingle"))
+      .select(col("id"), col("sz"), col("pos"),
+        xxhash64(col("shingle")).as("hk"))
       .persistTracked() // both sides of the candidate self-join read it
     // length filter (lossless): J >= t forces t*|a| <= |b| <= |a|/t, so
     // size-incompatible matches drop BEFORE the array-verify join — the
@@ -523,7 +546,7 @@ object Dedup {
     // whose shared shingles all sit too deep never reach the verify join.
     val cand = prefix.alias("l")
       .join(prefix.alias("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id") &&
+        col("l.hk") === col("r.hk") && col("l.id") < col("r.id") &&
           col("r.sz") >= ceil(lit(threshold) * col("l.sz")) &&
           col("l.sz") >= ceil(lit(threshold) * col("r.sz")) &&
           (lit(1) + least(col("l.sz") - col("l.pos"),

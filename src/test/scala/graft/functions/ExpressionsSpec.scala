@@ -32,6 +32,28 @@ class ExpressionsSpec extends SparkSuite {
     rows.foreach { case (n, h) => assert(n === h) }
   }
 
+  test("Md5Prefix32/60 equal the conv(substring(md5)) chains exactly") {
+    // the native hash must be bit-identical to the built-in chain the
+    // DuckDB oracles replay, over ascii, unicode, empty, and null input
+    val strs = Seq("", "a", "token", "w:42", "déjà 東京", "a" * 1000,
+      "src:7", "the quick brown fox") ++
+      (0 until 200).map(i => s"fuzz-$i-${("xyz" * (i % 7))}")
+    val df = (strs.map(Option(_)) :+ None).toDF("s")
+    val chain32 = conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val chain60 = conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val rows = df.select(
+      GraftFunctions.md5Prefix32(col("s").cast("binary")).as("n32"),
+      chain32.as("c32"),
+      GraftFunctions.md5Prefix60(col("s").cast("binary")).as("n60"),
+      chain60.as("c60"))
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])].collect()
+    rows.foreach { case (n32, c32, n60, c60) =>
+      assert(n32 === c32); assert(n60 === c60)
+    }
+  }
+
   test("MinHashSig equals the md5/conv permutation formula") {
     def h32(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")

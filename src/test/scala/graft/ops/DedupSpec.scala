@@ -97,6 +97,48 @@ class DedupSpec extends SparkSuite {
     assert(uncappedAll >= (14L * 13L) / 2L)
   }
 
+  test("hashed-prefilter pair ops equal brute force on a randomized corpus") {
+    // the pair self-join now keys on xxhash64(shingle) and re-verifies
+    // survivors with the exact string-keyed count — output must equal the
+    // brute-force pair set on a corpus with heavy shingle sharing
+    val rnd = new scala.util.Random(421)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val texts = (0 until 60).map { i =>
+      val base = Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      i.toLong -> base.mkString(" ")
+    }.toMap
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    def sh(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val wantJ = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      c = (sa & sb).size if c > 0
+      j = r4(c.toDouble / (sa.size + sb.size - c)) if j >= 0.3
+    } yield (a, b, j)).toSet
+    val gotJ = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotJ === wantJ)
+
+    val wantC = (for {
+      a <- texts.keys; b <- texts.keys if a != b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      c = (sa & sb).size if sa.nonEmpty
+      cont = r4(c.toDouble / sa.size) if cont >= 0.4 && sa.size >= 3
+    } yield (a, b, cont, sa.size)).toSet
+    val gotC = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.4, minShingles = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(gotC === wantC)
+  }
+
   test("containmentPairs equals brute force and is direction-correct") {
     // doc 1 is wholly contained in doc 0; doc 2 overlaps both partially
     val docs = Seq(
