@@ -99,6 +99,75 @@ case class Md5Prefix60(child: Expression)
     copy(child = newChild)
 }
 
+/** Lowercased word tokens of a string — equals
+  * `filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)`,
+  * the tokenizer every text/dedup operator builds on.
+  *
+  * Fast path: pure-ASCII input (the overwhelming case) is tokenized in one
+  * byte scan — `A-Z` lowered by +32, tokens are the maximal runs of
+  * `[a-z0-9']` bytes — with no UTF-16 conversion, no regex engine, and no
+  * hex/array intermediates. Any non-ASCII byte falls back to literally the
+  * built-in semantics (`UTF8String.toLowerCase`, then the compiled
+  * `[^a-z0-9']+` split with limit −1, empties dropped): the fallback is
+  * REQUIRED for exactness, not convenience, because lowercasing can create
+  * ASCII letters from non-ASCII input (e.g. U+0130 İ lowercases to
+  * `i` + combining dot), so a byte-level scan of the raw input would
+  * mis-tokenize such strings. Multi-byte UTF-8 units never contain ASCII
+  * bytes, which is what makes the ASCII-only scan sound. */
+case class LowerTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  // compiled once per expression instance; thread-safe (Pattern is immutable)
+  @transient private lazy val delim =
+    java.util.regex.Pattern.compile("[^a-z0-9']+")
+
+  private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '\''
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var ascii = true
+    while (i < n) { if (bytes(i) < 0) { ascii = false; i = n } else i += 1 }
+    if (!ascii) {
+      val parts = delim.split(s.toLowerCase.toString, -1)
+      val out = new java.util.ArrayList[AnyRef](parts.length)
+      var j = 0
+      while (j < parts.length) {
+        if (parts(j).nonEmpty) out.add(UTF8String.fromString(parts(j)))
+        j += 1
+      }
+      return new GenericArrayData(out.toArray)
+    }
+    val out = new java.util.ArrayList[AnyRef]()
+    i = 0
+    while (i < n) {
+      if (isTok(bytes(i))) {
+        val start = i
+        while (i < n && isTok(bytes(i))) i += 1
+        val tok = new Array[Byte](i - start)
+        var k = start
+        while (k < i) {
+          val b = bytes(k)
+          tok(k - start) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          k += 1
+        }
+        out.add(UTF8String.fromBytes(tok))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LowerTokens =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram shingles over a token array, first-occurrence
   * order — equals `array_distinct(transform(...concat_ws(" ", slice…)))`. */
 case class WordShingles(child: Expression, n: Int)

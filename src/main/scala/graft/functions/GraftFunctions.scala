@@ -20,6 +20,9 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     col(SimHash64(expr(tokens)))
 
+  def lowerTokens(text: Column): Column =
+    col(LowerTokens(expr(text)))
+
   def md5Prefix32(bytes: Column): Column =
     col(Md5Prefix32(expr(bytes)))
 
@@ -133,6 +136,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("lower_tokens"),
+      new ExpressionInfo(classOf[LowerTokens].getName, "lower_tokens"),
+      (args: Seq[Expression]) => LowerTokens(args(0))),
     (FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
       (args: Seq[Expression]) => Md5Prefix32(args(0))),

@@ -18,9 +18,14 @@ import graft.ops.Caches.TrackedPersist
   */
 object TextOps {
 
-  /** Lowercased word tokens (whitespace/punctuation split, empties dropped). */
+  /** Lowercased word tokens (whitespace/punctuation split, empties
+    * dropped). Native [[graft.functions.LowerTokens]] — one byte scan on
+    * ASCII input instead of lower + regex split + filter (each of which
+    * converts to UTF-16 and re-allocates), with an exact built-in-semantics
+    * fallback for non-ASCII rows. Equality proven in ExpressionsSpec over
+    * unicode edge cases (İ, K, combining marks). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+    graft.functions.GraftFunctions.lowerTokens(text)
 
   /** Whitespace token count — the cheap `wc -w` measure. */
   def tokenCount(text: Column): Column =

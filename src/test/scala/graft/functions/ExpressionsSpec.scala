@@ -32,6 +32,33 @@ class ExpressionsSpec extends SparkSuite {
     rows.foreach { case (n, h) => assert(n === h) }
   }
 
+  test("LowerTokens equals filter(split(lower)) — ascii fast path and unicode fallback") {
+    val cases = Seq(
+      "the Quick BROWN fox", "  leading and trailing  ", "", "''",
+      "don't stop, WON'T stop!", "a1b2 C3d4", "----", "a",
+      "tabs\tand\nnewlines", "123 456", "UPPER lower MiXeD",
+      // unicode: the fallback must match the built-ins exactly, including
+      // lowercasings that CREATE ascii letters (İ -> i + combining dot,
+      // K (Kelvin) -> k) and multi-byte chars acting as delimiters
+      "İstanbul", "KELVIN K sign", "déjà vu", "東京 2024 olympics",
+      "Paella, déjà-vu & 東京!", "ß sharp s", "café's menu",
+      "aİb", "xKy", "emoji 🚀 rocket", "ııı dotless",
+      (0 until 300).map(i => s"w$i").mkString(" "), // long ascii
+      "z" * 5000) ++
+      (0 until 100).map(i => s"Fuzz-$i '${i % 10}' ${"é" * (i % 3)} END")
+    val df = (cases.map(Option(_)) :+ None).toDF("text")
+    val builtin = filter(split(lower(col("text")), "[^a-z0-9']+"),
+      t => length(t) > 0)
+    val native = GraftFunctions.lowerTokens(col("text"))
+    // same result type (array element nullability included) ...
+    val sch = df.select(native.as("n"), builtin.as("b")).schema
+    assert(sch("n").dataType === sch("b").dataType)
+    // ... and same value row by row
+    val rows = df.select(native.as("n"), builtin.as("b"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].collect()
+    rows.foreach { case (n, b) => assert(n === b) }
+  }
+
   test("Md5Prefix32/60 equal the conv(substring(md5)) chains exactly") {
     // the native hash must be bit-identical to the built-in chain the
     // DuckDB oracles replay, over ascii, unicode, empty, and null input
