@@ -724,15 +724,20 @@ object TextOps {
       .where(size(col("toks")) >= 2)
     // persisted: bg feeds the bigram-count aggregation AND the scoring
     // join; ug feeds the unigram counts AND the vocabulary scalar —
-    // unpersisted, each branch re-tokenizes the full corpus
+    // unpersisted, each branch re-tokenizes the full corpus.
+    // The per-doc aggregation keys on (id, b) only — w1 is the bigram's
+    // first word and tokens cannot contain spaces, so it re-derives
+    // EXACTLY as substring_index(b, ' ', 1) AFTER the exchange instead of
+    // riding through it as a third key column (guide §2.3: project before
+    // the exchange / shuffle fewer bytes; also drops the per-position
+    // struct build from the explode).
     val bg = t.select(col(idCol), explode(expr(
         "transform(sequence(0, size(toks) - 2)," +
-          " i -> struct(element_at(toks, i + 1) AS w1," +
-          " concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)) AS b))"))
-        .as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
-      .groupBy(col(idCol), col("w1"), col("b"))
+          " i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))"))
+        .as("b"))
+      .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
       .persistTracked()
     val bgCounts = bg.groupBy(col("b").as("bk")).agg(sum(col("tf")).as("cb"))
     val ug = df.select(explode(tokens(col(textCol))).as("w"))
