@@ -1,11 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Dev tool: print the formatted physical plan of one SparkEntry query.
-  * Usage: runMain graft.Explain <queryName> [sfDir] */
+  * Usage: runMain graft.Explain <queryName> [sfDir] [exec]
+  *
+  * With `exec`, the query is first driven to a noop sink so the printed
+  * plan is the POST-EXECUTION AQE final plan — the only form that shows
+  * whole-stage-codegen membership (`[codegen id : N]` in each operator's
+  * detail block) and runtime-chosen join strategies; the pre-execution
+  * form prints `isFinalPlan=false` with no codegen grouping. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val exec = args.contains("exec")
     System.setProperty("derby.system.home",
       graft.common.Scratch.dir("spark", s"derby-${ProcessHandle.current().pid()}"))
     // Embedded-Derby fixtures: detect a lock-wait deadlock in 2s and time
@@ -21,7 +28,9 @@ object Explain {
       .config("spark.sql.warehouse.dir", graft.common.Scratch.dir("spark", s"warehouse-${ProcessHandle.current().pid()}"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (exec) df.write.format("noop").mode("overwrite").save()
+    df.explain("formatted")
     spark.stop()
   }
 }

@@ -67,7 +67,7 @@ object Probe {
       case Some("knngraph") => knnGraphStages(session(), sfDir)
       case Some("editdist") => editDistStages(session(), sfDir)
       case Some("textstages") => textStages(session(), sfDir)
-      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive | streamjit | incopt)")
+      case other => System.err.println(s"unknown probe: $other (stream | dedupscale [exact] | textskew [exact] | neardupindex [exact] | recursive | streamjit | incopt | knngraph | editdist | textstages)")
     }
   }
 

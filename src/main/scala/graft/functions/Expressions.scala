@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -22,10 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * All are deterministic scalar expressions: Catalyst can constant-fold,
   * push filters across, and pipeline them inside whole-stage codegen spans.
-  * The hash kernels stay CodegenFallback (md5 dominates; one boxed call per
-  * row is noise), but the vector kernels — evaluated once per candidate
-  * PAIR in the ANN/k-NN scoring loops — implement `doGenCode` as a static
-  * [[VectorKernels]] call, so the scoring loop never leaves generated code.
+  * The suite-wide hot kernels (LowerTokens, Md5Prefix32/60, and the vector
+  * kernels evaluated once per candidate PAIR in the ANN/k-NN scoring
+  * loops) implement `doGenCode` as one static kernel call, so the
+  * surrounding projection never leaves generated code: as CodegenFallback
+  * they forced every enclosing projection to materialize an InternalRow
+  * and box the result per row, which grew in-suite cpu-s 50-110% on the
+  * dedup/text rows even while isolated walls improved (round-12 verdict).
+  * The cold-path codecs (image/audio header parsers, one call per payload)
+  * stay CodegenFallback: their per-row work dwarfs the boundary cost.
   */
 object Hashes {
 
@@ -62,74 +67,20 @@ object Hashes {
   }
 }
 
-/** `conv(substring(md5(x),1,8),16,10)` cast long, without the intermediate
-  * hex string: md5 the input bytes once and read the first 4 digest bytes
-  * big-endian as an unsigned 32-bit value. The built-in chain materializes a
-  * 32-char hex UTF8String per row, copies 8 chars of it, and re-parses them
-  * base-16 — three expression nodes and two allocations that this removes
-  * from every hashed-token hot path (guide §1.2 step 2 / §4 built-ins). The
-  * value is bit-identical to the chain for every input, so no query result
-  * changes. */
-case class Md5Prefix32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Static tokenizer kernel shared by [[LowerTokens]]'s interpreted eval and
+  * its generated code — one public static entry point so whole-stage-
+  * generated Java calls it directly (same pattern as [[VectorKernels]]). */
+object TextKernels {
 
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any =
-    Hashes.h32(input.asInstanceOf[Array[Byte]])
-
-  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
-    copy(child = newChild)
-}
-
-/** First 15 md5 hex chars (60 bits, always positive) as a long — the native
-  * form of `conv(substring(md5(x),1,15),16,10)` cast long; see
-  * [[Md5Prefix32]]. */
-case class Md5Prefix60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any =
-    Hashes.h60(input.asInstanceOf[Array[Byte]])
-
-  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
-    copy(child = newChild)
-}
-
-/** Lowercased word tokens of a string — equals
-  * `filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)`,
-  * the tokenizer every text/dedup operator builds on.
-  *
-  * Fast path: pure-ASCII input (the overwhelming case) is tokenized in one
-  * byte scan — `A-Z` lowered by +32, tokens are the maximal runs of
-  * `[a-z0-9']` bytes — with no UTF-16 conversion, no regex engine, and no
-  * hex/array intermediates. Any non-ASCII byte falls back to literally the
-  * built-in semantics (`UTF8String.toLowerCase`, then the compiled
-  * `[^a-z0-9']+` split with limit −1, empties dropped): the fallback is
-  * REQUIRED for exactness, not convenience, because lowercasing can create
-  * ASCII letters from non-ASCII input (e.g. U+0130 İ lowercases to
-  * `i` + combining dot), so a byte-level scan of the raw input would
-  * mis-tokenize such strings. Multi-byte UTF-8 units never contain ASCII
-  * bytes, which is what makes the ASCII-only scan sound. */
-case class LowerTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  // compiled once per expression instance; thread-safe (Pattern is immutable)
-  @transient private lazy val delim =
-    java.util.regex.Pattern.compile("[^a-z0-9']+")
+  // compiled once per JVM; thread-safe (Pattern is immutable)
+  private val delim = java.util.regex.Pattern.compile("[^a-z0-9']+")
 
   private def isTok(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b == '\''
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  /** Lowercased word tokens — semantics documented on [[LowerTokens]]. */
+  def lowerTokens(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     var i = 0
@@ -164,20 +115,8 @@ case class LowerTokens(child: Expression)
     new GenericArrayData(out.toArray)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): LowerTokens =
-    copy(child = newChild)
-}
-
-/** Distinct word n-gram shingles over a token array, first-occurrence
-  * order — equals `array_distinct(transform(...concat_ws(" ", slice…)))`. */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** Distinct word n-gram shingles — semantics on [[WordShingles]]. */
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
     val num = toks.numElements()
     if (num < n) return new GenericArrayData(Array.empty[Any])
     val sep = UTF8String.fromString(" ")
@@ -193,22 +132,8 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-/** k-component MinHash signature over a shingle array using the permutation
-  * family h_i(x) = (h32(x)·(2i+1) + 101i+17) mod P; empty input yields the
-  * sentinel signature [P, P, …] — exactly the fold in
-  * [[graft.ops.Dedup.minhashSignature]]'s HOF formulation. */
-case class MinHashSig(child: Expression, k: Int, p: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val shingles = input.asInstanceOf[ArrayData]
+  /** k-component MinHash signature — semantics on [[MinHashSig]]. */
+  def minhashSig(shingles: ArrayData, k: Int, p: Long): ArrayData = {
     val mins = Array.fill[Long](k)(p)
     var s = 0
     val num = shingles.numElements()
@@ -225,19 +150,8 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-/** 60-bit SimHash over a token array: bit j set when more token h60 hashes
-  * have bit j set than clear (strict majority). */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** 60-bit SimHash — semantics on [[SimHash64]]. */
+  def simhash64(toks: ArrayData): Long = {
     val num = toks.numElements()
     val counts = new Array[Long](60)
     var t = 0
@@ -258,6 +172,155 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     sig
   }
+}
+
+/** `conv(substring(md5(x),1,8),16,10)` cast long, without the intermediate
+  * hex string: md5 the input bytes once and read the first 4 digest bytes
+  * big-endian as an unsigned 32-bit value. The built-in chain materializes a
+  * 32-char hex UTF8String per row, copies 8 chars of it, and re-parses them
+  * base-16 — three expression nodes and two allocations that this removes
+  * from every hashed-token hot path (guide §1.2 step 2 / §4 built-ins). The
+  * value is bit-identical to the chain for every input, so no query result
+  * changes. Generates code (one static [[Hashes]] call) so the hashed-token
+  * projections of the dedup/classifier family stay inside their
+  * whole-stage span — as CodegenFallback this kernel forced an InternalRow
+  * materialization + boxed eval per row at ~18 call sites (round-12
+  * verdict: 50-110% in-suite cpu growth on the dedup/text rows). */
+case class Md5Prefix32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashes.h32(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Hashes.h32($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+    copy(child = newChild)
+}
+
+/** First 15 md5 hex chars (60 bits, always positive) as a long — the native
+  * form of `conv(substring(md5(x),1,15),16,10)` cast long; see
+  * [[Md5Prefix32]]. */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashes.h60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Hashes.h60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+/** Lowercased word tokens of a string — equals
+  * `filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)`,
+  * the tokenizer every text/dedup operator builds on.
+  *
+  * Fast path: pure-ASCII input (the overwhelming case) is tokenized in one
+  * byte scan — `A-Z` lowered by +32, tokens are the maximal runs of
+  * `[a-z0-9']` bytes — with no UTF-16 conversion, no regex engine, and no
+  * hex/array intermediates. Any non-ASCII byte falls back to literally the
+  * built-in semantics (`UTF8String.toLowerCase`, then the compiled
+  * `[^a-z0-9']+` split with limit −1, empties dropped): the fallback is
+  * REQUIRED for exactness, not convenience, because lowercasing can create
+  * ASCII letters from non-ASCII input (e.g. U+0130 İ lowercases to
+  * `i` + combining dot), so a byte-level scan of the raw input would
+  * mis-tokenize such strings. Multi-byte UTF-8 units never contain ASCII
+  * bytes, which is what makes the ASCII-only scan sound.
+  *
+  * Generates code (one static [[TextKernels]] call): this expression heads
+  * every tokenize projection of ~60 text/dedup rows, and as
+  * CodegenFallback it severed each of those whole-stage spans (round-12
+  * verdict: the walls improved but in-suite cpu-s grew 50-110% on the
+  * rows that tokenize most). */
+case class LowerTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.lowerTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.lowerTokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): LowerTokens =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles over a token array, first-occurrence
+  * order — equals `array_distinct(transform(...concat_ws(" ", slice…)))`.
+  * Generates code (static [[TextKernels]] call, n baked in as a literal):
+  * it shares the shingle projections of the dedup family with
+  * [[LowerTokens]], and ONE CodegenFallback expression in a projection
+  * expels the whole projection from its whole-stage span. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.wordShingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** k-component MinHash signature over a shingle array using the permutation
+  * family h_i(x) = (h32(x)·(2i+1) + 101i+17) mod P; empty input yields the
+  * sentinel signature [P, P, …] — exactly the fold in
+  * [[graft.ops.Dedup.minhashSignature]]'s HOF formulation. */
+case class MinHashSig(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSig($a, $k, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over a token array: bit j set when more token h60 hashes
+  * have bit j set than clear (strict majority). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.simhash64($a);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -274,7 +337,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * the md5/conv tree for every element of every row, which made the
   * bucketer the hot kernel of LSH ANN and unblocked embedding dedup. */
 case class LshBucket(child: Expression, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
@@ -307,8 +370,10 @@ case class LshBucket(child: Expression, nPlanes: Int)
     cur
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  /** Public kernel entry point, shared by interpreted eval and the
+    * generated code (which reaches this instance — and its cached
+    * hyperplane components — through a codegen reference object). */
+  def bucketOf(a: ArrayData): Int = {
     val n = a.numElements()
     // empty vectors and null elements poison every plane's projection in
     // the HOF formulation (sequence(0,-1) null-pads the zip; null proj →
@@ -336,6 +401,15 @@ case class LshBucket(child: Expression, nPlanes: Int)
       p += 1
     }
     bucket
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    bucketOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucket", this,
+      classOf[LshBucket].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bucketOf($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
@@ -543,35 +617,17 @@ case class SqDistDouble(left: Expression, right: Expression)
   * given zlib, evaluated once per row. Empty strings define ratio 1.0
   * (nothing to compress, nothing saved). */
 case class DeflateRatio(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].getBytes
-    if (raw.isEmpty) return 1.0
-    // one zlib stream + scratch buffer per executor thread, reset per
-    // row: per-row `new Deflater` would pay a JNI stream init/teardown
-    // and a document-sized allocation for every document in the corpus.
-    // Only the deflated byte COUNT is needed, so a fixed buffer drained
-    // in a loop suffices at any document size.
-    val d = DeflateRatio.deflater.get()
-    d.reset()
-    d.setInput(raw)
-    d.finish()
-    val buf = DeflateRatio.scratch.get()
-    var total = 0L
-    while (!d.finished()) {
-      val n = d.deflate(buf)
-      total += n
-      // finish() + setInput guarantee progress until finished; a zero
-      // return with an unfinished stream cannot happen for this usage
-      // (kept as a defensive exit so a zlib anomaly can't spin forever)
-      if (n == 0 && !d.finished()) return 1.0
-    }
-    total.toDouble / raw.length
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateRatio.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DeflateRatio.ratio($a);")
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
@@ -666,6 +722,33 @@ object DeflateRatio {
     ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, false))
   private val scratch: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
+
+  /** Static kernel entry point, shared by interpreted eval and the
+    * generated code — semantics documented on [[DeflateRatio]]. */
+  def ratio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    // one zlib stream + scratch buffer per executor thread, reset per
+    // row: per-row `new Deflater` would pay a JNI stream init/teardown
+    // and a document-sized allocation for every document in the corpus.
+    // Only the deflated byte COUNT is needed, so a fixed buffer drained
+    // in a loop suffices at any document size.
+    val d = deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = scratch.get()
+    var total = 0L
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      total += n
+      // finish() + setInput guarantee progress until finished; a zero
+      // return with an unfinished stream cannot happen for this usage
+      // (kept as a defensive exit so a zlib anomaly can't spin forever)
+      if (n == 0 && !d.finished()) return 1.0
+    }
+    total.toDouble / raw.length
+  }
 }
 
 /** Audio-header metadata parsed from raw WAV (RIFF/WAVE) payload bytes —

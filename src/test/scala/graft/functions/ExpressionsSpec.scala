@@ -81,6 +81,83 @@ class ExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("codegen kernels survive FORCED codegen (no silent fallback)") {
+    // janino errors in doGenCode normally fall back to interpreted eval
+    // silently — the round-12 cpu regression this codegen exists to fix
+    // would reappear with no failing test. Force codegen-only evaluation
+    // and forbid the whole-stage fallback, then re-check equality vs the
+    // built-in chains the oracles replay.
+    val confs = Seq(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val strs = Seq("The Quick brown FOX", "déjà vu İstanbul", "", "a'b c",
+        "z" * 2000) ++ (0 until 50).map(i => s"Fuzz $i é${"ab" * (i % 5)}")
+      val df = (strs.map(Option(_)) :+ None).toDF("s")
+      val rows = df.select(
+          GraftFunctions.lowerTokens(col("s")).as("n"),
+          filter(split(lower(col("s")), "[^a-z0-9']+"), t => length(t) > 0).as("b"),
+          GraftFunctions.md5Prefix32(col("s").cast("binary")).as("n32"),
+          conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("c32"),
+          GraftFunctions.md5Prefix60(col("s").cast("binary")).as("n60"),
+          conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("c60"))
+        .as[(Option[Seq[String]], Option[Seq[String]], Option[Long],
+             Option[Long], Option[Long], Option[Long])].collect()
+      rows.foreach { case (n, b, n32, c32, n60, c60) =>
+        assert(n === b); assert(n32 === c32); assert(n60 === c60)
+      }
+      // the array/vector kernels: codegen result must equal the
+      // interpreted result the equality tests above already pin to the
+      // built-in chains (interpreted values computed via eval() directly,
+      // outside the forced-codegen plan)
+      val toks = GraftFunctions.lowerTokens(col("s"))
+      val gen = df.select(
+          GraftFunctions.wordShingles(toks, 3).as("sh"),
+          GraftFunctions.minhashSig(GraftFunctions.wordShingles(toks, 3), 8,
+            graft.ops.Dedup.P).as("sig"),
+          GraftFunctions.simhash64(toks).as("sim"),
+          GraftFunctions.deflateRatio(col("s")).as("dr"))
+        .as[(Option[Seq[String]], Option[Seq[Long]], Option[Long], Option[Double])]
+        .collect()
+      val interp = strs.map { s =>
+        import org.apache.spark.unsafe.types.UTF8String
+        val t = TextKernels.lowerTokens(UTF8String.fromString(s))
+        val sh = TextKernels.wordShingles(t, 3)
+        (sh.toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq,
+          TextKernels.minhashSig(sh, 8, graft.ops.Dedup.P).toLongArray.toSeq,
+          TextKernels.simhash64(t),
+          DeflateRatio.ratio(UTF8String.fromString(s)))
+      }
+      gen.dropRight(1).zip(interp).foreach { case ((gsh, gsig, gsim, gdr), (ish, isig, isim, idr)) =>
+        assert(gsh === Some(ish)); assert(gsig === Some(isig))
+        assert(gsim === Some(isim)); assert(gdr === Some(idr))
+      }
+      assert(gen.last === ((None, None, None, None))) // null row
+      // LshBucket under forced codegen vs direct interpreted eval
+      val vecs = Seq(Seq(0.3, -0.2, 0.9), Seq(-1.0, 2.0, 0.5), Seq.empty[Double])
+        .toDF("v")
+      val gotB = vecs.select(GraftFunctions.lshBucket(col("v"), 4).as("b"))
+        .as[Int].collect().toSeq
+      // interpreted twin over a RESOLVED child (elemType reads the child's
+      // dataType, so the expression must be bound to array<double>)
+      val lb = LshBucket(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true), 4)
+      val expB = vecs.select(col("v")).collect().map { r =>
+        lb.bucketOf(org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(r.getSeq[Double](0).toArray))
+      }.toSeq
+      assert(gotB === expB)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("MinHashSig equals the md5/conv permutation formula") {
     def h32(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
