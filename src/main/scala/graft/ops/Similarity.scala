@@ -216,7 +216,6 @@ object Similarity {
     require(targetBlockRows >= 1, s"targetBlockRows must be >= 1")
     val slots = df.sparkSession.sparkContext.defaultParallelism
     val counts = df.groupBy(grp.as("__g")).agg(count(lit(1)).as("__cnt"))
-      .persistTracked() // read by the summary agg AND the base join below
     // Parallelism floor, conditioned on ACTUAL slot underfill. Size alone
     // puts a small corpus (or the small groups of a skewed one) in a
     // handful of triangle blocks, so when the size-derived block-pairs
@@ -224,29 +223,41 @@ object Similarity {
     // ~sqrt(2·slots / nGroups) (nGroups · k(k+1)/2 ≥ slots). The floor
     // must NOT apply unconditionally: an unconditional kmin =
     // sqrt(2·slots) replicates every row of every group ~kmin/2× on a
-    // large cluster even when the group count alone already fills it —
-    // measured in-suite at local[32]: x_knn_graph 1.5→10.7 cpu-s,
-    // x_dedup_semantic 8-vs-32-core wall ratio 0.09 (round-12 verdict).
-    // On a 10k-slot cluster the old floor was k=142 for EVERY group; now
-    // a many-group corpus gets k from size alone. k is additionally
-    // capped by the group size — blocks beyond one row each are pure
-    // replication with no parallelism left to buy. The 1-row summary is
-    // broadcast, so the floor costs no driver action and no extra pass
-    // over `df` (counts is cached above).
+    // large cluster even when the group count alone already fills it
+    // (round-12 verdict: on a 10k-slot cluster the old floor was k=142
+    // for EVERY group — a corpus of many ~500-row cells would replicate
+    // every row ~70× for no skew benefit). Now a many-group corpus gets
+    // k from size alone, and k is additionally capped by the group size —
+    // blocks beyond one row each are pure replication with no parallelism
+    // left to buy. The fill/group-count summary is ONE row aggregated off
+    // the cached counts table and read with first() — the established
+    // driver-scalar pattern here (trainHashedLogReg's nDocs, kmeans'
+    // centroid collect); an earlier broadcast-crossJoin variant kept the
+    // plan lazy but grew every consumer's generated code and added a
+    // materialization barrier (A/B mini-bench medians: x_mm_embed_pairs
+    // 1.80→2.62 s, x_knn_graph 1.86→2.17 s walls at sf0.1). With the
+    // literal, the common at-scale case (fill ≥ slots) plans EXACTLY like
+    // an unfloored k = min(512, cnt, ⌈cnt/target⌉). The summary job reads
+    // only the GROUP column (everything else prunes away below the
+    // aggregate), and counts stays UNPERSISTED so the main action plans
+    // the count join exactly as before — an InMemoryRelation there traded
+    // AQE's runtime-stats broadcast for cache machinery and measured
+    // slower at bench scale.
     val kSize = ceil(col("__cnt").cast("double") / targetBlockRows)
-    val summary = counts.agg(
+    val sumRow = counts.agg(
       sum(kSize * (kSize + lit(1)) / lit(2)).as("__fill"),
-      count(lit(1)).as("__ng"))
-    val kmin = when(col("__fill") >= lit(slots.toDouble), lit(1L))
-      .otherwise(ceil(sqrt(lit(2.0 * slots) / col("__ng"))))
+      count(lit(1)).as("__ng")).first()
+    val fill = if (sumRow.isNullAt(0)) 0.0 else sumRow.getDouble(0)
+    val nGroups = sumRow.getLong(1)
+    val kmin: Long =
+      if (nGroups == 0L || fill >= slots) 1L
+      else math.ceil(math.sqrt(2.0 * slots / nGroups)).toLong
     val base = df.select(grp.as("__g"),
         col(idCol).as("__id"), dbl(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
       .join(counts, Seq("__g"))
-      .crossJoin(broadcast(summary))
       .withColumn("__k", least(least(lit(512L), col("__cnt")),
-        greatest(kmin, kSize)).cast("int"))
-      .drop("__fill", "__ng")
+        greatest(lit(kmin), kSize)).cast("int"))
       .withColumn("__b",
         pmod(xxhash64(col("__id").cast("string")), col("__k")).cast("int"))
       .persistTracked()
