@@ -856,12 +856,21 @@ object TextOps {
                         textCol: String = "text", dim: Int = 64,
                         iters: Int = 2, lrInv: Double = 100.0): DataFrame = {
     val spark = df.sparkSession
+    // cached PRE-PARTITIONED BY id: every iteration runs one id-keyed
+    // aggregation (the per-doc dot product) and one id-keyed join (docs ×
+    // predictions) over x — with x hash-partitioned by id once, both
+    // reuse the cached partitioning and neither re-exchanges the design
+    // matrix, so the per-iteration shuffle drops to the (≤dim-row)
+    // gradient aggregation (guide §2.4: operations keyed the same way
+    // share one exchange). Costs one extra exchange at build time; saves
+    // two corpus-sized exchanges PER ITERATION.
     val x = df.select(col(idCol).as("id"), labelPred.as("y"),
         explode(tokens(col(textCol))).as("token"))
       .withColumn("b", Dedup.h32(col("token")) % dim)
       .groupBy(col("id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("yfp", when(col("y"), 1000000L).otherwise(0L))
+      .repartition(col("id"))
       .persistTracked()
     val nDocs = x.select(countDistinct(col("id"))).first().getLong(0)
     var wfp = Map.empty[Long, Long] // bucket -> weight in micro units
