@@ -545,18 +545,47 @@ object Probe {
         .groupBy("wave").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
-    println(f"${"wave"}%4s ${"index_rows"}%10s ${"batch_rows"}%10s ${"cand_pairs"}%10s ${"wall_s"}%7s ${"cpu_s"}%7s")
+    // per-wave decomposition against the CURRENT tables, isolated from
+    // the drain itself: the wall growth's suspects are (a) the whole-LSH-
+    // index scan the bucket probe pays per batch, (b) the whole-corpus
+    // TEXT scan the exact-verify semi-join pays per batch, (c) everything
+    // else (candidate-volume-proportional verify, fixed engine cost) —
+    // which one grows decides which fix is real (bucket-partitioned index
+    // layout only attacks (a)).
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    println(f"${"wave"}%4s ${"index_rows"}%10s ${"batch_rows"}%10s ${"cand_pairs"}%10s ${"wall_s"}%7s ${"cpu_s"}%7s ${"lshscan"}%8s ${"txtscan"}%8s ${"probejoin"}%9s")
     for (w <- 0 until waves) {
       val batch = corpus10.where(pmod(col("doc_id"), lit(waves)) === w)
       val batchRows = batch.count()
       val indexRows = if (lshT.exists) lshT.read().count() else 0L
+      val tLsh = if (lshT.exists) timed(noop(lshT.read())) else 0.0
+      val tTxt = if (corpusT.exists) timed(noop(corpusT.read())) else 0.0
+      val tProbe = if (lshT.exists) timed {
+        import graft.ops.Dedup
+        val bands = 32; val k = 64; val rows = k / bands
+        val banded = batch
+          .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .where(size(col("sh")) > 0)
+          .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
+          .select(col("id"), explode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
+            .as("bucket"))
+        noop(banded.alias("b").join(lshT.read().alias("i"),
+          expr("b.bucket = i.bucket AND i.id < b.id"))
+          .select(col("b.id").as("id"), col("i.id").as("prior_id")))
+      } else 0.0
       batch.write.mode("append").json(in)
       val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
       graft.streaming.Streaming.streamNearDupIndex(
         s.readStream.schema(schema).json(in), corpusT, lshT, "doc_id", "text")
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = (osBean.getProcessCpuTime - c0) / 1e9
-      println(f"$w%4d $indexRows%10d $batchRows%10d ${census.getOrElse(w, 0L)}%10d $dt%7.2f $dc%7.1f")
+      println(f"$w%4d $indexRows%10d $batchRows%10d ${census.getOrElse(w, 0L)}%10d $dt%7.2f $dc%7.1f $tLsh%8.2f $tTxt%8.2f $tProbe%9.2f")
     }
     corpus10.unpersist()
   }
